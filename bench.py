@@ -1,0 +1,83 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line with per-query seconds.
+
+Queries are forced with the noop sink (full computation, no driver
+collect) except explicit top-k/paging queries where collect() is the
+realistic action.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_region_revenue",
+    "parts_topk_per_brand",
+    "events_hourly",
+    "catalog_search_like",
+    "entries_meta_join",
+    "stac_items_page",
+    "delta_adds",
+    "stamp_checksum",
+    "dedup_minhash_signatures",
+    "dedup_neardup_pairs",
+    "knn_cosine_top10",
+    "text_quality_metrics",
+    "raster_area_stats",
+    "zonal_volume_cutfill",
+]
+
+_SMALL_RESULT = {"q3_top_revenue_orders", "stac_items_page", "knn_cosine_top10", "stamp_checksum"}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from dronedb_spark.session import get_spark
+    from dronedb_spark.suite import load_all
+
+    spark = get_spark("dronedb_spark_bench", cpus=cpus)
+    registry = load_all()
+
+    # warm the JVM + parquet footers
+    spark.range(1000).count()
+
+    results: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        chk = registry[name]
+        t0 = time.time()
+        df = chk.spark_fn(spark, sf_dir)
+        if name in _SMALL_RESULT:
+            df.collect()
+        else:
+            df.write.format("noop").mode("overwrite").save()
+        dt = round(time.time() - t0, 3)
+        results[name] = dt
+        total += dt
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": results,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,114 @@
+"""Geospatial scalar functions as column arithmetic (SURVEY §2.7 math/geo).
+
+Reference: WebMercator tile math (tiler.cpp:132-225), haversine
+(raster_profile.cpp:35-44), UTM zone (geo.cpp), MVT max-zoom budget
+(mvt.cpp:12-54).  All pure column expressions — Catalyst folds constants
+and keeps them in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dronedb_spark.catalog.derive import entries_df, with_catalog
+from dronedb_spark.suite import check
+
+EARTH_RADIUS_M = 6378137.0
+
+
+def lonlat_to_tile(lon: Column, lat: Column, zoom: int) -> tuple[Column, Column]:
+    """XYZ tile indices (gdaltiler semantics; z fixed per call so 2^z is a
+    folded constant)."""
+    n = float(2**zoom)
+    tx = F.floor((lon + 180.0) / 360.0 * n).cast("bigint")
+    lat_rad = F.radians(lat)
+    ty = F.floor(
+        (1.0 - F.log(F.tan(lat_rad) + 1.0 / F.cos(lat_rad)) / math.pi) / 2.0 * n
+    ).cast("bigint")
+    return tx, ty
+
+
+def tms_flip(ty: Column, zoom: int) -> Column:
+    """TMS ↔ XYZ y flip (tiler.cpp:223-225)."""
+    return F.lit(float(2**zoom) - 1).cast("bigint") - ty
+
+
+def utm_zone(lon: Column) -> Column:
+    """UTM zone from longitude (entry.cpp:772-829 uses the standard
+    formula)."""
+    return (F.floor((lon + 180.0) / 6.0) % 60 + 1).cast("int")
+
+
+def haversine_m(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Column:
+    """Great-circle distance in meters (raster_profile.cpp:35-44)."""
+    dlat = F.radians(lat2 - lat1)
+    dlon = F.radians(lon2 - lon1)
+    a = (
+        F.sin(dlat / 2) * F.sin(dlat / 2)
+        + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2)) * F.sin(dlon / 2) * F.sin(dlon / 2)
+    )
+    return 2 * EARTH_RADIUS_M * F.asin(F.sqrt(a))
+
+
+def mvt_max_zoom(area_deg2: float, tile_budget: int = 10000) -> int:
+    """MVT zoom budget: z = floor(0.5·log2(budget·64800/areaDeg2)),
+    clamped to [5, 18]; extents > 10% of the globe forced to 5
+    (mvt.h:33-45, mvt.cpp:12-54).  Driver-side arithmetic (SURVEY X13)."""
+    if area_deg2 <= 0:
+        return 18
+    if area_deg2 > 0.10 * 64800.0:
+        return 5
+    z = int(math.floor(0.5 * math.log2(tile_budget * 64800.0 / area_deg2)))
+    return max(5, min(18, z))
+
+
+def tile_assignment(entries: DataFrame, zoom: int) -> DataFrame:
+    """Per-entry web tile at a zoom + per-tile counts — the grouping key of
+    the tile-pyramid materialization (R7/K7)."""
+    geo = entries.filter(F.col("point_lon").isNotNull())
+    tx, ty = lonlat_to_tile(F.col("point_lon"), F.col("point_lat"), zoom)
+    tiles = geo.select("path", tx.alias("tx"), ty.alias("ty"), utm_zone(F.col("point_lon")).alias("utm"))
+    return tiles.orderBy("path")
+
+
+# ---------------------------------------------------------------- checks
+
+
+@check(
+    "webmercator_tiles_z12",
+    oracle=with_catalog(
+        """SELECT path,
+                  CAST(floor((point_lon + 180.0) / 360.0 * 4096.0) AS BIGINT) AS tx,
+                  CAST(floor((1.0 - ln(tan(radians(point_lat)) + 1.0 / cos(radians(point_lat)))
+                        / pi()) / 2.0 * 4096.0) AS BIGINT) AS ty,
+                  CAST((floor((point_lon + 180.0) / 6.0) % 60 + 1) AS INT) AS utm
+           FROM entries WHERE point_lon IS NOT NULL ORDER BY path"""
+    ),
+)
+def q_tile_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tile_assignment(entries_df(spark, sf_dir), zoom=12)
+
+
+@check(
+    "haversine_to_origin",
+    oracle=with_catalog(
+        """SELECT path,
+                  ROUND(2 * 6378137.0 * asin(sqrt(
+                      sin(radians(point_lat - 46.84) / 2) * sin(radians(point_lat - 46.84) / 2)
+                      + cos(radians(46.84)) * cos(radians(point_lat))
+                        * sin(radians(point_lon - (-91.99)) / 2)
+                        * sin(radians(point_lon - (-91.99)) / 2))), 2) AS dist_m
+           FROM entries WHERE point_lon IS NOT NULL ORDER BY path"""
+    ),
+)
+def q_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = entries_df(spark, sf_dir).filter(F.col("point_lon").isNotNull())
+    return e.select(
+        "path",
+        F.round(
+            haversine_m(F.col("point_lon"), F.col("point_lat"), F.lit(-91.99), F.lit(46.84)), 2
+        ).alias("dist_m"),
+    ).orderBy("path")

@@ -1,0 +1,154 @@
+"""Dataset sync algebra: stamp, delta, applyDelta (SURVEY §1.6, J2-J5, A8).
+
+Reference: stamp = content-addressed dataset identity
+(database.cpp:288-331); delta = adds/removes between two stamps
+(delta.cpp:105-206); applyDelta merges with a conflict-strategy
+(registry.cpp:358-470).  All of it is pure DataFrame algebra: anti-joins
+for set differences, a full-outer join for merge classification.
+
+Scale note: at 100 TB the (path, hash) anti-joins shuffle both sides on
+path — AQE handles skew; the checksum is the only inherently sequential
+step (SHA256 over a canonically ordered concatenation — the reference's
+definition).  We compute it with ``sort_array(collect_list(...))`` which
+funnels one (path,hash) pair list to a single reducer; for a billion-entry
+catalog the same semantics would be kept but fed by a per-range pre-concat
+(tree reduction) — noted here because the *checksum definition* itself
+(database.cpp:299-329) forces a total order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dronedb_spark.catalog.derive import entries_df, entries_meta_df, with_catalog
+from dronedb_spark.suite import check
+
+
+def delta_adds(src: DataFrame, dst: DataFrame) -> DataFrame:
+    """J2 (delta.cpp:131-149): source entries with no (path, hash) match in
+    destination — both brand-new paths and modified contents."""
+    return src.join(dst.select("path", "hash"), ["path", "hash"], "left_anti").orderBy("path")
+
+
+def delta_removes(src: DataFrame, dst: DataFrame) -> DataFrame:
+    """J3 (delta.cpp:151-169): destination entries with no source entry of
+    the same path *and is-directory class*; path-DESC so children delete
+    before parents."""
+    src_k = src.select("path", (F.col("type") == 1).alias("isdir"))
+    dst_k = dst.select("path", (F.col("type") == 1).alias("isdir"), "type")
+    return (
+        dst_k.join(src_k, ["path", "isdir"], "left_anti")
+        .select("path", "type")
+        .orderBy(F.desc("path"))
+    )
+
+
+def apply_delta_classify(ours: DataFrame, theirs: DataFrame) -> DataFrame:
+    """J5 (registry.cpp:358-470): full-outer join on path with per-row
+    classification — the inputs to the DontMerge/KeepOurs/KeepTheirs
+    strategies.  Classes: unchanged, modified (both present, hash differs),
+    add (theirs only), remove (ours only), typechange (file↔dir swap)."""
+    o = ours.select(
+        F.col("path"), F.col("hash").alias("o_hash"), (F.col("type") == 1).alias("o_isdir")
+    )
+    t = theirs.select(
+        F.col("path"), F.col("hash").alias("t_hash"), (F.col("type") == 1).alias("t_isdir")
+    )
+    j = o.join(t, "path", "full_outer")
+    cls = (
+        F.when(F.col("o_hash").isNull(), F.lit("add"))
+        .when(F.col("t_hash").isNull(), F.lit("remove"))
+        .when(F.col("o_isdir") != F.col("t_isdir"), F.lit("typechange"))
+        .when(F.col("o_hash") != F.col("t_hash"), F.lit("modified"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select("path", cls.alias("class"))
+
+
+def stamp_checksum(entries: DataFrame, meta: DataFrame | None = None) -> DataFrame:
+    """A8 (database.cpp:288-331): SHA256 over path+hash concatenated in
+    path order, then meta ids in id order."""
+    ent = entries.select(F.col("path"), F.col("hash"))
+    body = ent.agg(
+        F.expr(
+            "aggregate(sort_array(collect_list(struct(path, hash))), '',"
+            " (acc, x) -> acc || x.path || x.hash)"
+        ).alias("body")
+    )
+    if meta is not None:
+        ids = meta.agg(F.array_join(F.sort_array(F.collect_list("id")), "").alias("meta_ids"))
+        body = body.crossJoin(ids).select(
+            F.concat(F.col("body"), F.col("meta_ids")).alias("body")
+        )
+    return body.select(F.sha2(F.col("body"), 256).alias("checksum"))
+
+
+# ---------------------------------------------------------------- checks
+
+_DELTA_COLS = "path, hash, type, size"
+
+
+@check(
+    "delta_adds",
+    oracle=with_catalog(
+        f"""SELECT {_DELTA_COLS} FROM entries a
+            WHERE NOT EXISTS (
+                SELECT 1 FROM entries_b b WHERE b.path = a.path AND b.hash = a.hash)
+            ORDER BY path""",
+        variants=("a", "b"),
+    ),
+)
+def q_delta_adds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = entries_df(spark, sf_dir, "a")
+    b = entries_df(spark, sf_dir, "b")
+    return delta_adds(a, b).select("path", "hash", "type", "size")
+
+
+@check(
+    "delta_removes",
+    oracle=with_catalog(
+        """SELECT b.path, b.type FROM entries_b b
+           WHERE NOT EXISTS (
+               SELECT 1 FROM entries a WHERE a.path = b.path
+                 AND (a.type = 1) = (b.type = 1))
+           ORDER BY path DESC""",
+        variants=("a", "b"),
+    ),
+)
+def q_delta_removes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = entries_df(spark, sf_dir, "a")
+    b = entries_df(spark, sf_dir, "b")
+    return delta_removes(a, b)
+
+
+@check(
+    "apply_delta_classify",
+    oracle=with_catalog(
+        """SELECT COALESCE(o.path, t.path) AS path,
+                  CASE WHEN o.hash IS NULL THEN 'add'
+                       WHEN t.hash IS NULL THEN 'remove'
+                       WHEN (o.type = 1) <> (t.type = 1) THEN 'typechange'
+                       WHEN o.hash <> t.hash THEN 'modified'
+                       ELSE 'unchanged' END AS class
+           FROM entries o FULL OUTER JOIN entries_b t ON o.path = t.path""",
+        variants=("a", "b"),
+    ),
+)
+def q_apply_delta_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return apply_delta_classify(entries_df(spark, sf_dir, "a"), entries_df(spark, sf_dir, "b"))
+
+
+@check(
+    "stamp_checksum",
+    oracle=with_catalog(
+        """SELECT sha256(
+                 COALESCE((SELECT string_agg(path || hash, '' ORDER BY path) FROM entries), '')
+              || COALESCE((SELECT string_agg(id, '' ORDER BY id) FROM entries_meta), '')
+           ) AS checksum""",
+        variants=("a",),
+        meta=True,
+    ),
+)
+def q_stamp_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stamp_checksum(entries_df(spark, sf_dir), entries_meta_df(spark, sf_dir))

@@ -1,0 +1,284 @@
+"""Generic relational coverage over the driver's star schema — joins,
+partial+final aggregation, windows, top-k, paging (FIXTURES.md §7).
+
+These are also the bench headline queries (bench.py).  Design notes for
+scale: monetary aggregates are summed as DECIMAL(38,4) so results are
+exactly reproducible regardless of partitioning/accumulation order (double
+summation is order-dependent; decimal is not), then surfaced as rounded
+doubles.  Joins follow the TPC-H shape: small dims (region/nation/
+supplier) broadcast; fact-fact joins shuffle on their keys with AQE skew
+handling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dronedb_spark.suite import check
+from dronedb_spark.tables import load
+
+
+def _dec(col: str | F.Column) -> F.Column:
+    """Cast a raw 2-dp monetary/measure column to decimal.
+
+    Inputs are cast (boundary-free: the stored doubles are within 1 ulp of
+    2-dp decimals, far from any 4-dp rounding boundary) and ALL arithmetic
+    then happens exactly in decimal — never cast a computed double product
+    to decimal, because rounding a true scale-6 product at scale 4 lands
+    exactly on .xxxx5 ties, which Spark and other engines break
+    differently.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("decimal(14,2)")
+
+
+def _one_minus(col: str) -> F.Column:
+    return F.lit(1).cast("decimal(6,4)") - F.col(col).cast("decimal(6,4)")
+
+
+def _one_plus(col: str) -> F.Column:
+    return F.lit(1).cast("decimal(6,4)") + F.col(col).cast("decimal(6,4)")
+
+
+def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
+    """TPC-H Q1 shape (map-side partial agg; one shuffle on the 6-ish
+    group keys)."""
+    disc_price = _dec("l_extendedprice") * _one_minus("l_discount")
+    charge = _dec("l_extendedprice") * _one_minus("l_discount") * _one_plus("l_tax")
+    g = (
+        lineitem.filter(F.col("l_shipdate") <= F.lit(cutoff))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).alias("_sq"),
+            F.sum(_dec("l_extendedprice")).alias("_sbp"),
+            F.sum(disc_price).alias("_sdp"),
+            F.sum(charge).alias("_sc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+    # NB: no ROUND after the decimal sums — Spark rounds a double via its
+    # shortest decimal representation while DuckDB rounds the exact binary
+    # value, so ROUND(CAST(decimal AS double)) diverges at .xx5 boundaries.
+    # CAST(exact-decimal AS double) alone is bitwise-identical everywhere.
+    # ROUND(decimal, 2) before the double cast: rounding is deterministic
+    # (half-up on EXACT decimals in both engines), and the rounded value's
+    # scaled integer fits in 2^53 so the decimal→double cast is exact —
+    # wide-scale decimal→double casts can differ by 1 ulp between engines.
+    def _d(c):
+        return F.round(c, 2).cast("double")
+
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        _d(F.col("_sq")).alias("sum_qty"),
+        _d(F.col("_sbp")).alias("sum_base_price"),
+        _d(F.col("_sdp")).alias("sum_disc_price"),
+        _d(F.col("_sc")).alias("sum_charge"),
+        (_d(F.col("_sq")) / F.col("count_order")).alias("avg_qty"),
+        (_d(F.col("_sbp")) / F.col("count_order")).alias("avg_price"),
+        F.col("count_order"),
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+def top_revenue_orders(customer: DataFrame, orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filters first (pushed down), then
+    fact join + top-k (orderBy+limit → Spark TakeOrderedAndProject, no
+    full sort)."""
+    rev = _dec("l_extendedprice") * _one_minus("l_discount")
+    j = (
+        customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < F.lit("1995-03-15"))
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.lit("1995-03-15"))
+    )
+    return (
+        j.groupBy("o_orderkey", "o_orderpriority")
+        .agg(F.sum(rev).alias("_rev"))
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(F.col("_rev"), 2).cast("double").alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+def region_revenue(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+) -> DataFrame:
+    """TPC-H Q5 shape: dims broadcast (region 5 rows, nation 25), facts
+    shuffle-join on their keys."""
+    rev = _dec("l_extendedprice") * _one_minus("l_discount")
+    j = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        j.groupBy("r_name", "n_name")
+        .agg(F.sum(rev).alias("_rev"), F.count(F.lit(1)).alias("n_items"))
+        .select(
+            "r_name",
+            "n_name",
+            F.round(F.col("_rev"), 2).cast("double").alias("revenue"),
+            "n_items",
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+def parts_topk_per_brand(part: DataFrame, k: int = 3) -> DataFrame:
+    """Window top-k (rank over partition) — the reference's top-k pattern
+    (O6) generalized per-group."""
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        part.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("p_brand", "p_partkey", "p_name", F.round("p_retailprice", 2).alias("price"), "rk")
+        .orderBy("p_brand", "rk")
+    )
+
+
+def events_hourly(events: DataFrame) -> DataFrame:
+    """Event-time hourly aggregate — the batch form of the streaming
+    windowed agg (streaming variant in dronedb_spark/streaming)."""
+    hour = F.date_format("ts", "yyyy-MM-dd HH").alias("hour")
+    return (
+        events.groupBy(hour, "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(_dec("value")), 2).cast("double").alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+def customer_acct_percentiles(customer: DataFrame) -> DataFrame:
+    """Exact percentiles per market segment (sort-based exact median — the
+    reference's area-stats median is exact, raster_analysis.cpp:396-417)."""
+    return (
+        customer.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.expr("percentile(c_acctbal, 0.5)"), 4).alias("median_bal"),
+            F.round(F.expr("percentile(c_acctbal, 0.9)"), 4).alias("p90_bal"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------- checks
+
+
+@check(
+    "q1_pricing_summary",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(14,2))), 2) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_base_price,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE) AS sum_disc_price,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))) * (CAST(1 AS DECIMAL(6,4)) + CAST(l_tax AS DECIMAL(6,4)))), 2) AS DOUBLE) AS sum_charge,
+               CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(14,2))), 2) AS DOUBLE) / COUNT(1) AS avg_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) / COUNT(1) AS avg_price,
+               CAST(COUNT(1) AS BIGINT) AS count_order
+        FROM lineitem WHERE l_shipdate <= '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""",
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pricing_summary(load(spark, sf_dir, "lineitem"))
+
+
+@check(
+    "q3_top_revenue_orders",
+    oracle="""
+        SELECT o_orderkey, o_orderpriority,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE) AS revenue
+        FROM customer, orders, lineitem
+        WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+          AND o_orderdate < '1995-03-15'
+          AND o_orderkey = l_orderkey AND l_shipdate > '1995-03-15'
+        GROUP BY o_orderkey, o_orderpriority
+        ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+)
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return top_revenue_orders(
+        load(spark, sf_dir, "customer"), load(spark, sf_dir, "orders"), load(spark, sf_dir, "lineitem")
+    )
+
+
+@check(
+    "q5_region_revenue",
+    oracle="""
+        SELECT r_name, n_name,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE) AS revenue,
+               CAST(COUNT(1) AS BIGINT) AS n_items
+        FROM lineitem, orders, customer, nation, region
+        WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+          AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+)
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return region_revenue(
+        load(spark, sf_dir, "region"),
+        load(spark, sf_dir, "nation"),
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "lineitem"),
+    )
+
+
+@check(
+    "parts_topk_per_brand",
+    oracle="""
+        SELECT p_brand, p_partkey, p_name, ROUND(p_retailprice, 2) AS price, rk
+        FROM (
+            SELECT p_brand, p_partkey, p_name, p_retailprice,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY p_brand
+                        ORDER BY p_retailprice DESC, p_partkey ASC) AS INT) AS rk
+            FROM part) t
+        WHERE rk <= 3 ORDER BY p_brand, rk""",
+)
+def q_parts_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return parts_topk_per_brand(load(spark, sf_dir, "part"))
+
+
+@check(
+    "events_hourly",
+    oracle="""
+        SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
+               CAST(COUNT(1) AS BIGINT) AS n,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(14,2))), 2) AS DOUBLE) AS sum_value,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events
+        GROUP BY strftime(ts, '%Y-%m-%d %H'), event_type
+        ORDER BY hour, event_type""",
+)
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events_hourly(load(spark, sf_dir, "events"))
+
+
+@check(
+    "customer_acct_percentiles",
+    oracle="""
+        SELECT c_mktsegment, CAST(COUNT(1) AS BIGINT) AS n,
+               ROUND(quantile_cont(c_acctbal, 0.5), 4) AS median_bal,
+               ROUND(quantile_cont(c_acctbal, 0.9), 4) AS p90_bal,
+               ROUND(MIN(c_acctbal), 2) AS min_bal,
+               ROUND(MAX(c_acctbal), 2) AS max_bal
+        FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+)
+def q_customer_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return customer_acct_percentiles(load(spark, sf_dir, "customer"))

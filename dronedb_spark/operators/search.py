@@ -1,0 +1,139 @@
+"""Path search / list — the reference's interactive query path.
+
+Reference lifecycle: ``ddb search`` → ``searchIndex`` (dbops.cpp:601-627) →
+``getMatchingEntries`` (dbops.cpp:916-987): sanitized LIKE predicate +
+optional depth cut + ORDER BY path.  Spark-first: the predicate is a
+Catalyst ``LIKE ... ESCAPE`` expression pushed down to the Parquet scan
+(StartsWith prefixes prune row groups — SURVEY X3); ``depth`` is a
+materialized pruning column (SURVEY X2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dronedb_spark.catalog.derive import entries_df, with_catalog
+from dronedb_spark.functions.like import folder_pattern, sanitize_query_param
+from dronedb_spark.suite import check
+
+
+def _like(pattern_sql: str) -> F.Column:
+    # Column.like has no ESCAPE parameter; build the expression directly.
+    return F.expr(f"path LIKE '{pattern_sql}' ESCAPE '/'")
+
+
+def search(entries: DataFrame, pattern: str, max_depth: int = 0) -> DataFrame:
+    """``ddb search <pattern>`` (P1, P3, O1)."""
+    df = entries.filter(_like(sanitize_query_param(pattern)))
+    if max_depth > 0:
+        df = df.filter(F.col("depth") <= max_depth - 1)
+    return df.orderBy("path")
+
+
+def list_folder(entries: DataFrame, folder: str, max_depth: int = 0) -> DataFrame:
+    """``ddb list <folder>`` — the folder row itself plus descendants
+    (P2: pattern + '//%' suffix, dbops.cpp:934-939), folders-first ordering
+    (O3: sort by type then path, dbops.cpp:539-541)."""
+    own = _like(sanitize_query_param(folder)) if folder else F.lit(True)
+    desc = _like(folder_pattern(folder))
+    df = entries.filter(own | desc)
+    if max_depth > 0:
+        df = df.filter(F.col("depth") <= max_depth - 1)
+    return df.dropDuplicates(["path"]).orderBy("type", "path")
+
+
+# ---------------------------------------------------------------- checks
+
+_PAT = "src_/doc_*2.txt"  # exercises '_' single-char wildcard + '*' → '%'
+_PAT_SQL = sanitize_query_param(_PAT)
+
+_SEARCH_COLS = ["path", "hash", "type", "size", "mtime", "depth"]
+
+
+@check(
+    "catalog_search_like",
+    oracle=with_catalog(
+        f"""SELECT path, hash, type, size, mtime, depth FROM entries
+            WHERE path LIKE '{_PAT_SQL}' ESCAPE '/' ORDER BY path"""
+    ),
+)
+def q_search_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return search(entries_df(spark, sf_dir), _PAT).select(*_SEARCH_COLS)
+
+
+_FOLDER = "src1"
+_FOLDER_SQL = sanitize_query_param(_FOLDER)
+_FOLDER_DESC = folder_pattern(_FOLDER)
+
+
+@check(
+    "catalog_list_folder",
+    oracle=with_catalog(
+        f"""SELECT path, hash, type, size, mtime, depth FROM entries
+            WHERE (path LIKE '{_FOLDER_SQL}' ESCAPE '/'
+                   OR path LIKE '{_FOLDER_DESC}' ESCAPE '/')
+              AND depth <= 1
+            ORDER BY type, path"""
+    ),
+)
+def q_list_folder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # max_depth=2 → depth <= 1 (dbops.cpp:966-967: depth <= maxDepth - 1)
+    return list_folder(entries_df(spark, sf_dir), _FOLDER, max_depth=2).select(*_SEARCH_COLS)
+
+
+@check(
+    "catalog_type_filter_paging",
+    oracle=with_catalog(
+        """SELECT path, type, size FROM entries
+           WHERE type IN (3, 4, 5)
+           ORDER BY path LIMIT 50 OFFSET 20"""
+    ),
+)
+def q_type_filter_paging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type filter (P4, dbops.cpp:1039-1063) + LIMIT/OFFSET paging (O5)."""
+    return (
+        entries_df(spark, sf_dir)
+        .filter(F.col("type").isin(3, 4, 5))
+        .orderBy("path")
+        .select("path", "type", "size")
+        .offset(20)
+        .limit(50)
+    )
+
+
+@check(
+    "catalog_missing_folders",
+    oracle=with_catalog(
+        """SELECT DISTINCT parent AS path FROM (
+               SELECT CASE WHEN depth = 2
+                           THEN substr(path, 1, length(path) - strpos(reverse(path), '/'))
+                           ELSE NULL END AS parent
+               FROM entries WHERE type <> 1 AND depth >= 2
+           ) p
+           WHERE parent IS NOT NULL
+             AND parent NOT IN (SELECT path FROM entries WHERE type = 1)
+           ORDER BY path"""
+    ),
+)
+def q_missing_folders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Folder-consistency anti-join (J6): parents referenced by file paths
+    but absent as Directory rows (FOLDER_CONSISTENCY_QUERY,
+    dbops.cpp:1284-1314).  Derives every ancestor of each file path and
+    anti-joins against type=1 rows; the anti-join broadcasts the (small)
+    directory side at scale."""
+    entries = entries_df(spark, sf_dir)
+    files = entries.filter(F.col("type") != 1)
+    parents = (
+        files.select(
+            F.explode(
+                F.expr(
+                    """transform(sequence(1, size(split(path, '/')) - 1),
+                                 i -> array_join(slice(split(path, '/'), 1, i), '/'))"""
+                )
+            ).alias("path")
+        )
+        .distinct()
+    )
+    dirs = entries.filter(F.col("type") == 1).select("path")
+    return parents.join(dirs, "path", "left_anti").orderBy("path")

@@ -1,0 +1,205 @@
+"""Raster analytics as distributed aggregations (SURVEY A9-A15, R1-R5).
+
+Reference kernels re-expressed over the pixels table:
+  * area stats (raster_analysis.cpp:318-507): ROI filter + min/max/mean/
+    population-stddev/EXACT median/pixel count, nodata excluded.  Mean and
+    stddev are computed from DECIMAL sums (order-independent across
+    partitions); the median is Spark's exact sort-based ``percentile``.
+  * zonal volume (volume.cpp:140-463): cut = Σ max(z−base,0)·pxArea,
+    fill = Σ max(base−z,0)·pxArea over the masked region, for base-plane
+    methods flat / average_perimeter (lowest_perimeter and best_fit are the
+    same aggregate with a different base scalar).
+  * elevation profile (raster_profile.cpp:84-180): N interpolated samples
+    along a segment joined to the pixel grid (an equi-join on (row,col) —
+    broadcast of the tiny sample table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dronedb_spark.raster.synth import dem_df, dem_sql, ms_df, ms_sql
+from dronedb_spark.functions.formulas import apply_formula
+from dronedb_spark.suite import check
+
+NODATA = -9999.0
+
+
+def area_stats(pixels: DataFrame, r0: int, r1: int, c0: int, c1: int) -> DataFrame:
+    """A9/R2: stats over a pixel ROI, nodata excluded, exact median."""
+    roi = pixels.filter(
+        (F.col("row").between(r0, r1)) & (F.col("col").between(c0, c1)) & (F.col("value") != NODATA)
+    )
+    s = F.sum(F.col("value").cast("decimal(38,10)"))
+    s2 = F.sum((F.col("value") * F.col("value")).cast("decimal(38,10)"))
+    n = F.count(F.lit(1))
+    return roi.agg(
+        n.alias("pixel_count"),
+        F.min("value").alias("v_min"),
+        F.max("value").alias("v_max"),
+        (F.round(s, 4).cast("double") / n).alias("v_mean"),
+        F.sqrt(
+            (F.round(s2, 4).cast("double")
+             - F.round(s, 4).cast("double") * F.round(s, 4).cast("double") / n) / n
+        ).alias("v_stddev"),
+        F.expr("percentile(value, 0.5)").alias("v_median"),
+    )
+
+
+def zonal_volume(pixels: DataFrame, r0: int, r1: int, c0: int, c1: int, px_area: float) -> DataFrame:
+    """A11/R3 for a rectangular zone, methods flat(z=205) and
+    average_perimeter.  The perimeter scalar is itself a distributed
+    aggregate; cut/fill accumulate as decimals for order independence."""
+    zone = pixels.filter(
+        (F.col("row").between(r0, r1)) & (F.col("col").between(c0, c1)) & (F.col("value") != NODATA)
+    )
+    perim = zone.filter(
+        (F.col("row") == r0) | (F.col("row") == r1) | (F.col("col") == c0) | (F.col("col") == c1)
+    )
+    base_avg = (
+        perim.agg(
+            (F.round(F.sum(F.col("value").cast("decimal(38,10)")), 4).cast("double")
+             / F.count(F.lit(1))).alias("base")
+        )
+        .withColumn("method", F.lit("average_perimeter"))
+    )
+    base_flat = zone.limit(1).select(F.lit(205.0).alias("base"), F.lit("flat").alias("method"))
+    bases = base_flat.unionByName(base_avg)
+
+    j = zone.crossJoin(F.broadcast(bases))
+    cut = F.sum((F.greatest(F.col("value") - F.col("base"), F.lit(0.0)) * px_area).cast("decimal(38,10)"))
+    fill = F.sum((F.greatest(F.col("base") - F.col("value"), F.lit(0.0)) * px_area).cast("decimal(38,10)"))
+    return (
+        j.groupBy("method", "base")
+        .agg(
+            F.round(cut, 4).cast("double").alias("cut"),
+            F.round(fill, 4).cast("double").alias("fill"),
+            F.round(cut - fill, 4).cast("double").alias("net"),
+            (F.count(F.lit(1)) * px_area).alias("area2d"),
+        )
+        .select("method", "base", "cut", "fill", "net", "area2d")
+        .orderBy("method")
+    )
+
+
+def elevation_profile(spark: SparkSession, pixels: DataFrame, n_samples: int = 64) -> DataFrame:
+    """A15/R4: nearest-pixel samples along the (10,10)→(120,120) segment."""
+    samples = spark.range(n_samples).select(
+        F.col("id").cast("int").alias("i"),
+        F.floor(10.0 + 110.0 * F.col("id") / (n_samples - 1) + 0.5).cast("int").alias("row"),
+        F.floor(10.0 + 110.0 * F.col("id") / (n_samples - 1) + 0.5).cast("int").alias("col"),
+    )
+    j = F.broadcast(samples).join(pixels, ["row", "col"], "left")
+    return j.select(
+        "i",
+        "row",
+        "col",
+        F.when(F.col("value") == NODATA, None).otherwise(F.col("value")).alias("elev"),
+    ).orderBy("i")
+
+
+# ---------------------------------------------------------------- checks
+
+_ROI = (20, 110, 20, 110)
+
+
+@check(
+    "raster_area_stats",
+    oracle=f"""
+        WITH px AS ({dem_sql("duckdb")}),
+        roi AS (SELECT * FROM px WHERE row BETWEEN 20 AND 110 AND col BETWEEN 20 AND 110
+                AND value <> -9999.0)
+        SELECT CAST(COUNT(1) AS BIGINT) AS pixel_count,
+               MIN(value) AS v_min,
+               MAX(value) AS v_max,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))), 4) AS DOUBLE) / COUNT(1) AS v_mean,
+               sqrt((CAST(ROUND(SUM(CAST(value * value AS DECIMAL(38,10))), 4) AS DOUBLE)
+                     - CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))), 4) AS DOUBLE)
+                       * CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))), 4) AS DOUBLE) / COUNT(1)) / COUNT(1)) AS v_stddev,
+               quantile_cont(value, 0.5) AS v_median
+        FROM roi""",
+)
+def q_area_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return area_stats(dem_df(spark), *_ROI)
+
+
+@check(
+    "zonal_volume_cutfill",
+    oracle=f"""
+        WITH px AS ({dem_sql("duckdb")}),
+        zone AS (SELECT * FROM px WHERE row BETWEEN 70 AND 115 AND col BETWEEN 70 AND 115
+                 AND value <> -9999.0),
+        bases AS (
+            SELECT 'flat' AS method, 205.0 AS base
+            UNION ALL
+            SELECT 'average_perimeter' AS method,
+                   CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))), 4) AS DOUBLE) / COUNT(1) AS base
+            FROM zone WHERE row = 70 OR row = 115 OR col = 70 OR col = 115
+        )
+        SELECT method, base,
+               CAST(ROUND(SUM(CAST(GREATEST(value - base, 0.0) * 0.25 AS DECIMAL(38,10))), 4) AS DOUBLE) AS cut,
+               CAST(ROUND(SUM(CAST(GREATEST(base - value, 0.0) * 0.25 AS DECIMAL(38,10))), 4) AS DOUBLE) AS fill,
+               CAST(ROUND(SUM(CAST(GREATEST(value - base, 0.0) * 0.25 AS DECIMAL(38,10)))
+                   - SUM(CAST(GREATEST(base - value, 0.0) * 0.25 AS DECIMAL(38,10))), 4) AS DOUBLE) AS net,
+               CAST(COUNT(1) AS DOUBLE) * 0.25 AS area2d
+        FROM zone, bases
+        GROUP BY method, base ORDER BY method""",
+)
+def q_zonal_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return zonal_volume(dem_df(spark), 70, 115, 70, 115, 0.25)
+
+
+@check(
+    "elevation_profile",
+    oracle=f"""
+        WITH px AS ({dem_sql("duckdb")}),
+        samples AS (
+            SELECT CAST(range AS INT) AS i,
+                   CAST(floor(10.0 + 110.0 * range / 63 + 0.5) AS INT) AS row,
+                   CAST(floor(10.0 + 110.0 * range / 63 + 0.5) AS INT) AS col
+            FROM range(64))
+        SELECT s.i, s.row, s.col,
+               CASE WHEN p.value = -9999.0 THEN NULL ELSE p.value END AS elev
+        FROM samples s LEFT JOIN px p ON s.row = p.row AND s.col = p.col
+        ORDER BY s.i""",
+)
+def q_elevation_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return elevation_profile(spark, dem_df(spark))
+
+
+@check(
+    "formula_ndvi_vari_stats",
+    oracle=f"""
+        WITH px AS ({ms_sql("duckdb")}),
+        f AS (
+            SELECT
+                CASE WHEN R = -9999.0 THEN NULL
+                     WHEN abs(N + R) < 1e-10 THEN NULL
+                     ELSE (N - R) / (N + R) END AS ndvi,
+                CASE WHEN R = -9999.0 THEN NULL
+                     WHEN abs(G + R - B) < 1e-10 THEN NULL
+                     ELSE (G - R) / (G + R - B) END AS vari
+            FROM px)
+        SELECT CAST(COUNT(ndvi) AS BIGINT) AS n_valid,
+               MIN(ndvi) AS ndvi_min, MAX(ndvi) AS ndvi_max,
+               CAST(ROUND(SUM(CAST(ndvi AS DECIMAL(38,12))), 6) AS DOUBLE) / COUNT(ndvi) AS ndvi_mean,
+               MIN(vari) AS vari_min, MAX(vari) AS vari_max
+        FROM f""",
+)
+def q_formula_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Formula engine over the multispectral grid: NDVI + VARI with
+    reference nodata/ε semantics (vegetation.cpp:243-325)."""
+    px = ms_df(spark)
+    f = px.select(
+        apply_formula(px, "NDVI").alias("ndvi"), apply_formula(px, "VARI").alias("vari")
+    )
+    return f.agg(
+        F.count("ndvi").alias("n_valid"),
+        F.min("ndvi").alias("ndvi_min"),
+        F.max("ndvi").alias("ndvi_max"),
+        (F.round(F.sum(F.col("ndvi").cast("decimal(38,12)")), 6).cast("double")
+         / F.count("ndvi")).alias("ndvi_mean"),
+        F.min("vari").alias("vari_min"),
+        F.max("vari").alias("vari_max"),
+    )

@@ -1,0 +1,47 @@
+"""Registry of (named query, DuckDB oracle SQL) pairs — the driver contract.
+
+Each operator module registers its parity checks here via the ``check``
+decorator.  ``__spark_entry__.py`` exposes the registry to the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Check:
+    name: str
+    spark_fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL; None → driver does rows-only check
+
+
+REGISTRY: dict[str, Check] = {}
+
+
+def check(name: str, oracle: str | None = None):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = Check(name, fn, oracle)
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, Check]:
+    """Import every operator module so its checks register."""
+    import dronedb_spark.operators.search  # noqa: F401
+    import dronedb_spark.operators.stats  # noqa: F401
+    import dronedb_spark.operators.meta  # noqa: F401
+    import dronedb_spark.operators.delta  # noqa: F401
+    import dronedb_spark.operators.stac  # noqa: F401
+    import dronedb_spark.operators.relational  # noqa: F401
+    import dronedb_spark.text.dedup  # noqa: F401
+    import dronedb_spark.text.quality  # noqa: F401
+    import dronedb_spark.vectors.knn  # noqa: F401
+    import dronedb_spark.raster.stats  # noqa: F401
+    import dronedb_spark.functions.geo  # noqa: F401
+
+    return REGISTRY

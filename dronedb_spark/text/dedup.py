@@ -1,0 +1,191 @@
+"""Deduplication operators: exact (hash-groupBy) and MinHash+LSH near-dup.
+
+Scale design (the core of a training-data pipeline at 100 TB):
+  * exact dedup: one shuffle on md5(text) — map-side partial counts keep
+    the shuffle narrow.
+  * MinHash: per-doc signature is a pure column expression (shingle →
+    per-hash-function min) — no shuffle at all, no Python.
+  * LSH: signatures are banded; candidate pairs come from a self-join on
+    (band_id, band_key) — i.e. only documents sharing a band bucket are
+    compared, never the O(n²) cross product.  The band join shuffles on the
+    band key; bucket skew (a degenerate all-equal corpus) is handled by
+    AQE skew-join splitting.
+
+Portable hashing: h_j(shingle) = md5(j || ':' || shingle), minimum taken
+lexicographically — identical in any engine with md5, which is what lets
+the DuckDB oracle verify the exact signature values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dronedb_spark.suite import check
+from dronedb_spark.tables import load
+
+N_HASHES = 6
+BANDS = 2  # 2 bands × 3 rows
+
+
+def exact_dup_groups(docs: DataFrame) -> DataFrame:
+    """Exact duplicate groups by content hash; keeps the sorted id list so
+    a `keep-first` policy is a cheap post-step."""
+    return (
+        docs.groupBy(F.md5("text").alias("content_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("doc_id").alias("keep_id"),
+            F.array_join(F.sort_array(F.collect_list(F.col("doc_id").cast("string"))), ",").alias(
+                "doc_ids"
+            ),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def _shingle_df(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh: array<string>) — word 3-grams.
+
+    Built with ``zip_with`` over three shifted ``slice``s so the token
+    array is referenced only as TOP-LEVEL arguments (evaluated once per
+    row).  The naive ``transform(sequence(...), i -> toks[i] ...)`` form
+    indexes ``toks`` inside the lambda — and after Catalyst's projection
+    collapse inlines ``toks = split(text)``, the text gets re-split per
+    array ELEMENT (and higher-order lambdas are outside common
+    subexpression elimination): measured 20-30× slower, worse still when
+    the expression lands in an interpreted (non-codegen) operator.
+    """
+    sh = F.expr(
+        """CASE WHEN size(toks) >= 3
+                THEN zip_with(
+                       zip_with(slice(toks, 1, size(toks) - 2),
+                                slice(toks, 2, size(toks) - 2),
+                                (x, y) -> concat(x, ' ', y)),
+                       slice(toks, 3, size(toks) - 2),
+                       (x, y) -> concat(x, ' ', y))
+                ELSE array() END"""
+    )
+    return docs.select("doc_id", F.split("text", " ").alias("toks")).select(
+        "doc_id", sh.alias("sh")
+    )
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """Per-doc MinHash signature + LSH band keys.
+
+    The shingle array is PERSISTED before the k per-hash-function minima
+    are taken.  Without the persist barrier Catalyst's projection collapse
+    re-inlines the shingle-building expression into every one of the k
+    ``array_min(transform(...))`` columns (higher-order lambdas are outside
+    common-subexpression elimination), re-tokenizing each document k×3
+    times — measured 20-30× slower.  With it, each signature is one fast
+    vectorized pass over a materialized array; storage is
+    MEMORY_AND_DISK so an out-of-core corpus spills instead of OOMing, and
+    the cache also serves both sides of the LSH self-join downstream."""
+    from pyspark import StorageLevel
+
+    sh_df = _shingle_df(docs).filter(F.size("sh") > 0).persist(StorageLevel.MEMORY_AND_DISK)
+
+    def hasher(j: int):
+        # NB: a single-parameter lambda — PySpark passes (element, index) to
+        # two-parameter lambdas, which would corrupt the closure.
+        prefix = f"{j}:"
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+    sig = [
+        F.array_min(F.transform(F.col("sh"), hasher(j))).alias(f"mh{j}") for j in range(N_HASHES)
+    ]
+    df = sh_df.select("doc_id", *sig)
+    bands = [
+        F.md5(F.concat(*[F.col(f"mh{j}") for j in range(b * 3, b * 3 + 3)])).alias(f"band{b}")
+        for b in range(BANDS)
+    ]
+    return df.select("doc_id", *[F.col(f"mh{j}") for j in range(N_HASHES)], *bands)
+
+
+def neardup_pairs(docs: DataFrame) -> DataFrame:
+    """LSH candidate pairs: documents sharing any band bucket.
+
+    Bands are melted to (doc_id, band_id, key) rows so ONE self-join on
+    (band_id, key) covers every band — one shuffle of a narrow relation
+    instead of a join per band, and the signature projection is computed
+    once per side rather than per band."""
+    sig = minhash_signatures(docs)
+    melted = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("bk"))
+                    for b in range(BANDS)
+                ]
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.band_id").alias("band_id"), F.col("s.bk").alias("bk"))
+    a = melted.select(F.col("doc_id").alias("doc_a"), "band_id", "bk")
+    b = melted.select(F.col("doc_id").alias("doc_b"), "band_id", "bk")
+    return (
+        a.join(b, ["band_id", "bk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------- checks
+
+# DuckDB lists are 1-indexed; everything else mirrors the Spark build.
+_DUCK_SHINGLES = """
+    list_transform(range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+                   i -> string_split(text, ' ')[i] || ' ' ||
+                        string_split(text, ' ')[i+1] || ' ' ||
+                        string_split(text, ' ')[i+2])
+"""
+
+
+def _duck_mh(j: int) -> str:
+    return f"list_min(list_transform(sh, s -> md5('{j}:' || s))) AS mh{j}"
+
+
+_DUCK_SIG = f"""
+    SELECT doc_id, {", ".join(_duck_mh(j) for j in range(N_HASHES))}
+    FROM (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents) t
+    WHERE len(sh) > 0
+"""
+
+_DUCK_SIG_BANDS = f"""
+    SELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5,
+           md5(mh0 || mh1 || mh2) AS band0, md5(mh3 || mh4 || mh5) AS band1
+    FROM ({_DUCK_SIG}) s
+"""
+
+
+@check(
+    "dedup_exact_groups",
+    oracle="""
+        SELECT md5(text) AS content_hash,
+               CAST(COUNT(1) AS BIGINT) AS n_dups,
+               MIN(doc_id) AS keep_id,
+               string_agg(CAST(doc_id AS STRING), ',' ORDER BY CAST(doc_id AS STRING)) AS doc_ids
+        FROM documents GROUP BY md5(text) HAVING COUNT(1) > 1""",
+)
+def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dup_groups(load(spark, sf_dir, "documents"))
+
+
+@check("dedup_minhash_signatures", oracle=_DUCK_SIG_BANDS)
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_signatures(load(spark, sf_dir, "documents"))
+
+
+@check(
+    "dedup_neardup_pairs",
+    oracle=f"""
+        WITH sig AS ({_DUCK_SIG_BANDS})
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b
+          ON (a.band0 = b.band0 OR a.band1 = b.band1) AND a.doc_id < b.doc_id""",
+)
+def q_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return neardup_pairs(load(spark, sf_dir, "documents"))

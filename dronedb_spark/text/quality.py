@@ -1,0 +1,133 @@
+"""Text analysis for training-data pipelines: token counting, quality
+scoring, language ID (heuristic), document fingerprinting.
+
+All four are pure column expressions (JVM-side, whole-stage codegen) — no
+Python UDFs — so they scale linearly over a 100 TB documents table: one
+narrow projection, no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dronedb_spark.suite import check
+from dronedb_spark.tables import load
+
+# Stopword profiles for the n-gram/keyword language heuristic.  Scoring =
+# total occurrences of each language's marker words; argmax with a fixed
+# tie-break order (en > de > es).
+LANG_MARKERS = {
+    "en": [" the ", " and ", " of "],
+    "de": [" der ", " und ", " die "],
+    "es": [" el ", " la ", " los "],
+}
+
+
+def _occurrences(col: Column, needle: str) -> Column:
+    return (F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit("")))) / len(needle)
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace tokenization (the corpus is single-space separated)."""
+    return F.size(F.split(col, " ")).cast("bigint")
+
+
+def quality_metrics(docs: DataFrame) -> DataFrame:
+    """Per-doc quality signals: length, token count, mean token length,
+    distinct-token ratio (lexical diversity), stopword ratio."""
+    text = F.col("text")
+    toks = F.split(text, " ")
+    n_tok = F.size(toks).cast("bigint")
+    stop_hits = sum(_occurrences(text, m) for m in LANG_MARKERS["en"]).cast("bigint")
+    return docs.select(
+        "doc_id",
+        F.length(text).cast("bigint").alias("n_chars_m"),
+        n_tok.alias("n_tokens"),
+        (F.length(text) / n_tok).alias("mean_tok_len"),
+        (F.size(F.array_distinct(toks)) / n_tok).alias("distinct_ratio"),
+        stop_hits.alias("stop_hits"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Keyword-profile language ID.  Deterministic heuristic — the point is
+    the operator shape (scored multi-way CASE over marker counts), not
+    linguistic accuracy."""
+    text = F.col("text")
+    scores = {
+        lang: sum(_occurrences(text, m) for m in markers).cast("bigint")
+        for lang, markers in LANG_MARKERS.items()
+    }
+    pred = (
+        F.when((scores["en"] >= scores["de"]) & (scores["en"] >= scores["es"]), F.lit("en"))
+        .when(scores["de"] >= scores["es"], F.lit("de"))
+        .otherwise(F.lit("es"))
+    )
+    return docs.select(
+        "doc_id",
+        scores["en"].alias("score_en"),
+        scores["de"].alias("score_de"),
+        scores["es"].alias("score_es"),
+        pred.alias("lang_pred"),
+    )
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Document fingerprint: md5 over whitespace-normalized lowercase text
+    (the rolling-hash fingerprint's exact-match base case)."""
+    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    return docs.select("doc_id", F.md5(norm).alias("fp"))
+
+
+# ---------------------------------------------------------------- checks
+
+
+def _occ_sql(needle: str) -> str:
+    return f"(length(text) - length(replace(text, '{needle}', ''))) / {len(needle)}"
+
+
+_STOP_EN = " + ".join(_occ_sql(m) for m in LANG_MARKERS["en"])
+_STOP_DE = " + ".join(_occ_sql(m) for m in LANG_MARKERS["de"])
+_STOP_ES = " + ".join(_occ_sql(m) for m in LANG_MARKERS["es"])
+
+
+@check(
+    "text_quality_metrics",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars_m,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               length(text) / len(string_split(text, ' ')) AS mean_tok_len,
+               len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')) AS distinct_ratio,
+               CAST({_STOP_EN} AS BIGINT) AS stop_hits
+        FROM documents""",
+)
+def q_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_metrics(load(spark, sf_dir, "documents"))
+
+
+@check(
+    "text_lang_id",
+    oracle=f"""
+        SELECT doc_id,
+               CAST({_STOP_EN} AS BIGINT) AS score_en,
+               CAST({_STOP_DE} AS BIGINT) AS score_de,
+               CAST({_STOP_ES} AS BIGINT) AS score_es,
+               CASE WHEN {_STOP_EN} >= {_STOP_DE} AND {_STOP_EN} >= {_STOP_ES} THEN 'en'
+                    WHEN {_STOP_DE} >= {_STOP_ES} THEN 'de'
+                    ELSE 'es' END AS lang_pred
+        FROM documents""",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id(load(spark, sf_dir, "documents"))
+
+
+@check(
+    "text_fingerprint",
+    oracle=r"""
+        SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        FROM documents""",
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprint(load(spark, sf_dir, "documents"))
