@@ -1,0 +1,299 @@
+"""Parquet-backed dataset catalog — the reference's SpatiaLite database
+re-expressed as immutable DataFrame snapshots.
+
+Reference lifecycle (SURVEY §2.9 W1-W8): init/add/remove/move/sync/rescan
++ the meta manager.  Storage here is a pair of snapshot tables under
+``<root>/.ddb_spark/``: every write produces a new versioned Parquet dir
+and atomically flips a CURRENT pointer file — the Spark analog of the
+reference's EXCLUSIVE-transaction batches (dbops.cpp:644,714) with
+WAL-style concurrent readers (database.cpp:27-33): readers keep the old
+snapshot, writers never mutate in place (SURVEY X6/X7).
+
+Scale notes: every operation is DataFrame algebra — upserts are
+anti-join + union (no per-row SQL), subtree ops are prefix-predicate
+rewrites pushed to the Parquet scan, and the mtime-then-hash short-circuit
+(checkUpdate, dbops.cpp:441-472 — SURVEY X4) is staged so content hashing
+only runs for files whose mtime actually changed.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dronedb_spark.catalog.derive import ENTRY_TYPES
+from dronedb_spark.functions.like import folder_pattern, sanitize_query_param
+from dronedb_spark.operators.delta import (
+    apply_delta_classify,
+    delta_adds,
+    delta_removes,
+    stamp_checksum,
+)
+from dronedb_spark.sources.fs import ENTRIES_SCHEMA, META_SCHEMA, ingest, scan_paths
+
+CATALOG_DIR = ".ddb_spark"
+
+
+class SnapshotTable:
+    """Versioned immutable Parquet snapshots with an atomic CURRENT pointer."""
+
+    def __init__(self, spark: SparkSession, base: str, schema):
+        self.spark = spark
+        self.base = base
+        self.schema = schema
+        os.makedirs(base, exist_ok=True)
+
+    def _current_path(self) -> str | None:
+        ptr = os.path.join(self.base, "CURRENT")
+        if not os.path.exists(ptr):
+            return None
+        with open(ptr) as f:
+            return os.path.join(self.base, f.read().strip())
+
+    def read(self) -> DataFrame:
+        p = self._current_path()
+        if p is None:
+            return self.spark.createDataFrame([], schema=self.schema)
+        return self.spark.read.parquet(p)
+
+    def write(self, df: DataFrame) -> None:
+        p = self._current_path()
+        n = 0 if p is None else int(os.path.basename(p).lstrip("v")) + 1
+        target = os.path.join(self.base, f"v{n:06d}")
+        df.write.mode("overwrite").parquet(target)
+        tmp = os.path.join(self.base, f".CURRENT.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write(f"v{n:06d}")
+        os.replace(tmp, os.path.join(self.base, "CURRENT"))
+
+
+class DatasetCatalog:
+    """The engine API over one dataset directory (≈ one .ddb database)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = os.path.abspath(root)
+        base = os.path.join(self.root, CATALOG_DIR)
+        self._entries = SnapshotTable(spark, os.path.join(base, "entries"), ENTRIES_SCHEMA)
+        self._meta = SnapshotTable(spark, os.path.join(base, "entries_meta"), META_SCHEMA)
+
+    # ------------------------------------------------------------ lifecycle
+
+    @classmethod
+    def init(cls, spark: SparkSession, root: str) -> "DatasetCatalog":
+        """W1 (dbops.cpp:1176-1272): create the empty catalog tables."""
+        cat = cls(spark, root)
+        if cat._entries._current_path() is None:
+            cat._entries.write(spark.createDataFrame([], schema=ENTRIES_SCHEMA))
+            cat._meta.write(spark.createDataFrame([], schema=META_SCHEMA))
+        return cat
+
+    def entries(self) -> DataFrame:
+        return self._entries.read()
+
+    def meta(self) -> DataFrame:
+        return self._meta.read()
+
+    # ------------------------------------------------------------ write path
+
+    def add(self, rel_paths: list[str] | None = None) -> DataFrame:
+        """W2 upsert (addToIndex, dbops.cpp:629-715) with the mtime-then-
+        hash short-circuit (SURVEY X4): rows whose (path, mtime) already
+        match the index are never re-read, re-hashed, or re-parsed — the
+        expensive ingest only runs for new or mtime-changed paths."""
+        cur = self.entries()
+        scanned = [
+            (p, is_dir, int(os.path.getmtime(os.path.join(self.root, p))))
+            for p, is_dir in scan_paths(self.root)
+        ]
+        if rel_paths is not None:
+            keep = set(rel_paths)
+            scanned = [s for s in scanned if s[0] in keep]
+        fs_df = self.spark.createDataFrame(scanned, ["path", "is_dir", "fs_mtime"])
+        unchanged_paths = (
+            fs_df.join(cur.select("path", "mtime"), "path")
+            .filter(F.col("fs_mtime") == F.col("mtime"))
+            .select("path")
+        )
+        to_ingest = [
+            r.path
+            for r in fs_df.join(unchanged_paths, "path", "left_anti").select("path").collect()
+        ]
+        fresh = ingest(self.spark, self.root, to_ingest) if to_ingest else None
+
+        keep_cur = cur.join(fs_df.select("path"), "path", "left_semi").join(
+            self.spark.createDataFrame([(p,) for p in to_ingest] or [("",)], ["path"]),
+            "path",
+            "left_anti",
+        )
+        out = keep_cur if fresh is None else keep_cur.unionByName(fresh)
+        out = out.localCheckpoint(eager=True)  # cut lineage before snapshot write
+        self._entries.write(out)
+        return out
+
+    def remove(self, pattern: str) -> int:
+        """W3 (removeFromIndex, dbops.cpp:717-914): LIKE-match delete of
+        entries (file pattern + folder subtree) and their metadata."""
+        cur = self.entries()
+        p = sanitize_query_param(pattern)
+        fp = folder_pattern(pattern)
+        cond = F.expr(f"path LIKE '{p}' ESCAPE '/'") | F.expr(f"path LIKE '{fp}' ESCAPE '/'")
+        removed = cur.filter(cond).count()
+        keep = cur.filter(~cond).localCheckpoint(eager=True)
+        self._entries.write(keep)
+        meta = self.meta()
+        self._meta.write(
+            meta.filter(
+                ~(
+                    F.expr(f"path LIKE '{p}' ESCAPE '/'")
+                    | F.expr(f"path LIKE '{fp}' ESCAPE '/'")
+                )
+            ).localCheckpoint(eager=True)
+        )
+        return removed
+
+    def move(self, src: str, dest: str) -> None:
+        """W6 (moveEntry, dbops.cpp:1361-1473): subtree path rewrite with
+        depth recomputation — a pure expression rewrite, no re-parse."""
+        cur = self.entries()
+        src_sql = sanitize_query_param(src)
+        subtree = folder_pattern(src)
+        is_hit = F.expr(f"path LIKE '{src_sql}' ESCAPE '/'") | F.expr(
+            f"path LIKE '{subtree}' ESCAPE '/'"
+        )
+        new_path = F.concat(F.lit(dest), F.expr(f"substring(path, {len(src) + 1})"))
+        moved = cur.withColumn("path", F.when(is_hit, new_path).otherwise(F.col("path")))
+        moved = moved.withColumn(
+            "depth", (F.length("path") - F.length(F.replace("path", F.lit("/"), F.lit("")))).cast("int")
+        )
+        self._entries.write(moved.localCheckpoint(eager=True))
+        meta = self.meta()
+        self._meta.write(
+            meta.withColumn(
+                "path",
+                F.when(
+                    F.expr(f"path LIKE '{src_sql}' ESCAPE '/'")
+                    | F.expr(f"path LIKE '{subtree}' ESCAPE '/'"),
+                    F.concat(F.lit(dest), F.expr(f"substring(path, {len(src) + 1})")),
+                ).otherwise(F.col("path")),
+            ).localCheckpoint(eager=True)
+        )
+
+    def sync(self) -> dict:
+        """W4 (syncIndex, dbops.cpp:989-1032): reconcile the index against
+        the filesystem — Deleted rows dropped, Modified re-parsed."""
+        st = self.status()
+        classes = {r["status"]: r["n"] for r in st.groupBy("status").agg(F.count("*").alias("n")).collect()}
+        self.add()  # add() already upserts new + modified and keeps unchanged
+        # drop rows whose files are gone
+        cur = self.entries()
+        fs_paths = self.spark.createDataFrame(
+            [(p,) for p, _ in scan_paths(self.root)] or [("",)], ["path"]
+        )
+        self._entries.write(
+            cur.join(fs_paths, "path", "left_semi").localCheckpoint(eager=True)
+        )
+        return classes
+
+    def rescan(self, types: list[int] | None = None) -> None:
+        """W5 (rescanIndex, dbops.cpp:1034-1140): re-parse properties for
+        selected types (never Directory)."""
+        cur = self.entries()
+        sel = F.col("type") != ENTRY_TYPES["Directory"]
+        if types:
+            sel = sel & F.col("type").isin(types)
+        targets = [r.path for r in cur.filter(sel).select("path").collect()]
+        if not targets:
+            return
+        fresh = ingest(self.spark, self.root, targets)
+        keep = cur.join(fresh.select("path"), "path", "left_anti")
+        self._entries.write(keep.unionByName(fresh).localCheckpoint(eager=True))
+
+    # ------------------------------------------------------------ status/sync algebra
+
+    def status(self) -> DataFrame:
+        """J7 (statusIndex, status.cpp:16-77): full-outer join of index vs
+        filesystem; NotModified / Modified / Deleted / NotIndexed."""
+        cur = self.entries().select("path", "mtime")
+        fs = self.spark.createDataFrame(
+            [
+                (p, int(os.path.getmtime(os.path.join(self.root, p))))
+                for p, _ in scan_paths(self.root)
+            ]
+            or [("", 0)],
+            ["path", "fs_mtime"],
+        ).filter(F.col("path") != "")
+        j = cur.join(fs, "path", "full_outer")
+        status = (
+            F.when(F.col("fs_mtime").isNull(), "Deleted")
+            .when(F.col("mtime").isNull(), "NotIndexed")
+            .when(F.col("fs_mtime") != F.col("mtime"), "Modified")
+            .otherwise("NotModified")
+        )
+        return j.select("path", status.alias("status"))
+
+    def stamp(self) -> str:
+        """§1.6 content-addressed identity."""
+        return stamp_checksum(self.entries(), self.meta()).collect()[0]["checksum"]
+
+    def delta(self, other: "DatasetCatalog") -> dict[str, DataFrame]:
+        """J2-J4 against another catalog (self = source, other = target)."""
+        return {
+            "adds": delta_adds(self.entries(), other.entries()),
+            "removes": delta_removes(self.entries(), other.entries()),
+            "classify": apply_delta_classify(other.entries(), self.entries()),
+        }
+
+    # ------------------------------------------------------------ meta manager (W7)
+
+    def meta_set(self, key: str, data: str, path: str = "", mtime: int | None = None) -> None:
+        """Singular set = delete-then-insert (metamanager.cpp:125-146)."""
+        if key != key.lower():
+            raise ValueError("meta keys are lowercase")
+        if key.endswith("s"):
+            raise ValueError(f"'{key}' is a plural (list) key — use meta_add")
+        self._meta_insert(key, data, path, mtime, replace=True)
+
+    def meta_add(self, key: str, data: str, path: str = "", mtime: int | None = None) -> None:
+        """Plural add = append (metamanager.cpp:106-123)."""
+        if not key.endswith("s"):
+            raise ValueError(f"'{key}' is a singular key — use meta_set")
+        self._meta_insert(key, data, path, mtime, replace=False)
+
+    def _meta_insert(self, key, data, path, mtime, replace):
+        import time as _t
+
+        meta = self.meta()
+        if replace:
+            meta = meta.filter(~((F.col("path") == path) & (F.col("key") == key)))
+        row = self.spark.createDataFrame(
+            [(uuid.uuid4().hex, path, key, data, int(mtime if mtime is not None else _t.time()))],
+            schema=META_SCHEMA,
+        )
+        self._meta.write(meta.unionByName(row).localCheckpoint(eager=True))
+
+    def meta_get(self, key: str, path: str = "") -> list[str]:
+        rows = (
+            self.meta()
+            .filter((F.col("path") == path) & (F.col("key") == key))
+            .orderBy("id")
+            .collect()
+        )
+        return [r["data"] for r in rows]
+
+    def meta_unset(self, key: str, path: str = "") -> int:
+        meta = self.meta()
+        n = meta.filter((F.col("path") == path) & (F.col("key") == key)).count()
+        self._meta.write(
+            meta.filter(~((F.col("path") == path) & (F.col("key") == key))).localCheckpoint(
+                eager=True
+            )
+        )
+        return n
+
+    def chattr(self, key: str, value: str) -> None:
+        """W8: dataset attributes are dataset-level meta rows (path='')."""
+        self.meta_set(key, value, path="")

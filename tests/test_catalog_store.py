@@ -1,0 +1,163 @@
+"""End-to-end tests for the Parquet-backed DatasetCatalog write path
+(SURVEY W1-W8, J7) over a real temp directory tree."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+
+from dronedb_spark.catalog.derive import ENTRY_TYPES
+from dronedb_spark.catalog.store import DatasetCatalog
+from dronedb_spark.sources.fingerprint import fingerprint
+
+
+@pytest.fixture()
+def tree(tmp_path):
+    (tmp_path / "images").mkdir()
+    (tmp_path / "docs").mkdir()
+    (tmp_path / "README.md").write_text("# dataset\n")
+    (tmp_path / "docs" / "notes.txt").write_text("hello world\n")
+    # fake JPEG: correct magic so the sniffer accepts it
+    (tmp_path / "images" / "a.jpg").write_bytes(b"\xff\xd8\xff\xe0" + b"\x00" * 64)
+    (tmp_path / "images" / "b.jpg").write_bytes(b"\xff\xd8\xff\xe0" + b"\x01" * 64)
+    # fake LAS point cloud
+    (tmp_path / "cloud.las").write_bytes(b"LASF" + b"\x00" * 128)
+    return tmp_path
+
+
+def test_fingerprint_unit():
+    assert fingerprint("x/a.jpg", b"\xff\xd8\xff\xe0") == ENTRY_TYPES["Image"]
+    assert fingerprint("a.jpg", b"NOTJPEG") == ENTRY_TYPES["Generic"]
+    assert fingerprint("r.tif") == ENTRY_TYPES["GeoRaster"]
+    assert fingerprint("c.las", b"LASF") == ENTRY_TYPES["PointCloud"]
+    assert fingerprint("m.md") == ENTRY_TYPES["Markdown"]
+    assert fingerprint("v.geojson") == ENTRY_TYPES["Vector"]
+    assert fingerprint("s.ply", b"ply\nformat ascii\nelement vertex 5\nproperty float f_dc_0\n") == ENTRY_TYPES["GaussianSplat"]
+    assert fingerprint("p.ply", b"ply\nformat ascii\nelement vertex 5\n") == ENTRY_TYPES["PointCloud"]
+    assert fingerprint("d", is_dir=True) == ENTRY_TYPES["Directory"]
+    assert fingerprint("x.unknownext") == ENTRY_TYPES["Generic"]
+
+
+def test_init_add_search(spark, tree):
+    cat = DatasetCatalog.init(spark, str(tree))
+    cat.add()
+    e = cat.entries()
+    by_path = {r["path"]: r for r in e.collect()}
+    assert set(by_path) == {
+        "README.md", "docs", "docs/notes.txt", "images", "images/a.jpg",
+        "images/b.jpg", "cloud.las",
+    }
+    assert by_path["README.md"]["type"] == ENTRY_TYPES["Markdown"]
+    assert by_path["images/a.jpg"]["type"] == ENTRY_TYPES["Image"]
+    assert by_path["cloud.las"]["type"] == ENTRY_TYPES["PointCloud"]
+    assert by_path["images"]["type"] == ENTRY_TYPES["Directory"]
+    assert by_path["images"]["hash"] == ""
+    assert by_path["docs/notes.txt"]["depth"] == 1
+    # sha256 of content is present and stable
+    import hashlib
+
+    assert by_path["docs/notes.txt"]["hash"] == hashlib.sha256(b"hello world\n").hexdigest()
+
+
+def test_add_mtime_shortcircuit(spark, tree):
+    cat = DatasetCatalog.init(spark, str(tree))
+    cat.add()
+    h0 = {r["path"]: r["hash"] for r in cat.entries().collect()}
+    # touch with same mtime → content NOT re-read even though bytes changed
+    p = tree / "docs" / "notes.txt"
+    st = p.stat()
+    p.write_text("changed!\n")
+    os.utime(p, (st.st_atime, st.st_mtime))
+    cat.add()
+    h1 = {r["path"]: r["hash"] for r in cat.entries().collect()}
+    assert h1["docs/notes.txt"] == h0["docs/notes.txt"]  # short-circuited
+    # now bump mtime → re-hashed
+    os.utime(p, (st.st_atime, st.st_mtime + 10))
+    cat.add()
+    h2 = {r["path"]: r["hash"] for r in cat.entries().collect()}
+    assert h2["docs/notes.txt"] != h0["docs/notes.txt"]
+
+
+def test_remove_subtree(spark, tree):
+    cat = DatasetCatalog.init(spark, str(tree))
+    cat.add()
+    n = cat.remove("images")
+    assert n == 3  # the folder row + 2 jpgs
+    paths = {r["path"] for r in cat.entries().collect()}
+    assert paths == {"README.md", "docs", "docs/notes.txt", "cloud.las"}
+
+
+def test_move_subtree(spark, tree):
+    cat = DatasetCatalog.init(spark, str(tree))
+    cat.add()
+    cat.move("images", "archive/img")
+    paths = {r["path"]: r["depth"] for r in cat.entries().collect()}
+    assert "archive/img/a.jpg" in paths
+    assert paths["archive/img/a.jpg"] == 2
+    assert "images/a.jpg" not in paths
+
+
+def test_status_and_sync(spark, tree):
+    cat = DatasetCatalog.init(spark, str(tree))
+    cat.add()
+    (tree / "new.txt").write_text("new\n")
+    os.remove(tree / "cloud.las")
+    p = tree / "README.md"
+    os.utime(p, (time.time(), time.time() + 99))
+    st = {r["path"]: r["status"] for r in cat.status().collect()}
+    assert st["new.txt"] == "NotIndexed"
+    assert st["cloud.las"] == "Deleted"
+    assert st["README.md"] == "Modified"
+    assert st["docs/notes.txt"] == "NotModified"
+    cat.sync()
+    paths = {r["path"] for r in cat.entries().collect()}
+    assert "new.txt" in paths and "cloud.las" not in paths
+
+
+def test_meta_manager(spark, tree):
+    cat = DatasetCatalog.init(spark, str(tree))
+    cat.add()
+    cat.meta_set("name", '"my dataset"')
+    cat.meta_set("name", '"renamed"')  # singular: replace
+    assert cat.meta_get("name") == ['"renamed"']
+    cat.meta_add("tags", '"aerial"')
+    cat.meta_add("tags", '"2026"')  # plural: append
+    assert len(cat.meta_get("tags")) == 2
+    with pytest.raises(ValueError):
+        cat.meta_set("tags", "x")
+    with pytest.raises(ValueError):
+        cat.meta_add("name", "x")
+    assert cat.meta_unset("tags") == 2
+    assert cat.meta_get("tags") == []
+
+
+def test_stamp_and_delta(spark, tree, tmp_path_factory):
+    cat = DatasetCatalog.init(spark, str(tree))
+    cat.add()
+    s1 = cat.stamp()
+    assert len(s1) == 64
+    # identical tree → identical stamp (content-addressed)
+    other_root = tmp_path_factory.mktemp("other")
+    import shutil
+
+    for item in os.listdir(tree):
+        if item == ".ddb_spark":
+            continue
+        src = tree / item
+        dst = other_root / item
+        if src.is_dir():
+            shutil.copytree(src, dst)
+        else:
+            shutil.copy2(src, dst)
+    cat2 = DatasetCatalog.init(spark, str(other_root))
+    cat2.add()
+    # same paths+hashes and no meta on either side → identical stamps
+    assert cat2.stamp() == s1
+    # mutate other: delta must see it
+    (other_root / "extra.txt").write_text("x")
+    cat2.add()
+    d = cat2.delta(cat)
+    adds = {r["path"] for r in d["adds"].collect()}
+    assert adds == {"extra.txt"}

@@ -1,0 +1,63 @@
+"""Structured Streaming tests: windowed event aggregation parity with the
+batch operator, and file-arrival catalog ingest."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dronedb_spark.streaming.ingest import stream_events_hourly, stream_ingest
+from dronedb_spark.tables import load
+
+
+def test_stream_events_hourly_matches_batch(spark, sf_dir, tmp_path):
+    events = load(spark, sf_dir, "events")
+    # stage the batch table as files so readStream can consume it
+    src = str(tmp_path / "events_stream")
+    events.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out = stream_events_hourly(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hourly_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["hour"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM hourly_test").collect()
+    }
+    want = {
+        (r["hour"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in events.groupBy(
+            F.date_format("ts", "yyyy-MM-dd HH").alias("hour"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("sum_value"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_stream_ingest_files(spark, tmp_path):
+    from dronedb_spark.catalog.store import DatasetCatalog
+
+    root = tmp_path / "ds"
+    root.mkdir()
+    (root / "one.txt").write_text("1")
+    cat = DatasetCatalog.init(spark, str(root))
+    q = stream_ingest(
+        spark,
+        str(root) + "/*.txt",
+        cat,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    paths = {r["path"] for r in cat.entries().collect()}
+    assert "one.txt" in paths
