@@ -88,3 +88,54 @@ def apply_formula(pixels: DataFrame, formula_id: str, nodata: float = NODATA) ->
     if any_nodata is not None:
         out = F.when(any_nodata, F.lit(None).cast("double")).otherwise(out)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Engine-portable SQL fragments for the rational formulas (everything except
+# vNDVI's pow) — shared verbatim by the Spark side and the DuckDB oracle.
+# Each entry: (numerator, denominator|None, used bands).
+FORMULA_SQL: dict[str, tuple[str, str | None, str]] = {
+    "VARI": ("(G - R)", "(G + R - B)", "RGB"),
+    "EXG": ("((2.0 * G) - (R + B))", None, "RGB"),
+    "GLI": ("((G * 2.0) - R - B)", "((G * 2.0) + R + B)", "RGB"),
+    "NDVI": ("(N - R)", "(N + R)", "RN"),
+    "NDWI": ("(G - N)", "(G + N)", "GN"),
+    "GNDVI": ("(N - G)", "(N + G)", "GN"),
+    "SAVI": ("(1.5 * (N - R))", "(N + R + 0.5)", "RN"),
+    "EVI": ("(2.5 * (N - R))", "(N + 6.0 * R - 7.5 * B + 1.0)", "RBN"),
+    "NDRE": ("(N - Re)", "(N + Re)", "NRe"),
+    "NDYI": ("(G - B)", "(G + B)", "GB"),
+    "MPRI": ("(G - R)", "(G + R)", "RG"),
+    "OSAVI": ("(N - R)", "(N + R + 0.16)", "RN"),
+    "GRVI": ("N", "G", "GN"),
+    "ENDVI": ("((N + G) - (2.0 * B))", "((N + G) + (2.0 * B))", "GBN"),
+    "ARVI": ("(N - (2.0 * R) + B)", "(N + (2.0 * R) + B)", "RBN"),
+    "CELSIUS": ("T", None, "T"),
+    "KELVIN": ("(T + 273.15)", None, "T"),
+}
+
+
+def _band_tokens(required: str) -> list[str]:
+    syms, i = [], 0
+    while i < len(required):
+        if required[i] == "R" and i + 1 < len(required) and required[i + 1] == "e":
+            syms.append("Re")
+            i += 2
+        else:
+            syms.append(required[i])
+            i += 1
+    return syms
+
+
+def formula_case_sql(fid: str, nodata: float = -9999.0) -> str:
+    """Full CASE expression for a formula with reference nodata + ε-guard
+    semantics (vegetation.cpp:243-325), as engine-portable SQL."""
+    num, den, bands = FORMULA_SQL[fid]
+    nd = " OR ".join(f"{b} = {nodata}" for b in _band_tokens(bands))
+    if den is None:
+        return f"CASE WHEN {nd} THEN NULL ELSE {num} END"
+    return (
+        f"CASE WHEN {nd} THEN NULL"
+        f" WHEN abs({den}) < 1e-10 THEN NULL"
+        f" ELSE {num} / {den} END"
+    )

@@ -112,3 +112,51 @@ def q_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
             haversine_m(F.col("point_lon"), F.col("point_lat"), F.lit(-91.99), F.lit(46.84)), 2
         ).alias("dist_m"),
     ).orderBy("path")
+
+
+def tile_pyramid_counts(entries: DataFrame, zooms: tuple[int, ...] = (3, 6, 9)) -> DataFrame:
+    """R7/K7 materialization shape: per-(z, tx, ty) entry counts for a
+    pyramid of zoom levels — the groupBy that backs web-tile generation.
+    Equirectangular tiling (pure arithmetic) so the grouping key is
+    bit-reproducible across engines; the WebMercator variant is
+    webmercator_tiles_z12."""
+    geo = entries.filter(F.col("point_lon").isNotNull())
+    per_zoom = []
+    for z in zooms:
+        n = float(2**z)
+        tx = F.floor((F.col("point_lon") + 180.0) / 360.0 * n).cast("bigint")
+        ty = F.floor((90.0 - F.col("point_lat")) / 180.0 * n).cast("bigint")
+        per_zoom.append(
+            geo.select(F.lit(z).alias("z"), tx.alias("tx"), ty.alias("ty"))
+        )
+    allz = per_zoom[0]
+    for df in per_zoom[1:]:
+        allz = allz.unionByName(df)
+    return allz.groupBy("z", "tx", "ty").agg(F.count(F.lit(1)).alias("n")).orderBy("z", "tx", "ty")
+
+
+_PYRAMID_ORACLE = with_catalog(
+    """SELECT z, tx, ty, CAST(COUNT(1) AS BIGINT) AS n
+       FROM (
+           SELECT 3 AS z,
+                  CAST(floor((point_lon + 180.0) / 360.0 * 8.0) AS BIGINT) AS tx,
+                  CAST(floor((90.0 - point_lat) / 180.0 * 8.0) AS BIGINT) AS ty
+           FROM entries WHERE point_lon IS NOT NULL
+           UNION ALL
+           SELECT 6 AS z,
+                  CAST(floor((point_lon + 180.0) / 360.0 * 64.0) AS BIGINT) AS tx,
+                  CAST(floor((90.0 - point_lat) / 180.0 * 64.0) AS BIGINT) AS ty
+           FROM entries WHERE point_lon IS NOT NULL
+           UNION ALL
+           SELECT 9 AS z,
+                  CAST(floor((point_lon + 180.0) / 360.0 * 512.0) AS BIGINT) AS tx,
+                  CAST(floor((90.0 - point_lat) / 180.0 * 512.0) AS BIGINT) AS ty
+           FROM entries WHERE point_lon IS NOT NULL
+       ) t
+       GROUP BY z, tx, ty ORDER BY z, tx, ty"""
+)
+
+
+@check("tile_pyramid_counts", oracle=_PYRAMID_ORACLE)
+def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tile_pyramid_counts(entries_df(spark, sf_dir))

@@ -203,3 +203,67 @@ def q_formula_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("vari").alias("vari_min"),
         F.max("vari").alias("vari_max"),
     )
+
+
+def _formula_sweep_sql(dialect: str) -> str:
+    """Long-format stats for every rational formula (vNDVI's pow excluded —
+    cross-library pow is not bit-reproducible) over the MS + thermal grids.
+    The formula CASE expressions are shared verbatim with the oracle
+    (functions/formulas.py:formula_case_sql)."""
+    from dronedb_spark.functions.formulas import FORMULA_SQL, formula_case_sql
+    from dronedb_spark.raster.synth import ms_sql, thermal_sql
+
+    parts = []
+    for fid, (_, _, bands) in FORMULA_SQL.items():
+        src = "th" if bands == "T" else "ms"
+        parts.append(
+            f"""SELECT '{fid}' AS formula,
+                   CAST(COUNT(f) AS BIGINT) AS n_valid,
+                   MIN(f) AS f_min, MAX(f) AS f_max,
+                   CAST(ROUND(SUM(CAST(f AS DECIMAL(38,12))), 6) AS DOUBLE) / COUNT(f) AS f_mean
+            FROM (SELECT {formula_case_sql(fid)} AS f FROM {src}) t_{fid}"""
+        )
+    body = "\nUNION ALL\n".join(parts)
+    return f"WITH ms AS ({ms_sql(dialect)}), th AS ({thermal_sql(dialect)})\n{body}"
+
+
+@check("formula_engine_sweep", oracle=_formula_sweep_sql("duckdb"))
+def q_formula_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All 17 rational formulas of the registry (vegetation.cpp:85-113)
+    with nodata/ε parity, as one long-format stats query."""
+    return spark.sql(_formula_sweep_sql("spark"))
+
+
+@check(
+    "raster_point_query",
+    oracle=f"""
+        WITH px AS ({dem_sql("duckdb")})
+        SELECT row, col, value,
+               100000.0 + col * 0.5 AS geo_x,
+               5000000.0 - row * 0.5 AS geo_y
+        FROM px
+        WHERE (row, col) IN ((40, 50), (90, 90), (7, 105), (0, 0))
+        ORDER BY row, col""",
+)
+def q_raster_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1 (raster_analysis.cpp:180-316): pixel value lookup + affine
+    pixel→geo transform (geotransform gt = [100000, 0.5, 0, 5000000, 0,
+    -0.5]); the nodata patch row (7,105) comes back as −9999 exactly as
+    the reference reports it before thermal conversion."""
+    px = dem_df(spark)
+    pts = [(40, 50), (90, 90), (7, 105), (0, 0)]
+    cond = None
+    for r, c in pts:
+        this = (F.col("row") == r) & (F.col("col") == c)
+        cond = this if cond is None else (cond | this)
+    return (
+        px.filter(cond)
+        .select(
+            "row",
+            "col",
+            "value",
+            (100000.0 + F.col("col") * 0.5).alias("geo_x"),
+            (5000000.0 - F.col("row") * 0.5).alias("geo_y"),
+        )
+        .orderBy("row", "col")
+    )

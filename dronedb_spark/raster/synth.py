@@ -80,3 +80,22 @@ def dem_df(spark: SparkSession) -> DataFrame:
 
 def ms_df(spark: SparkSession) -> DataFrame:
     return spark.sql(ms_sql("spark"))
+
+TH_W = 64
+
+_TH_BODY = """
+SELECT row, col,
+       CASE WHEN ((row * 64 + col) % 41) = 0 THEN -9999.0
+            ELSE -5.0 + ((rowd * 7.0 + cold * 13.0) % 85.0) END AS T
+FROM {grid}
+"""
+
+
+def thermal_sql(dialect: str) -> str:
+    """Thermal raster (°C band) for CELSIUS/KELVIN formulas."""
+    grid = _GRID.format(w=TH_W, ids=_ids(dialect, TH_W * TH_W))
+    return _TH_BODY.format(grid=grid)
+
+
+def thermal_df(spark: SparkSession) -> DataFrame:
+    return spark.sql(thermal_sql("spark"))

@@ -40,8 +40,11 @@ def load_all() -> dict[str, Check]:
     import dronedb_spark.operators.relational  # noqa: F401
     import dronedb_spark.text.dedup  # noqa: F401
     import dronedb_spark.text.quality  # noqa: F401
+    import dronedb_spark.text.simhash  # noqa: F401
     import dronedb_spark.vectors.knn  # noqa: F401
+    import dronedb_spark.vectors.ann  # noqa: F401
     import dronedb_spark.raster.stats  # noqa: F401
+    import dronedb_spark.raster.volume  # noqa: F401
     import dronedb_spark.functions.geo  # noqa: F401
 
     return REGISTRY

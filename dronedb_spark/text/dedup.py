@@ -189,3 +189,70 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_pairs(load(spark, sf_dir, "documents"))
+
+
+def jaccard_pairs(docs: DataFrame) -> DataFrame:
+    """N-gram Jaccard similarity, computed ONLY for LSH candidate pairs
+    (never the O(n²) cross product): |A∩B| via a shingle equi-join,
+    |A∪B| = |A|+|B|−|A∩B|.  The candidate set is tiny relative to the
+    corpus, so the shingle join broadcasts the candidate side."""
+    pairs = neardup_pairs(docs)
+    sh = (
+        _shingle_df(docs)
+        .select("doc_id", F.explode("sh").alias("s"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        pairs.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b")),
+            "doc_b",
+        )
+        .filter(F.col("s") == F.col("s_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.coalesce(F.col("n_inter"), F.lit(0)).alias("n_inter"),
+            (F.coalesce(F.col("n_inter"), F.lit(0))
+             / (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("n_inter"), F.lit(0)))
+             ).alias("jaccard"),
+        )
+    )
+    return out
+
+
+@check(
+    "dedup_jaccard_pairs",
+    oracle=f"""
+        WITH sig AS ({_DUCK_SIG_BANDS}),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM sig a JOIN sig b
+              ON (a.band0 = b.band0 OR a.band1 = b.band1) AND a.doc_id < b.doc_id),
+        sh AS (SELECT DISTINCT doc_id, unnest(sh) AS s
+               FROM (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents) t),
+        sizes AS (SELECT doc_id, COUNT(1) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT p.doc_a, p.doc_b, COUNT(1) AS n_inter
+            FROM pairs p
+            JOIN sh sa ON sa.doc_id = p.doc_a
+            JOIN sh sb ON sb.doc_id = p.doc_b AND sb.s = sa.s
+            GROUP BY p.doc_a, p.doc_b)
+        SELECT p.doc_a, p.doc_b,
+               CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,
+               COALESCE(i.n_inter, 0) / (za.n + zb.n - COALESCE(i.n_inter, 0)) AS jaccard
+        FROM pairs p
+        LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+        JOIN sizes za ON za.doc_id = p.doc_a
+        JOIN sizes zb ON zb.doc_id = p.doc_b""",
+)
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jaccard_pairs(load(spark, sf_dir, "documents"))

@@ -1,0 +1,132 @@
+"""Approximate nearest neighbor via sign-random-projection LSH — the
+scale path for similarity search (brute force lives in vectors/knn.py).
+
+Each embedding is bucketed by the sign pattern of its dot products with
+``N_PLANES`` fixed ±1 hyperplanes.  Candidates = vectors sharing the
+query's bucket; exact cosine runs only inside the bucket, cutting the
+scored set by ~2^N_PLANES.  At cluster scale the bucket key is also the
+natural partitioning/bucketing column for the embedding table.
+
+The hyperplanes are deterministic ±1 vectors derived from md5 in PYTHON
+and embedded as literals in both the Spark expression and the DuckDB
+oracle — no cross-engine hashing dependency at all.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dronedb_spark.suite import check
+from dronedb_spark.tables import load
+
+N_PLANES = 6
+DIM = 64
+
+
+def _plane(j: int) -> list[float]:
+    """±1 pattern for hyperplane j: sign of md5 bit per dimension."""
+    out = []
+    for i in range(DIM):
+        h = hashlib.md5(f"plane:{j}:{i}".encode()).hexdigest()
+        out.append(1.0 if int(h[0], 16) < 8 else -1.0)
+    return out
+
+
+PLANES = [_plane(j) for j in range(N_PLANES)]
+
+
+def _bucket_col() -> F.Column:
+    """Bucket key = concatenated sign bits of the plane dot products."""
+    bits = []
+    for j in range(N_PLANES):
+        signs = F.array(*[F.lit(s) for s in PLANES[j]])
+        dot = F.aggregate(
+            F.zip_with(F.col("embedding"), signs, lambda x, s: x.cast("double") * s),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(dot > 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def _duck_bucket(tbl: str) -> str:
+    bits = []
+    for j in range(N_PLANES):
+        arr = "[" + ",".join(("1.0" if s > 0 else "-1.0") for s in PLANES[j]) + "]"
+        dot = (
+            f"list_sum(list_transform(range(1, {DIM} + 1),"
+            f" i -> CAST({tbl}.embedding[i] AS DOUBLE) * ({arr}[i])))"
+        )
+        bits.append(f"(CASE WHEN {dot} > 0 THEN '1' ELSE '0' END)")
+    return " || ".join(bits)
+
+
+def ann_buckets(embeddings: DataFrame) -> DataFrame:
+    """Per-bucket histogram — the partitioning profile of the LSH index."""
+    return (
+        embeddings.select(_bucket_col().alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bucket")
+    )
+
+
+def ann_search(embeddings: DataFrame, query_vec_id: int, k: int = 5) -> DataFrame:
+    """Top-k cosine WITHIN the query's LSH bucket."""
+    from dronedb_spark.vectors.knn import _dot, _norm
+
+    withb = embeddings.withColumn("bucket", _bucket_col())
+    q = withb.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_emb"), F.col("bucket").alias("q_bucket")
+    )
+    cand = withb.join(
+        F.broadcast(q), F.col("bucket") == F.col("q_bucket")
+    ).filter(F.col("vec_id") != query_vec_id)
+    scored = cand.select(
+        "vec_id",
+        "label",
+        F.round(_dot("embedding", "q_emb") / (_norm("embedding") * _norm("q_emb")), 6).alias(
+            "cos_sim"
+        ),
+    )
+    return scored.orderBy(F.desc("cos_sim"), "vec_id").limit(k)
+
+
+# ---------------------------------------------------------------- checks
+
+
+@check(
+    "ann_bucket_histogram",
+    oracle=f"""
+        SELECT bucket, CAST(COUNT(1) AS BIGINT) AS n
+        FROM (SELECT {_duck_bucket('e')} AS bucket FROM embeddings e) t
+        GROUP BY bucket ORDER BY bucket""",
+)
+def q_ann_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann_buckets(load(spark, sf_dir, "embeddings"))
+
+
+_DUCK_DOTQ = f"""list_sum(list_transform(range(1, {DIM} + 1),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE)))"""
+_DUCK_NORM_E = """sqrt(list_sum(list_transform(e.embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"""
+_DUCK_NORM_Q = """sqrt(list_sum(list_transform(q.q_emb,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"""
+
+
+@check(
+    "ann_lsh_top5",
+    oracle=f"""
+        WITH b AS (SELECT e.*, {_duck_bucket('e')} AS bucket FROM embeddings e),
+        q AS (SELECT embedding AS q_emb, bucket AS q_bucket FROM b WHERE vec_id = 0)
+        SELECT e.vec_id, e.label,
+               ROUND({_DUCK_DOTQ} / ({_DUCK_NORM_E} * {_DUCK_NORM_Q}), 6) AS cos_sim
+        FROM b e, q
+        WHERE e.bucket = q.q_bucket AND e.vec_id <> 0
+        ORDER BY cos_sim DESC, e.vec_id LIMIT 5""",
+)
+def q_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann_search(load(spark, sf_dir, "embeddings"), query_vec_id=0, k=5)
