@@ -1,0 +1,188 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The engine treats media as ``binary`` content columns with a typed
+metadata struct — the pattern a 100 TB training-data pipeline needs:
+partition by (kind, shard), prune on metadata, and run decode/feature
+kernels as Arrow-batched ``mapInPandas`` stages.
+
+Real decoders (Pillow/ffmpeg/torchaudio) are NOT available in this
+environment; per the build contract the decode step is STUBBED:
+``decode_media`` raises ``NotImplementedError`` for real formats and
+understands the deterministic FAKE container below, so every piece of
+Spark-side plumbing — schema, batch shape, UDF signature, partitioning —
+is real and tested end-to-end.
+
+FAKE container layout (deterministic, seedable):
+  b"FIMG" | w:uint16 | h:uint16 | c:uint8 | payload (w*h*c bytes, seeded)
+  b"FVID" | n_frames:uint16 | w:uint16 | h:uint16 | per-frame payload
+  b"FAUD" | sample_rate:uint32(=16000) | n:uint32 | int8 samples
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dronedb_spark.suite import check
+from dronedb_spark.tables import load
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("channels", T.IntegerType()),
+                    T.StructField("n_frames", T.IntegerType()),
+                    T.StructField("sample_rate", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def fake_image(seed: int, w: int = 16, h: int = 12, c: int = 3) -> bytes:
+    payload = bytes(((seed * 2654435761 + i * 40503) % 251) for i in range(w * h * c))
+    return b"FIMG" + struct.pack("<HHB", w, h, c) + payload
+
+
+def fake_video(seed: int, n_frames: int = 8, w: int = 8, h: int = 8) -> bytes:
+    payload = bytes(((seed * 97 + i * 31) % 251) for i in range(n_frames * w * h))
+    return b"FVID" + struct.pack("<HHH", n_frames, w, h) + payload
+
+
+def decode_media(content: bytes) -> np.ndarray:
+    """Decode a media payload to a numpy array.
+
+    STUB: real formats (JPEG/PNG/MP4/...) need decoders not present in
+    this environment; only the deterministic FAKE container is decoded.
+    Swap this single function for a Pillow/ffmpeg implementation — every
+    downstream kernel keeps working unchanged.
+    """
+    magic = content[:4]
+    if magic == b"FIMG":
+        w, h, c = struct.unpack("<HHB", content[4:9])
+        return np.frombuffer(content[9 : 9 + w * h * c], dtype=np.uint8).reshape(h, w, c)
+    if magic == b"FVID":
+        n, w, h = struct.unpack("<HHH", content[4:10])
+        return np.frombuffer(content[10 : 10 + n * w * h], dtype=np.uint8).reshape(n, h, w)
+    raise NotImplementedError(
+        "real media decoding requires Pillow/ffmpeg — not available in this environment"
+    )
+
+
+def synth_media(spark: SparkSession, embeddings: DataFrame) -> DataFrame:
+    """Deterministic media table derived from the embeddings ids (the
+    driver ships no binary fixtures)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for vid in pdf["vec_id"]:
+                vid = int(vid)
+                if vid % 3 == 2:
+                    content = fake_video(vid)
+                    meta = (8, 8, 1, 8, None)
+                    kind = "video"
+                else:
+                    content = fake_image(vid)
+                    meta = (16, 12, 3, None, None)
+                    kind = "image"
+                rows.append({"media_id": vid, "kind": kind, "content": content, "meta": meta})
+            yield pd.DataFrame(rows)
+
+    return embeddings.select("vec_id").mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+_FEAT_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("mean_value", T.DoubleType()),
+        T.StructField("feature", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def extract_features(media: DataFrame, n_dims: int = 8) -> DataFrame:
+    """Decode → per-media feature vector (stripe means), Arrow-batched.
+    For video, frames are SAMPLED (first/middle/last) before featurizing —
+    the frame-sample stage of a video pipeline."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                arr = decode_media(bytes(r["content"]))
+                if r["kind"] == "video":
+                    idx = [0, arr.shape[0] // 2, arr.shape[0] - 1]
+                    arr = arr[idx]
+                flat = arr.astype(np.float64).ravel()
+                stripes = np.array_split(flat, n_dims)
+                rows.append(
+                    {
+                        "media_id": r["media_id"],
+                        "kind": r["kind"],
+                        "n_bytes": int(flat.size),
+                        "mean_value": float(flat.mean()),
+                        "feature": [float(s.mean()) for s in stripes],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=_FEAT_SCHEMA)
+
+
+def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor resize (numpy index sampling) — the shape of the
+    distributed thumbnail stage (SURVEY K9)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                if r["kind"] != "image":
+                    continue
+                arr = decode_media(bytes(r["content"]))
+                h, w, c = arr.shape
+                yi = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+                xi = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+                small = arr[yi][:, xi]
+                rows.append(
+                    {
+                        "media_id": r["media_id"],
+                        "width": out_w,
+                        "height": out_h,
+                        "thumb": small.tobytes(),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "width", "height", "thumb"])
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("thumb", T.BinaryType()),
+        ]
+    )
+    return media.mapInPandas(run, schema=schema)
+
+
+@check("media_features", oracle=None)  # binary decode kernel — rows-only
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synth_media(spark, load(spark, sf_dir, "embeddings"))
+    return extract_features(media).orderBy("media_id")

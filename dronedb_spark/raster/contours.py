@@ -1,0 +1,176 @@
+"""Contour generation (SURVEY A14/R5 — contour.cpp:96-150+).
+
+Two complementary forms:
+
+* ``contour_crossings`` — the relational core: a level line crosses a
+  pixel edge iff the two endpoint values straddle the level.  Horizontal
+  and vertical neighbor pairs come from equi-joins on (row, col±1)/(row±1,
+  col) — fully SQL-expressible, so the DuckDB oracle verifies exact
+  per-level crossing counts.  At scale the neighbor join is a co-
+  partitioned self-join on the tile key.
+
+* ``contour_segments`` — actual marching-squares polyline segments with
+  linear interpolation, as a numpy kernel over ``mapInPandas`` batches of
+  whole rasters (the reference's GDALContourGenerate analog).  Level cap
+  1000 / default count 20 mirrors contour.cpp:30-31.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dronedb_spark.raster.synth import dem_df, dem_sql
+from dronedb_spark.suite import check
+
+NODATA = -9999.0
+MAX_LEVELS = 1000  # contour.cpp:30-31
+DEFAULT_COUNT = 20
+
+DEM_LEVELS = [210.0, 230.0, 250.0]
+
+
+def contour_crossings(pixels: DataFrame, levels: list[float]) -> DataFrame:
+    """Per-level count of horizontal/vertical edge crossings."""
+    a = pixels.select("row", "col", F.col("value").alias("v1"))
+    right = pixels.select(
+        F.col("row").alias("row"), (F.col("col") - 1).alias("col"), F.col("value").alias("v2")
+    )
+    down = pixels.select(
+        (F.col("row") - 1).alias("row"), F.col("col").alias("col"), F.col("value").alias("v2")
+    )
+    out = None
+    for axis, nbr in (("h", right), ("v", down)):
+        edges = a.join(nbr, ["row", "col"]).filter(
+            (F.col("v1") != NODATA) & (F.col("v2") != NODATA)
+        )
+        for lv in levels:
+            crossed = edges.filter(
+                ((F.col("v1") < lv) & (F.col("v2") >= lv))
+                | ((F.col("v2") < lv) & (F.col("v1") >= lv))
+            )
+            agg = crossed.agg(F.count(F.lit(1)).alias("n")).select(
+                F.lit(lv).alias("level"), F.lit(axis).alias("axis"), "n"
+            )
+            out = agg if out is None else out.unionByName(agg)
+    return out.orderBy("level", "axis")
+
+
+_SEG_SCHEMA = T.StructType(
+    [
+        T.StructField("level", T.DoubleType()),
+        T.StructField("x1", T.DoubleType()),
+        T.StructField("y1", T.DoubleType()),
+        T.StructField("x2", T.DoubleType()),
+        T.StructField("y2", T.DoubleType()),
+    ]
+)
+
+# marching-squares case table: case index (tl<<3|tr<<2|br<<1|bl) →
+# list of (edge_a, edge_b) pairs; edges: 0=top 1=right 2=bottom 3=left
+_CASES: dict[int, list[tuple[int, int]]] = {
+    1: [(3, 2)], 2: [(2, 1)], 3: [(3, 1)], 4: [(0, 1)],
+    5: [(3, 0), (2, 1)], 6: [(0, 2)], 7: [(3, 0)],
+    8: [(3, 0)], 9: [(0, 2)], 10: [(3, 2), (0, 1)],
+    11: [(0, 1)], 12: [(3, 1)], 13: [(2, 1)], 14: [(3, 2)],
+}
+
+
+def _interp(a: float, b: float, lv: float) -> float:
+    d = b - a
+    return 0.5 if d == 0 else (lv - a) / d
+
+
+def _segments_for(grid, levels) -> list[tuple[float, float, float, float, float]]:
+    import numpy as np
+
+    H, W = grid.shape
+    segs = []
+    valid = grid != NODATA
+    for lv in levels:
+        above = (grid >= lv) & valid
+        for r in range(H - 1):
+            for c in range(W - 1):
+                if not (valid[r, c] and valid[r, c + 1] and valid[r + 1, c] and valid[r + 1, c + 1]):
+                    continue
+                idx = (
+                    (8 if above[r, c] else 0)
+                    | (4 if above[r, c + 1] else 0)
+                    | (2 if above[r + 1, c + 1] else 0)
+                    | (1 if above[r + 1, c] else 0)
+                )
+                for ea, eb in _CASES.get(idx, []):
+                    pts = []
+                    for e in (ea, eb):
+                        if e == 0:  # top edge: between (r,c)-(r,c+1)
+                            t = _interp(grid[r, c], grid[r, c + 1], lv)
+                            pts.append((c + t, float(r)))
+                        elif e == 1:  # right
+                            t = _interp(grid[r, c + 1], grid[r + 1, c + 1], lv)
+                            pts.append((float(c + 1), r + t))
+                        elif e == 2:  # bottom
+                            t = _interp(grid[r + 1, c], grid[r + 1, c + 1], lv)
+                            pts.append((c + t, float(r + 1)))
+                        else:  # left
+                            t = _interp(grid[r, c], grid[r + 1, c], lv)
+                            pts.append((float(c), r + t))
+                    segs.append((lv, pts[0][0], pts[0][1], pts[1][0], pts[1][1]))
+    return segs
+
+
+def contour_segments(pixels: DataFrame, levels: list[float] | None = None) -> DataFrame:
+    """Marching-squares segments via mapInPandas (numpy kernel; the raster
+    is re-assembled per batch — callers pass one raster per partition)."""
+    if levels is None:
+        levels = DEM_LEVELS
+    if len(levels) > MAX_LEVELS:
+        raise ValueError(f"at most {MAX_LEVELS} levels (contour.cpp:30-31)")
+    lv = list(levels)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        pdf = pd.concat(list(batches))
+        if pdf.empty:
+            yield pd.DataFrame(columns=[f.name for f in _SEG_SCHEMA.fields])
+            return
+        h = int(pdf["row"].max()) + 1
+        w = int(pdf["col"].max()) + 1
+        grid = np.full((h, w), NODATA)
+        grid[pdf["row"].to_numpy(), pdf["col"].to_numpy()] = pdf["value"].to_numpy()
+        segs = _segments_for(grid, lv)
+        yield pd.DataFrame(segs, columns=[f.name for f in _SEG_SCHEMA.fields])
+
+    return pixels.coalesce(1).mapInPandas(run, schema=_SEG_SCHEMA)
+
+
+# ---------------------------------------------------------------- checks
+
+
+def _crossings_oracle() -> str:
+    parts = []
+    for axis, (dr, dc) in (("h", (0, 1)), ("v", (1, 0))):
+        for lv in DEM_LEVELS:
+            parts.append(f"""
+            SELECT CAST({lv} AS DOUBLE) AS level, '{axis}' AS axis,
+                   CAST(COUNT(1) AS BIGINT) AS n
+            FROM px a JOIN px b ON b.row = a.row + {dr} AND b.col = a.col + {dc}
+            WHERE a.value <> {NODATA} AND b.value <> {NODATA}
+              AND ((a.value < {lv} AND b.value >= {lv})
+                   OR (b.value < {lv} AND a.value >= {lv}))""")
+    body = "\nUNION ALL\n".join(parts)
+    return f"WITH px AS ({dem_sql('duckdb')})\n{body}\nORDER BY level, axis"
+
+
+@check("contour_crossings", oracle=_crossings_oracle())
+def q_contour_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return contour_crossings(dem_df(spark), DEM_LEVELS)
+
+
+@check("contour_segments", oracle=None)  # numpy kernel — rows-only check
+def q_contour_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return contour_segments(dem_df(spark))

@@ -1,0 +1,129 @@
+"""Stockpile detection (SURVEY A12/A13, R6 — stockpile.cpp, 890 LoC).
+
+Reference pipeline: base plane → smooth → adaptive threshold → flood
+fill → contour trace → polygon + estimatedVolume + confidence; the
+"detect all" variant scans the DEM for connected components and returns
+the top-k by volume (maxResults ≤ 500, stockpile.h:76-77).
+
+Spark shape: detection is inherently local to one raster, so it runs as
+a numpy kernel over ``mapInPandas`` (scipy is unavailable here — the
+connected-component labeling is a hand-rolled BFS flood fill).  The
+distributed part is the fleet dimension: one raster per partition, the
+engine detects across millions of rasters in parallel; top-k =
+``orderBy(volume desc).limit(k)`` (O6).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dronedb_spark.raster.synth import dem_df
+from dronedb_spark.suite import check
+
+NODATA = -9999.0
+MAX_RESULTS = 500  # stockpile.h:76-77
+
+_SCHEMA = T.StructType(
+    [
+        T.StructField("stockpile_id", T.IntegerType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("centroid_row", T.DoubleType()),
+        T.StructField("centroid_col", T.DoubleType()),
+        T.StructField("peak_height", T.DoubleType()),
+        T.StructField("estimated_volume", T.DoubleType()),
+    ]
+)
+
+
+def _detect(grid, px_area: float, min_height: float, min_pixels: int):
+    """Base plane (least squares over valid pixels) → threshold →
+    4-connected flood fill → per-component stats."""
+    import numpy as np
+
+    valid = grid != NODATA
+    rr, cc = np.nonzero(valid)
+    z = grid[valid]
+    # least-squares plane z ≈ a + b*c + c_*r (the best_fit method,
+    # volume.cpp:98-123, over all valid pixels)
+    A = np.stack([np.ones_like(rr), cc, rr], axis=1).astype(float)
+    coef, *_ = np.linalg.lstsq(A, z, rcond=None)
+    base = coef[0] + coef[1] * np.arange(grid.shape[1])[None, :] + coef[2] * np.arange(
+        grid.shape[0]
+    )[None, :].T
+    height = np.where(valid, grid - base, 0.0)
+    mask = height > min_height
+
+    labels = np.zeros(grid.shape, dtype=int)
+    nxt = 0
+    out = []
+    H, W = grid.shape
+    for r0 in range(H):
+        for c0 in range(W):
+            if not mask[r0, c0] or labels[r0, c0]:
+                continue
+            nxt += 1
+            stack = [(r0, c0)]
+            labels[r0, c0] = nxt
+            cells = []
+            while stack:
+                r, c = stack.pop()
+                cells.append((r, c))
+                for nr, nc in ((r - 1, c), (r + 1, c), (r, c - 1), (r, c + 1)):
+                    if 0 <= nr < H and 0 <= nc < W and mask[nr, nc] and not labels[nr, nc]:
+                        labels[nr, nc] = nxt
+                        stack.append((nr, nc))
+            if len(cells) < min_pixels:
+                continue
+            rs = np.array([p[0] for p in cells])
+            cs = np.array([p[1] for p in cells])
+            hts = height[rs, cs]
+            out.append(
+                (
+                    nxt,
+                    len(cells),
+                    float(rs.mean()),
+                    float(cs.mean()),
+                    float(hts.max()),
+                    float(hts.sum() * px_area),
+                )
+            )
+    return out
+
+
+def detect_stockpiles(
+    pixels: DataFrame,
+    px_area: float = 0.25,
+    min_height: float = 5.0,
+    min_pixels: int = 16,
+    max_results: int = 50,
+) -> DataFrame:
+    """A13: detect-all + top-k by estimated volume."""
+    max_results = min(max_results, MAX_RESULTS)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        pdf = pd.concat(list(batches))
+        cols = [f.name for f in _SCHEMA.fields]
+        if pdf.empty:
+            yield pd.DataFrame(columns=cols)
+            return
+        h = int(pdf["row"].max()) + 1
+        w = int(pdf["col"].max()) + 1
+        grid = np.full((h, w), NODATA)
+        grid[pdf["row"].to_numpy(), pdf["col"].to_numpy()] = pdf["value"].to_numpy()
+        rows = _detect(grid, px_area, min_height, min_pixels)
+        yield pd.DataFrame(rows, columns=cols)
+
+    segs = pixels.coalesce(1).mapInPandas(run, schema=_SCHEMA)
+    return segs.orderBy(F.desc("estimated_volume"), "stockpile_id").limit(max_results)
+
+
+@check("stockpile_detect", oracle=None)  # numpy kernel — rows-only check
+def q_stockpiles(spark, sf_dir: str) -> DataFrame:
+    return detect_stockpiles(dem_df(spark))

@@ -38,6 +38,8 @@ def load_all() -> dict[str, Check]:
     import dronedb_spark.operators.delta  # noqa: F401
     import dronedb_spark.operators.stac  # noqa: F401
     import dronedb_spark.operators.relational  # noqa: F401
+    import dronedb_spark.operators.vector_query  # noqa: F401
+    import dronedb_spark.functions.strings  # noqa: F401
     import dronedb_spark.text.dedup  # noqa: F401
     import dronedb_spark.text.quality  # noqa: F401
     import dronedb_spark.text.simhash  # noqa: F401
@@ -45,6 +47,9 @@ def load_all() -> dict[str, Check]:
     import dronedb_spark.vectors.ann  # noqa: F401
     import dronedb_spark.raster.stats  # noqa: F401
     import dronedb_spark.raster.volume  # noqa: F401
+    import dronedb_spark.raster.contours  # noqa: F401
+    import dronedb_spark.raster.stockpile  # noqa: F401
     import dronedb_spark.functions.geo  # noqa: F401
+    import dronedb_spark.multimodal.media  # noqa: F401
 
     return REGISTRY

@@ -1,0 +1,48 @@
+"""Multimodal plumbing tests: fake-container decode, feature extraction,
+resize, video frame sampling — real Spark batching, stubbed codecs."""
+
+from __future__ import annotations
+
+import pytest
+
+from dronedb_spark.multimodal.media import (
+    decode_media,
+    extract_features,
+    fake_image,
+    fake_video,
+    resize_images,
+    synth_media,
+)
+from dronedb_spark.tables import load
+
+
+def test_decode_roundtrip():
+    arr = decode_media(fake_image(7, w=16, h=12, c=3))
+    assert arr.shape == (12, 16, 3)
+    vid = decode_media(fake_video(7, n_frames=8, w=8, h=8))
+    assert vid.shape == (8, 8, 8)
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\xff\xd8\xff\xe0 real jpeg")
+
+
+def test_media_pipeline(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings").limit(30)
+    media = synth_media(spark, emb)
+    feats = extract_features(media).collect()
+    assert len(feats) == 30
+    by_id = {r["media_id"]: r for r in feats}
+    # deterministic: same id → same features across runs
+    feats2 = {r["media_id"]: r for r in extract_features(synth_media(spark, emb)).collect()}
+    assert by_id[0]["feature"] == feats2[0]["feature"]
+    assert all(len(r["feature"]) == 8 for r in feats)
+    # video rows sampled 3 frames of 8x8 → 192 bytes
+    vids = [r for r in feats if r["kind"] == "video"]
+    assert vids and all(r["n_bytes"] == 3 * 8 * 8 for r in vids)
+
+
+def test_resize(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings").limit(10)
+    media = synth_media(spark, emb)
+    thumbs = resize_images(media, 4, 3).collect()
+    assert all(len(bytes(r["thumb"])) == 4 * 3 * 3 for r in thumbs)
+    assert {r["media_id"] for r in thumbs} == {i for i in range(10) if i % 3 != 2}
