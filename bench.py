@@ -33,9 +33,14 @@ HEADLINE = [
     "text_quality_metrics",
     "raster_area_stats",
     "zonal_volume_cutfill",
+    "text_simhash",
+    "ann_lsh_top5",
+    "formula_engine_sweep",
+    "copc_zorder_pages",
+    "vector_query_page",
 ]
 
-_SMALL_RESULT = {"q3_top_revenue_orders", "stac_items_page", "knn_cosine_top10", "stamp_checksum"}
+_SMALL_RESULT = {"q3_top_revenue_orders", "stac_items_page", "knn_cosine_top10", "stamp_checksum", "ann_lsh_top5", "vector_query_page"}
 
 
 def main() -> None:

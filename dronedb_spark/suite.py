@@ -49,6 +49,7 @@ def load_all() -> dict[str, Check]:
     import dronedb_spark.raster.volume  # noqa: F401
     import dronedb_spark.raster.contours  # noqa: F401
     import dronedb_spark.raster.stockpile  # noqa: F401
+    import dronedb_spark.raster.points  # noqa: F401
     import dronedb_spark.functions.geo  # noqa: F401
     import dronedb_spark.multimodal.media  # noqa: F401
 

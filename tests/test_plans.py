@@ -1,0 +1,112 @@
+"""Scale guardrails: assert the physical plans we designed for.
+
+A 100 TB deployment lives or dies on these properties; pinning them in
+tests means a refactor that silently turns a pushed filter into a full
+scan fails here first (SURVEY §4: X1-X3 pushdown, broadcast joins,
+partial aggregation)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dronedb_spark.plans.inspect import (
+    exchange_count,
+    has_broadcast_join,
+    has_cartesian,
+    has_partial_aggregation,
+    pushed_filters,
+    physical_plan,
+)
+from dronedb_spark.tables import load
+
+
+@pytest.fixture(scope="module")
+def entries_parquet(spark, tmp_path_factory):
+    """The catalog as it would actually be stored — Parquet on disk (the
+    derived in-memory entries can't show scan pushdown)."""
+    from dronedb_spark.catalog.derive import entries_df
+
+    p = str(tmp_path_factory.mktemp("entries_store") / "entries")
+    entries_df(spark, "/root/testdata/sf0.001").write.mode("overwrite").parquet(p)
+    return spark.read.parquet(p)
+
+
+def test_search_filter_pushed_to_scan(spark, entries_parquet):
+    from dronedb_spark.operators.search import search
+
+    q = search(entries_parquet, "src1/doc_*2.txt")
+    pf = pushed_filters(q)
+    # the LIKE-with-escape itself can't push, but the planner must push at
+    # least the IsNotNull guard; the depth filter pushes fully
+    assert "PushedFilters" in pf and "[]" not in pf.split("PushedFilters: ")[1][:4]
+
+
+def test_depth_prune_pushed(spark, entries_parquet):
+    q = entries_parquet.filter(F.col("depth") <= 1).select("path")
+    assert "LessThanOrEqual(depth,1)" in pushed_filters(q)
+
+
+def test_type_filter_pushed(spark, entries_parquet):
+    q = entries_parquet.filter(F.col("type").isin(3, 4, 5)).select("path", "type")
+    assert "In(type, [3,4,5])" in pushed_filters(q)
+
+
+def test_column_pruning(spark, entries_parquet):
+    q = entries_parquet.select("path", "size")
+    plan = physical_plan(q)
+    assert "ReadSchema" not in plan or True  # formatted holds ReadSchema
+    from dronedb_spark.plans.inspect import formatted
+
+    f = formatted(q)
+    read = [line for line in f.splitlines() if "ReadSchema" in line][0]
+    assert "path" in read and "size" in read and "polygon" not in read and "hash" not in read
+
+
+def test_region_revenue_broadcasts_dims(spark):
+    from dronedb_spark.operators.relational import region_revenue
+
+    q = region_revenue(
+        load(spark, "/root/testdata/sf0.001", "region"),
+        load(spark, "/root/testdata/sf0.001", "nation"),
+        load(spark, "/root/testdata/sf0.001", "customer"),
+        load(spark, "/root/testdata/sf0.001", "orders"),
+        load(spark, "/root/testdata/sf0.001", "lineitem"),
+    )
+    assert has_broadcast_join(q)
+    assert not has_cartesian(q)
+
+
+def test_q1_partial_aggregation(spark):
+    from dronedb_spark.operators.relational import pricing_summary
+
+    q = pricing_summary(load(spark, "/root/testdata/sf0.001", "lineitem"))
+    assert has_partial_aggregation(q)
+
+
+def test_minhash_no_cartesian_one_shuffle_for_pairs(spark):
+    from dronedb_spark.text.dedup import neardup_pairs
+
+    q = neardup_pairs(load(spark, "/root/testdata/sf0.001", "documents"))
+    assert not has_cartesian(q)
+
+
+def test_knn_broadcasts_query_vector(spark):
+    from dronedb_spark.vectors.knn import knn_cosine
+
+    q = knn_cosine(load(spark, "/root/testdata/sf0.001", "embeddings"), 0)
+    p = physical_plan(q)
+    assert "Broadcast" in p
+    # top-k must be TakeOrderedAndProject, not a global sort
+    assert "TakeOrderedAndProject" in p
+
+
+def test_meta_join_broadcasts_agg_side(spark):
+    from dronedb_spark.catalog.derive import entries_df, entries_meta_df
+    from dronedb_spark.operators.meta import entries_with_meta
+
+    q = entries_with_meta(
+        entries_df(spark, "/root/testdata/sf0.001"),
+        entries_meta_df(spark, "/root/testdata/sf0.001"),
+    )
+    assert has_broadcast_join(q)
