@@ -158,6 +158,11 @@ def with_catalog(query_sql: str, variants: tuple[str, ...] = ("a",), meta: bool 
         ctes.append(f"entries_b AS ({entries_sql('b')})")
     if meta:
         ctes.append(f"entries_meta AS ({META_SQL})")
+    q = query_sql.lstrip()
+    if q.upper().startswith("WITH"):
+        # merge the query's own CTE list into ours
+        q = "," + q[4:]
+        return "WITH " + ",\n".join(ctes) + q
     return "WITH " + ",\n".join(ctes) + "\n" + query_sql
 
 

@@ -103,3 +103,73 @@ def q_meta_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_entries_meta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return entries_with_meta(entries_df(spark, sf_dir), entries_meta_df(spark, sf_dir))
+
+
+def meta_restore_merge(ours: DataFrame, theirs: DataFrame) -> DataFrame:
+    """W7 restore (metamanager.cpp:265-335): merge a dumped meta table
+    into the local one — singular keys keep the NEWEST mtime row across
+    both sides (ties broken by id), plural keys union all rows (dedup by
+    id).  One union + one aggregation; the packed-max trick (see
+    meta_rollup) keeps singular resolution a single map-side-combinable
+    pass."""
+    both = ours.unionByName(theirs).dropDuplicates(["id"])
+    plural = both.filter(F.col("key").endswith("s"))
+    singular = both.filter(~F.col("key").endswith("s"))
+    packed = F.concat(
+        F.lpad(F.col("mtime").cast("string"), 12, "0"), F.col("id"), F.col("data")
+    )
+    latest = (
+        singular.groupBy("path", "key")
+        .agg(F.max(packed).alias("p"))
+        .select(
+            "path",
+            "key",
+            F.substring(F.col("p"), 13, 32).alias("id"),
+            F.substring(F.col("p"), 45, 1 << 20).alias("data"),
+            F.substring(F.col("p"), 1, 12).cast("bigint").alias("mtime"),
+        )
+    )
+    return plural.select("id", "path", "key", "data", "mtime").unionByName(
+        latest.select("id", "path", "key", "data", "mtime")
+    )
+
+
+@check(
+    "meta_restore_merge",
+    oracle=with_catalog(
+        """WITH theirs AS (
+               SELECT md5('their:' || id) AS id, path, key,
+                      '"restored"' AS data, mtime + 100 AS mtime
+               FROM entries_meta WHERE key IN ('name', 'visibility', 'tags')
+           ),
+           merged AS (
+               SELECT * FROM entries_meta
+               UNION ALL
+               SELECT * FROM theirs
+           ),
+           ded AS (SELECT DISTINCT ON (id) id, path, key, data, mtime FROM merged ORDER BY id),
+           plural AS (SELECT id, path, key, data, mtime FROM ded WHERE key LIKE '%s'),
+           latest AS (
+               SELECT path, key,
+                      substr(MAX(LPAD(CAST(mtime AS STRING), 12, '0') || id || data), 13, 32) AS id,
+                      substr(MAX(LPAD(CAST(mtime AS STRING), 12, '0') || id || data), 45) AS data,
+                      CAST(substr(MAX(LPAD(CAST(mtime AS STRING), 12, '0') || id || data), 1, 12) AS BIGINT) AS mtime
+               FROM ded WHERE key NOT LIKE '%s' GROUP BY path, key
+           )
+           SELECT id, path, key, data, mtime FROM plural
+           UNION ALL
+           SELECT id, path, key, data, mtime FROM latest""",
+        variants=(),
+        meta=True,
+    ),
+)
+def q_meta_restore_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ours = entries_meta_df(spark, sf_dir)
+    theirs = ours.filter(F.col("key").isin("name", "visibility", "tags")).select(
+        F.md5(F.concat(F.lit("their:"), F.col("id"))).alias("id"),
+        "path",
+        "key",
+        F.lit('"restored"').alias("data"),
+        (F.col("mtime") + 100).alias("mtime"),
+    )
+    return meta_restore_merge(ours, theirs)

@@ -52,5 +52,6 @@ def load_all() -> dict[str, Check]:
     import dronedb_spark.raster.points  # noqa: F401
     import dronedb_spark.functions.geo  # noqa: F401
     import dronedb_spark.multimodal.media  # noqa: F401
+    import dronedb_spark.streaming.stateful  # noqa: F401
 
     return REGISTRY

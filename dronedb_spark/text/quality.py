@@ -131,3 +131,59 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(load(spark, sf_dir, "documents"))
+
+
+def vocab_top_tokens(docs: DataFrame, k: int = 50) -> DataFrame:
+    """Vocabulary building: token histogram + top-k — the tokenizer-prep
+    pass of a training pipeline.  explode → map-side-combined count →
+    TakeOrdered top-k."""
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    return (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(k)
+    )
+
+
+def stratified_sample(docs: DataFrame, rate_pct: int = 20) -> DataFrame:
+    """Deterministic hash sampling: stable across runs/engines/cluster
+    sizes (never ``rand()`` in a reproducible pipeline) — keep a doc iff
+    the first 4 hex chars of md5(doc_id || ':' || source) fall under the
+    rate threshold.  The comparison is done on the HEX STRING itself
+    (fixed-width lowercase hex sorts identically to its numeric value),
+    which needs no hex-parse function in either engine."""
+    thresh = format(int(65536 * rate_pct / 100), "04x")
+    bucket = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("source"))), 1, 4
+    )
+    return (
+        docs.filter(bucket < thresh)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .orderBy("source")
+    )
+
+
+@check(
+    "vocab_top_tokens",
+    oracle="""
+        SELECT tok, CAST(COUNT(1) AS BIGINT) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+        GROUP BY tok ORDER BY n DESC, tok LIMIT 50""",
+)
+def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return vocab_top_tokens(load(spark, sf_dir, "documents"))
+
+
+@check(
+    "stratified_sample_counts",
+    oracle=f"""
+        SELECT source, CAST(COUNT(1) AS BIGINT) AS n_kept
+        FROM documents
+        WHERE substr(md5(CAST(doc_id AS STRING) || ':' || source), 1, 4)
+              < '{format(int(65536 * 20 / 100), "04x")}'
+        GROUP BY source ORDER BY source""",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stratified_sample(load(spark, sf_dir, "documents"))
