@@ -137,3 +137,50 @@ def q_missing_folders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dirs = entries.filter(F.col("type") == 1).select("path")
     return parents.join(dirs, "path", "left_anti").orderBy("path")
+
+
+def entry_info(entries: DataFrame, suffixes: list[str]) -> DataFrame:
+    """getEntry / ``ddb info`` (P9, K1; dbops.cpp:1324-1338, info.cpp:27-103):
+    exact-entry lookup with the full projection — fixed columns, point
+    geometry components (the GeoJSON-coordinates encoding is plain struct
+    assembly over these), and the capture-instant coalesce (P7).  The path
+    predicate is a pushable suffix LIKE, so at scale the Parquet scan
+    prunes on path statistics before any other work."""
+    cond = None
+    for s in suffixes:
+        this = F.col("path").endswith(s)
+        cond = this if cond is None else (cond | this)
+    inst = F.when(
+        F.col("capture_ms") > 0,
+        ((F.col("capture_ms") - F.col("capture_ms") % 1000) / 1000).cast("bigint"),
+    ).otherwise(F.col("mtime"))
+    return (
+        entries.filter(cond)
+        .select(
+            "path", "hash", "type", "size", "mtime", "depth",
+            "point_lon", "point_lat", "point_alt",
+            inst.alias("instant_s"),
+        )
+        .orderBy("path")
+    )
+
+
+_INFO_SUFFIXES = ["/doc_000010.txt", "/doc_000033.txt", "/doc_000207.txt"]
+
+
+@check(
+    "entry_info",
+    oracle=with_catalog(
+        """SELECT path, hash, type, size, mtime, depth,
+                  point_lon, point_lat, point_alt,
+                  CASE WHEN capture_ms > 0
+                       THEN CAST((capture_ms - (capture_ms % 1000)) / 1000 AS BIGINT)
+                       ELSE mtime END AS instant_s
+           FROM entries
+           WHERE path LIKE '%/doc_000010.txt' OR path LIKE '%/doc_000033.txt'
+              OR path LIKE '%/doc_000207.txt'
+           ORDER BY path"""
+    ),
+)
+def q_entry_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return entry_info(entries_df(spark, sf_dir), _INFO_SUFFIXES)

@@ -267,3 +267,28 @@ def q_raster_point(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("row", "col")
     )
+
+
+def _band_stats_sql(dialect: str) -> str:
+    """A10/R-global (raster_analysis.cpp:78-178): per-band global stats —
+    band min/max/mean + valid-pixel count, nodata-aware.  Long format via
+    UNION ALL (runs verbatim in both engines); at scale each branch is an
+    independent scan-aggregate over the same cached pixel table and the
+    final GROUP BY touches 5 rows."""
+    from dronedb_spark.raster.synth import ms_sql
+
+    branches = "\nUNION ALL\n".join(
+        f"SELECT '{b}' AS band, CASE WHEN {b} = -9999.0 THEN NULL ELSE {b} END AS v FROM ms"
+        for b in ["B", "G", "N", "R", "Re"]
+    )
+    return f"""WITH ms AS ({ms_sql(dialect)}),
+        long AS ({branches})
+        SELECT band, CAST(COUNT(v) AS BIGINT) AS n_valid,
+               MIN(v) AS v_min, MAX(v) AS v_max,
+               CAST(ROUND(SUM(CAST(v AS DECIMAL(38,12))), 6) AS DOUBLE) / COUNT(v) AS v_mean
+        FROM long GROUP BY band ORDER BY band"""
+
+
+@check("raster_band_stats", oracle=_band_stats_sql("duckdb"))
+def q_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_band_stats_sql("spark"))

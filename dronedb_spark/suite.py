@@ -45,6 +45,7 @@ def load_all() -> dict[str, Check]:
     import dronedb_spark.text.simhash  # noqa: F401
     import dronedb_spark.vectors.knn  # noqa: F401
     import dronedb_spark.vectors.ann  # noqa: F401
+    import dronedb_spark.vectors.ivf  # noqa: F401
     import dronedb_spark.raster.stats  # noqa: F401
     import dronedb_spark.raster.volume  # noqa: F401
     import dronedb_spark.raster.contours  # noqa: F401

@@ -95,6 +95,53 @@ def ann_search(embeddings: DataFrame, query_vec_id: int, k: int = 5) -> DataFram
     return scored.orderBy(F.desc("cos_sim"), "vec_id").limit(k)
 
 
+NEARDUP_THRESH = 0.35
+
+
+def cosine_neardup_pairs(embeddings: DataFrame, thresh: float = NEARDUP_THRESH) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the dedup twin of text
+    MinHash (text/dedup.py) on the embedding column.
+
+    Scale path: candidate pairs are restricted to the SAME LSH bucket
+    before exact cosine, so the self-join shuffles on the bucket key and
+    each task scores only its bucket's ~n/2^N_PLANES vectors — never the
+    global O(n²) cross product.  The threshold is applied to the ROUNDED
+    similarity so the boundary is engine-exact."""
+    from dronedb_spark.vectors.knn import _norm
+
+    withb = embeddings.select(
+        "vec_id", F.col("embedding"), _bucket_col().alias("bucket"), _norm("embedding").alias("nrm")
+    )
+    a = withb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+        "bucket",
+    )
+    b = withb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+        "bucket",
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("emb_a"), F.col("emb_b"), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(dot / (F.col("nrm_a") * F.col("nrm_b")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= thresh)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
 # ---------------------------------------------------------------- checks
 
 
@@ -130,3 +177,23 @@ _DUCK_NORM_Q = """sqrt(list_sum(list_transform(q.q_emb,
 )
 def q_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_search(load(spark, sf_dir, "embeddings"), query_vec_id=0, k=5)
+
+
+@check(
+    "embedding_neardup_pairs",
+    oracle=f"""
+        WITH b AS (SELECT vec_id, embedding, {_duck_bucket('embeddings')} AS bucket,
+                          sqrt(list_sum(list_transform(embeddings.embedding,
+                               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+                   FROM embeddings)
+        SELECT vec_a, vec_b, cos_sim FROM (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   ROUND(list_sum(list_transform(range(1, {DIM} + 1),
+                             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                         / (a.nrm * b.nrm), 6) AS cos_sim
+            FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) p
+        WHERE cos_sim >= {NEARDUP_THRESH}
+        ORDER BY vec_a, vec_b""",
+)
+def q_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_neardup_pairs(load(spark, sf_dir, "embeddings"))
