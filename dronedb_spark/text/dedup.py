@@ -107,10 +107,17 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
 def neardup_pairs(docs: DataFrame) -> DataFrame:
     """LSH candidate pairs: documents sharing any band bucket.
 
-    Bands are melted to (doc_id, band_id, key) rows so ONE self-join on
-    (band_id, key) covers every band — one shuffle of a narrow relation
-    instead of a join per band, and the signature projection is computed
-    once per side rather than per band."""
+    Bands are melted to (doc_id, band_id, key) rows, grouped by bucket,
+    and pairs are generated INSIDE each bucket from the collected id
+    list — the signatures (12 md5 folds over the shingle arrays, the
+    expensive part) are computed exactly once, and the whole operator is
+    one shuffle on the bucket key plus the final pair-dedup.  A self-join
+    formulation would recompute the signature subtree per side (Catalyst
+    has no common-subplan materialization across join inputs) — measured
+    ~7x slower at sf0.1.  Pair generation is O(k²) per bucket in any
+    strategy; LSH banding keeps k small, and a pathological hot bucket
+    (thousands of identical docs) should be exact-dedup'd first
+    (exact_dup_groups) as a real pipeline does."""
     sig = minhash_signatures(docs)
     melted = sig.select(
         "doc_id",
@@ -123,12 +130,22 @@ def neardup_pairs(docs: DataFrame) -> DataFrame:
             )
         ).alias("s"),
     ).select("doc_id", F.col("s.band_id").alias("band_id"), F.col("s.bk").alias("bk"))
-    a = melted.select(F.col("doc_id").alias("doc_a"), "band_id", "bk")
-    b = melted.select(F.col("doc_id").alias("doc_b"), "band_id", "bk")
+    buckets = (
+        melted.groupBy("band_id", "bk")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
     return (
-        a.join(b, ["band_id", "bk"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        buckets.select(
+            F.explode(
+                F.expr(
+                    """flatten(transform(ids, (x, i) ->
+                           transform(slice(ids, i + 2, size(ids)),
+                                     y -> struct(x AS doc_a, y AS doc_b))))"""
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
