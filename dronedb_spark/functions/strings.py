@@ -122,3 +122,99 @@ def q_stac_asset_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
         mime_type(p).alias("mime"),
         asset_id(p).alias("b64id"),
     ).orderBy("path")
+
+
+def parse_tag(col: Column) -> Column:
+    """W10 tag parsing (registryutils.cpp:30-96, tagmanager.cpp): tag →
+    struct(registry_url, organization, dataset).
+
+    Semantics mirrored: trim + lowercase + trailing-slash strip; dataset =
+    last '/'-segment, organization = previous, registry = the rest
+    (DEFAULT_REGISTRY 'hub.dronedb.app' when absent, constants.h:10);
+    'https://' is prepended when the registry has no protocol; a tag with
+    fewer than two segments is invalid → NULL struct (the reference
+    throws).  Pure column ops — at scale this is codegen'd string work,
+    no UDF."""
+    t = F.regexp_replace(F.lower(F.trim(col)), "/+$", "")
+    parts = F.split(t, "/")
+    n = F.size(parts)
+    dataset = F.element_at(parts, -1)
+    organization = F.element_at(parts, -2)
+    head = F.array_join(F.slice(parts, 1, n - 2), "/")
+    registry = F.when(
+        (n == 2) | (head == ""), F.lit("https://hub.dronedb.app")
+    ).otherwise(
+        F.when(
+            head.startswith("http://") | head.startswith("https://"), head
+        ).otherwise(F.concat(F.lit("https://"), head))
+    )
+    valid = (n >= 2) & (dataset != "") & (organization != "") & ~organization.contains(":")
+    return F.when(
+        valid,
+        F.struct(
+            registry.alias("registry_url"),
+            organization.alias("organization"),
+            dataset.alias("dataset"),
+        ),
+    )
+
+
+@check(
+    "tag_parse",
+    oracle="""
+        WITH tags AS (
+            SELECT doc_id,
+                   CASE (doc_id % 4)
+                        WHEN 0 THEN 'MyOrg/MyDataset/'
+                        WHEN 1 THEN source || '/ds_' || CAST(doc_id AS STRING)
+                        WHEN 2 THEN 'hub.example.com/' || source || '/ds_' || CAST(doc_id AS STRING)
+                        ELSE 'http://insecure.example.com/' || source || '/ds_' || CAST(doc_id AS STRING)
+                   END AS tag
+            FROM documents WHERE doc_id < 40),
+        parts AS (
+            SELECT doc_id, tag,
+                   string_split(regexp_replace(lower(trim(tag)), '/+$', ''), '/') AS p
+            FROM tags)
+        SELECT doc_id, tag,
+               CASE WHEN len(p) = 2 THEN 'https://hub.dronedb.app'
+                    WHEN p[1] LIKE 'http:%' OR p[1] LIKE 'https:%'
+                         THEN array_to_string(p[:len(p)-2], '/')
+                    ELSE 'https://' || array_to_string(p[:len(p)-2], '/')
+               END AS registry_url,
+               p[len(p)-1] AS organization,
+               p[len(p)] AS dataset
+        FROM parts
+        ORDER BY doc_id""",
+)
+def q_tag_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dronedb_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    tag = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("MyOrg/MyDataset/"))
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.col("source"), F.lit("/ds_"), F.col("doc_id").cast("string")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.lit("hub.example.com/"),
+                F.col("source"),
+                F.lit("/ds_"),
+                F.col("doc_id").cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("http://insecure.example.com/"),
+                F.col("source"),
+                F.lit("/ds_"),
+                F.col("doc_id").cast("string"),
+            )
+        )
+    )
+    parsed = docs.select("doc_id", tag.alias("tag"), parse_tag(tag).alias("t"))
+    return parsed.select(
+        "doc_id", "tag", "t.registry_url", "t.organization", "t.dataset"
+    ).orderBy("doc_id")

@@ -35,7 +35,16 @@ DEM_LEVELS = [210.0, 230.0, 250.0]
 
 
 def contour_crossings(pixels: DataFrame, levels: list[float]) -> DataFrame:
-    """Per-level count of horizontal/vertical edge crossings."""
+    """Per-level count of horizontal/vertical edge crossings.
+
+    One-pass shape: the two neighbor relations (right / down equi-joins)
+    are built once, union'd with an axis tag, level membership comes from
+    an exploded literal levels array, and ONE groupBy(level, axis)
+    aggregates everything — versus a per-(axis × level) aggregate union,
+    which would rescan the pixel table 2×|levels| times (Catalyst does
+    not share common subplans across UNION branches).  Zero-crossing
+    levels are restored by a left join against the tiny level×axis frame
+    (count-over-empty must still emit a row)."""
     a = pixels.select("row", "col", F.col("value").alias("v1"))
     right = pixels.select(
         F.col("row").alias("row"), (F.col("col") - 1).alias("col"), F.col("value").alias("v2")
@@ -43,21 +52,29 @@ def contour_crossings(pixels: DataFrame, levels: list[float]) -> DataFrame:
     down = pixels.select(
         (F.col("row") - 1).alias("row"), F.col("col").alias("col"), F.col("value").alias("v2")
     )
-    out = None
-    for axis, nbr in (("h", right), ("v", down)):
-        edges = a.join(nbr, ["row", "col"]).filter(
-            (F.col("v1") != NODATA) & (F.col("v2") != NODATA)
-        )
-        for lv in levels:
-            crossed = edges.filter(
-                ((F.col("v1") < lv) & (F.col("v2") >= lv))
-                | ((F.col("v2") < lv) & (F.col("v1") >= lv))
-            )
-            agg = crossed.agg(F.count(F.lit(1)).alias("n")).select(
-                F.lit(lv).alias("level"), F.lit(axis).alias("axis"), "n"
-            )
-            out = agg if out is None else out.unionByName(agg)
-    return out.orderBy("level", "axis")
+    edges = (
+        a.join(right, ["row", "col"]).select(F.lit("h").alias("axis"), "v1", "v2")
+        .unionByName(a.join(down, ["row", "col"]).select(F.lit("v").alias("axis"), "v1", "v2"))
+        .filter((F.col("v1") != NODATA) & (F.col("v2") != NODATA))
+    )
+    crossed = edges.select(
+        "axis",
+        "v1",
+        "v2",
+        F.explode(F.array(*[F.lit(float(lv)) for lv in levels])).alias("level"),
+    ).filter(
+        ((F.col("v1") < F.col("level")) & (F.col("v2") >= F.col("level")))
+        | ((F.col("v2") < F.col("level")) & (F.col("v1") >= F.col("level")))
+    )
+    counts = crossed.groupBy("level", "axis").agg(F.count(F.lit(1)).alias("n"))
+    frame = pixels.sparkSession.createDataFrame(
+        [(float(lv), ax) for lv in levels for ax in ("h", "v")], "level double, axis string"
+    )
+    return (
+        frame.join(counts, ["level", "axis"], "left")
+        .select("level", "axis", F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"))
+        .orderBy("level", "axis")
+    )
 
 
 _SEG_SCHEMA = T.StructType(

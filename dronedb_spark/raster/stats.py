@@ -230,8 +230,57 @@ def _formula_sweep_sql(dialect: str) -> str:
 @check("formula_engine_sweep", oracle=_formula_sweep_sql("duckdb"))
 def q_formula_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All 17 rational formulas of the registry (vegetation.cpp:85-113)
-    with nodata/ε parity, as one long-format stats query."""
-    return spark.sql(_formula_sweep_sql("spark"))
+    with nodata/ε parity, as one long-format stats query.
+
+    One-pass plan: every formula over a source grid is computed as a
+    column in a SINGLE projection, aggregated in ONE multi-aggregate pass
+    (4 aggregates × formula), then pivoted to long format by exploding
+    the 1-row result — one scan + one reduce per source table, versus a
+    UNION ALL of per-formula aggregates that rescans the grid 17 times
+    (the oracle keeps that shape; results are identical)."""
+    from dronedb_spark.functions.formulas import FORMULA_SQL, formula_case_sql
+    from dronedb_spark.raster.synth import ms_sql, thermal_sql
+
+    out = None
+    for src_sql, want_thermal in ((ms_sql("spark"), False), (thermal_sql("spark"), True)):
+        fids = [
+            fid
+            for fid, (_, _, bands) in FORMULA_SQL.items()
+            if (bands == "T") == want_thermal
+        ]
+        if not fids:
+            continue
+        grid = spark.sql(src_sql)
+        vals = grid.select(*[F.expr(formula_case_sql(fid)).alias(fid) for fid in fids])
+        aggs = []
+        for fid in fids:
+            aggs += [
+                F.count(F.col(fid)).alias(f"n_{fid}"),
+                F.min(F.col(fid)).alias(f"min_{fid}"),
+                F.max(F.col(fid)).alias(f"max_{fid}"),
+                F.round(F.sum(F.col(fid).cast("decimal(38,12)")), 6)
+                .cast("double")
+                .alias(f"s_{fid}"),
+            ]
+        row = vals.agg(*aggs)
+        long = row.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(fid).alias("formula"),
+                            F.col(f"n_{fid}").alias("n_valid"),
+                            F.col(f"min_{fid}").alias("f_min"),
+                            F.col(f"max_{fid}").alias("f_max"),
+                            (F.col(f"s_{fid}") / F.col(f"n_{fid}")).alias("f_mean"),
+                        )
+                        for fid in fids
+                    ]
+                )
+            ).alias("s")
+        ).select("s.*")
+        out = long if out is None else out.unionByName(long)
+    return out
 
 
 @check(

@@ -31,6 +31,14 @@ def get_spark(app_name: str = "dronedb_spark", cpus: int | None = None) -> Spark
         .config("spark.driver.memory", os.environ.get("DDB_SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # A task occasionally stalls for seconds on block-manager cleanup
+        # contention (local mode shares one JVM); speculation re-launches
+        # the straggler — the same defense a real cluster needs against a
+        # slow node, so this setting carries to the 1000-executor case.
+        .config("spark.speculation", "true")
+        .config("spark.speculation.interval", "250ms")
+        .config("spark.speculation.multiplier", "3")
+        .config("spark.speculation.quantile", "0.75")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -214,36 +214,28 @@ def jaccard_pairs(docs: DataFrame) -> DataFrame:
     |A∪B| = |A|+|B|−|A∩B|.  The candidate set is tiny relative to the
     corpus, so the shingle join broadcasts the candidate side."""
     pairs = neardup_pairs(docs)
-    sh = (
+    # Distinct shingles per doc as ONE set-valued row (a per-doc set is
+    # bounded by doc length, like the signature itself), so intersection
+    # size is a scalar array_intersect per pair — two narrow joins against
+    # the small candidate set instead of re-exploding every shingle of
+    # every candidate doc through a 3-way join.
+    sets = (
         _shingle_df(docs)
         .select("doc_id", F.explode("sh").alias("s"))
-        .distinct()
+        .groupBy("doc_id")
+        .agg(F.collect_set("s").alias("ss"))
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    inter = (
-        pairs.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-        .join(
-            sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b")),
-            "doc_b",
-        )
-        .filter(F.col("s") == F.col("s_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    j = (
+        pairs.join(sets.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("ss_a")), "doc_a")
+        .join(sets.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("ss_b")), "doc_b")
     )
-    out = (
-        pairs.join(inter, ["doc_a", "doc_b"], "left")
-        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.coalesce(F.col("n_inter"), F.lit(0)).alias("n_inter"),
-            (F.coalesce(F.col("n_inter"), F.lit(0))
-             / (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("n_inter"), F.lit(0)))
-             ).alias("jaccard"),
-        )
+    n_inter = F.size(F.array_intersect(F.col("ss_a"), F.col("ss_b"))).cast("bigint")
+    return j.select(
+        "doc_a",
+        "doc_b",
+        n_inter.alias("n_inter"),
+        (n_inter / (F.size("ss_a") + F.size("ss_b") - n_inter)).alias("jaccard"),
     )
-    return out
 
 
 @check(
