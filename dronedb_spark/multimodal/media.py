@@ -186,3 +186,67 @@ def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = synth_media(spark, load(spark, sf_dir, "embeddings"))
     return extract_features(media).orderBy("media_id")
+
+
+_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("frame_mean", T.DoubleType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, stride: int = 2) -> DataFrame:
+    """Frame sampling: decode each video and emit every ``stride``-th
+    frame with its stats — the frame-selection stage of a video training
+    pipeline.  Arrow-batched ``mapInPandas``; one input video row fans out
+    to n_frames/stride output rows, so the stage is repartition-friendly
+    (downstream ops key on (media_id, frame_idx))."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                if r["kind"] != "video":
+                    continue
+                arr = decode_media(bytes(r["content"]))  # (n, h, w)
+                for f in range(0, arr.shape[0], stride):
+                    rows.append(
+                        {
+                            "media_id": r["media_id"],
+                            "frame_idx": f,
+                            "height": int(arr.shape[1]),
+                            "width": int(arr.shape[2]),
+                            "frame_mean": float(arr[f].astype(np.float64).mean()),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "height", "width", "frame_mean"]
+            )
+
+    return media.mapInPandas(run, schema=_FRAME_SCHEMA)
+
+
+# The FAKE video payload is a closed-form byte formula (fake_video:
+# byte[i] = (seed*97 + i*31) % 251, frame f = bytes [f*64, (f+1)*64)),
+# so frame means are SQL-computable — the decode PLUMBING (binary column
+# → mapInPandas → typed frames) gets a true value-level oracle, not just
+# a rows-only check.  Integer arithmetic + sum < 2^53 ⇒ exact doubles in
+# both engines.
+@check(
+    "video_frame_sample",
+    oracle="""
+        SELECT e.vec_id AS media_id, CAST(f.f AS INT) AS frame_idx,
+               8 AS height, 8 AS width,
+               list_avg(list_transform(range(f.f * 64, (f.f + 1) * 64),
+                        i -> CAST((e.vec_id * 97 + i * 31) % 251 AS DOUBLE))) AS frame_mean
+        FROM embeddings e, (SELECT unnest([0, 2, 4, 6]) AS f) f
+        WHERE e.vec_id % 3 = 2
+        ORDER BY media_id, frame_idx""",
+)
+def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synth_media(spark, load(spark, sf_dir, "embeddings"))
+    return sample_frames(media, stride=2).orderBy("media_id", "frame_idx")

@@ -61,3 +61,35 @@ def test_stream_ingest_files(spark, tmp_path):
     q.awaitTermination(120)
     paths = {r["path"] for r in cat.entries().collect()}
     assert "one.txt" in paths
+
+
+def test_stream_dedup_matches_batch(spark, sf_dir, tmp_path):
+    from dronedb_spark.streaming.dedup import stream_dedup_exact
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id") % 600).alias("ts"),
+    )
+    src = str(tmp_path / "docs_stream")
+    docs.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    out = stream_dedup_exact(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.sql("SELECT content_hash FROM dedup_test").collect()
+    got_hashes = [r["content_hash"] for r in got]
+    want_hashes = {
+        r["h"] for r in docs.select(F.md5("text").alias("h")).distinct().collect()
+    }
+    # one output row per distinct content hash, each exactly once
+    assert len(got_hashes) == len(set(got_hashes)) == len(want_hashes)
+    assert set(got_hashes) == want_hashes
