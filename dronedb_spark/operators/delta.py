@@ -152,3 +152,59 @@ def q_apply_delta_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_stamp_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stamp_checksum(entries_df(spark, sf_dir), entries_meta_df(spark, sf_dir))
+
+
+def stamp_tree_digest(entries: DataFrame, n_buckets: int = 16) -> DataFrame:
+    """A8 scale path (see SCALE.md): per-bucket digest + digest-of-digests.
+
+    The reference checksum (database.cpp:288-331) is order-sensitive over
+    the WHOLE catalog, which forces a global sort + single-reducer concat.
+    This variant hashes each path into one of ``n_buckets`` deterministic
+    buckets (first md5 hex char), digests each bucket's path-ordered
+    content independently (parallel, partial-friendly), and digests the
+    bucket digests in bucket order.  Identical change-detection power —
+    any path/hash change flips the root — with per-bucket parallelism and
+    no global sort.  Both sync sides need only agree on the bucketing."""
+    assert n_buckets == 16, "bucket fn is the first md5 hex char (16 buckets)"
+    b = entries.select(
+        (F.instr(F.lit("0123456789abcdef"), F.substring(F.md5("path"), 1, 1)) - 1).alias(
+            "bucket"
+        ),
+        "path",
+        "hash",
+    )
+    per = b.groupBy("bucket").agg(
+        F.sha2(
+            F.expr(
+                "aggregate(sort_array(collect_list(struct(path, hash))), '',"
+                " (acc, x) -> acc || x.path || x.hash)"
+            ),
+            256,
+        ).alias("digest")
+    )
+    return per.agg(
+        F.sha2(
+            F.expr(
+                "aggregate(sort_array(collect_list(struct(bucket, digest))), '',"
+                " (acc, x) -> acc || x.digest)"
+            ),
+            256,
+        ).alias("checksum")
+    )
+
+
+@check(
+    "stamp_tree_digest",
+    oracle=with_catalog(
+        """WITH b AS (
+               SELECT instr('0123456789abcdef', substr(md5(path), 1, 1)) - 1 AS bucket,
+                      path, hash
+               FROM entries),
+           per AS (
+               SELECT bucket, sha256(string_agg(path || hash, '' ORDER BY path)) AS digest
+               FROM b GROUP BY bucket)
+           SELECT sha256(string_agg(digest, '' ORDER BY bucket)) AS checksum FROM per"""
+    ),
+)
+def q_stamp_tree_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stamp_tree_digest(entries_df(spark, sf_dir))

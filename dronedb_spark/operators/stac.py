@@ -135,3 +135,48 @@ def q_stac_items_page(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_stac_number_matched(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stac_number_matched(entries_df(spark, sf_dir), _BBOX, _T0, _T1)
+
+
+def stac_items_keyset(
+    entries: DataFrame,
+    bbox: tuple[float, float, float, float] | None,
+    t_start: int | None,
+    t_end: int | None,
+    after_path: str,
+    limit: int = 10,
+) -> DataFrame:
+    """Keyset pagination — the deep-paging scale path (SCALE.md): instead
+    of ORDER BY + OFFSET (which must produce and discard `offset` rows on
+    every page), continue from the last seen key with a pushable
+    range predicate `path > after`.  Page cost is O(limit) at any depth."""
+    df = stac_item_filter(entries, bbox, t_start, t_end)
+    return (
+        df.filter(F.col("path") > F.lit(after_path))
+        .select(
+            "path",
+            "type",
+            _instant().alias("datetime_s"),
+            "bbox_minx",
+            "bbox_miny",
+            "bbox_maxx",
+            "bbox_maxy",
+        )
+        .orderBy("path")
+        .limit(limit)
+    )
+
+
+@check(
+    "stac_items_keyset",
+    oracle=with_catalog(
+        f"""SELECT path, type,
+                   CASE WHEN capture_ms > 0
+                        THEN CAST((capture_ms - capture_ms % 1000) / 1000 AS BIGINT)
+                        ELSE mtime END AS datetime_s,
+                   bbox_minx, bbox_miny, bbox_maxx, bbox_maxy
+            FROM entries WHERE {_ORACLE_FILTER} AND path > 'src4'
+            ORDER BY path LIMIT 10"""
+    ),
+)
+def q_stac_items_keyset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stac_items_keyset(entries_df(spark, sf_dir), _BBOX, _T0, _T1, "src4", limit=10)

@@ -39,6 +39,11 @@ def get_spark(app_name: str = "dronedb_spark", cpus: int | None = None) -> Spark
         .config("spark.speculation.interval", "250ms")
         .config("spark.speculation.multiplier", "3")
         .config("spark.speculation.quantile", "0.75")
+        # Partitioning on a SUBSET of the join keys (catalog bucketed by
+        # path; delta joins on (path, hash)) is semantically sufficient
+        # for co-partitioning; Spark's conservative default would insert
+        # a full re-shuffle of both catalogs.
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -110,3 +110,38 @@ def test_meta_join_broadcasts_agg_side(spark):
         entries_meta_df(spark, "/root/testdata/sf0.001"),
     )
     assert has_broadcast_join(q)
+
+
+def test_bucketed_catalogs_join_without_shuffle(spark, tmp_path_factory):
+    """SCALE.md sync-algebra claim: with both catalog snapshots bucketed by
+    path, the delta anti-join needs NO exchange — bucketing
+    (HashPartitioning on path) satisfies the join's clustering requirement
+    since the join keys (path, hash) contain the bucket key."""
+    from dronedb_spark.catalog.derive import entries_df
+
+    wh = str(tmp_path_factory.mktemp("warehouse"))
+    for variant, tbl in (("a", "ent_bucketed_a"), ("b", "ent_bucketed_b")):
+        (
+            entries_df(spark, "/root/testdata/sf0.001", variant)
+            .write.mode("overwrite")
+            .bucketBy(8, "path")
+            .sortBy("path")
+            .option("path", f"{wh}/{tbl}")
+            .saveAsTable(tbl)
+        )
+    a = spark.table("ent_bucketed_a")
+    b = spark.table("ent_bucketed_b")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # J5/J3 shape: join on the bucket key itself
+        q1 = a.join(b, ["path"], "left_anti")
+        assert "Exchange" not in physical_plan(q1), physical_plan(q1)
+        # J2 shape: join keys (path, hash) ⊃ bucket key — co-partitioning
+        # on the subset is enabled in session.py
+        # (spark.sql.requireAllClusterKeysForCoPartition=false)
+        q2 = a.join(b, ["path", "hash"], "left_anti")
+        assert "Exchange" not in physical_plan(q2), physical_plan(q2)
+        assert q2.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
