@@ -146,6 +146,15 @@ def extract_features(media: DataFrame, n_dims: int = 8) -> DataFrame:
     return media.mapInPandas(run, schema=_FEAT_SCHEMA)
 
 
+def _nn_resize(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor index-sampling resize (shared by the thumbnail
+    sink and its stats check)."""
+    h, w = arr.shape[0], arr.shape[1]
+    yi = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xi = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return arr[yi][:, xi]
+
+
 def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
     """Nearest-neighbor resize (numpy index sampling) — the shape of the
     distributed thumbnail stage (SURVEY K9)."""
@@ -157,10 +166,7 @@ def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
                 if r["kind"] != "image":
                     continue
                 arr = decode_media(bytes(r["content"]))
-                h, w, c = arr.shape
-                yi = (np.arange(out_h) * h // out_h).clip(0, h - 1)
-                xi = (np.arange(out_w) * w // out_w).clip(0, w - 1)
-                small = arr[yi][:, xi]
+                small = _nn_resize(arr, out_w, out_h)
                 rows.append(
                     {
                         "media_id": r["media_id"],
@@ -250,3 +256,61 @@ def sample_frames(media: DataFrame, stride: int = 2) -> DataFrame:
 def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = synth_media(spark, load(spark, sf_dir, "embeddings"))
     return sample_frames(media, stride=2).orderBy("media_id", "frame_idx")
+
+
+_THUMB_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("thumb_mean", T.DoubleType()),
+    ]
+)
+
+
+def thumb_stats(media: DataFrame, out_w: int = 4, out_h: int = 3) -> DataFrame:
+    """Thumbnail stage with a value-level check: decode → nearest-neighbor
+    resize (same `_nn_resize` kernel as the sink) → per-thumb byte mean."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                if r["kind"] != "image":
+                    continue
+                small = _nn_resize(decode_media(bytes(r["content"])), out_w, out_h)
+                rows.append(
+                    {
+                        "media_id": r["media_id"],
+                        "width": out_w,
+                        "height": out_h,
+                        "thumb_mean": float(small.astype(np.float64).mean()),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "width", "height", "thumb_mean"])
+
+    return media.mapInPandas(run, schema=_THUMB_SCHEMA)
+
+
+# Like video_frame_sample: the fake image payload is closed-form
+# (fake_image: byte[(y*16+x)*3+ch] = (seed*2654435761 + idx*40503) % 251,
+# 16×12×3), and nearest-neighbor 4×3 sampling picks y∈{0,4,8},
+# x∈{0,4,8,12} — so the resized thumb's mean is SQL-computable and the
+# whole decode→resize plumbing gets a true oracle.
+@check(
+    "thumb_stats",
+    oracle="""
+        SELECT e.vec_id AS media_id, 4 AS width, 3 AS height,
+               AVG(CAST((e.vec_id * 2654435761 + ((ty.y * 16 + tx.x) * 3 + tc.ch) * 40503) % 251
+                        AS DOUBLE)) AS thumb_mean
+        FROM embeddings e,
+             (SELECT unnest([0, 4, 8]) AS y) ty,
+             (SELECT unnest([0, 4, 8, 12]) AS x) tx,
+             (SELECT unnest([0, 1, 2]) AS ch) tc
+        WHERE e.vec_id % 3 <> 2
+        GROUP BY e.vec_id
+        ORDER BY media_id""",
+)
+def q_thumb_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synth_media(spark, load(spark, sf_dir, "embeddings"))
+    return thumb_stats(media).orderBy("media_id")

@@ -282,3 +282,32 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_customer_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return customer_acct_percentiles(load(spark, sf_dir, "customer"))
+
+
+def events_topk_per_user(events: DataFrame, k: int = 2) -> DataFrame:
+    """Windowed top-k: each user's k highest-value events (beyond the
+    reference, which has no window functions — SURVEY §2.5).  At scale
+    the window shuffles ONCE on user_id and ranks within partitions;
+    ties broken by event_id so results are deterministic on any cluster."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), "event_id")
+    return (
+        events.select("user_id", "event_id", "value", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= k)
+        .orderBy("user_id", "rn")
+    )
+
+
+@check(
+    "events_topk_per_user",
+    oracle="""
+        SELECT user_id, event_id, value, CAST(rn AS INT) AS rn FROM (
+            SELECT user_id, event_id, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY value DESC, event_id) AS rn
+            FROM events) t
+        WHERE rn <= 2 ORDER BY user_id, rn""",
+)
+def q_events_topk_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events_topk_per_user(load(spark, sf_dir, "events"))

@@ -97,3 +97,70 @@ def bestfit_volume(spark: SparkSession, pixels: DataFrame) -> DataFrame:
 )
 def q_bestfit_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bestfit_volume(spark, dem_df(spark))
+
+
+# ------------------------------------------------------------------ polygon
+# R3/A11 with a TRUE polygon mask (volume.cpp:277-280 rasterizes the
+# polygon via GDAL; our rasterization IS the point-in-polygon predicate,
+# evaluated as closed-form column arithmetic — a crossing-number test
+# against the polygon's edges, no geometry library).  Perimeter pixels
+# (volume.cpp:292-321) are mask pixels with a 4-neighbor OUTSIDE the
+# mask — since membership is a formula, neighbor membership needs NO
+# join, just the predicate evaluated at shifted coordinates.
+
+_POLY = [(30.0, 25.0), (110.0, 45.0), (70.0, 105.0)]  # (x=col, y=row)
+
+
+def _pip_sql(px: str, py: str) -> str:
+    """Crossing-number point-in-polygon as engine-portable SQL."""
+    terms = []
+    n = len(_POLY)
+    for i in range(n):
+        xa, ya = _POLY[i]
+        xb, yb = _POLY[(i + 1) % n]
+        terms.append(
+            f"(CASE WHEN (({ya} > {py}) <> ({yb} > {py}))"
+            f" AND ({px} < ({xb} - {xa}) * ({py} - {ya}) / ({yb} - {ya}) + {xa})"
+            f" THEN 1 ELSE 0 END)"
+        )
+    return "((" + " + ".join(terms) + ") % 2 = 1)"
+
+
+def _polygon_volume_sql(dialect: str) -> str:
+    x, y = "CAST(col AS DOUBLE)", "CAST(row AS DOUBLE)"
+    inside = _pip_sql(x, y)
+    on_perim = (
+        f"NOT ({_pip_sql(x, f'({y} - 1.0)')} AND {_pip_sql(x, f'({y} + 1.0)')}"
+        f" AND {_pip_sql(f'({x} - 1.0)', y)} AND {_pip_sql(f'({x} + 1.0)', y)})"
+    )
+    return f"""
+    WITH px AS ({dem_sql(dialect)}),
+    zone AS (
+        SELECT row, col, value, {on_perim} AS on_perim
+        FROM px WHERE {inside} AND value <> -9999.0),
+    bases AS (
+        SELECT 'flat' AS method, 205.0 AS base FROM (SELECT 1) one
+        UNION ALL
+        SELECT 'lowest_perimeter' AS method, MIN(value) AS base
+        FROM zone WHERE on_perim
+        UNION ALL
+        SELECT 'average_perimeter' AS method,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))), 4) AS DOUBLE) / COUNT(1) AS base
+        FROM zone WHERE on_perim)
+    SELECT method, base,
+           CAST(ROUND(SUM(CAST(GREATEST(value - base, 0.0) * 0.25 AS DECIMAL(38,10))), 4) AS DOUBLE) AS cut,
+           CAST(ROUND(SUM(CAST(GREATEST(base - value, 0.0) * 0.25 AS DECIMAL(38,10))), 4) AS DOUBLE) AS fill,
+           CAST(ROUND(SUM(CAST(GREATEST(value - base, 0.0) * 0.25 AS DECIMAL(38,10)))
+               - SUM(CAST(GREATEST(base - value, 0.0) * 0.25 AS DECIMAL(38,10))), 4) AS DOUBLE) AS net,
+           CAST(COUNT(1) AS DOUBLE) * 0.25 AS area2d
+    FROM zone CROSS JOIN bases
+    GROUP BY method, base ORDER BY method"""
+
+
+@check("zonal_volume_polygon", oracle=_polygon_volume_sql("duckdb"))
+def q_polygon_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cut/fill over a true polygon mask, base methods flat /
+    lowest_perimeter / average_perimeter (volume.cpp:61-66) — the mask
+    and its perimeter are pure predicates, so the whole operator is one
+    scan + one tiny base aggregate + one grouped aggregate."""
+    return spark.sql(_polygon_volume_sql("spark"))
