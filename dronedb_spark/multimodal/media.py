@@ -103,7 +103,9 @@ def synth_media(spark: SparkSession, embeddings: DataFrame) -> DataFrame:
                 rows.append({"media_id": vid, "kind": kind, "content": content, "meta": meta})
             yield pd.DataFrame(rows)
 
-    return embeddings.select("vec_id").mapInPandas(gen, schema=MEDIA_SCHEMA)
+    from dronedb_spark.tables import spread
+
+    return spread(embeddings.select("vec_id")).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 _FEAT_SCHEMA = T.StructType(

@@ -42,3 +42,20 @@ def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = N
     oracle environment, where the same names are pre-registered)."""
     for name in names or TABLE_NAMES:
         load(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def spread(df: DataFrame) -> DataFrame:
+    """Repartition up to the session's default parallelism IF the input
+    has fewer partitions — the small-file/heavy-compute fix.
+
+    A CPU-heavy narrow stage (hashing, dot products, decode kernels)
+    inherits the scan's partitioning; a corpus that arrives as a handful
+    of files would run nearly single-threaded regardless of cluster
+    size.  At 100 TB inputs have ~800k splits and this is a no-op (the
+    condition fails), so the extra shuffle is only paid when it buys
+    parallelism.  Measured 6x on the MinHash signature stage at sf0.1
+    (1 input file, 32 cores)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

@@ -85,7 +85,11 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     the cache also serves both sides of the LSH self-join downstream."""
     from pyspark import StorageLevel
 
-    sh_df = _shingle_df(docs).filter(F.size("sh") > 0).persist(StorageLevel.MEMORY_AND_DISK)
+    from dronedb_spark.tables import spread
+
+    sh_df = spread(_shingle_df(docs).filter(F.size("sh") > 0)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
     def hasher(j: int):
         # NB: a single-parameter lambda — PySpark passes (element, index) to

@@ -72,7 +72,12 @@ def _signature_select(dialect: str) -> str:
 
 
 def simhash_signatures(docs: DataFrame) -> DataFrame:
-    """64-bit SimHash per document (hex string)."""
+    """64-bit SimHash per document (hex string).  The per-token digit
+    arithmetic is CPU-heavy, so the input is spread to full parallelism
+    first (no-op when the scan already has enough splits)."""
+    from dronedb_spark.tables import spread
+
+    docs = spread(docs)
     docs.createOrReplaceTempView("documents")
     return docs.sparkSession.sql(_signature_select("spark"))
 
