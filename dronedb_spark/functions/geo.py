@@ -160,3 +160,29 @@ _PYRAMID_ORACLE = with_catalog(
 @check("tile_pyramid_counts", oracle=_PYRAMID_ORACLE)
 def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tile_pyramid_counts(entries_df(spark, sf_dir))
+
+
+_MVT_ZOOM_SQL = """
+SELECT path, ROUND(area, 9) AS area_deg2,
+       CASE WHEN area <= 0.0 THEN 18
+            WHEN area > 6480.0 THEN 5
+            ELSE GREATEST(5, LEAST(18, CAST(FLOOR(0.5 * LOG2(10000.0 * 64800.0 / area)) AS INT)))
+       END AS maxzoom
+FROM (SELECT path, (bbox_maxx - bbox_minx) * (bbox_maxy - bbox_miny) AS area
+      FROM entries WHERE bbox_minx IS NOT NULL) t
+ORDER BY path"""
+
+
+@check("mvt_zoom_budget", oracle=with_catalog(_MVT_ZOOM_SQL))
+def q_mvt_zoom_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13 (mvt.h:33-45, mvt.cpp:12-54) as a per-entry column: maxzoom =
+    floor(0.5·log2(budget·64800/areaDeg2)) clamped [5,18], world-scale
+    extents (>10% of the globe) forced to 5, degenerate extents to 18.
+    Pure column arithmetic — the pre-flight work bound is computable for a
+    million datasets in one scan (SQL text shared verbatim with the
+    oracle; mvt_max_zoom above is the driver-side scalar twin)."""
+    from dronedb_spark.catalog.derive import entries_sql
+    from dronedb_spark.tables import register_views
+
+    register_views(spark, sf_dir, ["documents"])
+    return spark.sql(with_catalog(_MVT_ZOOM_SQL))

@@ -341,3 +341,28 @@ def _band_stats_sql(dialect: str) -> str:
 @check("raster_band_stats", oracle=_band_stats_sql("duckdb"))
 def q_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_band_stats_sql("spark"))
+
+
+def _multiraster_stats_sql(dialect: str) -> str:
+    """A9 over a whole raster CATALOG in one grouped pass: per-raster ROI
+    stats keyed by raster_id (the reference runs rasters one at a time —
+    raster_analysis.cpp is per-dataset; on Spark 1000s of rasters are one
+    groupBy over the partitioned pixel table, shuffling only the
+    per-raster partial aggregates)."""
+    from dronedb_spark.raster.synth import multi_dem_sql
+
+    return f"""
+    WITH px AS ({multi_dem_sql(dialect)}),
+    roi AS (SELECT * FROM px WHERE row BETWEEN 20 AND 110 AND col BETWEEN 20 AND 110
+            AND value <> -9999.0)
+    SELECT raster_id,
+           CAST(COUNT(1) AS BIGINT) AS pixel_count,
+           MIN(value) AS v_min,
+           MAX(value) AS v_max,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))), 4) AS DOUBLE) / COUNT(1) AS v_mean
+    FROM roi GROUP BY raster_id ORDER BY raster_id"""
+
+
+@check("multiraster_area_stats", oracle=_multiraster_stats_sql("duckdb"))
+def q_multiraster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_multiraster_stats_sql("spark"))

@@ -99,3 +99,37 @@ def thermal_sql(dialect: str) -> str:
 
 def thermal_df(spark: SparkSession) -> DataFrame:
     return spark.sql(thermal_sql("spark"))
+
+
+N_RASTERS = 8
+
+_MULTI_GRID = """(SELECT CAST((id - (id % {per})) / {per} AS INT) AS raster_id,
+                        CAST(((id % {per}) - (id % {w})) / {w} AS INT) AS row,
+                        CAST(id % {w} AS INT) AS col,
+                        CAST((id - (id % {per})) / {per} AS DOUBLE) AS rid,
+                        CAST(((id % {per}) - (id % {w})) / {w} AS DOUBLE) AS rowd,
+                        CAST(id % {w} AS DOUBLE) AS cold
+                 FROM {ids}) g"""
+
+_MULTI_DEM_BODY = """
+SELECT raster_id, row, col,
+       CASE WHEN row >= 5 AND row <= 10 AND col >= 100 AND col <= 110 THEN -9999.0
+            ELSE 150.0 + rid * 12.5 + 0.05 * rowd + 0.03 * cold
+                 + 40.0 * GREATEST(0.0 * rowd, 1.0 - ((rowd - 40.0 - rid * 4.0) * (rowd - 40.0 - rid * 4.0)
+                          + (cold - 50.0 + rid * 3.0) * (cold - 50.0 + rid * 3.0)) / 400.0) END AS value
+FROM {grid}
+"""
+
+
+def multi_dem_sql(dialect: str) -> str:
+    """A CATALOG of DEMs as one pixel table: raster_id × 128×128 grids,
+    each with its own base elevation and mound position — the shape of a
+    1000s-of-rasters deployment where per-raster analytics run as ONE
+    grouped pass, not a per-file loop."""
+    per = DEM_W * DEM_W
+    grid = _MULTI_GRID.format(per=per, w=DEM_W, ids=_ids(dialect, N_RASTERS * per))
+    return _MULTI_DEM_BODY.format(grid=grid)
+
+
+def multi_dem_df(spark: SparkSession) -> DataFrame:
+    return spark.sql(multi_dem_sql("spark"))
