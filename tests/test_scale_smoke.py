@@ -1,0 +1,45 @@
+"""Scale smoke: run the heavy training-data operators on a corpus inflated
+well past the bench SF, asserting they complete with sane outputs.  This is
+the 'would it survive a 100× scale-up' canary — the operators must not
+collect to the driver, explode memory, or degrade superlinearly."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dronedb_spark.tables import load
+
+REPS = 10  # sf0.1 documents ×10 = 50k docs; embeddings ×10 = 20k vectors
+
+
+def _big_docs(spark):
+    docs = load(spark, "/root/testdata/sf0.1", "documents")
+    return docs.crossJoin(spark.range(REPS).select(F.col("id").alias("rep"))).select(
+        (F.col("doc_id") * REPS + F.col("rep")).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" rep"), F.col("rep").cast("string")).alias("text"),
+        "source",
+    )
+
+
+def test_lsh_neardup_inflated_corpus(spark):
+    from dronedb_spark.text.dedup import neardup_pairs
+
+    pairs = neardup_pairs(_big_docs(spark))
+    n = pairs.count()
+    # every replica family (10 near-identical docs) must bucket together:
+    # at least C(10,2) pairs per family for a large share of families
+    assert n >= 5000 * 45 * 0.5
+
+
+def test_ivf_assign_inflated_embeddings(spark):
+    from dronedb_spark.vectors.ivf import N_CENTROIDS, ivf_cell_counts
+
+    emb = load(spark, "/root/testdata/sf0.1", "embeddings")
+    # id scheme keeps vec_id 0..7 as the ORIGINAL distinct vectors (they
+    # seed the centroids); replicas get ids beyond the original range
+    big = emb.crossJoin(spark.range(REPS).select(F.col("id").alias("rep"))).select(
+        (F.col("vec_id") + F.lit(2000) * F.col("rep")).alias("vec_id"), "embedding", "label"
+    )
+    cells = ivf_cell_counts(big).collect()
+    assert len(cells) == N_CENTROIDS
+    assert sum(r["n"] for r in cells) == 2000 * REPS
