@@ -311,3 +311,30 @@ def events_topk_per_user(events: DataFrame, k: int = 2) -> DataFrame:
 )
 def q_events_topk_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events_topk_per_user(load(spark, sf_dir, "events"))
+
+
+def forecast_revenue_change(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q6 shape: tight multi-predicate scan + single scalar
+    aggregate — the purest pushdown test (every predicate reaches the
+    Parquet scan; zero joins, one partial+final agg)."""
+    f = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1994-01-01"))
+        & (F.col("l_shipdate") < F.lit("1995-01-01"))
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    )
+    rev = F.sum((_dec("l_extendedprice") * F.col("l_discount").cast("decimal(6,4)")))
+    return f.agg(F.round(rev, 2).cast("double").alias("revenue"))
+
+
+@check(
+    "q6_forecast_revenue",
+    oracle="""
+        SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+                               * CAST(l_discount AS DECIMAL(6,4))), 2) AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= '1994-01-01' AND l_shipdate < '1995-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+)
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return forecast_revenue_change(load(spark, sf_dir, "lineitem"))

@@ -113,3 +113,78 @@ def apply_colormap(
     invalid = (values == nodata) | np.isnan(values)
     out[invalid] = 0
     return out
+
+
+def colormap_pixels(pixels, cmap_id: str, vmin: float, vmax: float):
+    """Render-side apply as a distributed stage: pixel batches → RGBA
+    columns via the vectorized LUT kernel (one Arrow batch per task)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("row", T.IntegerType()),
+            T.StructField("col", T.IntegerType()),
+            T.StructField("r", T.IntegerType()),
+            T.StructField("g", T.IntegerType()),
+            T.StructField("b", T.IntegerType()),
+            T.StructField("a", T.IntegerType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rgba = apply_colormap(pdf["value"].to_numpy(), cmap_id, vmin, vmax)
+            yield pd.DataFrame(
+                {
+                    "row": pdf["row"].astype("int32"),
+                    "col": pdf["col"].astype("int32"),
+                    "r": rgba[:, 0].astype("int32"),
+                    "g": rgba[:, 1].astype("int32"),
+                    "b": rgba[:, 2].astype("int32"),
+                    "a": rgba[:, 3].astype("int32"),
+                }
+            )
+
+    return pixels.mapInPandas(run, schema=schema)
+
+
+# Grayscale's interpolated LUT is the identity (lut[i] = i), so the whole
+# applyColormap pipeline — normalize, degenerate-range guard, clamp,
+# truncating index, nodata→transparent — is SQL-expressible and the numpy
+# kernel gets a value-level oracle over the DEM.
+def _gray_hist_sql_oracle() -> str:
+    from dronedb_spark.raster.synth import dem_sql
+
+    return f"""
+    WITH px AS ({dem_sql('duckdb')}),
+    rgba AS (
+        SELECT CASE WHEN value = -9999.0 THEN 0
+                    ELSE CAST(FLOOR(LEAST(GREATEST((value - 200.0) / 80.0, 0.0), 1.0) * 255.0) AS INT)
+               END AS gray,
+               CASE WHEN value = -9999.0 THEN 0 ELSE 255 END AS alpha
+        FROM px)
+    SELECT gray, alpha, CAST(COUNT(1) AS BIGINT) AS n
+    FROM rgba GROUP BY gray, alpha ORDER BY gray, alpha"""
+
+
+def _register_checks() -> None:
+    from pyspark.sql import DataFrame, SparkSession
+    from pyspark.sql import functions as F
+
+    from dronedb_spark.raster.synth import dem_df
+    from dronedb_spark.suite import check
+
+    @check("colormap_gray_hist", oracle=_gray_hist_sql_oracle())
+    def q_colormap_gray_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+        rgba = colormap_pixels(dem_df(spark), "grayscale", 200.0, 280.0)
+        return (
+            rgba.groupBy(F.col("g").alias("gray"), F.col("a").alias("alpha"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("gray", "alpha")
+        )
+
+
+_register_checks()

@@ -366,3 +366,31 @@ def _multiraster_stats_sql(dialect: str) -> str:
 @check("multiraster_area_stats", oracle=_multiraster_stats_sql("duckdb"))
 def q_multiraster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_multiraster_stats_sql("spark"))
+
+
+def _overview_pyramid_sql(dialect: str) -> str:
+    """K5/X11 (COG ≈ materialized overview pyramid, cog.cpp:78): levels
+    1 and 2 downsample 2×2 / 4×4 blocks by nodata-aware mean — the exact
+    shape of overview materialization as grouped aggregation (one scan
+    per level here; a production build chains level N from level N−1 so
+    each level reads 1/4 the rows of the previous)."""
+    levels = []
+    for lv, blk in ((1, 2), (2, 4)):
+        levels.append(f"""
+        SELECT {lv} AS level,
+               CAST((row - (row % {blk})) / {blk} AS INT) AS orow,
+               CAST((col - (col % {blk})) / {blk} AS INT) AS ocol,
+               CAST(COUNT(CASE WHEN value <> -9999.0 THEN 1 END) AS BIGINT) AS n_valid,
+               CAST(ROUND(SUM(CASE WHEN value <> -9999.0
+                                   THEN CAST(value AS DECIMAL(38,10)) END), 4) AS DOUBLE)
+                   / COUNT(CASE WHEN value <> -9999.0 THEN 1 END) AS mean_v
+        FROM px
+        GROUP BY 1, 2, 3""")
+    body = "\nUNION ALL\n".join(levels)
+    return f"""WITH px AS ({dem_sql(dialect)})
+    SELECT * FROM ({body}) t WHERE n_valid > 0 ORDER BY level, orow, ocol"""
+
+
+@check("overview_pyramid", oracle=_overview_pyramid_sql("duckdb"))
+def q_overview_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_overview_pyramid_sql("spark"))
