@@ -53,10 +53,15 @@ def haversine_m(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Colum
     return 2 * EARTH_RADIUS_M * F.asin(F.sqrt(a))
 
 
-def mvt_max_zoom(area_deg2: float, tile_budget: int = 10000) -> int:
+def mvt_max_zoom(area_deg2: float, tile_budget: int = 10000, feature_count: int = -1) -> int:
     """MVT zoom budget: z = floor(0.5·log2(budget·64800/areaDeg2)),
     clamped to [5, 18]; extents > 10% of the globe forced to 5
-    (mvt.h:33-45, mvt.cpp:12-54).  Driver-side arithmetic (SURVEY X13)."""
+    (mvt.h:33-45, mvt.cpp:12-54).  Driver-side arithmetic (SURVEY X13).
+    feature_count == 0 (explicitly empty layer) → max cap; negative is
+    OGR's "unknown count" and falls through to the area heuristic
+    (tests/mvt_density_test.cpp:20-31)."""
+    if feature_count == 0:
+        return 18
     if area_deg2 <= 0:
         return 18
     if area_deg2 > 0.10 * 64800.0:

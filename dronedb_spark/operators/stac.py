@@ -180,3 +180,40 @@ def stac_items_keyset(
 )
 def q_stac_items_keyset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stac_items_keyset(entries_df(spark, sf_dir), _BBOX, _T0, _T1, "src4", limit=10)
+
+
+def stac_datetime_iso(entries: DataFrame) -> DataFrame:
+    """Epoch→ISO8601 'Z' assembly (stac.cpp:25-51): the `datetime` field
+    of a STAC Item, from the capture-instant coalesce.  TZ-SAFE: the
+    instant is converted to a UTC wall-clock TIMESTAMP_NTZ before
+    formatting, so the output is identical under ANY session/driver
+    timezone (date_format alone renders in session TZ)."""
+    inst = _instant()
+    iso = F.expr(
+        "date_format(convert_timezone('UTC', timestamp_seconds("
+        "CASE WHEN capture_ms > 0 THEN CAST((capture_ms - capture_ms % 1000) / 1000 AS BIGINT)"
+        " ELSE mtime END)), \"yyyy-MM-dd'T'HH:mm:ss'Z'\")"
+    )
+    return (
+        entries.filter(F.col("type") != 1)
+        .select("path", inst.alias("instant_s"), iso.alias("datetime_iso"))
+        .orderBy("path")
+    )
+
+
+@check(
+    "stac_datetime_iso",
+    oracle=with_catalog(
+        """SELECT path,
+                  CASE WHEN capture_ms > 0
+                       THEN CAST((capture_ms - capture_ms % 1000) / 1000 AS BIGINT)
+                       ELSE mtime END AS instant_s,
+                  strftime(make_timestamp(
+                      (CASE WHEN capture_ms > 0
+                            THEN CAST((capture_ms - capture_ms % 1000) / 1000 AS BIGINT)
+                            ELSE mtime END) * 1000000), '%Y-%m-%dT%H:%M:%SZ') AS datetime_iso
+           FROM entries WHERE type <> 1 ORDER BY path"""
+    ),
+)
+def q_stac_datetime_iso(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stac_datetime_iso(entries_df(spark, sf_dir))
