@@ -69,6 +69,29 @@ class SnapshotTable:
             f.write(f"v{n:06d}")
         os.replace(tmp, os.path.join(self.base, "CURRENT"))
 
+    def versions(self) -> list[str]:
+        """Snapshot version names, oldest first."""
+        return sorted(
+            d for d in os.listdir(self.base) if d.startswith("v") and d[1:].isdigit()
+        )
+
+    def vacuum(self, keep: int = 2) -> list[str]:
+        """Delete snapshot dirs older than the newest ``keep`` (the CURRENT
+        snapshot is always retained).  The WAL analog's checkpoint-truncate:
+        readers pinned to a vacuumed snapshot would fail, so ``keep`` ≥ 2
+        leaves one superseded version as a grace window — the same contract
+        as any table format's retention-based VACUUM."""
+        keep = max(keep, 1)
+        cur = self._current_path()
+        cur_name = os.path.basename(cur) if cur else None
+        vs = self.versions()
+        victims = [v for v in vs[:-keep] if v != cur_name]
+        import shutil
+
+        for v in victims:
+            shutil.rmtree(os.path.join(self.base, v), ignore_errors=True)
+        return victims
+
 
 class DatasetCatalog:
     """The engine API over one dataset directory (≈ one .ddb database)."""
@@ -297,3 +320,14 @@ class DatasetCatalog:
     def chattr(self, key: str, value: str) -> None:
         """W8: dataset attributes are dataset-level meta rows (path='')."""
         self.meta_set(key, value, path="")
+
+    def history(self) -> dict[str, list[str]]:
+        """Retained snapshot versions per table (oldest first)."""
+        return {"entries": self._entries.versions(), "meta": self._meta.versions()}
+
+    def vacuum(self, keep: int = 2) -> dict[str, list[str]]:
+        """Drop superseded snapshots beyond the newest ``keep`` per table."""
+        return {
+            "entries": self._entries.vacuum(keep),
+            "meta": self._meta.vacuum(keep),
+        }

@@ -161,3 +161,26 @@ def test_stamp_and_delta(spark, tree, tmp_path_factory):
     d = cat2.delta(cat)
     adds = {r["path"] for r in d["adds"].collect()}
     assert adds == {"extra.txt"}
+
+
+def test_snapshot_history_and_vacuum(spark, tmp_path):
+    from dronedb_spark.catalog.store import DatasetCatalog
+
+    root = tmp_path / "vacds"
+    root.mkdir()
+    (root / "a.txt").write_text("a")
+    cat = DatasetCatalog.init(spark, str(root))
+    cat.add()
+    (root / "b.txt").write_text("b")
+    cat.add()
+    (root / "c.txt").write_text("c")
+    cat.add()
+    hist = cat.history()
+    assert len(hist["entries"]) >= 4  # init + 3 adds
+    victims = cat.vacuum(keep=2)
+    assert victims["entries"], "expected old snapshots to be removed"
+    hist2 = cat.history()
+    assert len(hist2["entries"]) == 2
+    # CURRENT still readable after vacuum
+    paths = {r["path"] for r in cat.entries().collect()}
+    assert {"a.txt", "b.txt", "c.txt"} <= paths
