@@ -77,3 +77,63 @@ def mask_borders(grid: np.ndarray, nodata: float = -9999.0, iterations: int = 1)
         interior[:, 0] = interior[:, -1] = False
         valid = interior
     return valid
+
+
+def _register_checks() -> None:
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import DataFrame, SparkSession
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from dronedb_spark.suite import check
+
+    # Known circular shifts applied per pair — the align kernel must
+    # recover exactly these, so the oracle is the ground truth itself
+    # (align.cpp's NCC/RANSAC path is fixture-bound; the FFT seed stage
+    # is what distributes: one pandas batch per image pair).
+    _SHIFTS = [(0, 0), (3, -5), (-7, 2), (10, 11), (-12, -9), (5, 0), (0, -8), (15, -15)]
+
+    @check(
+        "align_shift_recovery",
+        oracle="SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, {dy}, {dx})" for i, (dy, dx) in enumerate(_SHIFTS))
+        + ") AS t(pair_id, dy, dx) ORDER BY pair_id",
+    )
+    def q_align_shift_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """R10 seed stage (align.cpp phase-correlation): recover a known
+        per-pair translation distributively — one Arrow batch per pair,
+        FFT in numpy, relational collect of (pair_id, dy, dx).  The
+        oracle is the ground-truth shift table."""
+        schema = T.StructType(
+            [
+                T.StructField("pair_id", T.IntegerType()),
+                T.StructField("dy", T.IntegerType()),
+                T.StructField("dx", T.IntegerType()),
+            ]
+        )
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            rng_base = 64
+            for pdf in batches:
+                rows = []
+                for pid in pdf["pair_id"]:
+                    pid = int(pid)
+                    dy, dx = _SHIFTS[pid]
+                    yy, xx = np.mgrid[0:rng_base, 0:rng_base]
+                    ref = ((yy * 31 + xx * 17 + pid * 7) % 251).astype(float)
+                    mov = np.roll(np.roll(ref, -dy, axis=0), -dx, axis=1)
+                    rdy, rdx = phase_correlate(ref, mov)
+                    rows.append({"pair_id": pid, "dy": rdy, "dx": rdx})
+                yield pd.DataFrame(rows, columns=["pair_id", "dy", "dx"])
+
+        pairs = (
+            spark.range(len(_SHIFTS))
+            .select(F.col("id").cast("int").alias("pair_id"))
+            .repartition(len(_SHIFTS))
+        )
+        return pairs.mapInPandas(run, schema=schema).orderBy("pair_id")
+
+
+_register_checks()

@@ -394,3 +394,38 @@ def _overview_pyramid_sql(dialect: str) -> str:
 @check("overview_pyramid", oracle=_overview_pyramid_sql("duckdb"))
 def q_overview_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_overview_pyramid_sql("spark"))
+
+
+def _profile_distance_sql(dialect: str) -> str:
+    """A15 full shape (raster_profile.cpp:84-180): N interpolated samples
+    along a segment, nearest-pixel elevation lookup, PLUS the cumulative
+    haversine distance from the segment start — pixel (row,col) maps to
+    lon/lat via the affine geotransform used by raster_point_query
+    (gt = [100000, 0.5, 0, 5000000, 0, -0.5] meters ≈ converted here to a
+    small degree-scale transform so haversine operates in its domain).
+    Trig matches cross-engine at ROUND 6 (same discipline as the
+    standalone haversine check)."""
+    n = 64
+    return f"""
+    WITH px AS ({dem_sql(dialect)}),
+    samples AS (
+        SELECT CAST(i AS INT) AS i,
+               CAST(floor(10.0 + 110.0 * i / {n - 1} + 0.5) AS INT) AS row,
+               CAST(floor(10.0 + 110.0 * i / {n - 1} + 0.5) AS INT) AS col,
+               8.0 + (CAST(i AS DOUBLE) / {n - 1}) * 0.01 AS lon,
+               46.0 - (CAST(i AS DOUBLE) / {n - 1}) * 0.01 AS lat
+        FROM {"range(0, " + str(n) + ") AS t(i)" if dialect == "spark" else "(SELECT range AS i FROM range(" + str(n) + "))"}
+    )
+    SELECT s.i, s.row, s.col,
+           CASE WHEN p.value = -9999.0 THEN NULL ELSE p.value END AS elev,
+           ROUND(2 * 6378137.0 * asin(sqrt(
+               sin(radians(s.lat - 46.0) / 2) * sin(radians(s.lat - 46.0) / 2)
+               + cos(radians(46.0)) * cos(radians(s.lat))
+                 * sin(radians(s.lon - 8.0) / 2) * sin(radians(s.lon - 8.0) / 2))), 2) AS dist_m
+    FROM samples s LEFT JOIN px p ON s.row = p.row AND s.col = p.col
+    ORDER BY s.i"""
+
+
+@check("elevation_profile_dist", oracle=_profile_distance_sql("duckdb"))
+def q_profile_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_profile_distance_sql("spark"))
