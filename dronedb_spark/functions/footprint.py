@@ -21,6 +21,8 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd
+
 # WGS84
 _A = 6378137.0
 _F = 1 / 298.257223563
@@ -169,7 +171,6 @@ def calculate_footprint(
 
 def footprint_udf():
     """Arrow-batched pandas UDF: struct columns in → ring array out."""
-    import pandas as pd
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
@@ -201,3 +202,50 @@ def footprint_udf():
         return pd.Series(out)
 
     return _fp
+
+
+def _register_checks() -> None:
+    from pyspark.sql import DataFrame, SparkSession
+    from pyspark.sql import functions as F
+
+    from dronedb_spark.suite import check
+    from dronedb_spark.tables import load
+
+    @check("image_footprints", oracle=None)  # trig kernel — rows-only check
+    def q_image_footprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """S5-geometry (calculateFootprint, entry.cpp:770-836): per-image
+        ground footprint rings from synthetic camera params — the ingest
+        stage that derives polygon_geom.  Arrow-batched pandas UDF over
+        10 scalar columns; output reduced to the ring's bbox (the MBR
+        that the catalog materializes, SURVEY X9)."""
+        cams = load(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            F.lit(13.2).alias("sw"),
+            F.lit(8.8).alias("sh"),
+            F.lit(10.26).alias("fl"),
+            (F.lit(46.8) + (F.col("vec_id") % 100) / F.lit(1000.0)).alias("lat"),
+            (F.lit(-91.9) + (F.col("vec_id") % 77) / F.lit(1000.0)).alias("lon"),
+            F.lit(300.0).alias("alt"),
+            F.lit(100.0).alias("rel"),
+            ((F.col("vec_id") * 37) % 360).cast("double").alias("yaw"),
+            F.lit(-90.0).alias("pitch"),
+            F.lit(0.0).alias("roll"),
+        )
+        fp = footprint_udf()
+        ring = fp(
+            *[F.col(c) for c in ["sw", "sh", "fl", "lat", "lon", "alt", "rel", "yaw", "pitch", "roll"]]
+        )
+        r = cams.select("vec_id", ring.alias("ring")).filter(F.col("ring").isNotNull())
+        agg = lambda op, fld, init: F.round(  # noqa: E731
+            F.expr(f"aggregate(ring, CAST({init} AS DOUBLE), (a, p) -> {op}(a, p.{fld}))"), 6
+        )
+        return r.select(
+            "vec_id",
+            agg("least", "lon", 180.0).alias("minlon"),
+            agg("greatest", "lon", -180.0).alias("maxlon"),
+            agg("least", "lat", 90.0).alias("minlat"),
+            agg("greatest", "lat", -90.0).alias("maxlat"),
+        ).orderBy("vec_id")
+
+
+_register_checks()

@@ -338,3 +338,72 @@ def forecast_revenue_change(lineitem: DataFrame) -> DataFrame:
 )
 def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return forecast_revenue_change(load(spark, sf_dir, "lineitem"))
+
+
+def order_priority_counts(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS correlated subquery → Catalyst decorrelates
+    to a LEFT SEMI join (one shuffle each side, or broadcast of the
+    filtered line-item keys when small); demonstrates the engine's
+    decorrelation path (SURVEY X10)."""
+    flagged = lineitem.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1993-07-01"))
+            & (F.col("o_orderdate") < F.lit("1993-10-01"))
+        )
+        .join(flagged, "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@check(
+    "q4_order_priority",
+    oracle="""
+        SELECT o_orderpriority, CAST(COUNT(1) AS BIGINT) AS order_count
+        FROM orders
+        WHERE o_orderdate >= '1993-07-01' AND o_orderdate < '1993-10-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+)
+def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return order_priority_counts(load(spark, sf_dir, "orders"), load(spark, sf_dir, "lineitem"))
+
+
+def salted_event_counts(events: DataFrame, n_salts: int = 8) -> DataFrame:
+    """Two-phase SALTED aggregation — the explicit skew defense (SCALE.md):
+    phase 1 groups on (key, salt) so one hot key spreads over ``n_salts``
+    reducers; phase 2 re-aggregates the tiny salted partials.  Results are
+    identical to a direct groupBy (the oracle is the direct form); the
+    salt is a deterministic hash of a high-cardinality column, never
+    rand().  Use when a key's row share is large enough that AQE
+    skew-splitting (which only splits map OUTPUT partitions, not a single
+    hot reduce key) can't help."""
+    salted = events.withColumn("salt", F.pmod(F.col("event_id"), F.lit(n_salts)))
+    phase1 = salted.groupBy("event_type", "salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.col("value").cast("decimal(24,6)")).alias("pv"),
+    )
+    return (
+        phase1.groupBy("event_type")
+        .agg(
+            F.sum("pn").cast("bigint").alias("n"),
+            F.round(F.sum("pv"), 2).cast("double").alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@check(
+    "salted_event_counts",
+    oracle="""
+        SELECT event_type, CAST(COUNT(1) AS BIGINT) AS n,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(24,6))), 2) AS DOUBLE) AS sum_value
+        FROM events GROUP BY event_type ORDER BY event_type""",
+)
+def q_salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return salted_event_counts(load(spark, sf_dir, "events"))

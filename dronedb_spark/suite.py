@@ -54,6 +54,7 @@ def load_all() -> dict[str, Check]:
     import dronedb_spark.raster.colormaps  # noqa: F401
     import dronedb_spark.raster.align  # noqa: F401
     import dronedb_spark.functions.geo  # noqa: F401
+    import dronedb_spark.functions.footprint  # noqa: F401
     import dronedb_spark.multimodal.media  # noqa: F401
     import dronedb_spark.streaming.stateful  # noqa: F401
 
