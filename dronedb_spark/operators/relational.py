@@ -407,3 +407,61 @@ def salted_event_counts(events: DataFrame, n_salts: int = 8) -> DataFrame:
 )
 def q_salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_event_counts(load(spark, sf_dir, "events"))
+
+
+@check(
+    "customer_segment_distinct",
+    oracle="""
+        SELECT c_mktsegment,
+               CAST(COUNT(1) AS BIGINT) AS n_customers,
+               CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nations
+        FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+)
+def q_customer_segment_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-aggregate shape: Spark expands COUNT(DISTINCT) into a
+    two-stage aggregate (partial on (segment, nationkey), final count) —
+    the same expansion keeps it one extra narrow shuffle at any scale."""
+    return (
+        load(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.countDistinct("c_nationkey").alias("n_nations"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@check(
+    "events_rollup",
+    oracle="""
+        SELECT CASE WHEN GROUPING(event_type) = 1 THEN '(ALL)' ELSE event_type END AS event_type,
+               CAST(COUNT(1) AS BIGINT) AS n,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(24,6))), 2) AS DOUBLE) AS sum_value
+        FROM events GROUP BY ROLLUP(event_type)
+        ORDER BY 1""",
+)
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets (beyond the reference — SURVEY §2.4 notes it has
+    none): ROLLUP(event_type) emits per-type rows plus the grand total in
+    ONE pass (Spark expands to a single Expand + aggregate, not two
+    scans)."""
+    return (
+        load(spark, sf_dir, "events")
+        .rollup("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(24,6)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+            F.grouping("event_type").alias("_g"),
+        )
+        .select(
+            F.when(F.col("_g") == 1, F.lit("(ALL)"))
+            .otherwise(F.col("event_type"))
+            .alias("event_type"),
+            "n",
+            "sum_value",
+        )
+        .orderBy("event_type")
+    )
