@@ -88,3 +88,19 @@ def stream_ingest(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_enriched_events(events_stream: DataFrame, users_dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch of events joins the
+    (slowly-changing) user dimension — Spark re-plans the static side per
+    batch, so at scale the dim is broadcast into every batch and the
+    stream never shuffles.  The aggregation then windows per user tier."""
+    from pyspark.sql import functions as F
+
+    enriched = events_stream.join(F.broadcast(users_dim), "user_id", "left")
+    return (
+        enriched.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "tier")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("hour_start"), "tier", "n", "sum_value")
+    )

@@ -93,3 +93,41 @@ def test_stream_dedup_matches_batch(spark, sf_dir, tmp_path):
     # one output row per distinct content hash, each exactly once
     assert len(got_hashes) == len(set(got_hashes)) == len(want_hashes)
     assert set(got_hashes) == want_hashes
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_dir, tmp_path):
+    from dronedb_spark.streaming.ingest import stream_enriched_events
+
+    events = load(spark, sf_dir, "events")
+    users = (
+        events.select("user_id")
+        .distinct()
+        .withColumn("tier", F.when(F.col("user_id") % 3 == 0, "gold").otherwise("std"))
+    )
+    src = str(tmp_path / "ev_enrich")
+    events.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out = stream_enriched_events(stream, users)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("enrich_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["hour_start"], r["tier"]): (r["n"], round(r["sum_value"], 6))
+        for r in spark.sql("SELECT * FROM enrich_test").collect()
+    }
+    want = {
+        (r["hour_start"], r["tier"]): (r["n"], round(r["sum_value"], 6))
+        for r in events.join(users, "user_id", "left")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "tier")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("hour_start"), "tier", "n", "sum_value")
+        .collect()
+    }
+    assert got == want
