@@ -55,7 +55,12 @@ def _files_cte(variant: str) -> str:
     variant "b": delta fixture — doc_id%10==3 rows absent (delta adds),
     doc_id%10==4 rows re-hashed (modified → adds), doc_id%10==6 rows
     renamed (old path → add, new path → remove).
+    variant "c": filesystem-state fixture for the status join (J7) — like
+    "b" but with mtime semantics: %10==4 re-hashed AND touched (→
+    Modified), %10==8 touched with unchanged content (→ NotModified via
+    the hash check — the mtime-then-hash short-circuit path, X4).
     """
+    mtime_expr = "1500000000 + doc_id * 37"
     if variant == "a":
         where = ""
         hash_expr = "md5(text)"
@@ -76,6 +81,20 @@ def _files_cte(variant: str) -> str:
             " ELSE source || '/doc_' || LPAD(CAST(doc_id AS STRING), 6, '0') || '.txt' END"
         )
         depth_expr = "CASE WHEN doc_id % 10 = 6 THEN 1 WHEN doc_id % 9 = 0 THEN 2 ELSE 1 END"
+    elif variant == "c":
+        where = "WHERE doc_id % 10 <> 3"
+        hash_expr = "CASE WHEN doc_id % 10 = 4 THEN md5(text || 'mod') ELSE md5(text) END"
+        path_expr = (
+            "CASE WHEN doc_id % 10 = 6 THEN source || '/renamed_'"
+            " || LPAD(CAST(doc_id AS STRING), 6, '0') || '.txt'"
+            " WHEN doc_id % 9 = 0 THEN source || '/sub_' || CAST(doc_id % 7 AS STRING)"
+            " || '/doc_' || LPAD(CAST(doc_id AS STRING), 6, '0') || '.txt'"
+            " ELSE source || '/doc_' || LPAD(CAST(doc_id AS STRING), 6, '0') || '.txt' END"
+        )
+        depth_expr = "CASE WHEN doc_id % 10 = 6 THEN 1 WHEN doc_id % 9 = 0 THEN 2 ELSE 1 END"
+        mtime_expr = (
+            "1500000000 + doc_id * 37 + CASE WHEN doc_id % 10 IN (4, 8) THEN 1 ELSE 0 END"
+        )
     else:  # pragma: no cover
         raise ValueError(f"unknown variant {variant!r}")
 
@@ -85,7 +104,7 @@ def _files_cte(variant: str) -> str:
         {hash_expr} AS hash,
         CAST(CASE (doc_id % 7) WHEN 0 THEN 2 WHEN 1 THEN 3 WHEN 2 THEN 6
              WHEN 3 THEN 4 WHEN 4 THEN 5 WHEN 5 THEN 14 ELSE 8 END AS INT) AS type,
-        CAST(1500000000 + doc_id * 37 AS BIGINT) AS mtime,
+        CAST({mtime_expr} AS BIGINT) AS mtime,
         CAST(n_chars AS BIGINT) AS size,
         CAST({depth_expr} AS INT) AS depth,
         CASE WHEN doc_id % 5 = 0 THEN CAST(NULL AS DOUBLE)
@@ -156,6 +175,8 @@ def with_catalog(query_sql: str, variants: tuple[str, ...] = ("a",), meta: bool 
         ctes.append(f"entries AS ({entries_sql('a')})")
     if "b" in variants:
         ctes.append(f"entries_b AS ({entries_sql('b')})")
+    if "c" in variants:
+        ctes.append(f"entries_c AS ({entries_sql('c')})")
     if meta:
         ctes.append(f"entries_meta AS ({META_SQL})")
     q = query_sql.lstrip()

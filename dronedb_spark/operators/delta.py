@@ -208,3 +208,56 @@ def stamp_tree_digest(entries: DataFrame, n_buckets: int = 16) -> DataFrame:
 )
 def q_stamp_tree_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stamp_tree_digest(entries_df(spark, sf_dir))
+
+
+def status_classify(index: DataFrame, fs: DataFrame) -> DataFrame:
+    """J7 (status.cpp:16-77 + checkUpdate dbops.cpp:441-472): classify every
+    file path across index vs filesystem into NotModified / Modified /
+    Deleted / NotIndexed.
+
+    The reference walks rows one at a time; here it is one full-outer join
+    on path.  The mtime-then-hash short-circuit (X4) survives as predicate
+    ORDER inside the CASE: equal mtime classifies NotModified without ever
+    consulting the hash column, so in the real catalog store the fs-side
+    hash is only *computed* for mtime-changed paths (see
+    ``catalog/store.py:status`` which stages the scan that way); equal
+    hash under a changed mtime is a touch, not a modification.
+
+    Scale: one shuffle on path for both sides; at 100 TB the catalog side
+    is bucketed by path (see SCALE.md), so only the fs scan moves.
+    """
+    i = index.filter(F.col("type") != 1).select(
+        "path", F.col("hash").alias("i_hash"), F.col("mtime").alias("i_mtime")
+    )
+    f_ = fs.filter(F.col("type") != 1).select(
+        "path", F.col("hash").alias("f_hash"), F.col("mtime").alias("f_mtime")
+    )
+    j = i.join(f_, "path", "full_outer")
+    cls = (
+        F.when(F.col("f_hash").isNull(), F.lit("deleted"))
+        .when(F.col("i_hash").isNull(), F.lit("not_indexed"))
+        .when(F.col("i_mtime") == F.col("f_mtime"), F.lit("not_modified"))
+        .when(F.col("i_hash") == F.col("f_hash"), F.lit("not_modified"))
+        .otherwise(F.lit("modified"))
+    )
+    return j.select("path", cls.alias("status")).orderBy("path")
+
+
+@check(
+    "status_classify",
+    oracle=with_catalog(
+        """SELECT COALESCE(i.path, f.path) AS path,
+                  CASE WHEN f.hash IS NULL THEN 'deleted'
+                       WHEN i.hash IS NULL THEN 'not_indexed'
+                       WHEN i.mtime = f.mtime THEN 'not_modified'
+                       WHEN i.hash = f.hash THEN 'not_modified'
+                       ELSE 'modified' END AS status
+           FROM (SELECT * FROM entries WHERE type <> 1) i
+           FULL OUTER JOIN (SELECT * FROM entries_c WHERE type <> 1) f
+             ON i.path = f.path
+           ORDER BY path""",
+        variants=("a", "c"),
+    ),
+)
+def q_status_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return status_classify(entries_df(spark, sf_dir, "a"), entries_df(spark, sf_dir, "c"))

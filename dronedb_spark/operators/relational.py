@@ -465,3 +465,55 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def min_cost_per_part(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q2 shape: correlated scalar-MIN subquery
+    (``WHERE price = (SELECT MIN(price) ... WHERE same part)``).
+
+    Catalyst decorrelates that into aggregate+self-join — two scans and
+    two shuffles.  We do strictly better with a window MIN over the part
+    partition: ONE scan, ONE shuffle on l_partkey, then a filter — same
+    rows, and the equality compares stored doubles (never computed ones),
+    so it is exact across engines.  Ties at the minimum collapse
+    deterministically (count + MIN suppkey)."""
+    w = Window.partitionBy("l_partkey")
+    li = lineitem.filter(F.pmod(F.col("l_partkey"), F.lit(10)) == 0).select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    return (
+        li.withColumn("min_price", F.min("l_extendedprice").over(w))
+        .filter(F.col("l_extendedprice") == F.col("min_price"))
+        .groupBy("l_partkey")
+        .agg(
+            F.first("min_price").alias("min_price"),
+            F.min("l_suppkey").cast("bigint").alias("best_suppkey"),
+            F.count(F.lit(1)).alias("n_at_min"),
+        )
+        .select(
+            F.col("l_partkey").cast("bigint").alias("l_partkey"),
+            "min_price",
+            "best_suppkey",
+            "n_at_min",
+        )
+        .orderBy("l_partkey")
+    )
+
+
+@check(
+    "q2_min_cost_supplier",
+    oracle="""
+        SELECT CAST(l1.l_partkey AS BIGINT) AS l_partkey,
+               MIN(l1.l_extendedprice) AS min_price,
+               CAST(MIN(l1.l_suppkey) AS BIGINT) AS best_suppkey,
+               CAST(COUNT(1) AS BIGINT) AS n_at_min
+        FROM lineitem l1
+        WHERE l1.l_partkey % 10 = 0
+          AND l1.l_extendedprice = (
+              SELECT MIN(l2.l_extendedprice) FROM lineitem l2
+              WHERE l2.l_partkey = l1.l_partkey AND l2.l_partkey % 10 = 0)
+        GROUP BY l1.l_partkey
+        ORDER BY l_partkey""",
+)
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return min_cost_per_part(load(spark, sf_dir, "lineitem"))

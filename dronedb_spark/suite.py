@@ -39,6 +39,8 @@ def load_all() -> dict[str, Check]:
     import dronedb_spark.operators.stac  # noqa: F401
     import dronedb_spark.operators.relational  # noqa: F401
     import dronedb_spark.operators.vector_query  # noqa: F401
+    import dronedb_spark.operators.asof  # noqa: F401
+    import dronedb_spark.operators.interval  # noqa: F401
     import dronedb_spark.functions.strings  # noqa: F401
     import dronedb_spark.text.dedup  # noqa: F401
     import dronedb_spark.text.quality  # noqa: F401
