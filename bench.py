@@ -22,6 +22,8 @@ HEADLINE = [
     "q5_region_revenue",
     "parts_topk_per_brand",
     "events_hourly",
+    "asof_join_events",
+    "interval_join_windows",
     "catalog_search_like",
     "entries_meta_join",
     "stac_items_page",
@@ -29,6 +31,7 @@ HEADLINE = [
     "stamp_checksum",
     "dedup_minhash_signatures",
     "dedup_neardup_pairs",
+    "dedup_corpus_segments",
     "knn_cosine_top10",
     "text_quality_metrics",
     "raster_area_stats",

@@ -145,3 +145,35 @@ def test_bucketed_catalogs_join_without_shuffle(spark, tmp_path_factory):
         assert q2.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_interval_join_no_nested_loop(spark):
+    """The bucketed range join must plan as an equi-join on _bkt — never a
+    BroadcastNestedLoopJoin/cartesian over the raw containment predicate
+    (that is the O(|E|*|W|) shape the bucketing exists to avoid)."""
+    from dronedb_spark.operators.interval import q_interval_join
+
+    q = q_interval_join(spark, "/root/testdata/sf0.001")
+    plan = physical_plan(q)
+    assert not has_cartesian(q)
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q2_window_min_single_scan(spark):
+    """The correlated-MIN rewrite must read lineitem once (window min), not
+    twice (decorrelated aggregate + self-join)."""
+    from dronedb_spark.operators.relational import q_min_cost_supplier
+
+    q = q_min_cost_supplier(spark, "/root/testdata/sf0.001")
+    plan = physical_plan(q)
+    assert plan.count("Scan parquet") == 1
+
+
+def test_asof_join_single_shuffle_per_side(spark):
+    """The union-merge as-of join is one exchange for the union input (the
+    window partition) plus the final order — no join operator at all."""
+    from dronedb_spark.operators.asof import q_asof_join
+
+    q = q_asof_join(spark, "/root/testdata/sf0.001")
+    plan = physical_plan(q)
+    assert "Join" not in plan or "SortMergeJoin" not in plan

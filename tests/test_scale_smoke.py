@@ -43,3 +43,23 @@ def test_ivf_assign_inflated_embeddings(spark):
     cells = ivf_cell_counts(big).collect()
     assert len(cells) == N_CENTROIDS
     assert sum(r["n"] for r in cells) == 2000 * REPS
+
+
+def test_segment_dedup_barrier_invariant(spark):
+    """tokens_barrier changes the plan (linear tokenize via exchange), never
+    the result; on the inflated corpus every base segment occurs ≥10×, so
+    the dup tally must reflect the inflation."""
+    from dronedb_spark.text.segdedup import segment_dedup_tally
+
+    docs = _big_docs(spark)
+    inline = {r["doc_id"]: tuple(r)[1:] for r in segment_dedup_tally(docs).collect()}
+    barrier = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in segment_dedup_tally(docs, tokens_barrier=True).collect()
+    }
+    assert inline == barrier
+    assert len(inline) == 50000
+    # all segments except the doc's trailing ("... repN") one are shared
+    # by the 10 replicas, so nearly every doc has dup segments
+    n_with_dups = sum(1 for v in inline.values() if v[1] > 0)
+    assert n_with_dups > 45000

@@ -1,0 +1,56 @@
+"""Boundary semantics for the temporal joins (as-of, interval) on tiny
+in-memory frames — the oracle parity tests share the predicate text with
+DuckDB, so inclusive/exclusive edges are pinned here independently."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dronedb_spark.operators.asof import asof_join
+from dronedb_spark.operators.interval import interval_join
+
+
+def test_asof_matches_at_exact_time_and_none_before(spark):
+    snaps = spark.createDataFrame(
+        [("u1", 100, "s100"), ("u1", 200, "s200")], "user_id string, t long, status string"
+    )
+    events = spark.createDataFrame(
+        [("u1", 99), ("u1", 100), ("u1", 150), ("u1", 200), ("u1", 201)],
+        "user_id string, t long",
+    )
+    out = {
+        r["t"]: r["status"]
+        for r in asof_join(events, snaps, "user_id", "t", "t", ["status"]).collect()
+    }
+    # >= semantics: a snapshot AT the event time matches; nothing matches
+    # before the first snapshot
+    assert out == {99: None, 100: "s100", 150: "s100", 200: "s200", 201: "s200"}
+
+
+def test_asof_key_isolation(spark):
+    snaps = spark.createDataFrame([("u1", 100, "s")], "user_id string, t long, status string")
+    events = spark.createDataFrame([("u2", 150)], "user_id string, t long")
+    [row] = asof_join(events, snaps, "user_id", "t", "t", ["status"]).collect()
+    assert row["status"] is None  # u1's snapshot never leaks to u2
+
+
+def test_interval_half_open_and_bucket_spanning(spark):
+    # window [1000, 2000) spans several 900 s buckets; start inclusive,
+    # end exclusive; results independent of bucket width
+    win = spark.createDataFrame([(1, 1000, 2000)], "window_id long, s long, e long")
+    ev = spark.createDataFrame([(999,), (1000,), (1500,), (1999,), (2000,)], "t long")
+    for bucket_s in (7, 900, 10_000):
+        got = sorted(
+            r["t"]
+            for r in interval_join(ev, win, "t", "s", "e", bucket_s=bucket_s).collect()
+        )
+        assert got == [1000, 1500, 1999], f"bucket_s={bucket_s}: {got}"
+
+
+def test_interval_pair_appears_exactly_once(spark):
+    # an event inside a window that covers many buckets must match once,
+    # not once per shared bucket
+    win = spark.createDataFrame([(1, 0, 10_000)], "window_id long, s long, e long")
+    ev = spark.createDataFrame([(5000,)], "t long")
+    rows = interval_join(ev, win, "t", "s", "e", bucket_s=100).collect()
+    assert len(rows) == 1
