@@ -44,6 +44,7 @@ def load_all() -> dict[str, Check]:
     import dronedb_spark.functions.strings  # noqa: F401
     import dronedb_spark.text.dedup  # noqa: F401
     import dronedb_spark.text.segdedup  # noqa: F401
+    import dronedb_spark.text.repetition  # noqa: F401
     import dronedb_spark.text.quality  # noqa: F401
     import dronedb_spark.text.simhash  # noqa: F401
     import dronedb_spark.vectors.knn  # noqa: F401
