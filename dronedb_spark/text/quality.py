@@ -8,7 +8,7 @@ narrow projection, no shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dronedb_spark.suite import check
@@ -187,3 +187,58 @@ def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(load(spark, sf_dir, "documents"))
+
+
+def mixture_quota_sample(docs: DataFrame, base: int = 5, step: int = 7) -> DataFrame:
+    """Exact per-source quotas — the training-mixture budget op.
+
+    Mixture weights for a training run are EXACT counts ("this much of
+    source s"), not rates: rate sampling (``stratified_sample``) lands
+    only near the target.  Take the first ``quota(source)`` documents per
+    source in deterministic hash order — reproducible across runs,
+    engines, and cluster sizes, and unbiased w.r.t. any natural ordering
+    of the corpus (the hash IS the shuffle).
+
+    Scale: one shuffle on source + a per-source sort (window row_number).
+    Source cardinality is tiny and fixed, so partitions are huge —
+    exactly the case where rank-then-filter beats a global sort: each
+    source's partition sorts independently, and AQE cannot help a
+    40-source corpus at 100 TB, so for extreme per-source volume the
+    two-phase refinement is documented in SCALE.md (per-partition
+    pre-rank + cutoff-hash refine); the semantics here are the contract.
+
+    The demo quota is derived from the source's numeric suffix so both
+    engines compute it from data alone."""
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("source")))
+    w = Window.partitionBy("source").orderBy(h, "doc_id")
+    quota = base + step * (F.substring("source", 4, 10).cast("int") % 3)
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= quota)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").cast("bigint").alias("sum_kept_ids"),
+        )
+        .orderBy("source")
+    )
+
+
+@check(
+    "mixture_quota_sample",
+    oracle="""
+        WITH ranked AS (
+            SELECT doc_id, source,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS STRING) || ':' || source), doc_id
+                   ) AS rk
+            FROM documents)
+        SELECT source, CAST(COUNT(1) AS BIGINT) AS n_kept,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_kept_ids
+        FROM ranked
+        WHERE rk <= 5 + 7 * (CAST(substr(source, 4, 10) AS INT) % 3)
+        GROUP BY source ORDER BY source""",
+)
+def q_mixture_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mixture_quota_sample(load(spark, sf_dir, "documents"))
