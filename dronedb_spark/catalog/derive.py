@@ -187,12 +187,29 @@ def with_catalog(query_sql: str, variants: tuple[str, ...] = ("a",), meta: bool 
     return "WITH " + ",\n".join(ctes) + "\n" + query_sql
 
 
+# (applicationId, sf_dir, variant) -> persisted derived catalog.  ~25
+# driver checks derive the same entries table; persisting the derivation
+# (md5 hashing + path assembly over documents) once per session removes
+# it from every subsequent check.
+_DERIVE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def entries_df(spark: SparkSession, sf_dir: str, variant: str = "a") -> DataFrame:
     """The entries catalog as a DataFrame (derivation shared with the oracle)."""
-    register_views(spark, sf_dir, ["documents"])
-    return spark.sql(entries_sql(variant))
+    key = (spark.sparkContext.applicationId, sf_dir, f"entries_{variant}")
+    hit = _DERIVE_CACHE.get(key)
+    if hit is None:
+        register_views(spark, sf_dir, ["documents"])
+        hit = spark.sql(entries_sql(variant)).persist()
+        _DERIVE_CACHE[key] = hit
+    return hit
 
 
 def entries_meta_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir, ["events"])
-    return spark.sql(META_SQL)
+    key = (spark.sparkContext.applicationId, sf_dir, "meta")
+    hit = _DERIVE_CACHE.get(key)
+    if hit is None:
+        register_views(spark, sf_dir, ["events"])
+        hit = spark.sql(META_SQL).persist()
+        _DERIVE_CACHE[key] = hit
+    return hit

@@ -24,8 +24,10 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql import types as T
+
 from dronedb_spark.catalog.derive import ENTRY_TYPES
-from dronedb_spark.functions.like import folder_pattern, sanitize_query_param
+from dronedb_spark.functions.like import folder_pattern, like_col, sanitize_query_param
 from dronedb_spark.operators.delta import (
     apply_delta_classify,
     delta_adds,
@@ -35,6 +37,16 @@ from dronedb_spark.operators.delta import (
 from dronedb_spark.sources.fs import ENTRIES_SCHEMA, META_SCHEMA, ingest, scan_paths
 
 CATALOG_DIR = ".ddb_spark"
+
+_FS_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType(), False),
+        T.StructField("is_dir", T.BooleanType(), False),
+        T.StructField("fs_mtime", T.LongType(), False),
+    ]
+)
+
+_PATH_SCHEMA = T.StructType([T.StructField("path", T.StringType(), False)])
 
 
 class SnapshotTable:
@@ -126,7 +138,12 @@ class DatasetCatalog:
         """W2 upsert (addToIndex, dbops.cpp:629-715) with the mtime-then-
         hash short-circuit (SURVEY X4): rows whose (path, mtime) already
         match the index are never re-read, re-hashed, or re-parsed — the
-        expensive ingest only runs for new or mtime-changed paths."""
+        expensive ingest only runs for new or mtime-changed paths.
+
+        Like the reference's addToIndex, add NEVER deletes: every indexed
+        entry outside the re-ingested set is kept verbatim (a partial
+        ``add(rel_paths)`` must not drop the rest of the index; removing
+        rows for files gone from disk is sync()'s job)."""
         cur = self.entries()
         scanned = [
             (p, is_dir, int(os.path.getmtime(os.path.join(self.root, p))))
@@ -135,7 +152,7 @@ class DatasetCatalog:
         if rel_paths is not None:
             keep = set(rel_paths)
             scanned = [s for s in scanned if s[0] in keep]
-        fs_df = self.spark.createDataFrame(scanned, ["path", "is_dir", "fs_mtime"])
+        fs_df = self.spark.createDataFrame(scanned, schema=_FS_SCHEMA)
         unchanged_paths = (
             fs_df.join(cur.select("path", "mtime"), "path")
             .filter(F.col("fs_mtime") == F.col("mtime"))
@@ -147,8 +164,8 @@ class DatasetCatalog:
         ]
         fresh = ingest(self.spark, self.root, to_ingest) if to_ingest else None
 
-        keep_cur = cur.join(fs_df.select("path"), "path", "left_semi").join(
-            self.spark.createDataFrame([(p,) for p in to_ingest] or [("",)], ["path"]),
+        keep_cur = cur.join(
+            self.spark.createDataFrame([(p,) for p in to_ingest], schema=_PATH_SCHEMA),
             "path",
             "left_anti",
         )
@@ -163,45 +180,44 @@ class DatasetCatalog:
         cur = self.entries()
         p = sanitize_query_param(pattern)
         fp = folder_pattern(pattern)
-        cond = F.expr(f"path LIKE '{p}' ESCAPE '/'") | F.expr(f"path LIKE '{fp}' ESCAPE '/'")
+        cond = like_col("path", p) | like_col("path", fp)
         removed = cur.filter(cond).count()
         keep = cur.filter(~cond).localCheckpoint(eager=True)
         self._entries.write(keep)
         meta = self.meta()
         self._meta.write(
-            meta.filter(
-                ~(
-                    F.expr(f"path LIKE '{p}' ESCAPE '/'")
-                    | F.expr(f"path LIKE '{fp}' ESCAPE '/'")
-                )
-            ).localCheckpoint(eager=True)
+            meta.filter(~(like_col("path", p) | like_col("path", fp))).localCheckpoint(
+                eager=True
+            )
         )
         return removed
 
     def move(self, src: str, dest: str) -> None:
         """W6 (moveEntry, dbops.cpp:1361-1473): subtree path rewrite with
-        depth recomputation — a pure expression rewrite, no re-parse."""
+        depth recomputation — a pure expression rewrite, no re-parse.
+
+        EXACT-path semantics like the reference's moveEntry: ``src`` names
+        one entry or one folder subtree, never a wildcard pattern — a
+        LIKE-based match would pair variable-length matches with the
+        fixed ``len(src)`` suffix offset and corrupt rewritten paths."""
+        for ch in ("*", "%"):
+            if ch in src or ch in dest:
+                raise ValueError(
+                    f"move uses exact paths; wildcard {ch!r} not allowed"
+                )
         cur = self.entries()
-        src_sql = sanitize_query_param(src)
-        subtree = folder_pattern(src)
-        is_hit = F.expr(f"path LIKE '{src_sql}' ESCAPE '/'") | F.expr(
-            f"path LIKE '{subtree}' ESCAPE '/'"
-        )
-        new_path = F.concat(F.lit(dest), F.expr(f"substring(path, {len(src) + 1})"))
+        is_hit = (F.col("path") == src) | F.col("path").startswith(src + "/")
+        new_path = F.concat(F.lit(dest), F.substring(F.col("path"), len(src) + 1, 2**30))
         moved = cur.withColumn("path", F.when(is_hit, new_path).otherwise(F.col("path")))
         moved = moved.withColumn(
             "depth", (F.length("path") - F.length(F.replace("path", F.lit("/"), F.lit("")))).cast("int")
         )
         self._entries.write(moved.localCheckpoint(eager=True))
         meta = self.meta()
+        meta_hit = (F.col("path") == src) | F.col("path").startswith(src + "/")
         self._meta.write(
             meta.withColumn(
-                "path",
-                F.when(
-                    F.expr(f"path LIKE '{src_sql}' ESCAPE '/'")
-                    | F.expr(f"path LIKE '{subtree}' ESCAPE '/'"),
-                    F.concat(F.lit(dest), F.expr(f"substring(path, {len(src) + 1})")),
-                ).otherwise(F.col("path")),
+                "path", F.when(meta_hit, new_path).otherwise(F.col("path"))
             ).localCheckpoint(eager=True)
         )
 
@@ -214,7 +230,7 @@ class DatasetCatalog:
         # drop rows whose files are gone
         cur = self.entries()
         fs_paths = self.spark.createDataFrame(
-            [(p,) for p, _ in scan_paths(self.root)] or [("",)], ["path"]
+            [(p,) for p, _ in scan_paths(self.root)], schema=_PATH_SCHEMA
         )
         self._entries.write(
             cur.join(fs_paths, "path", "left_semi").localCheckpoint(eager=True)
@@ -245,10 +261,14 @@ class DatasetCatalog:
             [
                 (p, int(os.path.getmtime(os.path.join(self.root, p))))
                 for p, _ in scan_paths(self.root)
-            ]
-            or [("", 0)],
-            ["path", "fs_mtime"],
-        ).filter(F.col("path") != "")
+            ],
+            schema=T.StructType(
+                [
+                    T.StructField("path", T.StringType(), False),
+                    T.StructField("fs_mtime", T.LongType(), False),
+                ]
+            ),
+        )
         j = cur.join(fs, "path", "full_outer")
         status = (
             F.when(F.col("fs_mtime").isNull(), "Deleted")

@@ -10,7 +10,19 @@ Reference: ``sanitize_query_param`` (src/library/dbops.cpp:760-771):
 
 from __future__ import annotations
 
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
 ESCAPE_CHAR = "/"
+
+
+def like_col(col: Column | str, pattern_sql: str) -> Column:
+    """``col LIKE pattern ESCAPE '/'`` built via the DSL — the pattern is
+    passed as a literal, never interpolated into SQL text, so patterns
+    containing quotes (o'brien.jpg) can neither break parsing nor inject
+    expressions (the reference binds the parameter; dbops.cpp:954)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.like(c, F.lit(pattern_sql), F.lit(ESCAPE_CHAR))
 
 
 def sanitize_query_param(pattern: str) -> str:

@@ -32,19 +32,31 @@ def asof_join(
     snap_ts_col: str,
     value_cols: list[str],
 ) -> DataFrame:
-    """events ⟕asof snapshots on `key`, event time >= snapshot time."""
+    """events ⟕asof snapshots on `key`, event time >= snapshot time.
+
+    The snapshot's value columns travel as ONE struct, so the running
+    ``last`` matches a whole snapshot ROW — per-column ``last(ignorenulls)``
+    would skip a NULL value in the most recent snapshot in favor of an
+    older non-NULL one, drifting from row-wise ASOF semantics (and the
+    DuckDB oracle) whenever snapshot columns contain NULLs."""
+    import pyspark.sql.types as T
+
+    snap_struct = F.struct(*[F.col(c) for c in value_cols])
     snap = snapshots.select(
         F.col(key),
         F.col(snap_ts_col).alias("_t"),
         F.lit(0).alias("_tag"),
-        *[F.col(c) for c in value_cols],
+        snap_struct.alias("_snap"),
+    )
+    struct_type = T.StructType(
+        [T.StructField(c, snapshots.schema[c].dataType, True) for c in value_cols]
     )
     extra = [c for c in events.columns if c not in (key, ts_col)]
     ev = events.select(
         F.col(key),
         F.col(ts_col).alias("_t"),
         F.lit(1).alias("_tag"),
-        *[F.lit(None).cast(snapshots.schema[c].dataType).alias(c) for c in value_cols],
+        F.lit(None).cast(struct_type).alias("_snap"),
         *[F.col(c) for c in extra],
     )
     # ordering (time, tag): a snapshot at exactly the event time sorts
@@ -55,19 +67,17 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = ev.unionByName(snap, allowMissingColumns=True).select(
-        "*", *[F.last(F.col(c), ignorenulls=True).over(w).alias(f"_asof_{c}") for c in value_cols]
+        "*", F.last(F.col("_snap"), ignorenulls=True).over(w).alias("_asof")
     )
-    out_cols = [key, "_t"] + [f"_asof_{c}" for c in value_cols]
     ev_cols = [c for c in events.columns if c not in (key, ts_col)]
     return (
         filled.filter(F.col("_tag") == 1)
-        .select(*out_cols, *ev_cols)
         .withColumnRenamed("_t", ts_col)
         .select(
             key,
             ts_col,
             *ev_cols,
-            *[F.col(f"_asof_{c}").alias(c) for c in value_cols],
+            *[F.col(f"_asof.{c}").alias(c) for c in value_cols],
         )
     )
 

@@ -340,7 +340,15 @@ def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return forecast_revenue_change(load(spark, sf_dir, "lineitem"))
 
 
-def order_priority_counts(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+# The synthetic orders span 1995-01-01..2001-08-01, so TPC-H's canonical
+# 1993-Q3 window would select ZERO rows and never exercise the EXISTS
+# decorrelation (vacuous in round 1) — use a quarter with mass.
+_Q4_LO, _Q4_HI = "1996-07-01", "1996-10-01"
+
+
+def order_priority_counts(
+    orders: DataFrame, lineitem: DataFrame, lo: str = _Q4_LO, hi: str = _Q4_HI
+) -> DataFrame:
     """TPC-H Q4 shape: EXISTS correlated subquery → Catalyst decorrelates
     to a LEFT SEMI join (one shuffle each side, or broadcast of the
     filtered line-item keys when small); demonstrates the engine's
@@ -349,10 +357,7 @@ def order_priority_counts(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
         F.col("l_orderkey").alias("o_orderkey")
     )
     return (
-        orders.filter(
-            (F.col("o_orderdate") >= F.lit("1993-07-01"))
-            & (F.col("o_orderdate") < F.lit("1993-10-01"))
-        )
+        orders.filter((F.col("o_orderdate") >= F.lit(lo)) & (F.col("o_orderdate") < F.lit(hi)))
         .join(flagged, "o_orderkey", "left_semi")
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("order_count"))
@@ -362,10 +367,10 @@ def order_priority_counts(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
 
 @check(
     "q4_order_priority",
-    oracle="""
+    oracle=f"""
         SELECT o_orderpriority, CAST(COUNT(1) AS BIGINT) AS order_count
         FROM orders
-        WHERE o_orderdate >= '1993-07-01' AND o_orderdate < '1993-10-01'
+        WHERE o_orderdate >= '{_Q4_LO}' AND o_orderdate < '{_Q4_HI}'
           AND EXISTS (SELECT 1 FROM lineitem
                       WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
         GROUP BY o_orderpriority ORDER BY o_orderpriority""",

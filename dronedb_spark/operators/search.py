@@ -14,13 +14,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dronedb_spark.catalog.derive import entries_df, with_catalog
-from dronedb_spark.functions.like import folder_pattern, sanitize_query_param
+from dronedb_spark.functions.like import folder_pattern, like_col, sanitize_query_param
 from dronedb_spark.suite import check
 
 
 def _like(pattern_sql: str) -> F.Column:
-    # Column.like has no ESCAPE parameter; build the expression directly.
-    return F.expr(f"path LIKE '{pattern_sql}' ESCAPE '/'")
+    return like_col("path", pattern_sql)
 
 
 def search(entries: DataFrame, pattern: str, max_depth: int = 0) -> DataFrame:

@@ -174,10 +174,16 @@ def ingest(spark: SparkSession, root: str, rel_paths: list[str] | None = None) -
             )
         )
         # binaryFile URIs render as file:/..., file://... or file:///...;
-        # slice off everything through "<root>/" instead of guessing.
+        # slice off everything through "<root>/" instead of guessing.  The
+        # root is passed as a literal Column (never interpolated into SQL
+        # text) so a quote in the directory name cannot break parsing.
         binary = binary.withColumn(
             "rel_path",
-            F.expr(f"substring(uri, instr(uri, '{root}/') + {len(root) + 1})"),
+            F.substring(
+                F.col("uri"),
+                F.instr(F.col("uri"), F.lit(root + "/")) + F.lit(len(root) + 1),
+                F.lit(2**30),
+            ),
         ).drop("uri")
         entries = binary.mapInPandas(_parse_batches, schema=ENTRIES_SCHEMA)
 

@@ -31,7 +31,33 @@ def check(name: str, oracle: str | None = None):
 
 
 def load_all() -> dict[str, Check]:
-    """Import every operator module so its checks register."""
+    """Import every operator module so its checks register.
+
+    ORDER MATTERS: the driver walks the registry in registration order
+    under a budget, and round 1's report truncated after 50 of 88 checks
+    — so the modules whose checks have never had a driver CORRECTNESS row
+    (raster, vectors, simhash, geo/footprint, multimodal, streaming,
+    sampling) register FIRST, and the already-verified catalog/relational
+    families register last.
+    """
+    # --- never-gated in round 1: register first -------------------------
+    import dronedb_spark.raster.stats  # noqa: F401
+    import dronedb_spark.raster.volume  # noqa: F401
+    import dronedb_spark.raster.contours  # noqa: F401
+    import dronedb_spark.raster.stockpile  # noqa: F401
+    import dronedb_spark.raster.points  # noqa: F401
+    import dronedb_spark.raster.colormaps  # noqa: F401
+    import dronedb_spark.raster.align  # noqa: F401
+    import dronedb_spark.vectors.knn  # noqa: F401
+    import dronedb_spark.vectors.ann  # noqa: F401
+    import dronedb_spark.vectors.ivf  # noqa: F401
+    import dronedb_spark.text.simhash  # noqa: F401
+    import dronedb_spark.functions.geo  # noqa: F401
+    import dronedb_spark.functions.footprint  # noqa: F401
+    import dronedb_spark.multimodal.media  # noqa: F401
+    import dronedb_spark.streaming.stateful  # noqa: F401
+    import dronedb_spark.text.quality  # noqa: F401  (sampling checks)
+    # --- green rows in CORRECTNESS_r01: register after ------------------
     import dronedb_spark.operators.search  # noqa: F401
     import dronedb_spark.operators.stats  # noqa: F401
     import dronedb_spark.operators.meta  # noqa: F401
@@ -45,21 +71,5 @@ def load_all() -> dict[str, Check]:
     import dronedb_spark.text.dedup  # noqa: F401
     import dronedb_spark.text.segdedup  # noqa: F401
     import dronedb_spark.text.repetition  # noqa: F401
-    import dronedb_spark.text.quality  # noqa: F401
-    import dronedb_spark.text.simhash  # noqa: F401
-    import dronedb_spark.vectors.knn  # noqa: F401
-    import dronedb_spark.vectors.ann  # noqa: F401
-    import dronedb_spark.vectors.ivf  # noqa: F401
-    import dronedb_spark.raster.stats  # noqa: F401
-    import dronedb_spark.raster.volume  # noqa: F401
-    import dronedb_spark.raster.contours  # noqa: F401
-    import dronedb_spark.raster.stockpile  # noqa: F401
-    import dronedb_spark.raster.points  # noqa: F401
-    import dronedb_spark.raster.colormaps  # noqa: F401
-    import dronedb_spark.raster.align  # noqa: F401
-    import dronedb_spark.functions.geo  # noqa: F401
-    import dronedb_spark.functions.footprint  # noqa: F401
-    import dronedb_spark.multimodal.media  # noqa: F401
-    import dronedb_spark.streaming.stateful  # noqa: F401
 
     return REGISTRY

@@ -21,8 +21,19 @@ TABLE_NAMES = [
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# (applicationId, sf_dir, name) -> persisted DataFrame.  The driver runs
+# ~90 checks against the same handful of small parquet tables in one
+# session; persisting each table once removes the repeated scan+decode
+# from every subsequent check.  Keyed by applicationId so a fresh session
+# (tests, bench, driver) never sees another session's plans.
+_LOAD_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    hit = _LOAD_CACHE.get(key)
+    if hit is not None:
+        return hit
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
         # reader rejects; read it as long nanos and rebuild a (microsecond)
@@ -31,10 +42,14 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn(
+        df = df.withColumn(
             "ts", F.timestamp_micros(((F.col("ts") - F.col("ts") % 1000) / 1000).cast("bigint"))
         )
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = df.persist()
+    _LOAD_CACHE[key] = df
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:

@@ -157,12 +157,15 @@ def neardup_pairs(docs: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------- checks
 
 # DuckDB lists are 1-indexed; everything else mirrors the Spark build.
+# The split is HOISTED to a column (``w``) before the lambda indexes it —
+# DuckDB re-evaluates expressions written inline in a lambda per element,
+# which turns shingling O(len²) per doc.
 _DUCK_SHINGLES = """
-    list_transform(range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
-                   i -> string_split(text, ' ')[i] || ' ' ||
-                        string_split(text, ' ')[i+1] || ' ' ||
-                        string_split(text, ' ')[i+2])
+    list_transform(range(1, greatest(len(w) - 1, 1)),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
 """
+
+_DUCK_WORDS = "SELECT doc_id, string_split(text, ' ') AS w FROM documents"
 
 
 def _duck_mh(j: int) -> str:
@@ -171,7 +174,7 @@ def _duck_mh(j: int) -> str:
 
 _DUCK_SIG = f"""
     SELECT doc_id, {", ".join(_duck_mh(j) for j in range(N_HASHES))}
-    FROM (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents) t
+    FROM (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM ({_DUCK_WORDS}) words) t
     WHERE len(sh) > 0
 """
 
@@ -182,17 +185,33 @@ _DUCK_SIG_BANDS = f"""
 """
 
 
+# The synthetic corpus has no duplicate texts, so running the operator on
+# ``documents`` alone returns 0 rows on both engines (vacuous in round 1).
+# Check it over documents ∪ a re-keyed subset — same construction in the
+# oracle — so real duplicate groups exist and the grouping is exercised.
+_DUP_MOD, _DUP_OFFSET = 7, 1000000
+
+
 @check(
     "dedup_exact_groups",
-    oracle="""
+    oracle=f"""
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + {_DUP_OFFSET} AS doc_id, text
+            FROM documents WHERE doc_id % 10 = {_DUP_MOD})
         SELECT md5(text) AS content_hash,
                CAST(COUNT(1) AS BIGINT) AS n_dups,
                MIN(doc_id) AS keep_id,
                string_agg(CAST(doc_id AS STRING), ',' ORDER BY CAST(doc_id AS STRING)) AS doc_ids
-        FROM documents GROUP BY md5(text) HAVING COUNT(1) > 1""",
+        FROM corpus GROUP BY md5(text) HAVING COUNT(1) > 1""",
 )
 def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return exact_dup_groups(load(spark, sf_dir, "documents"))
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    rekeyed = docs.filter(F.col("doc_id") % 10 == _DUP_MOD).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(_DUP_OFFSET)
+    )
+    return exact_dup_groups(docs.unionByName(rekeyed))
 
 
 @check("dedup_minhash_signatures", oracle=_DUCK_SIG_BANDS)
@@ -251,7 +270,7 @@ def jaccard_pairs(docs: DataFrame) -> DataFrame:
             FROM sig a JOIN sig b
               ON (a.band0 = b.band0 OR a.band1 = b.band1) AND a.doc_id < b.doc_id),
         sh AS (SELECT DISTINCT doc_id, unnest(sh) AS s
-               FROM (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents) t),
+               FROM (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM ({_DUCK_WORDS}) words) t),
         sizes AS (SELECT doc_id, COUNT(1) AS n FROM sh GROUP BY doc_id),
         inter AS (
             SELECT p.doc_a, p.doc_b, COUNT(1) AS n_inter

@@ -53,13 +53,14 @@ def _bucket_col() -> F.Column:
 
 
 def _duck_bucket(tbl: str) -> str:
+    # list_dot_product (sequential multiply-add, bit-identical to the
+    # range-indexed lambda fold) instead of indexing a const list inside a
+    # lambda — DuckDB re-materializes the 64-element literal per element,
+    # which measured ~1000x slower at sf0.1.
     bits = []
     for j in range(N_PLANES):
-        arr = "[" + ",".join(("1.0" if s > 0 else "-1.0") for s in PLANES[j]) + "]"
-        dot = (
-            f"list_sum(list_transform(range(1, {DIM} + 1),"
-            f" i -> CAST({tbl}.embedding[i] AS DOUBLE) * ({arr}[i])))"
-        )
+        arr = "CAST([" + ",".join(("1.0" if s > 0 else "-1.0") for s in PLANES[j]) + "] AS DOUBLE[])"
+        dot = f"list_dot_product(CAST({tbl}.embedding AS DOUBLE[]), {arr})"
         bits.append(f"(CASE WHEN {dot} > 0 THEN '1' ELSE '0' END)")
     return " || ".join(bits)
 
@@ -156,12 +157,9 @@ def q_ann_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_buckets(load(spark, sf_dir, "embeddings"))
 
 
-_DUCK_DOTQ = f"""list_sum(list_transform(range(1, {DIM} + 1),
-                 i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE)))"""
-_DUCK_NORM_E = """sqrt(list_sum(list_transform(e.embedding,
-                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"""
-_DUCK_NORM_Q = """sqrt(list_sum(list_transform(q.q_emb,
-                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"""
+_DUCK_DOTQ = "list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.q_emb AS DOUBLE[]))"
+_DUCK_NORM_E = "sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))"
+_DUCK_NORM_Q = "sqrt(list_dot_product(CAST(q.q_emb AS DOUBLE[]), CAST(q.q_emb AS DOUBLE[])))"
 
 
 @check(
@@ -183,13 +181,12 @@ def q_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_neardup_pairs",
     oracle=f"""
         WITH b AS (SELECT vec_id, embedding, {_duck_bucket('embeddings')} AS bucket,
-                          sqrt(list_sum(list_transform(embeddings.embedding,
-                               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+                          sqrt(list_dot_product(CAST(embeddings.embedding AS DOUBLE[]),
+                                                CAST(embeddings.embedding AS DOUBLE[]))) AS nrm
                    FROM embeddings)
         SELECT vec_a, vec_b, cos_sim FROM (
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                   ROUND(list_sum(list_transform(range(1, {DIM} + 1),
-                             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                   ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
                          / (a.nrm * b.nrm), 6) AS cos_sim
             FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) p
         WHERE cos_sim >= {NEARDUP_THRESH}

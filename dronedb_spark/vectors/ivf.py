@@ -114,11 +114,10 @@ def ivf_search(embeddings: DataFrame, query_vec_id: int, k: int = 5) -> DataFram
 
 # ---------------------------------------------------------------- checks
 
-_D_NORM = "sqrt(list_sum(list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
-_D_DOT = (
-    "list_sum(list_transform(range(1, 65),"
-    " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
-)
+# list_dot_product = sequential multiply-add, bit-identical to the indexed
+# lambda fold but without per-element lambda dispatch (see vectors/ann.py).
+_D_NORM = "sqrt(list_dot_product(CAST({v} AS DOUBLE[]), CAST({v} AS DOUBLE[])))"
+_D_DOT = "list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
 
 
 def _d_packed(cos: str, cid: str) -> str:

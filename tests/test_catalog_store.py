@@ -184,3 +184,57 @@ def test_snapshot_history_and_vacuum(spark, tmp_path):
     # CURRENT still readable after vacuum
     paths = {r["path"] for r in cat.entries().collect()}
     assert {"a.txt", "b.txt", "c.txt"} <= paths
+
+
+def test_partial_add_keeps_rest_of_index(spark, tree):
+    """ADVICE r1 (high): add(rel_paths) must upsert ONLY those paths and
+    keep every other indexed entry — the reference's addToIndex never
+    deletes (deletion is sync's job)."""
+    cat = DatasetCatalog.init(spark, str(tree))
+    cat.add()
+    before = {r["path"] for r in cat.entries().collect()}
+    (tree / "docs" / "late.txt").write_text("late\n")
+    cat.add(rel_paths=["docs/late.txt"])
+    after = {r["path"] for r in cat.entries().collect()}
+    assert after == before | {"docs/late.txt"}
+    # add() with files deleted from disk also keeps them (sync removes)
+    os.remove(tree / "cloud.las")
+    cat.add()
+    assert "cloud.las" in {r["path"] for r in cat.entries().collect()}
+    cat.sync()
+    assert "cloud.las" not in {r["path"] for r in cat.entries().collect()}
+
+
+def test_move_rejects_wildcards(spark, tree):
+    """ADVICE r1 (medium): move is exact-path; a wildcard src would match
+    variable-length paths and corrupt the fixed-offset suffix rewrite."""
+    cat = DatasetCatalog.init(spark, str(tree))
+    cat.add()
+    with pytest.raises(ValueError):
+        cat.move("ima*", "archive")
+    with pytest.raises(ValueError):
+        cat.move("images", "arch%ive")
+
+
+def test_remove_quote_bearing_pattern(spark, tmp_path):
+    """ADVICE r1 (medium): patterns containing single quotes must neither
+    crash nor inject SQL (predicates are built via the DSL, not f-string
+    interpolation)."""
+    root = tmp_path / "quoted"
+    root.mkdir()
+    (root / "o'brien.jpg").write_bytes(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
+    (root / "plain.txt").write_text("x")
+    cat = DatasetCatalog.init(spark, str(root))
+    cat.add()
+    assert cat.remove("o'brien.jpg") == 1
+    assert {r["path"] for r in cat.entries().collect()} == {"plain.txt"}
+
+
+def test_add_empty_directory(spark, tmp_path):
+    """ADVICE r1 (low): add() on an empty dataset dir must not throw on
+    empty-schema inference."""
+    root = tmp_path / "emptyds"
+    root.mkdir()
+    cat = DatasetCatalog.init(spark, str(root))
+    cat.add()
+    assert cat.entries().count() == 0

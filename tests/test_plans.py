@@ -166,7 +166,12 @@ def test_q2_window_min_single_scan(spark):
 
     q = q_min_cost_supplier(spark, "/root/testdata/sf0.001")
     plan = physical_plan(q)
-    assert plan.count("Scan parquet") == 1
+    # lineitem arrives via tables.load, which persists — the single read
+    # shows as one in-memory scan (whose printed subtree embeds the parquet
+    # scan it materializes from) or, cold, one parquet scan; the pinned
+    # property is ONE read of lineitem, not its storage tier.
+    n_mem = plan.count("InMemoryTableScan")
+    assert n_mem == 1 or (n_mem == 0 and plan.count("Scan parquet") == 1), plan
 
 
 def test_asof_join_single_shuffle_per_side(spark):

@@ -54,3 +54,17 @@ def test_interval_pair_appears_exactly_once(spark):
     ev = spark.createDataFrame([(5000,)], "t long")
     rows = interval_join(ev, win, "t", "s", "e", bucket_s=100).collect()
     assert len(rows) == 1
+
+
+def test_asof_null_in_latest_snapshot_is_row_wise(spark):
+    """ADVICE r1: a NULL value in the MOST RECENT snapshot must be carried
+    (row-wise ASOF), not skipped in favor of an older non-NULL snapshot —
+    all value columns come from the same matched snapshot row."""
+    snaps = spark.createDataFrame(
+        [("u1", 100, "old", 1), ("u1", 200, None, 2)],
+        "user_id string, t long, status string, ver int",
+    )
+    events = spark.createDataFrame([("u1", 250)], "user_id string, t long")
+    [row] = asof_join(events, snaps, "user_id", "t", "t", ["status", "ver"]).collect()
+    assert row["ver"] == 2
+    assert row["status"] is None  # from the t=200 snapshot, NOT "old"
