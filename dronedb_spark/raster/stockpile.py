@@ -15,14 +15,11 @@ engine detects across millions of rasters in parallel; top-k =
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from dronedb_spark.raster.synth import dem_df
 from dronedb_spark.suite import check
 
 NODATA = -9999.0
@@ -30,6 +27,7 @@ MAX_RESULTS = 500  # stockpile.h:76-77
 
 _SCHEMA = T.StructType(
     [
+        T.StructField("raster_id", T.IntegerType()),
         T.StructField("stockpile_id", T.IntegerType()),
         T.StructField("n_pixels", T.LongType()),
         T.StructField("centroid_row", T.DoubleType()),
@@ -102,28 +100,42 @@ def detect_stockpiles(
     min_pixels: int = 16,
     max_results: int = 50,
 ) -> DataFrame:
-    """A13: detect-all + top-k by estimated volume."""
-    max_results = min(max_results, MAX_RESULTS)
+    """A13: detect-all + top-k by estimated volume, PER RASTER.
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    Detection runs as a GROUPED kernel — one task per ``raster_id`` via
+    ``groupBy(...).applyInPandas`` (round 1's ``coalesce(1)`` funneled the
+    whole catalog through one task; flagged as the scale-killer).  The
+    reference's detect-all is per-DEM (stockpile.h:46-82), so the top-k
+    cap applies inside each raster's kernel; the final orderBy only
+    presents the already-capped rows deterministically."""
+    max_results = min(max_results, MAX_RESULTS)
+    if "raster_id" not in pixels.columns:
+        pixels = pixels.withColumn("raster_id", F.lit(0))
+
+    cols = [f.name for f in _SCHEMA.fields]
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
-        pdf = pd.concat(list(batches))
-        cols = [f.name for f in _SCHEMA.fields]
-        if pdf.empty:
-            yield pd.DataFrame(columns=cols)
-            return
+        rid = int(pdf["raster_id"].iloc[0])
         h = int(pdf["row"].max()) + 1
         w = int(pdf["col"].max()) + 1
         grid = np.full((h, w), NODATA)
         grid[pdf["row"].to_numpy(), pdf["col"].to_numpy()] = pdf["value"].to_numpy()
         rows = _detect(grid, px_area, min_height, min_pixels)
-        yield pd.DataFrame(rows, columns=cols)
+        rows.sort(key=lambda t: (-t[5], t[0]))
+        out = pd.DataFrame(rows[:max_results], columns=cols[1:])
+        out.insert(0, "raster_id", rid)
+        return out
 
-    segs = pixels.coalesce(1).mapInPandas(run, schema=_SCHEMA)
-    return segs.orderBy(F.desc("estimated_volume"), "stockpile_id").limit(max_results)
+    segs = pixels.groupBy("raster_id").applyInPandas(run, schema=_SCHEMA)
+    return segs.orderBy("raster_id", F.desc("estimated_volume"), "stockpile_id")
 
 
 @check("stockpile_detect", oracle=None)  # numpy kernel — rows-only check
 def q_stockpiles(spark, sf_dir: str) -> DataFrame:
-    return detect_stockpiles(dem_df(spark))
+    """Checked over the MULTI-raster catalog so the driver exercises the
+    grouped (per-raster-task) path."""
+    from dronedb_spark.raster.synth import multi_dem_df
+
+    return detect_stockpiles(multi_dem_df(spark))

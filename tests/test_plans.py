@@ -182,3 +182,17 @@ def test_asof_join_single_shuffle_per_side(spark):
     q = q_asof_join(spark, "/root/testdata/sf0.001")
     plan = physical_plan(q)
     assert "Join" not in plan or "SortMergeJoin" not in plan
+
+
+def test_raster_kernels_group_by_raster_no_single_partition(spark):
+    """VERDICT r1: stockpile/contour kernels must fan out one task per
+    raster (hash partition on raster_id), never a coalesce(1) funnel."""
+    from dronedb_spark.raster.contours import contour_segments
+    from dronedb_spark.raster.stockpile import detect_stockpiles
+    from dronedb_spark.raster.synth import multi_dem_df
+
+    for q in (detect_stockpiles(multi_dem_df(spark)), contour_segments(multi_dem_df(spark))):
+        plan = physical_plan(q)
+        assert "Coalesce 1" not in plan and "coalesce(1)" not in plan.lower(), plan
+        assert "FlatMapGroupsInPandas" in plan
+        assert "hashpartitioning(raster_id" in plan
