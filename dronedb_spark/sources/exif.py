@@ -1,0 +1,334 @@
+"""Pure-Python EXIF extraction — the real metadata path for Image /
+GeoImage ingest (SURVEY S5; reference parseEntry, entry.cpp:140-226,
+their tests exif_optimization_test.cpp / gps_metadata_test.cpp).
+
+The reference links Exiv2; this environment has no image libraries, but
+EXIF is a PUBLIC byte format (JPEG marker segments + TIFF 6.0 IFDs +
+EXIF 2.32 tag numbers), so the extraction the catalog actually needs —
+capture time, GPS point, orientation, focal length, camera make/model,
+pixel dimensions — parses directly from the first few KB of the file.
+``parse_exif`` is the DEFAULT parser behind the ``register_parser`` seam
+in sources/fs.py; a full decoder can still be plugged in to replace it.
+
+Also here: ``build_jpeg_with_exif`` — a deterministic writer for the
+same structures (SOI + APP1/Exif + EOI).  It exists so tests and the
+driver check can exercise ingest on REAL JPEG/EXIF bytes end-to-end
+(fingerprint → parse → GPS upgrade → point geometry) without shipping
+binary fixtures; the image payload is absent but the container and
+metadata are the genuine formats.
+"""
+
+from __future__ import annotations
+
+import calendar
+import struct
+import time
+
+# TIFF field types → byte size of one element
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1, 9: 4, 10: 8}
+
+# EXIF 2.32 tag numbers (public registry)
+_TAG_MAKE = 0x010F
+_TAG_MODEL = 0x0110
+_TAG_ORIENTATION = 0x0112
+_TAG_DATETIME = 0x0132
+_TAG_EXIF_IFD = 0x8769
+_TAG_GPS_IFD = 0x8825
+_TAG_DATETIME_ORIGINAL = 0x9003
+_TAG_FOCAL_LENGTH = 0x920A
+_TAG_PIXEL_X = 0xA002
+_TAG_PIXEL_Y = 0xA003
+_GPS_LAT_REF = 0x0001
+_GPS_LAT = 0x0002
+_GPS_LON_REF = 0x0003
+_GPS_LON = 0x0004
+_GPS_ALT_REF = 0x0005
+_GPS_ALT = 0x0006
+
+
+def _read_ifd(buf: bytes, off: int, endian: str) -> dict[int, tuple[int, int, bytes]]:
+    """One IFD → {tag: (type, count, value_bytes)} with out-of-line values
+    resolved.  Malformed offsets simply stop the walk (ingest must never
+    fail on a corrupt file — the reference logs and skips)."""
+    out: dict[int, tuple[int, int, bytes]] = {}
+    if off + 2 > len(buf):
+        return out
+    (n,) = struct.unpack_from(endian + "H", buf, off)
+    for i in range(n):
+        e = off + 2 + 12 * i
+        if e + 12 > len(buf):
+            break
+        tag, typ, cnt = struct.unpack_from(endian + "HHI", buf, e)
+        size = _TYPE_SIZES.get(typ, 1) * cnt
+        if size <= 4:
+            val = buf[e + 8 : e + 8 + size]
+        else:
+            (voff,) = struct.unpack_from(endian + "I", buf, e + 8)
+            if voff + size > len(buf):
+                continue
+            val = buf[voff : voff + size]
+        out[tag] = (typ, cnt, val)
+    return out
+
+
+def _ascii(entry) -> str | None:
+    if entry is None:
+        return None
+    return entry[2].split(b"\0")[0].decode("ascii", "replace").strip()
+
+
+def _u16(entry, endian) -> int | None:
+    if entry is None or len(entry[2]) < 2:
+        return None
+    return struct.unpack_from(endian + "H", entry[2], 0)[0]
+
+
+def _u32(entry, endian) -> int | None:
+    if entry is None or len(entry[2]) < 4:
+        return None
+    return struct.unpack_from(endian + "I", entry[2], 0)[0]
+
+
+def _rationals(entry, endian) -> list[float]:
+    if entry is None:
+        return []
+    typ, cnt, val = entry
+    out = []
+    for i in range(cnt):
+        if 8 * i + 8 > len(val):
+            break
+        num, den = struct.unpack_from(endian + ("ii" if typ == 10 else "II"), val, 8 * i)
+        out.append(num / den if den else 0.0)
+    return out
+
+
+def _parse_datetime_ms(s: str | None) -> int:
+    """EXIF 'YYYY:MM:DD HH:MM:SS' → epoch milliseconds (UTC by convention
+    here — EXIF carries no zone; the reference uses the same instant
+    semantics for captureTime)."""
+    if not s:
+        return 0
+    try:
+        t = time.strptime(s, "%Y:%m:%d %H:%M:%S")
+        return calendar.timegm(t) * 1000
+    except ValueError:
+        return 0
+
+
+def _find_tiff(header: bytes) -> bytes | None:
+    """Locate the TIFF block: raw TIFF files start with it; JPEGs carry it
+    in the APP1 'Exif' marker segment."""
+    if header[:2] in (b"II", b"MM") and len(header) > 8:
+        return header
+    if header[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    while pos + 4 <= len(header):
+        if header[pos] != 0xFF:
+            break
+        marker = header[pos + 1]
+        if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (seglen,) = struct.unpack_from(">H", header, pos + 2)
+        if marker == 0xE1 and header[pos + 4 : pos + 10] == b"Exif\x00\x00":
+            return header[pos + 10 : pos + 2 + seglen]
+        if marker == 0xDA:  # start of scan — no metadata past here
+            break
+        pos += 2 + seglen
+    return None
+
+
+def parse_exif(rel_path: str, header: bytes) -> dict:
+    """(path, header bytes) → properties dict for the entries schema.
+
+    Emits the reference's property names (entry.cpp:140-226): captureTime
+    (epoch ms), focalLength, orientation, make, model, width, height, and
+    the GPS point as point_lon/point_lat/point_alt (which sources/fs.py
+    lifts into the geometry columns and uses to upgrade Image→GeoImage).
+    Non-JPEG/TIFF or EXIF-less files → {}.
+    """
+    try:
+        tiff = _find_tiff(header)
+        if tiff is None:
+            return {}
+        endian = "<" if tiff[:2] == b"II" else ">"
+        (magic,) = struct.unpack_from(endian + "H", tiff, 2)
+        if magic != 42:
+            return {}
+        (ifd0_off,) = struct.unpack_from(endian + "I", tiff, 4)
+        ifd0 = _read_ifd(tiff, ifd0_off, endian)
+        exif_off = _u32(ifd0.get(_TAG_EXIF_IFD), endian)
+        gps_off = _u32(ifd0.get(_TAG_GPS_IFD), endian)
+        exif = _read_ifd(tiff, exif_off, endian) if exif_off else {}
+        gps = _read_ifd(tiff, gps_off, endian) if gps_off else {}
+
+        props: dict = {}
+        make = _ascii(ifd0.get(_TAG_MAKE))
+        model = _ascii(ifd0.get(_TAG_MODEL))
+        if make:
+            props["make"] = make
+        if model:
+            props["model"] = model
+        orient = _u16(ifd0.get(_TAG_ORIENTATION), endian)
+        if orient is not None:
+            props["orientation"] = orient
+        dto = _ascii(exif.get(_TAG_DATETIME_ORIGINAL)) or _ascii(ifd0.get(_TAG_DATETIME))
+        ms = _parse_datetime_ms(dto)
+        if ms:
+            props["captureTime"] = ms
+        focal = _rationals(exif.get(_TAG_FOCAL_LENGTH), endian)
+        if focal:
+            props["focalLength"] = focal[0]
+        w = _u32(exif.get(_TAG_PIXEL_X), endian) or _u16(exif.get(_TAG_PIXEL_X), endian)
+        h = _u32(exif.get(_TAG_PIXEL_Y), endian) or _u16(exif.get(_TAG_PIXEL_Y), endian)
+        if w:
+            props["width"] = w
+        if h:
+            props["height"] = h
+
+        lat = _rationals(gps.get(_GPS_LAT), endian)
+        lon = _rationals(gps.get(_GPS_LON), endian)
+        if len(lat) == 3 and len(lon) == 3:
+            lat_v = lat[0] + lat[1] / 60.0 + lat[2] / 3600.0
+            lon_v = lon[0] + lon[1] / 60.0 + lon[2] / 3600.0
+            if _ascii(gps.get(_GPS_LAT_REF)) == "S":
+                lat_v = -lat_v
+            if _ascii(gps.get(_GPS_LON_REF)) == "W":
+                lon_v = -lon_v
+            props["point_lat"] = lat_v
+            props["point_lon"] = lon_v
+            alt = _rationals(gps.get(_GPS_ALT), endian)
+            if alt:
+                alt_v = alt[0]
+                ref = gps.get(_GPS_ALT_REF)
+                if ref is not None and ref[2][:1] == b"\x01":  # below sea level
+                    alt_v = -alt_v
+                props["point_alt"] = alt_v
+        return props
+    except Exception:
+        return {}
+
+
+# ------------------------------------------------------------------ writer
+
+
+def _entry_bytes(tag: int, typ: int, count: int, payload: bytes, heap: bytearray, heap_base: int) -> bytes:
+    size = _TYPE_SIZES[typ] * count
+    if size <= 4:
+        inline = payload + b"\x00" * (4 - len(payload))
+        return struct.pack("<HHI", tag, typ, count) + inline
+    off = heap_base + len(heap)
+    heap.extend(payload)
+    return struct.pack("<HHI", tag, typ, count) + struct.pack("<I", off)
+
+
+def _ifd_bytes(entries: list[bytes]) -> bytes:
+    return struct.pack("<H", len(entries)) + b"".join(entries) + struct.pack("<I", 0)
+
+
+def build_jpeg_with_exif(
+    lat_dms: tuple[float, float, tuple[int, int]] | None = None,
+    lat_ref: str = "N",
+    lon_dms: tuple[float, float, tuple[int, int]] | None = None,
+    lon_ref: str = "E",
+    alt: tuple[int, int] | None = None,
+    datetime_original: str | None = None,
+    focal: tuple[int, int] | None = None,
+    orientation: int = 1,
+    make: str = "DDB",
+    model: str = "CAM0",
+    width: int = 4000,
+    height: int = 3000,
+) -> bytes:
+    """A minimal but REAL JPEG: SOI + APP1(Exif/TIFF little-endian) + EOI.
+    DMS components are (deg, min, (sec_num, sec_den)) so the expected
+    decimal degrees are exactly reconstructible by the oracle."""
+    # layout: TIFF header(8) | IFD0 | ExifIFD | GPSIFD | heap
+    ifd0_n, exif_n = 6, 4
+    gps_n = 6 if lat_dms is not None else 0
+    ifd0_off = 8
+    exif_off = ifd0_off + 2 + 12 * ifd0_n + 4
+    gps_off = exif_off + 2 + 12 * exif_n + 4
+    heap_base = gps_off + (2 + 12 * gps_n + 4 if gps_n else 0)
+    heap = bytearray()
+
+    def asciiz(s: str) -> bytes:
+        return s.encode("ascii") + b"\x00"
+
+    def rat(num: int, den: int) -> bytes:
+        return struct.pack("<II", num, den)
+
+    e0 = [
+        _entry_bytes(_TAG_MAKE, 2, len(make) + 1, asciiz(make), heap, heap_base),
+        _entry_bytes(_TAG_MODEL, 2, len(model) + 1, asciiz(model), heap, heap_base),
+        _entry_bytes(_TAG_ORIENTATION, 3, 1, struct.pack("<H", orientation), heap, heap_base),
+        _entry_bytes(
+            _TAG_DATETIME,
+            2,
+            len(datetime_original or "") + 1,
+            asciiz(datetime_original or ""),
+            heap,
+            heap_base,
+        ),
+        _entry_bytes(_TAG_EXIF_IFD, 4, 1, struct.pack("<I", exif_off), heap, heap_base),
+        _entry_bytes(
+            _TAG_GPS_IFD, 4, 1, struct.pack("<I", gps_off if gps_n else 0), heap, heap_base
+        ),
+    ]
+    fnum, fden = focal or (50, 1)
+    ee = [
+        _entry_bytes(
+            _TAG_DATETIME_ORIGINAL,
+            2,
+            len(datetime_original or "") + 1,
+            asciiz(datetime_original or ""),
+            heap,
+            heap_base,
+        ),
+        _entry_bytes(_TAG_FOCAL_LENGTH, 5, 1, rat(fnum, fden), heap, heap_base),
+        _entry_bytes(_TAG_PIXEL_X, 4, 1, struct.pack("<I", width), heap, heap_base),
+        _entry_bytes(_TAG_PIXEL_Y, 4, 1, struct.pack("<I", height), heap, heap_base),
+    ]
+    eg: list[bytes] = []
+    if gps_n:
+        lad, lam, (lasn, lasd) = lat_dms
+        lod, lom, (losn, losd) = lon_dms
+        eg = [
+            _entry_bytes(_GPS_LAT_REF, 2, 2, asciiz(lat_ref), heap, heap_base),
+            _entry_bytes(
+                _GPS_LAT,
+                5,
+                3,
+                rat(int(lad), 1) + rat(int(lam), 1) + rat(lasn, lasd),
+                heap,
+                heap_base,
+            ),
+            _entry_bytes(_GPS_LON_REF, 2, 2, asciiz(lon_ref), heap, heap_base),
+            _entry_bytes(
+                _GPS_LON,
+                5,
+                3,
+                rat(int(lod), 1) + rat(int(lom), 1) + rat(losn, losd),
+                heap,
+                heap_base,
+            ),
+            _entry_bytes(_GPS_ALT_REF, 1, 1, b"\x00", heap, heap_base),
+            _entry_bytes(_GPS_ALT, 5, 1, rat(*(alt or (0, 1))), heap, heap_base),
+        ]
+
+    tiff = (
+        b"II" + struct.pack("<HI", 42, ifd0_off)
+        + _ifd_bytes(e0)
+        + _ifd_bytes(ee)
+        + (_ifd_bytes(eg) if gps_n else b"")
+        + bytes(heap)
+    )
+    payload = b"Exif\x00\x00" + tiff
+    return b"\xff\xd8" + b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload + b"\xff\xd9"
+
+
+def build_plain_jpeg() -> bytes:
+    """JPEG with a JFIF APP0 but no EXIF — stays type Image, no geometry."""
+    app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    return b"\xff\xd8" + b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0 + b"\xff\xd9"

@@ -64,13 +64,24 @@ META_SCHEMA = T.StructType(
     ]
 )
 
-# pluggable decode hook: (rel_path, header_bytes) -> properties dict
+# pluggable decode hook: (rel_path, header_bytes) -> properties dict.
+# DEFAULT is the pure-Python EXIF parser (sources/exif.py) — real JPEG/TIFF
+# metadata extraction with no image libraries; register_parser(fn) swaps in
+# a full decoder, register_parser(None) restores the default.
 _PARSER: Callable[[str, bytes], dict] | None = None
 
 
 def register_parser(fn: Callable[[str, bytes], dict] | None) -> None:
     global _PARSER
     _PARSER = fn
+
+
+def _active_parser() -> Callable[[str, bytes], dict]:
+    if _PARSER is not None:
+        return _PARSER
+    from dronedb_spark.sources.exif import parse_exif
+
+    return parse_exif
 
 
 def scan_paths(
@@ -109,6 +120,7 @@ def scan_paths(
 
 
 def _parse_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    parser = _active_parser()
     for pdf in it:
         rows = []
         for _, r in pdf.iterrows():
@@ -117,14 +129,17 @@ def _parse_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             t = fingerprint(rel, header)
             props: dict = {}
             geo = {}
-            if _PARSER is not None:
-                try:
-                    props = _PARSER(rel, header) or {}
-                except NotImplementedError:
-                    props = {}
-                for k in ("point_lon", "point_lat", "point_alt"):
-                    if k in props:
-                        geo[k] = float(props.pop(k))
+            try:
+                props = parser(rel, header) or {}
+            except NotImplementedError:
+                props = {}
+            for k in ("point_lon", "point_lat", "point_alt"):
+                if k in props:
+                    geo[k] = float(props.pop(k))
+            # EXIF GPS upgrades Image → GeoImage (entry.cpp:155-170: an
+            # image with a geolocation is a GeoImage)
+            if "point_lon" in geo and t == ENTRY_TYPES["Image"]:
+                t = ENTRY_TYPES["GeoImage"]
             capture_ms = int(props.get("captureTime", 0))
             rows.append(
                 {

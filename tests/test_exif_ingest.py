@@ -1,0 +1,59 @@
+"""EXIF ingest (S5): pure-Python JPEG/TIFF APP1 parsing through the real
+distributed ingest path — writer→parser roundtrip, GeoImage upgrade, and
+catalog integration over a real-bytes fixture tree."""
+
+from __future__ import annotations
+
+from dronedb_spark.catalog.derive import ENTRY_TYPES
+from dronedb_spark.sources.exif import build_jpeg_with_exif, build_plain_jpeg, parse_exif
+from dronedb_spark.sources.ingest_check import _expected, _spec, fixture_root
+
+
+def test_exif_roundtrip_all_fixture_specs():
+    for i in range(10):
+        s = _spec(i)
+        b = build_jpeg_with_exif(**{k: v for k, v in s.items() if k != "path"})
+        p = parse_exif(s["path"], b)
+        exp = _expected(i)
+        assert p["point_lon"] == exp[2] and p["point_lat"] == exp[3]
+        assert p["point_alt"] == exp[4] and p["captureTime"] == exp[5]
+        assert p["orientation"] == exp[6] and p["focalLength"] == exp[7]
+        assert p["make"] == exp[8] and p["model"] == exp[9]
+        assert p["width"] == 4000 and p["height"] == 3000
+
+
+def test_exif_malformed_bytes_never_raise():
+    for b in (b"", b"\xff\xd8", b"\xff\xd8\xff\xe1\x00\x04Exif", b"II*\x00\xff\xff\xff\xff",
+              build_plain_jpeg()):
+        assert parse_exif("x.jpg", b) == {}
+
+
+def test_catalog_add_extracts_gps_and_upgrades_type(spark):
+    from dronedb_spark.catalog.store import DatasetCatalog
+
+    root = fixture_root()
+    cat = DatasetCatalog.init(spark, root)
+    cat.add()
+    by_path = {r["path"]: r for r in cat.entries().collect()}
+    img = by_path["flight1/IMG_0004.jpg"]
+    assert img["type"] == ENTRY_TYPES["GeoImage"]
+    exp = _expected(4)
+    assert img["point_lon"] == exp[2] and img["point_lat"] == exp[3]
+    assert img["capture_ms"] == exp[5]
+    assert by_path["plain.jpg"]["type"] == ENTRY_TYPES["Image"]
+    assert by_path["plain.jpg"]["point_lon"] is None
+    # cleanup the catalog dir so the fixture tree stays pristine
+    import shutil
+
+    shutil.rmtree(f"{root}/.ddb_spark", ignore_errors=True)
+
+
+def test_register_parser_overrides_default(spark):
+    from dronedb_spark.sources import fs
+
+    fs.register_parser(lambda rel, header: {"custom": 1})
+    try:
+        assert fs._active_parser()("a.jpg", b"") == {"custom": 1}
+    finally:
+        fs.register_parser(None)
+    assert fs._active_parser() is parse_exif
