@@ -34,17 +34,16 @@ from dronedb_spark.operators.delta import (
     delta_removes,
     stamp_checksum,
 )
-from dronedb_spark.sources.fs import ENTRIES_SCHEMA, META_SCHEMA, ingest, scan_paths
+from dronedb_spark.sources.fs import (
+    ENTRIES_SCHEMA,
+    META_SCHEMA,
+    dir_rows_df,
+    ingest_listing,
+    list_files_df,
+    scan_paths,
+)
 
 CATALOG_DIR = ".ddb_spark"
-
-_FS_SCHEMA = T.StructType(
-    [
-        T.StructField("path", T.StringType(), False),
-        T.StructField("is_dir", T.BooleanType(), False),
-        T.StructField("fs_mtime", T.LongType(), False),
-    ]
-)
 
 _PATH_SCHEMA = T.StructType([T.StructField("path", T.StringType(), False)])
 
@@ -143,34 +142,32 @@ class DatasetCatalog:
         Like the reference's addToIndex, add NEVER deletes: every indexed
         entry outside the re-ingested set is kept verbatim (a partial
         ``add(rel_paths)`` must not drop the rest of the index; removing
-        rows for files gone from disk is sync()'s job)."""
+        rows for files gone from disk is sync()'s job).
+
+        Fully distributed: the file listing is the ``list_files_df``
+        binaryFile scan, the changed set is an mtime anti-join, and the
+        workers that own a changed file read+hash+parse it in place — no
+        path list is ever collect()ed to the driver (round 1's os.walk +
+        collect() was flagged as the 100M-file bottleneck)."""
         cur = self.entries()
-        scanned = [
-            (p, is_dir, int(os.path.getmtime(os.path.join(self.root, p))))
-            for p, is_dir in scan_paths(self.root)
-        ]
+        files = list_files_df(self.spark, self.root)
         if rel_paths is not None:
-            keep = set(rel_paths)
-            scanned = [s for s in scanned if s[0] in keep]
-        fs_df = self.spark.createDataFrame(scanned, schema=_FS_SCHEMA)
-        unchanged_paths = (
-            fs_df.join(cur.select("path", "mtime"), "path")
+            files = files.filter(F.col("path").isin(list(rel_paths)))
+        unchanged = (
+            files.join(cur.select("path", "mtime"), "path")
             .filter(F.col("fs_mtime") == F.col("mtime"))
             .select("path")
         )
-        to_ingest = [
-            r.path
-            for r in fs_df.join(unchanged_paths, "path", "left_anti").select("path").collect()
-        ]
-        fresh = ingest(self.spark, self.root, to_ingest) if to_ingest else None
-
-        keep_cur = cur.join(
-            self.spark.createDataFrame([(p,) for p in to_ingest], schema=_PATH_SCHEMA),
-            "path",
-            "left_anti",
+        changed = files.join(unchanged, "path", "left_anti")
+        # checkpoint: fresh feeds both the anti-join and the union — without
+        # a barrier Catalyst would run the read+hash kernel twice (no CSE)
+        fresh = (
+            ingest_listing(changed, self.root)
+            .unionByName(dir_rows_df(self.spark, self.root, rel_paths))
+            .localCheckpoint(eager=True)
         )
-        out = keep_cur if fresh is None else keep_cur.unionByName(fresh)
-        out = out.localCheckpoint(eager=True)  # cut lineage before snapshot write
+        keep_cur = cur.join(fresh.select("path"), "path", "left_anti")
+        out = keep_cur.unionByName(fresh).localCheckpoint(eager=True)
         self._entries.write(out)
         return out
 
@@ -229,8 +226,10 @@ class DatasetCatalog:
         self.add()  # add() already upserts new + modified and keeps unchanged
         # drop rows whose files are gone
         cur = self.entries()
-        fs_paths = self.spark.createDataFrame(
-            [(p,) for p, _ in scan_paths(self.root)], schema=_PATH_SCHEMA
+        fs_paths = list_files_df(self.spark, self.root).select("path").unionByName(
+            self.spark.createDataFrame(
+                [(p,) for p, is_dir in scan_paths(self.root) if is_dir], schema=_PATH_SCHEMA
+            )
         )
         self._entries.write(
             cur.join(fs_paths, "path", "left_semi").localCheckpoint(eager=True)
@@ -239,15 +238,16 @@ class DatasetCatalog:
 
     def rescan(self, types: list[int] | None = None) -> None:
         """W5 (rescanIndex, dbops.cpp:1034-1140): re-parse properties for
-        selected types (never Directory)."""
+        selected types (never Directory).  The target set stays a
+        DataFrame: listing left-semi-joined to the selected index rows —
+        no path collect()."""
         cur = self.entries()
         sel = F.col("type") != ENTRY_TYPES["Directory"]
         if types:
             sel = sel & F.col("type").isin(types)
-        targets = [r.path for r in cur.filter(sel).select("path").collect()]
-        if not targets:
-            return
-        fresh = ingest(self.spark, self.root, targets)
+        targets = cur.filter(sel).select("path")
+        files = list_files_df(self.spark, self.root).join(targets, "path", "left_semi")
+        fresh = ingest_listing(files, self.root).localCheckpoint(eager=True)
         keep = cur.join(fresh.select("path"), "path", "left_anti")
         self._entries.write(keep.unionByName(fresh).localCheckpoint(eager=True))
 

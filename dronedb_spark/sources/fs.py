@@ -119,113 +119,155 @@ def scan_paths(
     return sorted(out)
 
 
-def _parse_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    parser = _active_parser()
-    for pdf in it:
-        rows = []
-        for _, r in pdf.iterrows():
-            rel = r["rel_path"]
-            header = bytes(r["header"]) if r["header"] is not None else b""
-            t = fingerprint(rel, header)
-            props: dict = {}
-            geo = {}
-            try:
-                props = parser(rel, header) or {}
-            except NotImplementedError:
-                props = {}
-            for k in ("point_lon", "point_lat", "point_alt"):
-                if k in props:
-                    geo[k] = float(props.pop(k))
-            # EXIF GPS upgrades Image → GeoImage (entry.cpp:155-170: an
-            # image with a geolocation is a GeoImage)
-            if "point_lon" in geo and t == ENTRY_TYPES["Image"]:
-                t = ENTRY_TYPES["GeoImage"]
-            capture_ms = int(props.get("captureTime", 0))
-            rows.append(
-                {
-                    "path": rel,
-                    "hash": r["hash"],
-                    "type": t,
-                    "properties": json.dumps(props, sort_keys=True) if props else "null",
-                    "mtime": int(r["mtime"]),
-                    "size": int(r["size"]),
-                    "depth": rel.count("/"),
-                    "point_lon": geo.get("point_lon"),
-                    "point_lat": geo.get("point_lat"),
-                    "point_alt": geo.get("point_alt"),
-                    "bbox_minx": geo.get("point_lon"),
-                    "bbox_miny": geo.get("point_lat"),
-                    "bbox_maxx": geo.get("point_lon"),
-                    "bbox_maxy": geo.get("point_lat"),
-                    "capture_ms": capture_ms,
-                }
+def _entry_row(rel: str, data: bytes, mtime: int, parser) -> dict:
+    """One file's bytes → one entries-schema row (shared by every ingest
+    path).  Hashing is hashlib.sha256 — identical output to F.sha2 — so
+    the worker that LISTED a changed file also reads and hashes it without
+    a second scan."""
+    import hashlib
+
+    header = data[:4096]
+    t = fingerprint(rel, header)
+    props: dict = {}
+    geo = {}
+    try:
+        props = parser(rel, header) or {}
+    except NotImplementedError:
+        props = {}
+    for k in ("point_lon", "point_lat", "point_alt"):
+        if k in props:
+            geo[k] = float(props.pop(k))
+    # EXIF GPS upgrades Image → GeoImage (entry.cpp:155-170: an
+    # image with a geolocation is a GeoImage)
+    if "point_lon" in geo and t == ENTRY_TYPES["Image"]:
+        t = ENTRY_TYPES["GeoImage"]
+    capture_ms = int(props.get("captureTime", 0))
+    return {
+        "path": rel,
+        "hash": hashlib.sha256(data).hexdigest(),
+        "type": t,
+        "properties": json.dumps(props, sort_keys=True) if props else "null",
+        "mtime": int(mtime),
+        "size": len(data),
+        "depth": rel.count("/"),
+        "point_lon": geo.get("point_lon"),
+        "point_lat": geo.get("point_lat"),
+        "point_alt": geo.get("point_alt"),
+        "bbox_minx": geo.get("point_lon"),
+        "bbox_miny": geo.get("point_lat"),
+        "bbox_maxx": geo.get("point_lon"),
+        "bbox_maxy": geo.get("point_lat"),
+        "capture_ms": capture_ms,
+    }
+
+
+def list_files_df(spark: SparkSession, root: str) -> DataFrame:
+    """S1/S2 at scale: the file LISTING as a distributed binaryFile scan —
+    (path, fs_mtime, size) with the content column pruned, so no bytes are
+    read.  Spark's file index parallelizes directory discovery across the
+    cluster above the parallel-discovery threshold; nothing about the tree
+    is materialized on the driver (the round-1 os.walk + collect() listing
+    was flagged as the 100M-file bottleneck).  Hidden files/dirs and the
+    catalog dir itself are excluded (reference skips '.ddb',
+    dbops.cpp:219-233)."""
+    from pyspark.sql.utils import AnalysisException
+
+    root = os.path.abspath(root)
+    try:
+        listing = (
+            spark.read.format("binaryFile")
+            .option("recursiveFileLookup", "true")
+            .load(root)
+            .select(
+                F.col("path").alias("uri"),
+                F.unix_timestamp("modificationTime").cast("long").alias("fs_mtime"),
+                F.col("length").alias("size"),
             )
-        yield pd.DataFrame(rows, columns=[f.name for f in ENTRIES_SCHEMA.fields])
+        )
+    except AnalysisException:  # empty tree
+        return spark.createDataFrame(
+            [], schema="path string, fs_mtime long, size long"
+        )
+    # binaryFile URIs render as file:/..., file://... or file:///...; slice
+    # off everything through "<root>/".  The root travels as a literal
+    # Column (never interpolated into SQL text — quote-safe).
+    rel = F.substring(
+        F.col("uri"),
+        F.instr(F.col("uri"), F.lit(root + "/")) + F.lit(len(root) + 1),
+        F.lit(2**30),
+    )
+    return (
+        listing.withColumn("path", rel)
+        .drop("uri")
+        .filter(~F.exists(F.split("path", "/"), lambda s: s.startswith(".")))
+        .select("path", "fs_mtime", "size")
+    )
+
+
+def ingest_listing(listing: DataFrame, root: str) -> DataFrame:
+    """Hash+fingerprint+parse the files named by ``listing`` (path,
+    fs_mtime): each worker OPENS its partition's files from shared storage
+    inside the Arrow kernel — the changed-set selection stays a DataFrame
+    (mtime join), no path list ever rides through the driver."""
+    root = os.path.abspath(root)
+    parser = _active_parser()
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in ENTRIES_SCHEMA.fields]
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                full = os.path.join(root, r["path"])
+                try:
+                    with open(full, "rb") as f:
+                        data = f.read()
+                except OSError:
+                    continue  # raced deletion — sync picks it up
+                rows.append(_entry_row(r["path"], data, r["fs_mtime"], parser))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return listing.select("path", "fs_mtime").mapInPandas(run, schema=ENTRIES_SCHEMA)
+
+
+def dir_rows_df(spark: SparkSession, root: str, rel_paths: list[str] | None = None) -> DataFrame:
+    """Directory rows (metadata-only, no content): a driver-side stat walk
+    like the reference's — the directory count is orders of magnitude
+    below the file count, so this is not the scaling term."""
+    root = os.path.abspath(root)
+    dirs = [p for p, is_dir in scan_paths(root) if is_dir]
+    if rel_paths is not None:
+        keep = set(rel_paths)
+        dirs = [p for p in dirs if p in keep]
+    rows = [
+        (
+            p,
+            "",
+            ENTRY_TYPES["Directory"],
+            "null",
+            int(os.path.getmtime(os.path.join(root, p))),
+            0,
+            p.count("/"),
+            None,
+            None,
+            None,
+            None,
+            None,
+            None,
+            None,
+            0,
+        )
+        for p in dirs
+    ]
+    return spark.createDataFrame(rows, schema=ENTRIES_SCHEMA)
 
 
 def ingest(spark: SparkSession, root: str, rel_paths: list[str] | None = None) -> DataFrame:
     """S4+S5+S6: distributed fingerprint+hash+parse of files under root
-    into the entries schema.  Directory rows are appended driver-side
-    (they carry no content)."""
+    into the entries schema.  File discovery is the distributed
+    ``list_files_df`` scan; directory rows are appended driver-side."""
     root = os.path.abspath(root)
-    pairs = scan_paths(root)
+    files = list_files_df(spark, root)
     if rel_paths is not None:
-        keep = set(rel_paths)
-        pairs = [(p, d) for p, d in pairs if p in keep]
-    file_rels = [p for p, d in pairs if not d]
-    dir_rels = [p for p, d in pairs if d]
-
-    entries = None
-    if file_rels:
-        binary = (
-            spark.read.format("binaryFile")
-            .load([f"file://{root}/{p}" for p in file_rels])
-            .select(
-                F.col("path").alias("uri"),
-                F.sha2(F.col("content"), 256).alias("hash"),
-                (F.unix_timestamp("modificationTime")).cast("long").alias("mtime"),
-                F.col("length").alias("size"),
-                F.substring(F.col("content"), 1, 4096).alias("header"),
-            )
-        )
-        # binaryFile URIs render as file:/..., file://... or file:///...;
-        # slice off everything through "<root>/" instead of guessing.  The
-        # root is passed as a literal Column (never interpolated into SQL
-        # text) so a quote in the directory name cannot break parsing.
-        binary = binary.withColumn(
-            "rel_path",
-            F.substring(
-                F.col("uri"),
-                F.instr(F.col("uri"), F.lit(root + "/")) + F.lit(len(root) + 1),
-                F.lit(2**30),
-            ),
-        ).drop("uri")
-        entries = binary.mapInPandas(_parse_batches, schema=ENTRIES_SCHEMA)
-
-    if dir_rels:
-        dir_rows = [
-            (
-                p,
-                "",
-                ENTRY_TYPES["Directory"],
-                "null",
-                int(os.path.getmtime(os.path.join(root, p))),
-                0,
-                p.count("/"),
-                None,
-                None,
-                None,
-                None,
-                None,
-                None,
-                None,
-                0,
-            )
-            for p in dir_rels
-        ]
-        dirs_df = spark.createDataFrame(dir_rows, schema=ENTRIES_SCHEMA)
-        entries = dirs_df if entries is None else entries.unionByName(dirs_df)
-
-    if entries is None:
-        entries = spark.createDataFrame([], schema=ENTRIES_SCHEMA)
-    return entries
+        files = files.filter(F.col("path").isin(list(rel_paths)))
+    entries = ingest_listing(files, root)
+    return entries.unionByName(dir_rows_df(spark, root, rel_paths))

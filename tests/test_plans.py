@@ -196,3 +196,21 @@ def test_raster_kernels_group_by_raster_no_single_partition(spark):
         assert "Coalesce 1" not in plan and "coalesce(1)" not in plan.lower(), plan
         assert "FlatMapGroupsInPandas" in plan
         assert "hashpartitioning(raster_id" in plan
+
+
+def test_ingest_listing_is_distributed_scan(spark, tmp_path):
+    """VERDICT r1: add()'s file discovery must be the binaryFile scan, not
+    a driver-materialized path list — pinned by (a) a FileScan binaryFile
+    in the ingest plan and (b) no .collect( in add()/rescan() source."""
+    import inspect
+
+    from dronedb_spark.catalog.store import DatasetCatalog
+    from dronedb_spark.sources.fs import ingest
+
+    root = tmp_path / "scan_ds"
+    root.mkdir()
+    (root / "a.txt").write_text("a")
+    q = ingest(spark, str(root))
+    assert "binaryFile" in physical_plan(q)
+    for meth in (DatasetCatalog.add, DatasetCatalog.rescan):
+        assert ".collect(" not in inspect.getsource(meth)
