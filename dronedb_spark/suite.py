@@ -48,11 +48,13 @@ def load_all() -> dict[str, Check]:
     import dronedb_spark.raster.points  # noqa: F401
     import dronedb_spark.raster.colormaps  # noqa: F401
     import dronedb_spark.raster.align  # noqa: F401
+    import dronedb_spark.raster.thermal  # noqa: F401
     import dronedb_spark.vectors.knn  # noqa: F401
     import dronedb_spark.vectors.ann  # noqa: F401
     import dronedb_spark.vectors.ivf  # noqa: F401
     import dronedb_spark.text.simhash  # noqa: F401
     import dronedb_spark.functions.geo  # noqa: F401
+    import dronedb_spark.functions.mvt  # noqa: F401
     import dronedb_spark.functions.footprint  # noqa: F401
     import dronedb_spark.multimodal.media  # noqa: F401
     import dronedb_spark.streaming.stateful  # noqa: F401

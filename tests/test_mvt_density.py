@@ -57,3 +57,27 @@ def test_monotonic_in_extent():
         z = mvt_max_zoom(a, feature_count=1000)
         assert z <= prev
         prev = z
+
+
+def test_mvt_encode_quantizes_to_tile_local_grid(spark, sf_dir):
+    from dronedb_spark.functions.mvt import EXTENT, mvt_encode, mvt_tile_summary, zoom_for_layer
+    from dronedb_spark.operators.vector_query import features_df
+    from pyspark.sql import functions as F
+
+    feats = features_df(spark, sf_dir).filter(
+        (F.col("dataset_id") == "vec1") & (F.col("layer") == "parcels")
+    )
+    enc = mvt_encode(feats, 10)
+    bad = enc.filter(
+        (F.col("u") < 0) | (F.col("u") >= EXTENT) | (F.col("v") < 0) | (F.col("v") >= EXTENT)
+    ).count()
+    assert bad == 0
+    summ = mvt_tile_summary(enc).collect()
+    assert sum(r["n_features"] for r in summ) == feats.count()
+    for r in summ:
+        assert 1 <= r["n_points"] <= r["n_features"]
+        assert r["min_u"] <= r["max_u"] and r["min_v"] <= r["max_v"]
+    # zoom budget caps the request: parcels span a wide extent, so a huge
+    # requested zoom comes back clamped to the [5, 18] budget range
+    z = zoom_for_layer(features_df(spark, sf_dir), "vec1", "parcels", 30)
+    assert 5 <= z <= 18
