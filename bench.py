@@ -41,9 +41,27 @@ HEADLINE = [
     "formula_engine_sweep",
     "copc_zorder_pages",
     "vector_query_page",
+    # round-2 breadth: keyset paging, 10x-inflated segment dedup, the
+    # grouped multi-raster kernels, MVT encode, thermal calibration
+    "stac_items_keyset",
+    "dedup_corpus_segments_10x",
+    "multiraster_area_stats",
+    "stockpile_detect",
+    "contour_segments",
+    "mvt_tile_features",
+    "thermal_point_query",
 ]
 
-_SMALL_RESULT = {"q3_top_revenue_orders", "stac_items_page", "knn_cosine_top10", "stamp_checksum", "ann_lsh_top5", "vector_query_page"}
+_SMALL_RESULT = {
+    "q3_top_revenue_orders",
+    "stac_items_page",
+    "knn_cosine_top10",
+    "stamp_checksum",
+    "ann_lsh_top5",
+    "vector_query_page",
+    "stac_items_keyset",
+    "thermal_point_query",
+}
 
 
 def main() -> None:

@@ -341,6 +341,58 @@ class DatasetCatalog:
         """W8: dataset attributes are dataset-level meta rows (path='')."""
         self.meta_set(key, value, path="")
 
+    def setexif(
+        self,
+        pattern: str,
+        lat: float | None = None,
+        lon: float | None = None,
+        alt: float | None = None,
+    ) -> int:
+        """W12 (exifeditor.cpp SetGPS*, apps/cmd/setexif.cpp): rewrite the
+        EXIF GPS block of every matching indexed image, then re-index.
+
+        Distributed write-back: the matched paths stay a DataFrame and each
+        worker rewrites its partition's files in place (atomic tmp+rename),
+        exactly the shape a shared-storage fleet edit needs; the follow-up
+        add() re-ingests the rewritten files (their mtime changed) so
+        hashes, point geometry, and the Image→GeoImage upgrade all refresh.
+        Returns the number of files rewritten."""
+        import pandas as pd
+
+        from dronedb_spark.sources.exif import set_gps
+
+        cur = self.entries()
+        p = sanitize_query_param(pattern)
+        fp = folder_pattern(pattern)
+        editable = F.col("type").isin(ENTRY_TYPES["Image"], ENTRY_TYPES["GeoImage"])
+        matches = cur.filter((like_col("path", p) | like_col("path", fp)) & editable).select(
+            "path"
+        )
+        root = self.root
+
+        def run(it):
+            for pdf in it:
+                out = []
+                for _, r in pdf.iterrows():
+                    full = os.path.join(root, r["path"])
+                    try:
+                        with open(full, "rb") as f:
+                            data = f.read()
+                        new = set_gps(data, lat, lon, alt)
+                        tmp = full + ".exif_tmp"
+                        with open(tmp, "wb") as f:
+                            f.write(new)
+                        os.replace(tmp, full)
+                        out.append({"path": r["path"], "ok": True})
+                    except (OSError, ValueError):
+                        out.append({"path": r["path"], "ok": False})
+                yield pd.DataFrame(out, columns=["path", "ok"])
+
+        res = matches.mapInPandas(run, schema="path string, ok boolean")
+        n = res.filter(F.col("ok")).count()
+        self.add()
+        return n
+
     def history(self) -> dict[str, list[str]]:
         """Retained snapshot versions per table (oldest first)."""
         return {"entries": self._entries.versions(), "meta": self._meta.versions()}

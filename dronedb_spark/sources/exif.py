@@ -227,12 +227,13 @@ def _ifd_bytes(entries: list[bytes]) -> bytes:
     return struct.pack("<H", len(entries)) + b"".join(entries) + struct.pack("<I", 0)
 
 
-def build_jpeg_with_exif(
+def build_exif_app1(
     lat_dms: tuple[float, float, tuple[int, int]] | None = None,
     lat_ref: str = "N",
     lon_dms: tuple[float, float, tuple[int, int]] | None = None,
     lon_ref: str = "E",
     alt: tuple[int, int] | None = None,
+    alt_below_sea: bool = False,
     datetime_original: str | None = None,
     focal: tuple[int, int] | None = None,
     orientation: int = 1,
@@ -241,9 +242,9 @@ def build_jpeg_with_exif(
     width: int = 4000,
     height: int = 3000,
 ) -> bytes:
-    """A minimal but REAL JPEG: SOI + APP1(Exif/TIFF little-endian) + EOI.
-    DMS components are (deg, min, (sec_num, sec_den)) so the expected
-    decimal degrees are exactly reconstructible by the oracle."""
+    """The APP1 payload ('Exif\\0\\0' + TIFF little-endian) for the given
+    properties.  DMS components are (deg, min, (sec_num, sec_den)) so the
+    expected decimal degrees are exactly reconstructible by an oracle."""
     # layout: TIFF header(8) | IFD0 | ExifIFD | GPSIFD | heap
     ifd0_n, exif_n = 6, 4
     gps_n = 6 if lat_dms is not None else 0
@@ -313,7 +314,9 @@ def build_jpeg_with_exif(
                 heap,
                 heap_base,
             ),
-            _entry_bytes(_GPS_ALT_REF, 1, 1, b"\x00", heap, heap_base),
+            _entry_bytes(
+                _GPS_ALT_REF, 1, 1, b"\x01" if alt_below_sea else b"\x00", heap, heap_base
+            ),
             _entry_bytes(_GPS_ALT, 5, 1, rat(*(alt or (0, 1))), heap, heap_base),
         ]
 
@@ -324,7 +327,12 @@ def build_jpeg_with_exif(
         + (_ifd_bytes(eg) if gps_n else b"")
         + bytes(heap)
     )
-    payload = b"Exif\x00\x00" + tiff
+    return b"Exif\x00\x00" + tiff
+
+
+def build_jpeg_with_exif(**kwargs) -> bytes:
+    """A minimal but REAL JPEG: SOI + APP1(Exif) + EOI."""
+    payload = build_exif_app1(**kwargs)
     return b"\xff\xd8" + b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload + b"\xff\xd9"
 
 
@@ -332,3 +340,88 @@ def build_plain_jpeg() -> bytes:
     """JPEG with a JFIF APP0 but no EXIF — stays type Image, no geometry."""
     app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
     return b"\xff\xd8" + b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0 + b"\xff\xd9"
+
+
+# ------------------------------------------------------------------ editor
+# W12 setexif (exifeditor.cpp, apps/cmd/setexif.cpp): SetGPSLatitude /
+# SetGPSLongitude / SetGPSAltitude / SetGPS over a set of files.
+
+
+def deg_to_dms(value: float, precision: int = 4) -> tuple[int, int, tuple[int, int]]:
+    """|decimal degrees| → (deg, min, (sec_num, sec_den)) — the rational
+    encoding EXIF GPS requires (exifeditor.cpp doubleToDMS)."""
+    v = abs(value)
+    d = int(v)
+    m = int((v - d) * 60.0)
+    s = (v - d - m / 60.0) * 3600.0
+    den = 10**precision
+    return d, m, (int(round(s * den)), den)
+
+
+def set_gps(
+    jpeg: bytes,
+    lat: float | None = None,
+    lon: float | None = None,
+    alt: float | None = None,
+) -> bytes:
+    """Rewrite the JPEG's EXIF GPS block, preserving every other segment
+    (scan data included) byte-for-byte.  Properties our tag model carries
+    (capture time, orientation, focal, make/model, dims) survive the APP1
+    rebuild; unmodeled EXIF tags are dropped — a full Exiv2-style editor
+    is the documented swap-in for those.
+
+    lat/lon must be set together (a GPS point needs both; the reference's
+    SetGPS sets all three).  Refs follow exifeditor.cpp: lat>=0→'N',
+    lon>=0→'E', alt<0→below-sea flag."""
+    if (lat is None) != (lon is None):
+        raise ValueError("lat and lon must be set together")
+    old = parse_exif("edit.jpg", jpeg)
+    if lat is None and "point_lat" in old:
+        lat, lon = old["point_lat"], old["point_lon"]
+    if alt is None:
+        alt = old.get("point_alt")
+    ms = old.get("captureTime", 0)
+    dto = (
+        time.strftime("%Y:%m:%d %H:%M:%S", time.gmtime(ms // 1000)) if ms else None
+    )
+    focal = old.get("focalLength")
+    payload = build_exif_app1(
+        lat_dms=deg_to_dms(lat) if lat is not None else None,
+        lat_ref="N" if (lat or 0) >= 0 else "S",
+        lon_dms=deg_to_dms(lon) if lon is not None else None,
+        lon_ref="E" if (lon or 0) >= 0 else "W",
+        alt=(int(round(abs(alt) * 10000)), 10000) if alt is not None else None,
+        alt_below_sea=(alt or 0) < 0,
+        datetime_original=dto,
+        focal=(int(round(focal * 100)), 100) if focal is not None else None,
+        orientation=old.get("orientation", 1),
+        make=old.get("make", ""),
+        model=old.get("model", ""),
+        width=old.get("width", 0),
+        height=old.get("height", 0),
+    )
+    new_app1 = b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
+
+    if jpeg[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    out = bytearray(b"\xff\xd8")
+    out += new_app1
+    pos = 2
+    while pos + 4 <= len(jpeg):
+        if jpeg[pos] != 0xFF:
+            break
+        marker = jpeg[pos + 1]
+        if marker == 0xD9 or 0xD0 <= marker <= 0xD7:
+            out += jpeg[pos : pos + 2]
+            pos += 2
+            continue
+        (seglen,) = struct.unpack_from(">H", jpeg, pos + 2)
+        is_old_exif = marker == 0xE1 and jpeg[pos + 4 : pos + 10] == b"Exif\x00\x00"
+        if not is_old_exif:
+            out += jpeg[pos : pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xDA:  # start of scan — copy the rest verbatim
+            out += jpeg[pos:]
+            return bytes(out)
+    out += jpeg[pos:]
+    return bytes(out)

@@ -71,6 +71,47 @@ def segment_dedup_tally(documents: DataFrame, tokens_barrier: bool = False) -> D
     )
 
 
+_INFLATE = 10
+_INFLATE_STRIDE = 10000000
+
+
+def inflated_documents(documents: DataFrame, copies: int = _INFLATE) -> DataFrame:
+    """The corpus × ``copies`` with re-keyed doc_ids — the bench/driver
+    shape for exercising the segment-count shuffle at 10× the row mass
+    (every segment becomes a corpus-wide duplicate, the C4 worst case of
+    boilerplate-heavy crawls).  The copy dimension is a broadcast of
+    ``copies`` rows, so inflation adds no shuffle of its own."""
+    spark = documents.sparkSession
+    ks = F.broadcast(spark.range(copies).select(F.col("id").alias("k")))
+    return documents.select("doc_id", "text").crossJoin(ks).select(
+        (F.col("doc_id") + F.col("k") * _INFLATE_STRIDE).alias("doc_id"), "text"
+    )
+
+
+@check(
+    "dedup_corpus_segments_10x",
+    oracle=f"""
+        WITH corpus AS (
+          SELECT doc_id + k.k * {_INFLATE_STRIDE} AS doc_id, text
+          FROM documents, (SELECT unnest(range(0, {_INFLATE})) AS k) k),
+        d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+        segs AS (
+          SELECT doc_id, CAST(t.i AS BIGINT) AS seg_no,
+                 array_to_string(toks[(t.i*8+1):(t.i*8+8)], ' ') AS seg
+          FROM d, UNNEST(range(0, CAST(CEIL(len(toks) / 8.0) AS BIGINT))) AS t(i)
+        ),
+        counts AS (SELECT seg, COUNT(1) AS n_occ FROM segs GROUP BY seg)
+        SELECT s.doc_id,
+               CAST(COUNT(1) AS BIGINT) AS n_segs,
+               CAST(SUM(CASE WHEN c.n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segs,
+               CAST(SUM(CASE WHEN c.n_occ = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_segs
+        FROM segs s JOIN counts c ON s.seg = c.seg
+        GROUP BY s.doc_id ORDER BY doc_id""",
+)
+def q_segment_dedup_10x(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return segment_dedup_tally(inflated_documents(load(spark, sf_dir, "documents")))
+
+
 @check(
     "dedup_corpus_segments",
     oracle="""

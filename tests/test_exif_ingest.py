@@ -57,3 +57,45 @@ def test_register_parser_overrides_default(spark):
     finally:
         fs.register_parser(None)
     assert fs._active_parser() is parse_exif
+
+
+def test_set_gps_preserves_other_segments_and_props():
+    from dronedb_spark.sources.exif import set_gps
+
+    s = _spec(2)
+    orig = build_jpeg_with_exif(**{k: v for k, v in s.items() if k != "path"})
+    new = set_gps(orig, lat=-33.856784, lon=151.215297, alt=-12.5)
+    p = parse_exif("x.jpg", new)
+    assert abs(p["point_lat"] - (-33.856784)) < 1e-7
+    assert abs(p["point_lon"] - 151.215297) < 1e-7
+    assert abs(p["point_alt"] - (-12.5)) < 1e-4
+    exp = _expected(2)
+    # non-GPS properties survive the APP1 rebuild
+    assert p["captureTime"] == exp[5] and p["orientation"] == exp[6]
+    assert p["focalLength"] == exp[7] and p["make"] == exp[8] and p["model"] == exp[9]
+    # EXIF-less JPEG gains a GPS block; trailing segments stay intact
+    from dronedb_spark.sources.exif import build_plain_jpeg
+
+    plain_tagged = set_gps(build_plain_jpeg(), lat=1.5, lon=2.5)
+    p2 = parse_exif("y.jpg", plain_tagged)
+    assert abs(p2["point_lat"] - 1.5) < 1e-7 and abs(p2["point_lon"] - 2.5) < 1e-7
+    assert plain_tagged.endswith(b"\xff\xd9")
+
+
+def test_catalog_setexif_rewrites_and_reindexes(spark, tmp_path):
+    import shutil
+
+    from dronedb_spark.catalog.store import DatasetCatalog
+
+    src = fixture_root()
+    root = tmp_path / "setexif_ds"
+    shutil.copytree(src, root)
+    cat = DatasetCatalog.init(spark, str(root))
+    cat.add()
+    n = cat.setexif("plain.jpg", lat=47.25, lon=-122.44, alt=30.0)
+    assert n == 1
+    by_path = {r["path"]: r for r in cat.entries().collect()}
+    row = by_path["plain.jpg"]
+    assert row["type"] == ENTRY_TYPES["GeoImage"]  # gained GPS → upgraded
+    assert abs(row["point_lat"] - 47.25) < 1e-7
+    assert abs(row["point_lon"] - (-122.44)) < 1e-7
