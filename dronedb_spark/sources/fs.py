@@ -137,10 +137,18 @@ def _entry_row(rel: str, data: bytes, mtime: int, parser) -> dict:
     for k in ("point_lon", "point_lat", "point_alt"):
         if k in props:
             geo[k] = float(props.pop(k))
-    # EXIF GPS upgrades Image → GeoImage (entry.cpp:155-170: an
-    # image with a geolocation is a GeoImage)
-    if "point_lon" in geo and t == ENTRY_TYPES["Image"]:
-        t = ENTRY_TYPES["GeoImage"]
+    # decode-dependent refinements (entry.cpp:1081-1098): an image with
+    # integer aspect ratio w//h >= 2 is a Panorama; EXIF GPS then upgrades
+    # Image → GeoImage and Panorama → GeoPanorama
+    if t == ENTRY_TYPES["Image"]:
+        w, h = props.get("width"), props.get("height")
+        if w and h and w // h >= 2:
+            t = ENTRY_TYPES["Panorama"]
+    if "point_lon" in geo:
+        if t == ENTRY_TYPES["Image"]:
+            t = ENTRY_TYPES["GeoImage"]
+        elif t == ENTRY_TYPES["Panorama"]:
+            t = ENTRY_TYPES["GeoPanorama"]
     capture_ms = int(props.get("captureTime", 0))
     return {
         "path": rel,
