@@ -178,3 +178,119 @@ def q_ivf_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_search(load(spark, sf_dir, "embeddings"), query_vec_id=0, k=5)
+
+
+# ---------------------------------------------------------------- k-means
+# The deterministic seed-set quantizer above is the oracle-friendly
+# baseline; production IVF LEARNS its centroids.  Lloyd iterations are
+# plain DataFrame algebra: assign (broadcast centroids, packed argmin —
+# map-side combinable) then update (per-cell per-component AVG).  Each
+# iteration is ONE shuffle of (cell, embedding); at 100 TB the assign
+# side never materializes driver-side and the update aggregate is k×dim
+# doubles.  Centroid components are ROUNDED to 6 dp at each iteration
+# barrier so the result is independent of partial-aggregation order (and
+# therefore engine-exact for the oracle's unrolled iterations).
+
+DIM = 64
+KMEANS_ITERS = 2
+
+
+def _assign_cells(embeddings: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, cell): nearest-centroid assignment by cosine."""
+    scored = embeddings.join(F.broadcast(cents)).select(
+        "vec_id",
+        _packed(
+            _dot("embedding", "c_emb") / (_norm("embedding") * _norm("c_emb")),
+            F.col("cid"),
+        ).alias("packed"),
+    )
+    return scored.groupBy("vec_id").agg(
+        F.substring(F.min("packed"), 10, 2).cast("int").alias("cell")
+    )
+
+
+def ivf_kmeans_centroids(
+    embeddings: DataFrame, k: int = N_CENTROIDS, iters: int = KMEANS_ITERS, dim: int = DIM
+) -> DataFrame:
+    """(cid, c_emb): centroids after ``iters`` Lloyd iterations from the
+    deterministic seed init (first k vectors by vec_id).
+
+    Each iteration MATERIALIZES its k×dim centroid table to the driver
+    (tiny model state, the same contract as MLlib's KMeans) — without the
+    barrier, Catalyst re-executes every earlier iteration inside each
+    later one (no cross-branch CSE), turning `iters` passes into
+    O(iters²) work."""
+    spark = embeddings.sparkSession
+    cents = _centroids(embeddings.filter(F.col("vec_id") < k))
+    for _ in range(iters):
+        assign = _assign_cells(embeddings, cents)
+        joined = assign.join(embeddings.select("vec_id", "embedding"), "vec_id")
+        mean_cols = [
+            F.round(F.avg(F.col("embedding")[i].cast("double")), 6).alias(f"_e{i}")
+            for i in range(dim)
+        ]
+        rows = joined.groupBy("cell").agg(*mean_cols).collect()
+        cents = spark.createDataFrame(
+            [(int(r["cell"]), [r[f"_e{i}"] for i in range(dim)]) for r in rows],
+            schema="cid int, c_emb array<double>",
+        )
+    return cents
+
+
+def ivf_kmeans_cells(embeddings: DataFrame) -> DataFrame:
+    """Per-cell histogram + centroid-norm fingerprint after training."""
+    cents = ivf_kmeans_centroids(embeddings)
+    assign = _assign_cells(embeddings, cents)
+    hist = assign.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        hist.join(cents.select(F.col("cid").alias("cell"), "c_emb"), "cell")
+        .select("cell", "n", F.round(_norm("c_emb"), 6).alias("c_norm"))
+        .orderBy("cell")
+    )
+
+
+def _d_assign_sql(cents_rel: str) -> str:
+    """DuckDB: nearest-centroid assignment against relation ``cents_rel``
+    (cid, c_emb DOUBLE[])."""
+    cos = (
+        f"list_dot_product(CAST(e.embedding AS DOUBLE[]), c.c_emb)"
+        f" / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))"
+        f" * sqrt(list_dot_product(c.c_emb, c.c_emb)))"
+    )
+    return f"""
+        SELECT vec_id, CAST(substr(MIN({_d_packed(cos, 'c.cid')}), 10, 2) AS INT) AS cell
+        FROM embeddings e CROSS JOIN {cents_rel} c
+        GROUP BY vec_id
+    """
+
+
+def _d_update_sql(assign_rel: str) -> str:
+    """DuckDB: per-cell per-component mean, rounded like the Spark side."""
+    return f"""
+        SELECT cell AS cid, list(avg_v ORDER BY pos) AS c_emb FROM (
+            SELECT a.cell, p.pos, ROUND(AVG(CAST(e.embedding[p.pos] AS DOUBLE)), 6) AS avg_v
+            FROM {assign_rel} a
+            JOIN embeddings e USING (vec_id)
+            CROSS JOIN (SELECT unnest(range(1, {DIM} + 1)) AS pos) p
+            GROUP BY a.cell, p.pos) t
+        GROUP BY cell
+    """
+
+
+@check(
+    "ivf_kmeans_cells",
+    oracle=f"""
+        WITH c0 AS (SELECT CAST(vec_id AS INT) AS cid, CAST(embedding AS DOUBLE[]) AS c_emb
+                    FROM embeddings WHERE vec_id < {N_CENTROIDS}),
+        a1 AS ({_d_assign_sql('c0')}),
+        c1 AS ({_d_update_sql('a1')}),
+        a2 AS ({_d_assign_sql('c1')}),
+        c2 AS ({_d_update_sql('a2')}),
+        a3 AS ({_d_assign_sql('c2')})
+        SELECT a.cell, CAST(COUNT(1) AS BIGINT) AS n,
+               ROUND(sqrt(list_dot_product(c.c_emb, c.c_emb)), 6) AS c_norm
+        FROM a3 a JOIN c2 c ON c.cid = a.cell
+        GROUP BY a.cell, c.c_emb ORDER BY a.cell""",
+)
+def q_ivf_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivf_kmeans_cells(load(spark, sf_dir, "embeddings"))

@@ -66,3 +66,25 @@ def test_parity(name, spark, sf_dir):
     dk = _rows_key(d_rows, d_cols)
     mismatches = [(a, b) for a, b in zip(sk, dk) if a != b][:5]
     assert sk == dk, f"{name}: value mismatch, first diffs: {mismatches}"
+
+
+def test_ivf_kmeans_trains_and_covers_all_vectors(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from dronedb_spark.tables import load
+    from dronedb_spark.vectors.ivf import (
+        N_CENTROIDS, _centroids, ivf_kmeans_cells, ivf_kmeans_centroids,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    cells = ivf_kmeans_cells(emb).collect()
+    assert sum(r["n"] for r in cells) == emb.count()
+    assert 1 <= len(cells) <= N_CENTROIDS
+    # training actually moved the centroids off the seed vectors
+    cents = {r["cid"]: r["c_emb"] for r in ivf_kmeans_centroids(emb).collect()}
+    seeds = {r["cid"]: r["c_emb"] for r in _centroids(emb).collect()}
+    moved = sum(
+        1 for cid in cents
+        if cid in seeds and any(abs(a - b) > 1e-6 for a, b in zip(cents[cid], seeds[cid]))
+    )
+    assert moved >= 1
