@@ -59,6 +59,7 @@ def load_all() -> dict[str, Check]:
     import dronedb_spark.multimodal.media  # noqa: F401
     import dronedb_spark.streaming.stateful  # noqa: F401
     import dronedb_spark.text.quality  # noqa: F401  (sampling checks)
+    import dronedb_spark.text.pii  # noqa: F401
     import dronedb_spark.sources.ingest_check  # noqa: F401  (EXIF ingest)
     # --- green rows in CORRECTNESS_r01: register after ------------------
     import dronedb_spark.operators.search  # noqa: F401

@@ -288,3 +288,68 @@ def jaccard_pairs(docs: DataFrame) -> DataFrame:
 )
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(load(spark, sf_dir, "documents"))
+
+
+# ------------------------------------------------------------- clustering
+# Pair lists aren't actionable for dedup — the pipeline needs CLUSTER IDs
+# (keep one doc per component).  Components come from min-label
+# propagation over the LSH pair graph: every node repeatedly adopts the
+# minimum label among itself and its neighbors — O(diameter) rounds, one
+# shuffle per round.  LSH components are near-cliques (in-bucket pair
+# generation), so the diameter is tiny; each round is localCheckpoint-ed
+# (tiny node table) to keep lineage linear.  At petabyte scale the same
+# loop runs with the alternating-star optimization; the round structure
+# is identical.
+
+
+def neardup_clusters(docs: DataFrame, max_rounds: int = 6) -> DataFrame:
+    """(doc_id, cluster_id): connected components of the near-dup pair
+    graph; cluster_id = min doc_id in the component."""
+    edges = neardup_pairs(docs)
+    sym = edges.select(
+        F.col("doc_a").alias("node"), F.col("doc_b").alias("peer")
+    ).unionByName(edges.select(F.col("doc_b").alias("node"), F.col("doc_a").alias("peer")))
+    sym = sym.localCheckpoint(eager=True)
+    labels = sym.select("node").distinct().withColumn("label", F.col("node"))
+    for _ in range(max_rounds):
+        peer_labels = sym.join(
+            labels.select(F.col("node").alias("peer"), F.col("label").alias("peer_label")),
+            "peer",
+        ).select("node", F.col("peer_label").alias("label"))
+        new_labels = (
+            labels.select("node", "label")
+            .unionByName(peer_labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "node")
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+@check(
+    "dedup_cluster_ids",
+    oracle=f"""
+        WITH RECURSIVE sig AS ({_DUCK_SIG_BANDS}),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM sig a JOIN sig b
+              ON (a.band0 = b.band0 OR a.band1 = b.band1) AND a.doc_id < b.doc_id),
+        sym AS (SELECT doc_a AS node, doc_b AS peer FROM pairs
+                UNION ALL SELECT doc_b, doc_a FROM pairs),
+        reach(node, label) AS (
+            SELECT node, node FROM (SELECT DISTINCT node FROM sym) s
+            UNION
+            SELECT s.node, r.label FROM sym s JOIN reach r ON r.node = s.peer)
+        SELECT node AS doc_id, MIN(label) AS cluster_id
+        FROM reach GROUP BY node ORDER BY doc_id""",
+)
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return neardup_clusters(load(spark, sf_dir, "documents")).orderBy("doc_id")

@@ -88,3 +88,36 @@ def test_ivf_kmeans_trains_and_covers_all_vectors(spark, sf_dir):
         if cid in seeds and any(abs(a - b) > 1e-6 for a, b in zip(cents[cid], seeds[cid]))
     )
     assert moved >= 1
+
+
+def test_neardup_clusters_consistent_with_pairs(spark, sf_dir):
+    from dronedb_spark.tables import load
+    from dronedb_spark.text.dedup import neardup_clusters, neardup_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    labels = {r["doc_id"]: r["cluster_id"] for r in neardup_clusters(docs).collect()}
+    pairs = neardup_pairs(docs).collect()
+    # every paired doc got a label; paired docs share a cluster; the
+    # cluster id is the component minimum
+    for p in pairs:
+        assert labels[p["doc_a"]] == labels[p["doc_b"]]
+    for doc, lab in labels.items():
+        assert lab <= doc
+
+
+def test_pii_metrics_counts_injected_pii(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from dronedb_spark.text.pii import _PII_CORPUS, pii_metrics
+    from dronedb_spark.tables import register_views
+
+    register_views(spark, sf_dir, ["documents"])
+    m = pii_metrics(spark.sql(_PII_CORPUS))
+    rows = {r["doc_id"]: r for r in m.collect()}
+    for doc_id, r in rows.items():
+        if doc_id % 4 == 0:
+            assert r["n_emails"] >= 1
+        elif doc_id % 4 == 1:
+            assert r["n_ips"] >= 1
+        elif doc_id % 4 == 2:
+            assert r["n_longids"] >= 1
