@@ -373,8 +373,8 @@ class DatasetCatalog:
         def run(it):
             for pdf in it:
                 out = []
-                for _, r in pdf.iterrows():
-                    full = os.path.join(root, r["path"])
+                for rel in pdf["path"]:
+                    full = os.path.join(root, rel)
                     try:
                         with open(full, "rb") as f:
                             data = f.read()
@@ -383,9 +383,9 @@ class DatasetCatalog:
                         with open(tmp, "wb") as f:
                             f.write(new)
                         os.replace(tmp, full)
-                        out.append({"path": r["path"], "ok": True})
+                        out.append({"path": rel, "ok": True})
                     except (OSError, ValueError):
-                        out.append({"path": r["path"], "ok": False})
+                        out.append({"path": rel, "ok": False})
                 yield pd.DataFrame(out, columns=["path", "ok"])
 
         res = matches.mapInPandas(run, schema="path string, ok boolean")

@@ -125,19 +125,22 @@ def extract_features(media: DataFrame, n_dims: int = 8) -> DataFrame:
     the frame-sample stage of a video pipeline."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # column-zip iteration: iterrows() builds a Series per row (the
+        # classic Arrow-batch antipattern); zipping the columns keeps the
+        # per-row work at decode+numpy only
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                arr = decode_media(bytes(r["content"]))
-                if r["kind"] == "video":
+            for media_id, kind, content in zip(pdf["media_id"], pdf["kind"], pdf["content"]):
+                arr = decode_media(bytes(content))
+                if kind == "video":
                     idx = [0, arr.shape[0] // 2, arr.shape[0] - 1]
                     arr = arr[idx]
                 flat = arr.astype(np.float64).ravel()
                 stripes = np.array_split(flat, n_dims)
                 rows.append(
                     {
-                        "media_id": r["media_id"],
-                        "kind": r["kind"],
+                        "media_id": media_id,
+                        "kind": kind,
                         "n_bytes": int(flat.size),
                         "mean_value": float(flat.mean()),
                         "feature": [float(s.mean()) for s in stripes],
@@ -164,14 +167,14 @@ def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                if r["kind"] != "image":
+            for media_id, kind, content in zip(pdf["media_id"], pdf["kind"], pdf["content"]):
+                if kind != "image":
                     continue
-                arr = decode_media(bytes(r["content"]))
+                arr = decode_media(bytes(content))
                 small = _nn_resize(arr, out_w, out_h)
                 rows.append(
                     {
-                        "media_id": r["media_id"],
+                        "media_id": media_id,
                         "width": out_w,
                         "height": out_h,
                         "thumb": small.tobytes(),
@@ -217,14 +220,14 @@ def sample_frames(media: DataFrame, stride: int = 2) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                if r["kind"] != "video":
+            for media_id, kind, content in zip(pdf["media_id"], pdf["kind"], pdf["content"]):
+                if kind != "video":
                     continue
-                arr = decode_media(bytes(r["content"]))  # (n, h, w)
+                arr = decode_media(bytes(content))  # (n, h, w)
                 for f in range(0, arr.shape[0], stride):
                     rows.append(
                         {
-                            "media_id": r["media_id"],
+                            "media_id": media_id,
                             "frame_idx": f,
                             "height": int(arr.shape[1]),
                             "width": int(arr.shape[2]),
@@ -277,13 +280,13 @@ def thumb_stats(media: DataFrame, out_w: int = 4, out_h: int = 3) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                if r["kind"] != "image":
+            for media_id, kind, content in zip(pdf["media_id"], pdf["kind"], pdf["content"]):
+                if kind != "image":
                     continue
-                small = _nn_resize(decode_media(bytes(r["content"])), out_w, out_h)
+                small = _nn_resize(decode_media(bytes(content)), out_w, out_h)
                 rows.append(
                     {
-                        "media_id": r["media_id"],
+                        "media_id": media_id,
                         "width": out_w,
                         "height": out_h,
                         "thumb_mean": float(small.astype(np.float64).mean()),

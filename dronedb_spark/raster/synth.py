@@ -75,6 +75,9 @@ def ms_sql(dialect: str) -> str:
 
 
 def dem_df(spark: SparkSession) -> DataFrame:
+    from dronedb_spark.tables import _tune_session
+
+    _tune_session(spark)
     return spark.sql(dem_sql("spark"))
 
 
@@ -132,4 +135,7 @@ def multi_dem_sql(dialect: str) -> str:
 
 
 def multi_dem_df(spark: SparkSession) -> DataFrame:
+    from dronedb_spark.tables import _tune_session
+
+    _tune_session(spark)
     return spark.sql(multi_dem_sql("spark"))

@@ -3,20 +3,21 @@
 Reference: ``getPathList``/``getIndexPathList`` (dbops.cpp:88-275),
 ``parseEntry`` (entry.cpp:34-489), SHA256 hashing (dbops.cpp:461).
 
-Spark-first design: the file LISTING is driver-side (cheap metadata walk —
-the reference walks the local tree too); the CONTENT work (hashing,
-header sniffing, per-type property extraction) runs distributed over
-``spark.read.format("binaryFile")``, so a 100 TB ingest parallelizes per
-file with no driver bottleneck.  ``F.sha2(content, 256)`` keeps hashing
-JVM-side; fingerprint/parse is an Arrow-batched pandas UDF over
-(path, header) only.
+Spark-first design: the file LISTING is the distributed ``binaryFile``
+scan (``list_files_df``, content column pruned — no bytes read); the
+changed-set selection is an mtime join; and the CONTENT work (read +
+sha256 + header sniff + per-type property extraction) runs in the Arrow
+kernel of the worker that owns each file (``ingest_listing``) — a 100 TB
+ingest parallelizes per file with no driver-materialized path list.
+Directory rows (metadata-only, orders of magnitude fewer) come from a
+driver stat walk.
 
-Decode-dependent extraction (EXIF GPS/orientation, GDAL geotransforms,
-PDAL point counts — entry.cpp:140-462) is STUBBED: no image/geo libraries
-exist in this environment.  ``register_parser`` is the seam: plug a
-callable ``(path, header: bytes) -> dict`` to emit per-type properties;
-the deterministic fake parser used in tests exercises the full plumbing
-(schema, batching, geometry columns) without decoders.
+Metadata extraction defaults to the REAL pure-Python EXIF parser
+(sources/exif.py): capture time, GPS point (upgrading Image→GeoImage,
+Panorama→GeoPanorama), orientation, focal length, make/model, pixel
+dimensions.  ``register_parser`` remains the seam for plugging a full
+GDAL/PDAL-class decoder for the formats EXIF does not cover
+(entry.cpp:226-462).
 """
 
 from __future__ import annotations
@@ -224,14 +225,14 @@ def ingest_listing(listing: DataFrame, root: str) -> DataFrame:
         cols = [f.name for f in ENTRIES_SCHEMA.fields]
         for pdf in it:
             rows = []
-            for _, r in pdf.iterrows():
-                full = os.path.join(root, r["path"])
+            for rel, fs_mtime in zip(pdf["path"], pdf["fs_mtime"]):
+                full = os.path.join(root, rel)
                 try:
                     with open(full, "rb") as f:
                         data = f.read()
                 except OSError:
                     continue  # raced deletion — sync picks it up
-                rows.append(_entry_row(r["path"], data, r["fs_mtime"], parser))
+                rows.append(_entry_row(rel, data, fs_mtime, parser))
             yield pd.DataFrame(rows, columns=cols)
 
     return listing.select("path", "fs_mtime").mapInPandas(run, schema=ENTRIES_SCHEMA)

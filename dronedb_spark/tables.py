@@ -29,7 +29,26 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 _LOAD_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
+def _tune_session(spark: SparkSession) -> None:
+    """Right-size shuffle width for whichever session runs our operators.
+
+    A vanilla session keeps Spark's 200-partition default; on small/local
+    inputs that is 200 near-empty reduce tasks per exchange — pure
+    scheduling latency (measured ~20% of the correctness-gate wall).
+    Only the untouched default is overridden, and only downward to the
+    session's own parallelism, so a deliberately-configured cluster
+    session is never second-guessed (AQE re-splits upward at need)."""
+    try:
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            width = max(spark.sparkContext.defaultParallelism, 8)
+            if width < 200:
+                spark.conf.set("spark.sql.shuffle.partitions", str(width))
+    except Exception:
+        pass
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _tune_session(spark)
     key = (spark.sparkContext.applicationId, sf_dir, name)
     hit = _LOAD_CACHE.get(key)
     if hit is not None:
