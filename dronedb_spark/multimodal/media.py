@@ -63,10 +63,17 @@ def fake_video(seed: int, n_frames: int = 8, w: int = 8, h: int = 8) -> bytes:
     return b"FVID" + struct.pack("<HHH", n_frames, w, h) + payload
 
 
+def fake_audio(seed: int, n: int = 512, sr: int = 16000) -> bytes:
+    """int8 PCM; sample[i] = ((seed*31 + i*17) % 201) - 100 — closed-form,
+    so RMS / zero-crossings are SQL-computable for the oracle."""
+    payload = bytes((((seed * 31 + i * 17) % 201) - 100) & 0xFF for i in range(n))
+    return b"FAUD" + struct.pack("<II", sr, n) + payload
+
+
 def decode_media(content: bytes) -> np.ndarray:
     """Decode a media payload to a numpy array.
 
-    STUB: real formats (JPEG/PNG/MP4/...) need decoders not present in
+    STUB: real formats (JPEG/PNG/MP4/WAV/...) need decoders not present in
     this environment; only the deterministic FAKE container is decoded.
     Swap this single function for a Pillow/ffmpeg implementation — every
     downstream kernel keeps working unchanged.
@@ -78,6 +85,9 @@ def decode_media(content: bytes) -> np.ndarray:
     if magic == b"FVID":
         n, w, h = struct.unpack("<HHH", content[4:10])
         return np.frombuffer(content[10 : 10 + n * w * h], dtype=np.uint8).reshape(n, h, w)
+    if magic == b"FAUD":
+        sr, n = struct.unpack("<II", content[4:12])
+        return np.frombuffer(content[12 : 12 + n], dtype=np.int8)
     raise NotImplementedError(
         "real media decoding requires Pillow/ffmpeg — not available in this environment"
     )
@@ -106,6 +116,90 @@ def synth_media(spark: SparkSession, embeddings: DataFrame) -> DataFrame:
     from dronedb_spark.tables import spread
 
     return spread(embeddings.select("vec_id")).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def synth_audio(spark: SparkSession, embeddings: DataFrame) -> DataFrame:
+    """Deterministic audio table (one clip per embedding id)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                {
+                    "media_id": int(vid),
+                    "kind": "audio",
+                    "content": fake_audio(int(vid)),
+                    "meta": (None, None, None, None, 16000),
+                }
+                for vid in pdf["vec_id"]
+            ]
+            yield pd.DataFrame(rows)
+
+    from dronedb_spark.tables import spread
+
+    return spread(embeddings.select("vec_id")).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+_AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("n_zero_crossings", T.LongType()),
+        T.StructField("peak", T.IntegerType()),
+    ]
+)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Per-clip audio statistics (RMS energy, strict zero crossings, peak
+    amplitude) — the filter/quality stage of an audio training pipeline,
+    Arrow-batched like every other decode kernel."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, kind, content in zip(pdf["media_id"], pdf["kind"], pdf["content"]):
+                if kind != "audio":
+                    continue
+                s = decode_media(bytes(content)).astype(np.float64)
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "n_samples": int(s.size),
+                        "rms": round(float(np.sqrt(np.mean(s * s))), 6),
+                        "n_zero_crossings": int(np.sum(s[:-1] * s[1:] < 0)),
+                        "peak": int(np.abs(s).max()),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "n_samples", "rms", "n_zero_crossings", "peak"]
+            )
+
+    return media.mapInPandas(run, schema=_AUDIO_SCHEMA)
+
+
+# fake_audio is closed-form (sample[i] = ((seed*31 + i*17) % 201) - 100),
+# so RMS / zero-crossings / peak are SQL-computable: integer arithmetic
+# is exact, the mean of exact ints is exact in doubles (< 2^53), and
+# sqrt is IEEE-correctly-rounded in both engines.
+@check(
+    "audio_features",
+    oracle="""
+        WITH s AS (
+            SELECT e.vec_id AS media_id, i.i,
+                   ((e.vec_id * 31 + i.i * 17) % 201) - 100 AS v
+            FROM embeddings e, (SELECT unnest(range(0, 512)) AS i) i)
+        SELECT media_id, CAST(512 AS BIGINT) AS n_samples,
+               ROUND(sqrt(AVG(CAST(v * v AS DOUBLE))), 6) AS rms,
+               CAST(SUM(CASE WHEN i < 511
+                             AND v * (((media_id * 31 + (i + 1) * 17) % 201) - 100) < 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_crossings,
+               CAST(MAX(ABS(v)) AS INT) AS peak
+        FROM s GROUP BY media_id ORDER BY media_id""",
+)
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    audio = synth_audio(spark, load(spark, sf_dir, "embeddings"))
+    return audio_features(audio).orderBy("media_id")
 
 
 _FEAT_SCHEMA = T.StructType(

@@ -522,3 +522,121 @@ def min_cost_per_part(lineitem: DataFrame) -> DataFrame:
 )
 def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return min_cost_per_part(load(spark, sf_dir, "lineitem"))
+
+
+def nation_trade_volume(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    n1: str = "NATION_3",
+    n2: str = "NATION_7",
+) -> DataFrame:
+    """TPC-H Q7 shape: revenue shipped between two nations per direction
+    per year.  Dimension chain (supplier→nation, customer→nation) is
+    broadcast; the fact table shuffles once on the join keys; the
+    direction pair filter lands on the broadcast side so Catalyst prunes
+    before the fact join."""
+    sn = F.broadcast(
+        nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    )
+    cn = F.broadcast(
+        nation.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    )
+    dec = lambda c: F.col(c).cast("decimal(14,2)")
+    disc = F.lit(1).cast("decimal(6,4)") - F.col("l_discount").cast("decimal(6,4)")
+    j = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(sn, F.col("s_nationkey") == F.col("sn_key"))
+        .join(cn, F.col("c_nationkey") == F.col("cn_key"))
+        .filter(
+            ((F.col("supp_nation") == n1) & (F.col("cust_nation") == n2))
+            | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1))
+        )
+    )
+    return (
+        j.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(F.sum(dec("l_extendedprice") * disc), 2).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@check(
+    "q7_nation_trade",
+    oracle="""
+        SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+               CAST(YEAR(l_shipdate) AS INT) AS l_year,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+                    * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE) AS revenue,
+               CAST(COUNT(1) AS BIGINT) AS n_items
+        FROM lineitem, orders, customer, supplier, nation sn, nation cn
+        WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+          AND l_suppkey = s_suppkey
+          AND s_nationkey = sn.n_nationkey AND c_nationkey = cn.n_nationkey
+          AND l_shipdate >= '1996-01-01' AND l_shipdate < '1998-01-01'
+          AND ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7')
+               OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3'))
+        GROUP BY sn.n_name, cn.n_name, YEAR(l_shipdate)
+        ORDER BY supp_nation, cust_nation, l_year""",
+)
+def q_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return nation_trade_volume(
+        load(spark, sf_dir, "lineitem"),
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "supplier"),
+        load(spark, sf_dir, "nation"),
+    )
+
+
+def idle_rich_customers(
+    customer: DataFrame, orders: DataFrame, since: str = "2000-01-01"
+) -> DataFrame:
+    """TPC-H Q22 shape (adapted: the synthetic customer table has no phone,
+    so grouping is by nation): customers with above-average positive
+    account balance and no orders SINCE a cutoff — a decorrelated scalar
+    subquery (global avg, broadcast as a 1-row literal join) plus a
+    left-anti join over the filtered order stream.  (Nearly every
+    synthetic customer has some order, so the classic no-orders-ever form
+    would select ~zero rows — vacuous; the recency window keeps the same
+    plan shape with real mass.)"""
+    pos = customer.filter(F.col("c_acctbal") > 0.0)
+    avg_bal = pos.agg(F.avg("c_acctbal").alias("avg_bal"))
+    rich = customer.join(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("avg_bal"))
+    recent = orders.filter(F.col("o_orderdate") >= F.lit(since))
+    idle = rich.join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    return (
+        idle.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(14,2)")), 2)
+            .cast("double")
+            .alias("total_bal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@check(
+    "q22_idle_rich_customers",
+    oracle="""
+        SELECT c_nationkey, CAST(COUNT(1) AS BIGINT) AS n_custs,
+               CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(14,2))), 2) AS DOUBLE) AS total_bal
+        FROM customer
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_orderdate >= '2000-01-01')
+        GROUP BY c_nationkey ORDER BY c_nationkey""",
+)
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return idle_rich_customers(load(spark, sf_dir, "customer"), load(spark, sf_dir, "orders"))
