@@ -64,7 +64,15 @@ class SnapshotTable:
         with open(ptr) as f:
             return os.path.join(self.base, f.read().strip())
 
-    def read(self) -> DataFrame:
+    def read(self, version: str | None = None) -> DataFrame:
+        """CURRENT snapshot, or a retained older version by name — time
+        travel over the immutable version chain (any reader can pin a
+        version while writers race ahead; vacuum() bounds retention)."""
+        if version is not None:
+            p = os.path.join(self.base, version)
+            if version not in self.versions() or not os.path.isdir(p):
+                raise ValueError(f"unknown or vacuumed snapshot version {version!r}")
+            return self.spark.read.parquet(p)
         p = self._current_path()
         if p is None:
             return self.spark.createDataFrame([], schema=self.schema)
@@ -125,11 +133,22 @@ class DatasetCatalog:
             cat._meta.write(spark.createDataFrame([], schema=META_SCHEMA))
         return cat
 
-    def entries(self) -> DataFrame:
-        return self._entries.read()
+    def entries(self, version: str | None = None) -> DataFrame:
+        return self._entries.read(version)
 
-    def meta(self) -> DataFrame:
-        return self._meta.read()
+    def meta(self, version: str | None = None) -> DataFrame:
+        return self._meta.read(version)
+
+    def diff_versions(self, old: str, new: str | None = None) -> dict[str, DataFrame]:
+        """What changed between two retained snapshots — the same
+        adds/removes/classify algebra as a cross-catalog delta (J2-J5),
+        applied to the local version chain (time travel audit)."""
+        a, b = self.entries(new), self.entries(old)
+        return {
+            "adds": delta_adds(a, b),
+            "removes": delta_removes(a, b),
+            "classify": apply_delta_classify(b, a),
+        }
 
     # ------------------------------------------------------------ write path
 

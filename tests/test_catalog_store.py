@@ -238,3 +238,22 @@ def test_add_empty_directory(spark, tmp_path):
     cat = DatasetCatalog.init(spark, str(root))
     cat.add()
     assert cat.entries().count() == 0
+
+
+def test_snapshot_time_travel_and_diff(spark, tmp_path):
+    root = tmp_path / "ttds"
+    root.mkdir()
+    (root / "a.txt").write_text("a")
+    cat = DatasetCatalog.init(spark, str(root))
+    cat.add()
+    v_old = cat.history()["entries"][-1]
+    (root / "b.txt").write_text("b")
+    cat.add()
+    # pinned read sees the old state; current sees both
+    assert {r["path"] for r in cat.entries(version=v_old).collect()} == {"a.txt"}
+    assert {r["path"] for r in cat.entries().collect()} == {"a.txt", "b.txt"}
+    d = cat.diff_versions(v_old)
+    assert {r["path"] for r in d["adds"].collect()} == {"b.txt"}
+    assert d["removes"].count() == 0
+    with pytest.raises(ValueError):
+        cat.entries(version="v999999")
