@@ -55,6 +55,7 @@ def load_all() -> dict[str, Check]:
     import dronedb_spark.text.simhash  # noqa: F401
     import dronedb_spark.functions.geo  # noqa: F401
     import dronedb_spark.functions.mvt  # noqa: F401
+    import dronedb_spark.operators.spatial  # noqa: F401
     import dronedb_spark.functions.footprint  # noqa: F401
     import dronedb_spark.multimodal.media  # noqa: F401
     import dronedb_spark.streaming.stateful  # noqa: F401

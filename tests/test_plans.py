@@ -214,3 +214,14 @@ def test_ingest_listing_is_distributed_scan(spark, tmp_path):
     assert "binaryFile" in physical_plan(q)
     for meth in (DatasetCatalog.add, DatasetCatalog.rescan):
         assert ".collect(" not in inspect.getsource(meth)
+
+
+def test_spatial_join_no_cartesian(spark):
+    """The grid-bucketed containment join must plan as an equi-join on the
+    cell key — never a cartesian/nested-loop over the raw predicate."""
+    from dronedb_spark.operators.spatial import q_spatial_join_counts
+
+    q = q_spatial_join_counts(spark, "/root/testdata/sf0.001")
+    plan = physical_plan(q)
+    assert not has_cartesian(q)
+    assert "BroadcastNestedLoopJoin" not in plan
