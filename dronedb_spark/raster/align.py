@@ -135,5 +135,128 @@ def _register_checks() -> None:
         )
         return pairs.mapInPandas(run, schema=schema).orderBy("pair_id")
 
+    # R11 multispectral merge: per image SET, every band is circularly
+    # shifted by a known offset; align_bands must recover the offset and
+    # shift the band back.  After the (non-circular) corrective shift the
+    # band equals the reference everywhere except the wrapped border
+    # strip, so n_match == (N-|dy|)*(N-|dx|) — a closed form the oracle
+    # states independently as literal arithmetic.
+    _N = 64
+    _BAND_SHIFTS: dict[int, dict[str, tuple[int, int]]] = {
+        0: {"nir": (2, -3), "rededge": (-4, 1)},
+        1: {"nir": (0, 6), "rededge": (7, -7)},
+        2: {"nir": (-9, 0), "rededge": (3, 11)},
+        3: {"nir": (12, -1), "rededge": (-5, -10)},
+    }
+
+    @check(
+        "multispectral_align_merge",
+        oracle="SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({sid}, '{band}', {dy}, {dx}, ({_N}-{abs(dy)})*({_N}-{abs(dx)}))"
+            for sid, bands in _BAND_SHIFTS.items()
+            for band, (dy, dx) in bands.items()
+        )
+        + ") AS t(set_id, band, dy, dx, n_match) ORDER BY set_id, band",
+    )
+    def q_multispectral_align_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """R11 (merge_multispectral.cpp per-band shift): one Arrow batch
+        per band set; numpy FFT alignment; relational collect of the
+        recovered shifts plus the count of pixels restored exactly."""
+        schema = T.StructType(
+            [
+                T.StructField("set_id", T.IntegerType()),
+                T.StructField("band", T.StringType()),
+                T.StructField("dy", T.IntegerType()),
+                T.StructField("dx", T.IntegerType()),
+                T.StructField("n_match", T.LongType()),
+            ]
+        )
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = []
+                for sid in pdf["set_id"]:
+                    sid = int(sid)
+                    yy, xx = np.mgrid[0:_N, 0:_N]
+                    # +1 keeps 0 out of the value range: the corrective
+                    # shift fills the wrapped border with 0.0, which must
+                    # never equal a real pixel or n_match would overcount.
+                    ref = ((yy * 29 + xx * 13 + sid * 11) % 241 + 1).astype(float)
+                    bands = {"ref": ref}
+                    for band, (dy, dx) in _BAND_SHIFTS[sid].items():
+                        bands[band] = np.roll(np.roll(ref, -dy, axis=0), -dx, axis=1)
+                    aligned = align_bands(bands, "ref")
+                    for band, (dy, dx) in _BAND_SHIFTS[sid].items():
+                        rdy, rdx = phase_correlate(ref, bands[band])
+                        n_match = int((aligned[band] == ref).sum())
+                        rows.append(
+                            {"set_id": sid, "band": band, "dy": rdy, "dx": rdx,
+                             "n_match": n_match}
+                        )
+                yield pd.DataFrame(rows, columns=["set_id", "band", "dy", "dx", "n_match"])
+
+        sets = (
+            spark.range(len(_BAND_SHIFTS))
+            .select(F.col("id").cast("int").alias("set_id"))
+            .repartition(len(_BAND_SHIFTS))
+        )
+        return sets.mapInPandas(run, schema=schema).orderBy("set_id", "band")
+
+    # R12 border mask: a rh x rw valid rectangle in a nodata sea, eroded
+    # k times, keeps (rh-2k)*(rw-2k) interior cells — stated by the
+    # oracle as literal arithmetic, computed by the kernel by erosion.
+    _RECTS: dict[int, tuple[int, int, int, int]] = {
+        0: (4, 6, 40, 50),   # r0, c0, rh, rw
+        1: (10, 2, 31, 17),
+        2: (1, 1, 62, 62),
+        3: (20, 30, 9, 5),
+    }
+
+    @check(
+        "mask_border_interiors",
+        oracle="SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({rid}, {it}, GREATEST({rh} - 2*{it}, 0) * GREATEST({rw} - 2*{it}, 0))"
+            for rid, (_, _, rh, rw) in _RECTS.items()
+            for it in (1, 2)
+        )
+        + ") AS t(raster_id, iterations, n_interior) ORDER BY raster_id, iterations",
+    )
+    def q_mask_border_interiors(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """R12 (mask.cpp cutline/border trim): neighbor-erosion interior
+        counts per raster at 1 and 2 iterations, one Arrow batch per
+        raster."""
+        schema = T.StructType(
+            [
+                T.StructField("raster_id", T.IntegerType()),
+                T.StructField("iterations", T.IntegerType()),
+                T.StructField("n_interior", T.LongType()),
+            ]
+        )
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = []
+                for rid in pdf["raster_id"]:
+                    rid = int(rid)
+                    r0, c0, rh, rw = _RECTS[rid]
+                    grid = np.full((_N, _N), -9999.0)
+                    grid[r0:r0 + rh, c0:c0 + rw] = 1.0
+                    for it in (1, 2):
+                        mask = mask_borders(grid, iterations=it)
+                        rows.append(
+                            {"raster_id": rid, "iterations": it,
+                             "n_interior": int(mask.sum())}
+                        )
+                yield pd.DataFrame(rows, columns=["raster_id", "iterations", "n_interior"])
+
+        rs = (
+            spark.range(len(_RECTS))
+            .select(F.col("id").cast("int").alias("raster_id"))
+            .repartition(len(_RECTS))
+        )
+        return rs.mapInPandas(run, schema=schema).orderBy("raster_id", "iterations")
+
 
 _register_checks()

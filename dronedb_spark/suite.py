@@ -48,6 +48,7 @@ def load_all() -> dict[str, Check]:
     import dronedb_spark.raster.points  # noqa: F401
     import dronedb_spark.raster.colormaps  # noqa: F401
     import dronedb_spark.raster.align  # noqa: F401
+    import dronedb_spark.raster.geoproject  # noqa: F401
     import dronedb_spark.raster.thermal  # noqa: F401
     import dronedb_spark.vectors.knn  # noqa: F401
     import dronedb_spark.vectors.ann  # noqa: F401
