@@ -123,6 +123,35 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(load(spark, sf_dir, "documents"))
 
 
+_BPE_PAT = " ?[a-zA-Z]+| ?[0-9]+|[^a-zA-Z0-9 ]+"
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Whitespace vs BPE-ish regex token counts (GPT-2-style pretokenizer
+    classes: letter runs, digit runs, punctuation runs, each optionally
+    space-prefixed).  Pure column expressions — the tokenizer-budget
+    estimation pass of a training pipeline, no UDF."""
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_PAT), F.lit(0)))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+    )
+
+
+@check(
+    "token_counts",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+               CAST(len(regexp_extract_all(text, '{_BPE_PAT}')) AS BIGINT) AS n_bpe_tokens
+        FROM documents""",
+)
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_counts(load(spark, sf_dir, "documents"))
+
+
 @check(
     "text_fingerprint",
     oracle=r"""
