@@ -215,3 +215,55 @@ def q_contour_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dronedb_spark.raster.synth import multi_dem_df
 
     return contour_segments(multi_dem_df(spark))
+
+
+def _segment_counts_oracle() -> str:
+    """Marching squares is relationally checkable at the COUNT level: a
+    2x2 cell's case index determines exactly how many segments it emits
+    (2 for the saddle cases 5/10, 1 for every other non-trivial case).
+    The oracle classifies every cell with three neighbor self-joins and
+    sums the case table — independent of the numpy kernel's geometry."""
+    from dronedb_spark.raster.synth import multi_dem_sql
+
+    lv_values = ", ".join(f"({lv})" for lv in DEM_LEVELS)
+    # MATERIALIZED is load-bearing: px is referenced four times in the
+    # cell self-join, and DuckDB's default CTE inlining re-derives the
+    # generated pixel table per reference (>120 s); materializing once
+    # makes the whole oracle run in ~0.1 s.
+    return f"""
+        WITH px AS MATERIALIZED ({multi_dem_sql("duckdb")}),
+        cell AS (
+            SELECT tl.raster_id, lv.level,
+                   (CASE WHEN tl.value >= lv.level THEN 8 ELSE 0 END
+                  + CASE WHEN tr.value >= lv.level THEN 4 ELSE 0 END
+                  + CASE WHEN br.value >= lv.level THEN 2 ELSE 0 END
+                  + CASE WHEN bl.value >= lv.level THEN 1 ELSE 0 END) AS cs
+            FROM px tl
+            JOIN px tr ON tr.raster_id = tl.raster_id AND tr.row = tl.row AND tr.col = tl.col + 1
+            JOIN px br ON br.raster_id = tl.raster_id AND br.row = tl.row + 1 AND br.col = tl.col + 1
+            JOIN px bl ON bl.raster_id = tl.raster_id AND bl.row = tl.row + 1 AND bl.col = tl.col
+            CROSS JOIN (VALUES {lv_values}) lv(level)
+            WHERE tl.value <> {NODATA} AND tr.value <> {NODATA}
+              AND br.value <> {NODATA} AND bl.value <> {NODATA})
+        SELECT raster_id, CAST(level AS DOUBLE) AS level,
+               CAST(SUM(CASE WHEN cs IN (5, 10) THEN 2
+                             WHEN cs IN (0, 15) THEN 0 ELSE 1 END) AS BIGINT) AS n_segments
+        FROM cell GROUP BY raster_id, level
+        HAVING SUM(CASE WHEN cs IN (5, 10) THEN 2
+                        WHEN cs IN (0, 15) THEN 0 ELSE 1 END) > 0
+        ORDER BY raster_id, level"""
+
+
+@check("contour_segment_counts", oracle=_segment_counts_oracle())
+def q_contour_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kernel's per-(raster, level) segment count vs the relational
+    case-table prediction — upgrades contour verification from rows-only
+    to an exact cross-engine invariant."""
+    from dronedb_spark.raster.synth import multi_dem_df
+
+    return (
+        contour_segments(multi_dem_df(spark))
+        .groupBy("raster_id", "level")
+        .agg(F.count(F.lit(1)).alias("n_segments"))
+        .orderBy("raster_id", "level")
+    )
