@@ -247,5 +247,53 @@ def _register_checks() -> None:
             agg("greatest", "lat", -90.0).alias("maxlat"),
         ).orderBy("vec_id")
 
+    @check(
+        "footprint_bbox_props",
+        oracle="""
+            SELECT vec_id, TRUE AS center_inside,
+                   TRUE AS height_ok, TRUE AS width_ok
+            FROM embeddings ORDER BY vec_id""",
+    )
+    def q_footprint_bbox_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Property-style oracle for the trig kernel: every nadir shot's
+        bbox must (a) contain the camera position and (b) measure
+        w|cos yaw| + h|sin yaw| x w|sin yaw| + h|cos yaw| meters, where
+        w = rel*sw/fl, h = rel*sh/fl (the projected sensor rectangle
+        rotated in UTM grid coords).  A +/-4 m band absorbs UTM scale
+        distortion and grid convergence (measured max 2.1 m across the
+        full lat/lon/yaw parameter cycle); a geometry regression (wrong
+        zone, degree/radian slip, axis swap) breaks it by orders of
+        magnitude.  The oracle row set is the trivial all-TRUE relation —
+        the value being checked is the Spark-side predicate itself."""
+        from dronedb_spark.functions.geo import haversine_m
+
+        bbox = q_image_footprints(spark, sf_dir)
+        cams = load(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            (F.lit(46.8) + (F.col("vec_id") % 100) / F.lit(1000.0)).alias("cam_lat"),
+            (F.lit(-91.9) + (F.col("vec_id") % 77) / F.lit(1000.0)).alias("cam_lon"),
+            F.radians(((F.col("vec_id") * 37) % 360).cast("double")).alias("yaw_rad"),
+        )
+        w_m, h_m = 100.0 * 13.2 / 10.26, 100.0 * 8.8 / 10.26
+        j = bbox.join(cams, "vec_id")
+        midlat = (F.col("minlat") + F.col("maxlat")) / 2
+        midlon = (F.col("minlon") + F.col("maxlon")) / 2
+        width = haversine_m(F.col("minlon"), midlat, F.col("maxlon"), midlat)
+        height = haversine_m(midlon, F.col("minlat"), midlon, F.col("maxlat"))
+        exp_w = w_m * F.abs(F.cos("yaw_rad")) + h_m * F.abs(F.sin("yaw_rad"))
+        exp_h = w_m * F.abs(F.sin("yaw_rad")) + h_m * F.abs(F.cos("yaw_rad"))
+        inside = (
+            (F.col("minlon") < F.col("cam_lon"))
+            & (F.col("cam_lon") < F.col("maxlon"))
+            & (F.col("minlat") < F.col("cam_lat"))
+            & (F.col("cam_lat") < F.col("maxlat"))
+        )
+        return j.select(
+            "vec_id",
+            inside.alias("center_inside"),
+            (F.abs(height - exp_h) < 4.0).alias("height_ok"),
+            (F.abs(width - exp_w) < 4.0).alias("width_ok"),
+        ).orderBy("vec_id")
+
 
 _register_checks()

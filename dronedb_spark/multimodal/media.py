@@ -293,6 +293,47 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media).orderBy("media_id")
 
 
+# The fake containers are closed-form (image pixel i = (seed*2654435761 +
+# i*40503) % 251; video pixel i = (seed*97 + i*31) % 251 with frames
+# [0, n/2, n-1] sampled), and every stripe mean is a ratio of exact
+# integers (sums < 2^53), so the decode → featurize pipeline is EXACTLY
+# reproducible in SQL.  The feature vector is exploded to per-stripe rows
+# (scalars only — arrays are flattened in every oracle-checked output).
+@check(
+    "media_stripe_means",
+    oracle="""
+        WITH px AS (
+            SELECT e.vec_id AS media_id, 'image' AS kind, 576 AS nb,
+                   i.i // 72 AS stripe,
+                   CAST((e.vec_id * 2654435761 + i.i * 40503) % 251 AS DOUBLE) AS v
+            FROM embeddings e, (SELECT unnest(range(0, 576)) AS i) i
+            WHERE e.vec_id % 3 <> 2
+            UNION ALL
+            SELECT e.vec_id, 'video', 192, i.i // 24,
+                   CAST((e.vec_id * 97
+                         + (CASE WHEN i.i < 64 THEN i.i
+                                 WHEN i.i < 128 THEN 256 + (i.i - 64)
+                                 ELSE 448 + (i.i - 128) END) * 31) % 251 AS DOUBLE)
+            FROM embeddings e, (SELECT unnest(range(0, 192)) AS i) i
+            WHERE e.vec_id % 3 = 2)
+        SELECT media_id, kind, CAST(nb AS BIGINT) AS n_bytes,
+               CAST(stripe AS INT) AS stripe, AVG(v) AS stripe_mean
+        FROM px GROUP BY media_id, kind, nb, stripe
+        ORDER BY media_id, stripe""",
+)
+def q_media_stripe_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cross-engine check for the media featurize kernel: per-stripe
+    means vs the closed-form pixel generator evaluated relationally."""
+    media = synth_media(spark, load(spark, sf_dir, "embeddings"))
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.posexplode("feature").alias("stripe", "stripe_mean"),
+    ).orderBy("media_id", "stripe")
+
+
 _FRAME_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),

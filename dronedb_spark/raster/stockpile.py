@@ -47,10 +47,22 @@ def _detect(grid, px_area: float, min_height: float, min_pixels: int):
     rr, cc = np.nonzero(valid)
     z = grid[valid]
     # least-squares plane z ≈ a + b*c + c_*r (the best_fit method,
-    # volume.cpp:98-123, over all valid pixels)
-    A = np.stack([np.ones_like(rr), cc, rr], axis=1).astype(float)
-    coef, *_ = np.linalg.lstsq(A, z, rcond=None)
-    base = coef[0] + coef[1] * np.arange(grid.shape[1])[None, :] + coef[2] * np.arange(
+    # volume.cpp:98-123, over all valid pixels), solved in closed form on
+    # MEAN-CENTERED coordinates (2x2 Cramer) rather than lstsq/SVD: the
+    # centered normal equations are well-conditioned and consist only of
+    # sums/products, so the DuckDB oracle can reproduce the identical
+    # arithmetic and the two engines' plane coefficients agree to ~1 ulp.
+    r_f = rr.astype(float)
+    c_f = cc.astype(float)
+    mr, mc, mz = r_f.mean(), c_f.mean(), z.mean()
+    rb, cb, zb = r_f - mr, c_f - mc, z - mz
+    scc, srr, scr = np.sum(cb * cb), np.sum(rb * rb), np.sum(cb * rb)
+    scz, srz = np.sum(cb * zb), np.sum(rb * zb)
+    det = scc * srr - scr * scr
+    b = (scz * srr - srz * scr) / det
+    c_ = (scc * srz - scr * scz) / det
+    a = mz - b * mc - c_ * mr
+    base = a + b * np.arange(grid.shape[1])[None, :] + c_ * np.arange(
         grid.shape[0]
     )[None, :].T
     height = np.where(valid, grid - base, 0.0)
@@ -139,3 +151,64 @@ def q_stockpiles(spark, sf_dir: str) -> DataFrame:
     from dronedb_spark.raster.synth import multi_dem_df
 
     return detect_stockpiles(multi_dem_df(spark))
+
+
+def _mass_balance_oracle() -> str:
+    """With min_pixels=1 every above-threshold pixel belongs to exactly
+    one component, so the per-raster totals — masked-pixel count, volume
+    sum, peak height — are independent of the flood fill's labeling and
+    reduce to plain aggregates over the thresholded height surface.  The
+    oracle re-derives the best-fit plane with the SAME centered 2x2
+    Cramer solve as the kernel (two-pass: means, then centered moments),
+    then aggregates; 4-dp rounding absorbs the ~1e-9 summation-order
+    drift between numpy's pairwise and DuckDB's sequential sums."""
+    from dronedb_spark.raster.synth import multi_dem_sql
+
+    return f"""
+        WITH px AS MATERIALIZED ({multi_dem_sql("duckdb")}),
+        v AS (SELECT raster_id, CAST(row AS DOUBLE) AS r,
+                     CAST(col AS DOUBLE) AS c, value AS z
+              FROM px WHERE value <> {NODATA}),
+        m AS (SELECT raster_id, AVG(r) AS mr, AVG(c) AS mc, AVG(z) AS mz
+              FROM v GROUP BY raster_id),
+        s AS (SELECT v.raster_id,
+                     SUM((c - mc) * (c - mc)) AS scc,
+                     SUM((r - mr) * (r - mr)) AS srr,
+                     SUM((c - mc) * (r - mr)) AS scr,
+                     SUM((c - mc) * (z - mz)) AS scz,
+                     SUM((r - mr) * (z - mz)) AS srz
+              FROM v JOIN m ON m.raster_id = v.raster_id
+              GROUP BY v.raster_id),
+        coef AS (SELECT s.raster_id,
+                        (scz * srr - srz * scr) / (scc * srr - scr * scr) AS b,
+                        (scc * srz - scr * scz) / (scc * srr - scr * scr) AS cc,
+                        mz AS mz, mc AS mc, mr AS mr
+                 FROM s JOIN m ON m.raster_id = s.raster_id),
+        h AS (SELECT v.raster_id,
+                     z - ((mz - b * mc - cc * mr) + b * c + cc * r) AS height
+              FROM v JOIN coef ON coef.raster_id = v.raster_id)
+        SELECT raster_id,
+               CAST(COUNT(*) AS BIGINT) AS n_masked_px,
+               ROUND(SUM(height) * 0.25, 4) AS volume_sum,
+               ROUND(MAX(height), 4) AS peak_max
+        FROM h WHERE height > 5.0
+        GROUP BY raster_id ORDER BY raster_id"""
+
+
+@check("stockpile_mass_balance", oracle=_mass_balance_oracle())
+def q_stockpile_mass_balance(spark, sf_dir: str) -> DataFrame:
+    """Exact cross-engine invariant for the stockpile kernel: per-raster
+    component totals vs the relational threshold-surface aggregates —
+    upgrades stockpile verification beyond the rows-only check."""
+    from dronedb_spark.raster.synth import multi_dem_df
+
+    return (
+        detect_stockpiles(multi_dem_df(spark), min_pixels=1, max_results=MAX_RESULTS)
+        .groupBy("raster_id")
+        .agg(
+            F.sum("n_pixels").alias("n_masked_px"),
+            F.round(F.sum("estimated_volume"), 4).alias("volume_sum"),
+            F.round(F.max("peak_height"), 4).alias("peak_max"),
+        )
+        .orderBy("raster_id")
+    )
