@@ -216,6 +216,42 @@ def test_ingest_listing_is_distributed_scan(spark, tmp_path):
         assert ".collect(" not in inspect.getsource(meth)
 
 
+def test_q8_q9_broadcast_dims_no_nested_loop(spark):
+    """The widest TPC-H shapes (Q8: 7 joins, Q9: 4 joins) must keep every
+    dimension role on the broadcast side and the fact pipeline free of
+    cartesian/nested-loop fallbacks — at 100 TB these two plans are the
+    difference between one fact shuffle and re-shuffling lineitem per
+    dim."""
+    from dronedb_spark.operators.tpch_ext import market_share, profit_by_nation
+
+    sf = "/root/testdata/sf0.001"
+    q8 = market_share(
+        load(spark, sf, "region"), load(spark, sf, "nation"),
+        load(spark, sf, "customer"), load(spark, sf, "orders"),
+        load(spark, sf, "lineitem"), load(spark, sf, "part"),
+        load(spark, sf, "supplier"),
+    )
+    p8 = physical_plan(q8)
+    assert p8.count("BroadcastHashJoin") >= 3  # cn, region, sn roles
+    assert not has_cartesian(q8)
+    assert "BroadcastNestedLoopJoin" not in p8
+    assert has_partial_aggregation(q8)
+
+    q9 = profit_by_nation(
+        load(spark, sf, "nation"), load(spark, sf, "supplier"),
+        load(spark, sf, "part"), load(spark, sf, "orders"),
+        load(spark, sf, "lineitem"),
+    )
+    p9 = physical_plan(q9)
+    assert "BroadcastHashJoin" in p9
+    assert not has_cartesian(q9)
+    assert "BroadcastNestedLoopJoin" not in p9
+    # the part name filter must apply at the (cached) part scan, below the
+    # join — load() serves InMemoryRelations, so it shows as a pushed
+    # predicate on InMemoryTableScan rather than parquet PushedFilters
+    assert "Contains(p_name" in p9
+
+
 def test_spatial_join_no_cartesian(spark):
     """The grid-bucketed containment join must plan as an equi-join on the
     cell key — never a cartesian/nested-loop over the raw predicate."""
