@@ -1,0 +1,85 @@
+"""S8 GeoJSON reader: real files on disk, deep nesting, fid fallbacks."""
+
+from __future__ import annotations
+
+import json
+
+from dronedb_spark.sources.geojson import read_geojson
+
+
+def _fc(features):
+    return json.dumps({"type": "FeatureCollection", "features": features})
+
+
+def test_read_geojson_files(spark, tmp_path):
+    (tmp_path / "parcels.geojson").write_text(
+        _fc(
+            [
+                {
+                    "type": "Feature",
+                    "id": 7,
+                    "geometry": {
+                        "type": "MultiPolygon",
+                        "coordinates": [
+                            [[[0.0, 0.0], [2.0, 0.0], [2.0, 1.0], [0.0, 0.0]]],
+                            [[[5.0, 5.0], [6.0, 5.0], [6.0, 7.5], [5.0, 5.0]]],
+                        ],
+                    },
+                    "properties": {"zone": "A", "area": 12},
+                },
+                {
+                    # no id → positional fid; null geometry tolerated
+                    "type": "Feature",
+                    "geometry": None,
+                    "properties": {},
+                },
+            ]
+        )
+    )
+    (tmp_path / "pois.geojson").write_text(
+        _fc(
+            [
+                {
+                    "type": "Feature",
+                    "id": 1,
+                    "geometry": {"type": "Point", "coordinates": [-91.5, 46.75]},
+                    "properties": {"name": "dock"},
+                }
+            ]
+        )
+    )
+
+    out = read_geojson(spark, str(tmp_path)).orderBy("dataset_id", "fid").collect()
+    assert [(r.dataset_id, r.fid) for r in out] == [("parcels", 1), ("parcels", 7), ("pois", 1)]
+
+    multi = next(r for r in out if r.fid == 7)
+    assert multi.geom_type == "MultiPolygon"
+    # bbox spans BOTH polygons (recursive walk, depth 4)
+    assert (multi.bbox_minx, multi.bbox_miny, multi.bbox_maxx, multi.bbox_maxy) == (0.0, 0.0, 6.0, 7.5)
+    assert multi.n_vertices == 8
+    assert multi.n_props == 2
+
+    empty = next(r for r in out if r.dataset_id == "parcels" and r.fid == 1)
+    assert empty.geom_type is None and empty.bbox_minx is None and empty.n_vertices == 0
+
+    pt = next(r for r in out if r.dataset_id == "pois")
+    assert pt.bbox_minx == pt.bbox_maxx == -91.5 and pt.n_vertices == 1
+
+
+def test_geojson_feeds_vector_query(spark, tmp_path):
+    """The parsed features table drives R14 paging/bbox directly."""
+    from dronedb_spark.operators.vector_query import query_vector
+
+    feats = [
+        {
+            "type": "Feature",
+            "id": i,
+            "geometry": {"type": "Point", "coordinates": [float(i), float(i) / 2.0]},
+            "properties": {},
+        }
+        for i in range(10)
+    ]
+    (tmp_path / "grid.geojson").write_text(_fc(feats))
+    df = read_geojson(spark, str(tmp_path))
+    hit = query_vector(df, "grid", "grid", bbox=(2.5, 0.0, 6.5, 90.0), max_features=3)
+    assert [r.fid for r in hit.collect()] == [3, 4, 5]
