@@ -73,12 +73,23 @@ def fake_audio(seed: int, n: int = 512, sr: int = 16000) -> bytes:
 def decode_media(content: bytes) -> np.ndarray:
     """Decode a media payload to a numpy array.
 
-    STUB: real formats (JPEG/PNG/MP4/WAV/...) need decoders not present in
-    this environment; only the deterministic FAKE container is decoded.
-    Swap this single function for a Pillow/ffmpeg implementation — every
-    downstream kernel keeps working unchanged.
+    REAL formats handled pure-Python (public specs, stdlib zlib):
+    PNG (sources/png.py) and WAV PCM (sources/wav.py).  JPEG pixel decode
+    (DCT) and video codecs still need Pillow/ffmpeg — those raise
+    ``NotImplementedError``; the deterministic FAKE container covers their
+    plumbing tests.  Swap this single function for a Pillow/ffmpeg
+    implementation — every downstream kernel keeps working unchanged.
     """
     magic = content[:4]
+    if magic == b"\x89PNG":
+        from dronedb_spark.sources.png import decode_png
+
+        return decode_png(content)
+    if magic == b"RIFF" and content[8:12] == b"WAVE":
+        from dronedb_spark.sources.wav import decode_wav
+
+        _sr, samples = decode_wav(content)
+        return samples
     if magic == b"FIMG":
         w, h, c = struct.unpack("<HHB", content[4:9])
         return np.frombuffer(content[9 : 9 + w * h * c], dtype=np.uint8).reshape(h, w, c)
@@ -89,7 +100,7 @@ def decode_media(content: bytes) -> np.ndarray:
         sr, n = struct.unpack("<II", content[4:12])
         return np.frombuffer(content[12 : 12 + n], dtype=np.int8)
     raise NotImplementedError(
-        "real media decoding requires Pillow/ffmpeg — not available in this environment"
+        "JPEG/video decoding requires Pillow/ffmpeg — not available in this environment"
     )
 
 

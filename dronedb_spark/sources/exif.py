@@ -25,7 +25,7 @@ import struct
 import time
 
 # TIFF field types → byte size of one element
-_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1, 9: 4, 10: 8}
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
 
 # EXIF 2.32 tag numbers (public registry)
 _TAG_MAKE = 0x010F

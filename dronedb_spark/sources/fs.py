@@ -66,9 +66,10 @@ META_SCHEMA = T.StructType(
 )
 
 # pluggable decode hook: (rel_path, header_bytes) -> properties dict.
-# DEFAULT is the pure-Python EXIF parser (sources/exif.py) — real JPEG/TIFF
-# metadata extraction with no image libraries; register_parser(fn) swaps in
-# a full decoder, register_parser(None) restores the default.
+# DEFAULT is the pure-Python multi-format parser (sources/parse.py):
+# JPEG/TIFF EXIF, PNG IHDR, LAS header, PLY header, WAV fmt, GeoTIFF tags —
+# real metadata extraction with no image libraries; register_parser(fn)
+# swaps in a full decoder, register_parser(None) restores the default.
 _PARSER: Callable[[str, bytes], dict] | None = None
 
 
@@ -80,9 +81,9 @@ def register_parser(fn: Callable[[str, bytes], dict] | None) -> None:
 def _active_parser() -> Callable[[str, bytes], dict]:
     if _PARSER is not None:
         return _PARSER
-    from dronedb_spark.sources.exif import parse_exif
+    from dronedb_spark.sources.parse import parse_entry
 
-    return parse_exif
+    return parse_entry
 
 
 def scan_paths(

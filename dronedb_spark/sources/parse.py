@@ -1,0 +1,143 @@
+"""Default entry parser: dispatch header bytes to the REAL pure-Python
+decoders (S5 without GDAL/PDAL/Exiv2).
+
+JPEG/TIFF → EXIF metadata (sources/exif.py); PNG → IHDR dimensions;
+LAS → header point count/bounds/scale; PLY → element/property scan;
+WAV → fmt chunk; GeoTIFF → pixel scale/tiepoint/nodata on top of the
+TIFF EXIF pass.  Emits the reference's property names where they exist
+(entry.cpp parseEntry family); everything runs on the first 4 KiB the
+ingest kernel hands every parser.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from dronedb_spark.sources.exif import parse_exif
+
+
+def _parse_png(header: bytes) -> dict:
+    from dronedb_spark.sources.png import png_info
+
+    try:
+        w, h, c = png_info(header)
+    except ValueError:
+        return {}
+    return {"width": w, "height": h, "bands": c}
+
+
+def _parse_las(header: bytes) -> dict:
+    from dronedb_spark.sources.las import las_info
+
+    try:
+        info = las_info(header)
+    except (ValueError, struct.error):
+        return {}
+    (minx, miny, minz), (maxx, maxy, maxz) = info["bounds"]
+    return {
+        "pointCount": info["n_points"],
+        "lasVersion": info["version"],
+        "pointFormat": info["point_format"],
+        "compressed": info["compressed"],
+        "minX": minx, "minY": miny, "minZ": minz,
+        "maxX": maxx, "maxY": maxy, "maxZ": maxz,
+    }
+
+
+def _parse_ply(header: bytes) -> dict:
+    try:
+        text = header.split(b"end_header")[0].decode("ascii", errors="replace")
+    except Exception:
+        return {}
+    props: dict = {}
+    names = []
+    for line in text.splitlines():
+        parts = line.strip().split()
+        if len(parts) == 3 and parts[0] == "element":
+            if parts[1] == "vertex":
+                props["vertexCount"] = int(parts[2])
+            elif parts[1] == "face":
+                props["faceCount"] = int(parts[2])
+        elif len(parts) == 3 and parts[0] == "property" and "vertexCount" in props:
+            if "faceCount" not in props:
+                names.append(parts[2])
+    if names:
+        props["dimensions"] = ",".join(names)
+    return props
+
+
+def _parse_wav(header: bytes) -> dict:
+    if header[:4] != b"RIFF" or header[8:12] != b"WAVE":
+        return {}
+    pos = 12
+    out: dict = {}
+    while pos + 8 <= len(header):
+        tag = header[pos : pos + 4]
+        (length,) = struct.unpack("<I", header[pos + 4 : pos + 8])
+        if tag == b"fmt " and pos + 24 <= len(header):
+            _fmt, ch, sr, _br, _ba, bits = struct.unpack("<HHIIHH", header[pos + 8 : pos + 24])
+            out = {"sampleRate": sr, "channels": ch, "bitsPerSample": bits}
+        elif tag == b"data" and out.get("bitsPerSample"):
+            frame = out["channels"] * out["bitsPerSample"] // 8
+            if frame:
+                out["sampleCount"] = length // frame
+                out["durationMs"] = int(out["sampleCount"] * 1000 / out["sampleRate"])
+        pos += 8 + length + (length & 1)
+    return out
+
+
+def _parse_geotiff(header: bytes) -> dict:
+    """GeoTIFF georeferencing tags over the EXIF/TIFF baseline props."""
+    from dronedb_spark.sources.exif import _read_ifd
+
+    props: dict = {}
+    endian = "<" if header[:2] == b"II" else ">"
+    try:
+        (ifd_off,) = struct.unpack_from(endian + "I", header, 4)
+        ifd = _read_ifd(header, ifd_off, endian)
+    except struct.error:
+        return props
+
+    def vals(tag, fmt):
+        if tag not in ifd:
+            return []
+        _t, cnt, val = ifd[tag]
+        size = struct.calcsize(fmt)
+        n = min(cnt, len(val) // size)
+        return [struct.unpack_from(endian + fmt, val, i * size)[0] for i in range(n)]
+
+    w = vals(256, "I") or vals(256, "H")
+    h = vals(257, "I") or vals(257, "H")
+    if w and h:
+        props["width"], props["height"] = int(w[0]), int(h[0])
+    scale = vals(33550, "d")
+    if len(scale) >= 2:
+        props["pixelScaleX"], props["pixelScaleY"] = scale[0], scale[1]
+    tie = vals(33922, "d")
+    if len(tie) >= 6:
+        props["tiepointX"], props["tiepointY"] = tie[3], tie[4]
+    if 42113 in ifd:
+        try:
+            props["noData"] = float(ifd[42113][2].split(b"\x00")[0])
+        except ValueError:
+            pass
+    return props
+
+
+def parse_entry(rel_path: str, header: bytes) -> dict:
+    """(path, first 4 KiB) → properties dict; {} for unknown formats."""
+    if header[:3] == b"\xff\xd8\xff":
+        return parse_exif(rel_path, header)
+    if header[:4] == b"\x89PNG":
+        return _parse_png(header)
+    if header[:4] == b"LASF":
+        return _parse_las(header)
+    if header[:4] in (b"ply\n", b"ply\r"):
+        return _parse_ply(header)
+    if header[:4] == b"RIFF" and header[8:12] == b"WAVE":
+        return _parse_wav(header)
+    if header[:4] in (b"II*\x00", b"MM\x00*"):
+        props = parse_exif(rel_path, header)
+        props.update(_parse_geotiff(header))
+        return props
+    return parse_exif(rel_path, header)  # JPEG-embedded TIFF scan fallback

@@ -1,0 +1,165 @@
+"""Pure-Python PNG codec (public spec: RFC 2083 / W3C PNG, stdlib zlib).
+
+This makes image decode REAL for one ubiquitous public format: the
+multimodal kernels (`multimodal/media.py:decode_media`) and the thumbnail
+sink no longer depend on the FAKE container when the payload is a PNG.
+Scope: 8-bit depth, color types 0 (gray), 2 (RGB), 4 (gray+alpha) and
+6 (RGBA), all five filter types, non-interlaced — the shapes a training
+pipeline's image shards actually use.  Reference role-equivalent:
+thumbs.cpp (decode → resize) minus the GDAL dependency.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_SIG = b"\x89PNG\r\n\x1a\n"
+_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _filter_row(cur: np.ndarray, prev: np.ndarray, c: int, ftype: int) -> np.ndarray:
+    """Apply filter ``ftype`` to one raw scanline (the encoder-side spec
+    transform; exact inverse of ``_unfilter``)."""
+    cur = cur.astype(np.int32)
+    prev = prev.astype(np.int32)
+    left = np.zeros_like(cur)
+    left[c:] = cur[:-c]
+    upleft = np.zeros_like(prev)
+    upleft[c:] = prev[:-c]
+    if ftype == 0:
+        return cur.astype(np.uint8)
+    if ftype == 1:
+        return ((cur - left) & 0xFF).astype(np.uint8)
+    if ftype == 2:
+        return ((cur - prev) & 0xFF).astype(np.uint8)
+    if ftype == 3:
+        return ((cur - ((left + prev) >> 1)) & 0xFF).astype(np.uint8)
+    if ftype == 4:
+        pa, pb, pc = np.abs(prev - upleft), np.abs(left - upleft), np.abs(left + prev - 2 * upleft)
+        pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft))
+        return ((cur - pred) & 0xFF).astype(np.uint8)
+    raise ValueError(f"unknown PNG filter {ftype}")
+
+
+def encode_png(arr: np.ndarray, filters: list[int] | None = None) -> bytes:
+    """Encode a uint8 array — (h, w) gray, (h, w, 2) gray+alpha, (h, w, 3)
+    RGB or (h, w, 4) RGBA — as a non-interlaced PNG.  ``filters`` names
+    the per-row filter type (cycled); default all rows filter 0."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        h, w, c = arr.shape[0], arr.shape[1], 1
+    elif arr.ndim == 3 and arr.shape[2] in (2, 3, 4):
+        h, w, c = arr.shape
+    else:
+        raise ValueError(f"unsupported array shape {arr.shape}")
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    raw = arr.reshape(h, w * c)
+    if filters:
+        parts = []
+        prev = np.zeros(w * c, dtype=np.uint8)
+        for y in range(h):
+            f = filters[y % len(filters)]
+            parts.append(bytes([f]) + _filter_row(raw[y], prev, c, f).tobytes())
+            prev = raw[y]
+        scanlines = b"".join(parts)
+    else:
+        scanlines = b"".join(b"\x00" + raw[y].tobytes() for y in range(h))
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scanlines, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _unfilter(data: bytes, h: int, w: int, c: int) -> np.ndarray:
+    """Reverse the per-row filters.  Rows are sequential by spec (each row
+    references the reconstructed previous row); columns are vectorized."""
+    stride = w * c
+    out = np.zeros((h, stride), dtype=np.uint8)
+    raw = np.frombuffer(data, dtype=np.uint8)
+    if raw.size < h * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        base = y * (stride + 1)
+        ftype = int(raw[base])
+        line = raw[base + 1 : base + 1 + stride].astype(np.int32)
+        if ftype == 0:
+            rec = line
+        elif ftype == 1:  # Sub — a running sum per channel: cumsum mod 256
+            rec = np.cumsum(line.reshape(w, c), axis=0, dtype=np.int64).reshape(stride) & 0xFF
+        elif ftype == 2:  # Up
+            rec = (line + prev) & 0xFF
+        elif ftype == 3:  # Average
+            rec = line.copy()
+            p = prev.astype(np.int32)
+            for x in range(stride):
+                left = rec[x - c] if x >= c else 0
+                rec[x] = (rec[x] + ((left + p[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            rec = line.copy()
+            p = prev.astype(np.int32)
+            for x in range(stride):
+                a = rec[x - c] if x >= c else 0
+                b = p[x]
+                cc = p[x - c] if x >= c else 0
+                pa, pb, pc = abs(b - cc), abs(a - cc), abs(a + b - 2 * cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                rec[x] = (rec[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {ftype}")
+        out[y] = rec.astype(np.uint8)
+        prev = out[y]
+    return out.reshape(h, w, c) if c > 1 else out.reshape(h, w)
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode a PNG to uint8 ndarray — (h, w) for gray, (h, w, c) else."""
+    if not data.startswith(_SIG):
+        raise ValueError("not a PNG")
+    pos = len(_SIG)
+    w = h = None
+    bit_depth = color_type = interlace = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + tag + payload + crc
+        if tag == b"IHDR":
+            w, h, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+        elif tag == b"IDAT":
+            idat.extend(payload)
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if bit_depth != 8 or color_type not in _CHANNELS or interlace != 0:
+        raise NotImplementedError(
+            f"PNG bit_depth={bit_depth} color_type={color_type} interlace={interlace}"
+        )
+    return _unfilter(zlib.decompress(bytes(idat)), h, w, _CHANNELS[color_type])
+
+
+def png_info(data: bytes) -> tuple[int, int, int]:
+    """(width, height, channels) from the IHDR alone — metadata-only sniff."""
+    if not data.startswith(_SIG) or data[12:16] != b"IHDR":
+        raise ValueError("not a PNG")
+    w, h, _depth, color_type = struct.unpack(">IIBB", data[16:26])
+    return w, h, _CHANNELS.get(color_type, 0)

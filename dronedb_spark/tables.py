@@ -54,16 +54,23 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if hit is not None:
         return hit
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects; read it as long nanos and rebuild a (microsecond)
-        # timestamp column.
+        # events.ts has shipped as both parquet TIMESTAMP(NANOS) — which
+        # Spark's vectorized reader rejects, so it must be read as long
+        # nanos and rebuilt — and TIMESTAMP(MICROS), which reads natively.
+        # Adapt to whichever this dataset carries.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        df = df.withColumn(
-            "ts", F.timestamp_micros(((F.col("ts") - F.col("ts") % 1000) / 1000).cast("bigint"))
-        )
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(((F.col("ts") - F.col("ts") % 1000) / 1000).cast("bigint")),
+            )
+        else:
+            # native timestamp; normalize to session-TZ-agnostic NTZ→TS
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     df = df.persist()
