@@ -1,0 +1,135 @@
+"""Round-trip and metadata tests for the pure-Python format codecs
+(PNG, WAV, PLY, LAS, GeoTIFF) and the multi-format default parser."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from dronedb_spark.sources.las import decode_las, encode_las, las_info
+from dronedb_spark.sources.parse import parse_entry
+from dronedb_spark.sources.ply import decode_ply, encode_ply
+from dronedb_spark.sources.png import decode_png, encode_png, png_info
+from dronedb_spark.sources.tiff import decode_tiff, encode_tiff
+from dronedb_spark.sources.wav import decode_wav, encode_wav
+
+rng = np.random.RandomState(42)
+
+
+@pytest.mark.parametrize("shape", [(12, 16), (9, 7, 3), (5, 4, 4), (6, 3, 2)])
+def test_png_roundtrip_filter0(shape):
+    a = rng.randint(0, 256, shape).astype(np.uint8)
+    assert np.array_equal(decode_png(encode_png(a)), a)
+
+
+@pytest.mark.parametrize("filters", [[0, 1, 2, 3, 4], [4, 3, 2, 1, 0], [1], [3], [4]])
+def test_png_roundtrip_all_filters(filters):
+    a = rng.randint(0, 256, (11, 6, 3)).astype(np.uint8)
+    assert np.array_equal(decode_png(encode_png(a, filters=filters)), a)
+
+
+def test_png_info():
+    a = rng.randint(0, 256, (7, 9, 3)).astype(np.uint8)
+    assert png_info(encode_png(a)) == (9, 7, 3)
+
+
+def test_wav_roundtrip_mono_stereo():
+    s = (rng.randn(1000) * 3000).astype(np.int16)
+    sr, dec = decode_wav(encode_wav(s, 22050))
+    assert sr == 22050 and np.array_equal(dec, s.astype(np.float64))
+    st = (rng.randn(500, 2) * 3000).astype(np.int16)
+    _, dec2 = decode_wav(encode_wav(st, 8000))
+    assert dec2.shape == (500, 2) and np.array_equal(dec2, st.astype(np.float64))
+
+
+@pytest.mark.parametrize("binary", [True, False])
+def test_ply_roundtrip(binary):
+    pts = {
+        "x": np.round(rng.randn(400) * 8, 2),  # f4-safe magnitudes
+        "y": np.round(rng.randn(400) * 8, 2),
+        "z": np.round(rng.rand(400) * 4, 2),
+        "intensity": rng.randint(0, 65535, 400).astype(float),
+    }
+    d = decode_ply(encode_ply(pts, binary=binary, dtypes={"intensity": "ushort"}))
+    assert set(d) == {"x", "y", "z", "intensity"}
+    atol = 1e-4 if binary else 0.0  # binary stores f4
+    assert np.allclose(d["x"], pts["x"], atol=atol)
+    assert np.array_equal(d["intensity"], pts["intensity"])
+
+
+def test_ply_skips_face_element():
+    # vertex + face elements; face list records must be skipped cleanly
+    pts = {"x": np.array([1.0, 2.0, 3.0]), "y": np.zeros(3), "z": np.zeros(3)}
+    blob = encode_ply(pts, binary=False)
+    body = blob.decode("ascii")
+    body = body.replace(
+        "end_header", "element face 1\nproperty list uchar int vertex_indices\nend_header"
+    )
+    body += "3 0 1 2\n"
+    d = decode_ply(body.encode("ascii"))
+    assert np.array_equal(d["x"], pts["x"])
+
+
+def test_las_roundtrip_and_header():
+    n = 300
+    x = np.round(rng.rand(n) * 1000, 3)
+    y = np.round(rng.rand(n) * 1000, 3)
+    z = np.round(rng.rand(n) * 100, 3)
+    cls = rng.randint(0, 10, n)
+    gt = np.sort(rng.rand(n) * 1e5)
+    blob = encode_las(x, y, z, classification=cls, gps_time=gt)
+    info = las_info(blob)
+    assert info["n_points"] == n and info["point_format"] == 1 and not info["compressed"]
+    assert abs(info["bounds"][0][0] - x.min()) < 1e-9
+    d = decode_las(blob)
+    assert np.allclose(d["x"], x, atol=1e-9) and np.allclose(d["z"], z, atol=1e-9)
+    assert np.array_equal(d["classification"], cls)
+    assert np.allclose(d["gps_time"], gt)
+
+
+@pytest.mark.parametrize("dt", [np.uint8, np.uint16, np.int16, np.float32, np.float64])
+def test_tiff_roundtrip(dt):
+    a = (rng.rand(70, 53) * 1000).astype(dt)
+    blob = encode_tiff(
+        a, pixel_scale=(0.5, 0.5), tiepoint=(100.0, 200.0), nodata=-9999.0, rows_per_strip=16
+    )
+    dec, geo = decode_tiff(blob)
+    assert dec.dtype == a.dtype and np.array_equal(dec, a)
+    assert geo["pixel_scale"] == (0.5, 0.5) and geo["nodata"] == -9999.0
+    assert geo["tiepoint"] == (100.0, 200.0)
+
+
+def test_tiff_single_strip_inline_offsets():
+    a = (rng.rand(8, 8) * 255).astype(np.uint8)
+    dec, geo = decode_tiff(encode_tiff(a, rows_per_strip=64))
+    assert np.array_equal(dec, a) and geo["pixel_scale"] is None
+
+
+def test_parse_entry_dispatch():
+    png = encode_png(rng.randint(0, 256, (6, 10, 3)).astype(np.uint8))
+    assert parse_entry("a.png", png[:4096]) == {"width": 10, "height": 6, "bands": 3}
+
+    las = encode_las(np.array([1.0, 2.0]), np.array([3.0, 4.0]), np.array([5.0, 6.0]))
+    p = parse_entry("b.las", las[:4096])
+    assert p["pointCount"] == 2 and p["lasVersion"] == "1.2" and p["maxZ"] == 6.0
+
+    ply = encode_ply({"x": np.arange(5.0), "y": np.zeros(5), "z": np.zeros(5)}, binary=True)
+    p = parse_entry("c.ply", ply[:4096])
+    assert p["vertexCount"] == 5 and p["dimensions"] == "x,y,z"
+
+    wav = encode_wav((rng.randn(1600) * 100).astype(np.int16), 16000)
+    p = parse_entry("d.wav", wav[:4096])
+    assert p == {
+        "sampleRate": 16000, "channels": 1, "bitsPerSample": 16,
+        "sampleCount": 1600, "durationMs": 100,
+    }
+
+    tif = encode_tiff(
+        (rng.rand(16, 16) * 100).astype(np.float32),
+        pixel_scale=(2.0, 2.0), tiepoint=(500.0, 600.0), nodata=0.0,
+    )
+    p = parse_entry("e.tif", tif[:4096])
+    assert p["width"] == 16 and p["pixelScaleX"] == 2.0 and p["noData"] == 0.0
+    assert p["tiepointX"] == 500.0
+
+    assert parse_entry("f.txt", b"hello world") == {}
