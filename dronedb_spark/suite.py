@@ -42,6 +42,7 @@ def load_all() -> dict[str, Check]:
     """
     # --- never-gated in round 1: register first -------------------------
     import dronedb_spark.sources.decode_checks  # noqa: F401  (real codecs, new in r2)
+    import dronedb_spark.sources.bridge  # noqa: F401  (file→operator bridges, new in r2)
     import dronedb_spark.raster.stats  # noqa: F401
     import dronedb_spark.raster.volume  # noqa: F401
     import dronedb_spark.raster.contours  # noqa: F401
