@@ -172,7 +172,10 @@ def audio_features(media: DataFrame) -> DataFrame:
             for media_id, kind, content in zip(pdf["media_id"], pdf["kind"], pdf["content"]):
                 if kind != "audio":
                     continue
-                s = decode_media(bytes(content)).astype(np.float64)
+                try:
+                    s = decode_media(bytes(content)).astype(np.float64)
+                except Exception:
+                    continue  # skip undecodable clips — never fail the job
                 rows.append(
                     {
                         "media_id": media_id,
@@ -236,7 +239,10 @@ def extract_features(media: DataFrame, n_dims: int = 8) -> DataFrame:
         for pdf in batches:
             rows = []
             for media_id, kind, content in zip(pdf["media_id"], pdf["kind"], pdf["content"]):
-                arr = decode_media(bytes(content))
+                try:
+                    arr = decode_media(bytes(content))
+                except Exception:
+                    continue  # skip undecodable media — never fail the job
                 if kind == "video":
                     idx = [0, arr.shape[0] // 2, arr.shape[0] - 1]
                     arr = arr[idx]
@@ -275,7 +281,10 @@ def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
             for media_id, kind, content in zip(pdf["media_id"], pdf["kind"], pdf["content"]):
                 if kind != "image":
                     continue
-                arr = decode_media(bytes(content))
+                try:
+                    arr = decode_media(bytes(content))
+                except Exception:
+                    continue  # skip undecodable images — never fail the job
                 small = _nn_resize(arr, out_w, out_h)
                 rows.append(
                     {
@@ -369,7 +378,10 @@ def sample_frames(media: DataFrame, stride: int = 2) -> DataFrame:
             for media_id, kind, content in zip(pdf["media_id"], pdf["kind"], pdf["content"]):
                 if kind != "video":
                     continue
-                arr = decode_media(bytes(content))  # (n, h, w)
+                try:
+                    arr = decode_media(bytes(content))  # (n, h, w)
+                except Exception:
+                    continue  # skip undecodable videos — never fail the job
                 for f in range(0, arr.shape[0], stride):
                     rows.append(
                         {
@@ -429,7 +441,10 @@ def thumb_stats(media: DataFrame, out_w: int = 4, out_h: int = 3) -> DataFrame:
             for media_id, kind, content in zip(pdf["media_id"], pdf["kind"], pdf["content"]):
                 if kind != "image":
                     continue
-                small = _nn_resize(decode_media(bytes(content)), out_w, out_h)
+                try:
+                    small = _nn_resize(decode_media(bytes(content)), out_w, out_h)
+                except Exception:
+                    continue  # skip undecodable images — never fail the job
                 rows.append(
                     {
                         "media_id": media_id,

@@ -53,13 +53,20 @@ _POINT_SCHEMA = T.StructType(
 
 
 def scan_binaries(spark: SparkSession, root: str, glob: str) -> DataFrame:
-    """Distributed (path, content) scan — the decode input."""
+    """Distributed (path, content) scan — the decode input.
+
+    ``file_name`` is the ROOT-RELATIVE path (not the basename): two files
+    with the same name in different subdirectories must not share a
+    raster_id/cloud_id, or their pixels/points would silently merge in
+    per-raster aggregates on real recursive catalogs.
+    """
+    sep = root.rstrip("/") + "/"
     return (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", glob)
         .option("recursiveFileLookup", "true")
         .load(root)
-        .select(F.element_at(F.split("path", "/"), -1).alias("file_name"), "content")
+        .select(F.substring_index("path", sep, -1).alias("file_name"), "content")
     )
 
 
@@ -73,7 +80,13 @@ def tiff_pixel_table(files: DataFrame) -> DataFrame:
 
         for pdf in it:
             for name, content in zip(pdf["file_name"], pdf["content"]):
-                arr, geo = decode_tiff(bytes(content))
+                try:
+                    arr, geo = decode_tiff(bytes(content))
+                except Exception:
+                    # catch-and-skip: one corrupt / unsupported file (e.g.
+                    # compressed TIFF) must not fail the whole job — mirror
+                    # the ingest path's and the reference's log-and-skip.
+                    continue
                 h, w = arr.shape
                 r = np.repeat(np.arange(h, dtype=np.int32), w)
                 c = np.tile(np.arange(w, dtype=np.int32), h)
@@ -105,7 +118,10 @@ def las_point_table(files: DataFrame) -> DataFrame:
 
         for pdf in it:
             for name, content in zip(pdf["file_name"], pdf["content"]):
-                d = decode_las(bytes(content))
+                try:
+                    d = decode_las(bytes(content))
+                except Exception:
+                    continue  # skip undecodable files (e.g. LAZ), don't fail the job
                 yield pd.DataFrame(
                     {
                         "cloud_id": name,

@@ -480,7 +480,9 @@ def _mixed_oracle() -> str:
         ("notes.txt", ET["Generic"], None, None, None, None, None, None),
         ("photo.png", ET["Image"], _PNG_W, _PNG_H, None, None, None, None),
         ("scans", ET["Directory"], None, None, None, None, None, None),
-        ("scans/cloud.ply", ET["PointCloud"], None, None, None, 100, None, None),
+        # PLY point clouds expose pointCount = vertexCount (pointcloud.cpp
+        # parity); splats keep vertexCount only
+        ("scans/cloud.ply", ET["PointCloud"], None, None, 100, 100, None, None),
         ("scans/dem.tif", ET["GeoRaster"], 48, 32, None, None, None, 1.5),
         ("scans/ground.las", ET["PointCloud"], None, None, 100, None, None, None),
         ("scans/splat.ply", ET["GaussianSplat"], None, None, None, 100, None, None),

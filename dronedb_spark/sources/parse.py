@@ -23,7 +23,10 @@ def _parse_png(header: bytes) -> dict:
         w, h, c = png_info(header)
     except ValueError:
         return {}
-    return {"width": w, "height": h, "bands": c}
+    props = {"width": w, "height": h}
+    if c:  # omit bands for color types we can't decode (e.g. palette)
+        props["bands"] = c
+    return props
 
 
 def _parse_las(header: bytes) -> dict:
@@ -63,6 +66,10 @@ def _parse_ply(header: bytes) -> dict:
                 names.append(parts[2])
     if names:
         props["dimensions"] = ",".join(names)
+    # reference parity: pointcloud.cpp sets pointCount = vertexCount for
+    # plain point clouds (splats keep their own property set)
+    if "vertexCount" in props and not any(n.startswith("f_dc_") for n in names):
+        props["pointCount"] = props["vertexCount"]
     return props
 
 

@@ -51,7 +51,7 @@ def encode_ply(
         f"element vertex {n}\n" + "\n".join(header_props) + "\nend_header\n"
     ).encode("ascii")
     if binary:
-        rec = np.core.records.fromarrays(cols, names=names)
+        rec = np.rec.fromarrays(cols, names=names)
         return header + rec.tobytes()
     lines = []
     for i in range(n):

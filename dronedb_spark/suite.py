@@ -30,15 +30,43 @@ def check(name: str, oracle: str | None = None):
     return deco
 
 
-def load_all() -> dict[str, Check]:
-    """Import every operator module so its checks register.
+# Checks with no driver CORRECTNESS row in rounds 1–2 (33, from
+# VERDICT r2), plus checks whose r2 row was `no_oracle` and now carries a
+# real oracle, plus checks NEW in round 3.  The driver walks the registry
+# in order under a ~50-check budget, so these must fill the first slots;
+# everything already green in r1/r2 registers after.
+_ROUND3_PRIORITY = [
+    # 16 TPC-H extension shapes — implemented in r2, never gated
+    "q7_nation_trade", "q8_market_share", "q9_profit_by_nation",
+    "q10_returned_customers", "q11_important_parts", "q12_late_shipments",
+    "q13_order_distribution", "q14_promo_revenue", "q15_top_supplier",
+    "q16_brand_supplier_counts", "q17_small_qty_revenue", "q18_large_orders",
+    "q19_disjunctive_revenue", "q20_volume_share_suppliers",
+    "q21_sole_blame_suppliers", "q22_idle_rich_customers",
+    # text-pipeline checks never gated
+    "dedup_cluster_ids", "dedup_corpus_segments_10x", "decontam_overlap",
+    "pii_redaction_metrics", "mixture_quota_sample", "stratified_sample_counts",
+    "token_counts", "events_sessionize",
+    # geo/footprint + ingest + vector checks never gated
+    "footprint_bbox_props", "image_footprints", "ingest_exif_properties",
+    "geojson_parse_features",
+    # multimodal checks never gated
+    "media_features", "media_stripe_means", "audio_features", "thumb_stats",
+    "video_frame_sample",
+    # r2 rows-only checks, re-registered with real oracles in r3
+    "contour_segments", "stockpile_detect",
+    # NEW in round 3
+    "pointcloud_laz_stats", "media_jpeg_channel_stats",
+    "shapefile_parse_features", "nested_dataset_rollup",
+    "align_similarity_recovery", "video_mp4_metadata",
+]
 
-    ORDER MATTERS: the driver walks the registry in registration order
-    under a budget, and round 1's report truncated after 50 of 88 checks
-    — so the modules whose checks have never had a driver CORRECTNESS row
-    (raster, vectors, simhash, geo/footprint, multimodal, streaming,
-    sampling) register FIRST, and the already-verified catalog/relational
-    families register last.
+
+def load_all() -> dict[str, Check]:
+    """Import every operator module so its checks register, then reorder
+    the registry so the checks that still need a driver CORRECTNESS row
+    (``_ROUND3_PRIORITY``) come first — the driver walks in order under a
+    ~50-check budget and the already-green families can cede their slots.
     """
     # --- never-gated in round 1: register first -------------------------
     import dronedb_spark.sources.decode_checks  # noqa: F401  (real codecs, new in r2)
@@ -83,4 +111,8 @@ def load_all() -> dict[str, Check]:
     import dronedb_spark.text.segdedup  # noqa: F401
     import dronedb_spark.text.repetition  # noqa: F401
 
+    ordered = {n: REGISTRY[n] for n in _ROUND3_PRIORITY if n in REGISTRY}
+    ordered.update((n, c) for n, c in REGISTRY.items() if n not in ordered)
+    REGISTRY.clear()
+    REGISTRY.update(ordered)
     return REGISTRY

@@ -56,7 +56,9 @@ def test_register_parser_overrides_default(spark):
         assert fs._active_parser()("a.jpg", b"") == {"custom": 1}
     finally:
         fs.register_parser(None)
-    assert fs._active_parser() is parse_exif
+    from dronedb_spark.sources.parse import parse_entry
+
+    assert fs._active_parser() is parse_entry
 
 
 def test_set_gps_preserves_other_segments_and_props():
