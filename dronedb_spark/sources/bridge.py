@@ -256,3 +256,81 @@ def q_las_catalog_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     files = scan_binaries(spark, _las_catalog_root(), "*.las")
     points = las_point_table(spread(files))
     return pointcloud_tile_raster(points, extent=100.0, zoom_cells=4, px=16)
+
+
+_LZ_N = 3
+
+
+def _laz_catalog_root() -> str:
+    """REAL .laz fixture catalog: closed-form coordinates so the decoded
+    values are SQL-reproducible; chunk_size=1000 exercises the multi-chunk
+    stream + chunk-table path of the LASzip decoder."""
+    import os
+
+    from dronedb_spark.sources.laz import encode_laz
+
+    root = os.path.abspath(
+        os.path.join(os.path.dirname(__file__), "..", "..", "tests", "fixtures", "laz_cat_v1")
+    )
+    os.makedirs(root, exist_ok=True)
+    for i in range(_LZ_N):
+        n = 3000 + 500 * i
+        k = np.arange(n, dtype=np.int64)
+        x = ((i * 17 + k * 5) % 100000).astype(np.float64) * 0.001
+        y = ((i * 13 + k * 9) % 100000).astype(np.float64) * 0.001
+        z = ((i * 23 + k * 3) % 50000).astype(np.float64) * 0.001
+        payload = encode_laz(
+            x, y, z,
+            classification=((i + k) % 12),
+            intensity=((k * 29) % 4096),
+            chunk_size=1000,
+        )
+        p = os.path.join(root, f"tile_{i}.laz")
+        if not os.path.exists(p) or open(p, "rb").read() != payload:
+            with open(p, "wb") as f:
+                f.write(payload)
+        os.utime(p, (1700000000, 1700000000))
+    return root
+
+
+@check(
+    "pointcloud_laz_stats",
+    oracle=f"""
+        WITH pts AS (
+            SELECT 'tile_' || i.i || '.laz' AS cloud_id,
+                   CAST((i.i * 17 + k.k * 5) % 100000 AS DOUBLE) * 0.001 AS x,
+                   CAST((i.i * 13 + k.k * 9) % 100000 AS DOUBLE) * 0.001 AS y,
+                   CAST((i.i * 23 + k.k * 3) % 50000 AS DOUBLE) * 0.001 AS z,
+                   (i.i + k.k) % 12 AS cls, (k.k * 29) % 4096 AS inten
+            FROM (SELECT unnest(range(0, {_LZ_N})) AS i) i,
+                 (SELECT unnest(range(0, 3000 + 500 * {_LZ_N - 1})) AS k) k
+            WHERE k.k < 3000 + 500 * i.i)
+        SELECT cloud_id, CAST(COUNT(1) AS BIGINT) AS n,
+               MIN(x) AS x_min, MAX(x) AS x_max,
+               MIN(y) AS y_min, MAX(y) AS y_max,
+               MIN(z) AS z_min, MAX(z) AS z_max,
+               CAST(SUM(cls) AS BIGINT) AS cls_sum,
+               CAST(SUM(inten) AS BIGINT) AS inten_sum,
+               CAST(SUM(CASE WHEN cls = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_ground
+        FROM pts GROUP BY cloud_id ORDER BY cloud_id""",
+)
+def q_laz_catalog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL .laz catalog → distributed LASzip decode (mapInPandas, one
+    file per task) → per-cloud stats.  The decompressor runs where the
+    bytes are; no shuffle precedes the decode, so the layout holds on a
+    1000-executor cluster ingesting millions of tiles."""
+    files = scan_binaries(spark, _laz_catalog_root(), "*.laz")
+    points = las_point_table(spread(files))
+    return (
+        points.groupBy("cloud_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("x").alias("x_min"), F.max("x").alias("x_max"),
+            F.min("y").alias("y_min"), F.max("y").alias("y_max"),
+            F.min("z").alias("z_min"), F.max("z").alias("z_max"),
+            F.sum("classification").alias("cls_sum"),
+            F.sum("intensity").alias("inten_sum"),
+            F.sum(F.when(F.col("classification") == 2, 1).otherwise(0)).alias("n_ground"),
+        )
+        .orderBy("cloud_id")
+    )

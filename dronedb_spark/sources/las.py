@@ -3,8 +3,8 @@
 Closes the S9 seam for the surveying-native format the reference ingests
 via PDAL: header parse (point count, bbox, scale/offset) plus point
 record decode for formats 0 and 1 (x/y/z int32·scale+offset, intensity,
-return info, classification, and GPS time for format 1).  Compressed LAZ
-is out of scope (proprietary-adjacent codec); plain LAS is fully decoded.
+return info, classification, and GPS time for format 1).  LAZ-compressed
+files dispatch to the pure-Python LASzip codec (sources/laz.py).
 Reference role-equivalent: getPointCloudInfo header/stats path.
 """
 
@@ -120,7 +120,9 @@ def decode_las(data: bytes) -> dict[str, np.ndarray]:
     info = las_info(data)
     fmt, n = info["point_format"], info["n_points"]
     if info["compressed"]:
-        raise NotImplementedError("LAZ-compressed LAS")
+        from dronedb_spark.sources.laz import decode_laz
+
+        return decode_laz(data)
     if fmt not in _PT_LEN:
         raise NotImplementedError(f"LAS point format {fmt}")
     base = [

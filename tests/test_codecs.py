@@ -133,3 +133,53 @@ def test_parse_entry_dispatch():
     assert p["tiepointX"] == 500.0
 
     assert parse_entry("f.txt", b"hello world") == {}
+
+
+def test_laz_roundtrip_formats_0_and_1():
+    import numpy as np
+
+    from dronedb_spark.sources.las import decode_las, encode_las, las_info
+    from dronedb_spark.sources.laz import decode_laz, encode_laz
+
+    rng = np.random.RandomState(3)
+    n = 2500
+    k = np.arange(n)
+    x = ((k * 5 + 13) % 100000) * 0.001
+    y = ((k * 9 + 31) % 100000) * 0.001
+    z = ((k * 3 + 7) % 50000) * 0.001
+    cls = (k % 12).astype(np.uint8)
+    inten = ((k * 17) % 4096).astype(np.uint16)
+    gps = 300000.0 + k * 0.0001
+
+    laz = encode_laz(x, y, z, classification=cls, intensity=inten, gps_time=gps,
+                     chunk_size=700)
+    las = encode_las(x, y, z, classification=cls, intensity=inten, gps_time=gps)
+    got, want = decode_laz(laz), decode_las(las)
+    for f in ("x", "y", "z", "intensity", "classification", "gps_time"):
+        assert np.array_equal(got[f], want[f]), f
+    info = las_info(laz)
+    assert info["compressed"] and info["point_format"] == 1 and info["n_points"] == n
+    assert len(laz) < len(las) / 3  # actually compresses
+    # decode_las dispatches compressed input to the LASzip decoder
+    via_las = decode_las(laz)
+    assert np.array_equal(via_las["z"], want["z"])
+
+
+def test_laz_roundtrip_random_walk():
+    import numpy as np
+
+    from dronedb_spark.sources.las import decode_las, encode_las
+    from dronedb_spark.sources.laz import decode_laz, encode_laz
+
+    rng = np.random.RandomState(11)
+    n = 4000
+    x = np.cumsum(rng.randint(-500, 500, n)) * 0.001
+    y = np.cumsum(rng.randint(-500, 500, n)) * 0.001
+    z = np.cumsum(rng.randint(-50, 50, n)) * 0.001
+    # gps with resync-forcing jumps (full 64-bit path + sequence switches)
+    k = np.arange(n)
+    gps = np.where(k % 97 == 0, 1e9 + k * 1000.0, 1e5 + k * 0.0001)
+    got = decode_laz(encode_laz(x, y, z, gps_time=gps, chunk_size=900))
+    want = decode_las(encode_las(x, y, z, gps_time=gps))
+    for f in ("x", "y", "z", "gps_time"):
+        assert np.array_equal(got[f], want[f]), f
