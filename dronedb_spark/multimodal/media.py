@@ -74,17 +74,22 @@ def decode_media(content: bytes) -> np.ndarray:
     """Decode a media payload to a numpy array.
 
     REAL formats handled pure-Python (public specs, stdlib zlib):
-    PNG (sources/png.py) and WAV PCM (sources/wav.py).  JPEG pixel decode
-    (DCT) and video codecs still need Pillow/ffmpeg — those raise
-    ``NotImplementedError``; the deterministic FAKE container covers their
-    plumbing tests.  Swap this single function for a Pillow/ffmpeg
-    implementation — every downstream kernel keeps working unchanged.
+    PNG (sources/png.py), baseline JPEG (sources/jpeg.py — Huffman +
+    IDCT, gray/4:4:4/4:2:0), and WAV PCM (sources/wav.py).  Video codecs
+    still need ffmpeg — those raise ``NotImplementedError``; the
+    deterministic FAKE container covers their plumbing tests.  Swap this
+    single function for a Pillow/ffmpeg implementation — every downstream
+    kernel keeps working unchanged.
     """
     magic = content[:4]
     if magic == b"\x89PNG":
         from dronedb_spark.sources.png import decode_png
 
         return decode_png(content)
+    if magic[:2] == b"\xff\xd8":
+        from dronedb_spark.sources.jpeg import decode_jpeg
+
+        return decode_jpeg(content)
     if magic == b"RIFF" and content[8:12] == b"WAVE":
         from dronedb_spark.sources.wav import decode_wav
 
@@ -100,7 +105,7 @@ def decode_media(content: bytes) -> np.ndarray:
         sr, n = struct.unpack("<II", content[4:12])
         return np.frombuffer(content[12 : 12 + n], dtype=np.int8)
     raise NotImplementedError(
-        "JPEG/video decoding requires Pillow/ffmpeg — not available in this environment"
+        "video codec decoding requires ffmpeg — not available in this environment"
     )
 
 

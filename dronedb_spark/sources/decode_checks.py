@@ -538,3 +538,80 @@ def q_ingest_format_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         prop("sampleRate", "int").alias("sample_rate"),
         prop("pixelScaleX", "double").alias("pixel_scale_x"),
     ).orderBy("path")
+
+
+# ---------------------------------------------------------------- JPEG --
+
+_JPG_N, _JPG_BY, _JPG_BX = 16, 6, 8
+
+
+def _jpg_dc(i: int) -> np.ndarray:
+    """Closed-form DC grid: dc[r,c] = ((i*7 + r*5 + c*3) % 120) - 60.
+    Decoded block value = 128 + 2*dc ∈ [8, 246] — never clipped, fully
+    integer (q0=16 ⇒ pixel = 128 + dc·16/8)."""
+    r = np.arange(_JPG_BY, dtype=np.int64)[:, None]
+    c = np.arange(_JPG_BX, dtype=np.int64)[None, :]
+    return (i * 7 + r * 5 + c * 3) % 120 - 60
+
+
+@check(
+    "media_jpeg_channel_stats",
+    oracle=f"""
+        WITH blk AS (
+            SELECT i.i AS media_id,
+                   CAST(128 + 2 * ((i.i * 7 + r.r * 5 + c.c * 3) % 120 - 60) AS DOUBLE) AS v
+            FROM (SELECT unnest(range(0, {_JPG_N})) AS i) i,
+                 (SELECT unnest(range(0, {_JPG_BY})) AS r) r,
+                 (SELECT unnest(range(0, {_JPG_BX})) AS c) c)
+        SELECT media_id, AVG(v) AS mean_val,
+               CAST(MIN(v) AS DOUBLE) AS min_val, CAST(MAX(v) AS DOUBLE) AS max_val,
+               CAST({_JPG_BY * _JPG_BX * 64} AS BIGINT) AS n_px
+        FROM blk GROUP BY media_id ORDER BY media_id""",
+)
+def q_jpeg_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG bytes (Huffman + dequant + IDCT via
+    sources/jpeg.py) → decode_media → per-image stats.  DC-only grayscale
+    fixtures make the lossy codec integer-exact (see encode_jpeg_dc_blocks),
+    so the oracle reproduces the decode relationally — the K9 thumbs.cpp
+    parity gate on its dominant input format."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from dronedb_spark.sources.jpeg import encode_jpeg_dc_blocks
+
+        for pdf in it:
+            rows = [
+                {"media_id": int(i), "content": encode_jpeg_dc_blocks(_jpg_dc(int(i)), q0=16)}
+                for i in pdf["id"]
+            ]
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = spread(spark.range(_JPG_N)).mapInPandas(gen, schema=_BIN_SCHEMA)
+
+    def stats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from dronedb_spark.multimodal.media import decode_media
+
+        for pdf in it:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                arr = decode_media(bytes(content)).astype(np.float64)
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "mean_val": float(arr.mean()),
+                        "min_val": float(arr.min()),
+                        "max_val": float(arr.max()),
+                        "n_px": int(arr.size),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "mean_val", "min_val", "max_val", "n_px"])
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("mean_val", T.DoubleType()),
+            T.StructField("min_val", T.DoubleType()),
+            T.StructField("max_val", T.DoubleType()),
+            T.StructField("n_px", T.LongType()),
+        ]
+    )
+    return media.mapInPandas(stats, schema=schema).orderBy("media_id")

@@ -183,3 +183,63 @@ def test_laz_roundtrip_random_walk():
     want = decode_las(encode_las(x, y, z, gps_time=gps))
     for f in ("x", "y", "z", "gps_time"):
         assert np.array_equal(got[f], want[f]), f
+
+
+def test_jpeg_dc_blocks_exact():
+    import numpy as np
+
+    from dronedb_spark.sources.jpeg import decode_jpeg, encode_jpeg_dc_blocks, jpeg_info
+
+    dc = np.arange(20).reshape(4, 5) * 5 - 50
+    data = encode_jpeg_dc_blocks(dc, q0=16)
+    img = decode_jpeg(data)
+    want = np.clip(128 + 2 * dc, 0, 255).astype(np.uint8)
+    assert np.array_equal(img, np.repeat(np.repeat(want, 8, 0), 8, 1))
+    assert jpeg_info(data) == (40, 32, 1)
+
+
+def test_jpeg_idct_matches_direct_formula():
+    """Decoder IDCT (matrix form) vs the textbook O(n^4) double loop."""
+    import numpy as np
+
+    from dronedb_spark.sources.jpeg import _A
+
+    rng = np.random.RandomState(5)
+    coef = rng.randint(-200, 200, (8, 8)).astype(np.float64)
+    fast = _A.T @ coef @ _A
+    slow = np.zeros((8, 8))
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = 1 / np.sqrt(2) if u == 0 else 1.0
+                    cv = 1 / np.sqrt(2) if v == 0 else 1.0
+                    s += (
+                        cu * cv * coef[u, v]
+                        * np.cos((2 * x + 1) * u * np.pi / 16)
+                        * np.cos((2 * y + 1) * v * np.pi / 16)
+                    )
+            slow[x, y] = s / 4.0
+    assert np.allclose(fast, slow, atol=1e-9)
+
+
+def test_jpeg_roundtrip_color_and_gray():
+    import numpy as np
+
+    from dronedb_spark.sources.jpeg import decode_jpeg, encode_jpeg
+
+    g = (np.linspace(0, 255, 56)[None, :] * np.ones((40, 1))).astype(np.uint8)
+    d = decode_jpeg(encode_jpeg(g))
+    assert d.shape == g.shape
+    assert float(np.sqrt(np.mean((d.astype(float) - g.astype(float)) ** 2))) < 3.0
+
+    c = np.zeros((33, 49, 3), np.uint8)
+    c[..., 0] = np.linspace(0, 255, 49)[None, :]
+    c[..., 1] = np.linspace(0, 255, 33)[:, None]
+    c[..., 2] = 128
+    for ss in (False, True):
+        d = decode_jpeg(encode_jpeg(c, subsample=ss))
+        assert d.shape == c.shape
+        rmse = float(np.sqrt(np.mean((d.astype(float) - c.astype(float)) ** 2)))
+        assert rmse < 6.0, (ss, rmse)
