@@ -211,7 +211,12 @@ def _register_checks() -> None:
     from dronedb_spark.suite import check
     from dronedb_spark.tables import load
 
-    @check("image_footprints", oracle=None)  # trig kernel — rows-only check
+    # Deliberately rows-only: the footprint runs through the full UTM
+    # Krüger forward+inverse series — reproducing that in SQL to hash
+    # precision is not practical.  The kernel IS oracle-constrained by
+    # footprint_bbox_props below (center-containment + metric extent
+    # checks reproduce TRUE/FALSE relationally).
+    @check("image_footprints", oracle=None)
     def q_image_footprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         """S5-geometry (calculateFootprint, entry.cpp:770-836): per-image
         ground footprint rings from synthetic camera params — the ingest

@@ -312,7 +312,11 @@ def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
     return media.mapInPandas(run, schema=schema)
 
 
-@check("media_features", oracle=None)  # binary decode kernel — rows-only
+# Deliberately rows-only: the unique surface here is the ARRAY-typed
+# feature column (unrounded doubles inside a list defeat the driver's
+# scalar rounding).  The same decode+stripe kernel is oracle-checked
+# scalar-wise by media_stripe_means.
+@check("media_features", oracle=None)
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = synth_media(spark, load(spark, sf_dir, "embeddings"))
     return extract_features(media).orderBy("media_id")

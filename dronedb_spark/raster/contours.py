@@ -208,7 +208,67 @@ def q_contour_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contour_crossings(dem_df(spark), DEM_LEVELS)
 
 
-@check("contour_segments", oracle=None)  # numpy kernel — rows-only check
+def _segments_oracle() -> str:
+    """FULL marching squares in SQL: the 14-entry case table is a VALUES
+    relation joined on the cell's case index, and both endpoints are
+    linearly interpolated per edge with the same t = (lv-a)/(b-a) formula
+    the kernel uses (d=0 → 0.5).  IEEE double division is correctly
+    rounded in both engines, so endpoints match bit-for-bit — this
+    upgrades the r2 rows-only check to exact geometry verification."""
+    from dronedb_spark.raster.synth import multi_dem_sql
+
+    lv_values = ", ".join(f"({lv})" for lv in DEM_LEVELS)
+    spec_rows = []
+    for cs, pairs in _CASES.items():
+        for ea, eb in pairs:
+            spec_rows.append(f"({cs}, {ea}, {eb})")
+    spec = ", ".join(spec_rows)
+    # endpoint helpers per edge id: corner values tlv/trv/brv/blv at cell
+    # (r, c); edge 0=top 1=right 2=bottom 3=left
+    def t(a: str, b: str) -> str:
+        return f"(CASE WHEN {b} = {a} THEN 0.5 ELSE (cell.level - {a}) / ({b} - {a}) END)"
+
+    def x(e: str) -> str:
+        return (
+            f"CASE {e} WHEN 0 THEN cell.c + {t('tlv', 'trv')}"
+            f" WHEN 1 THEN CAST(cell.c + 1 AS DOUBLE)"
+            f" WHEN 2 THEN cell.c + {t('blv', 'brv')}"
+            f" ELSE CAST(cell.c AS DOUBLE) END"
+        )
+
+    def y(e: str) -> str:
+        return (
+            f"CASE {e} WHEN 0 THEN CAST(cell.r AS DOUBLE)"
+            f" WHEN 1 THEN cell.r + {t('trv', 'brv')}"
+            f" WHEN 2 THEN CAST(cell.r + 1 AS DOUBLE)"
+            f" ELSE cell.r + {t('tlv', 'blv')} END"
+        )
+
+    return f"""
+        WITH px AS MATERIALIZED ({multi_dem_sql("duckdb")}),
+        cell AS (
+            SELECT tl.raster_id, tl.row AS r, tl.col AS c, lv.level,
+                   tl.value AS tlv, tr.value AS trv, br.value AS brv, bl.value AS blv,
+                   (CASE WHEN tl.value >= lv.level THEN 8 ELSE 0 END
+                  + CASE WHEN tr.value >= lv.level THEN 4 ELSE 0 END
+                  + CASE WHEN br.value >= lv.level THEN 2 ELSE 0 END
+                  + CASE WHEN bl.value >= lv.level THEN 1 ELSE 0 END) AS cs
+            FROM px tl
+            JOIN px tr ON tr.raster_id = tl.raster_id AND tr.row = tl.row AND tr.col = tl.col + 1
+            JOIN px br ON br.raster_id = tl.raster_id AND br.row = tl.row + 1 AND br.col = tl.col + 1
+            JOIN px bl ON bl.raster_id = tl.raster_id AND bl.row = tl.row + 1 AND bl.col = tl.col
+            CROSS JOIN (VALUES {lv_values}) lv(level)
+            WHERE tl.value <> {NODATA} AND tr.value <> {NODATA}
+              AND br.value <> {NODATA} AND bl.value <> {NODATA})
+        SELECT cell.raster_id, CAST(cell.level AS DOUBLE) AS level,
+               {x("spec.ea")} AS x1, {y("spec.ea")} AS y1,
+               {x("spec.eb")} AS x2, {y("spec.eb")} AS y2
+        FROM cell
+        JOIN (VALUES {spec}) spec(cs, ea, eb) ON spec.cs = cell.cs
+        ORDER BY raster_id, level, x1, y1, x2, y2"""
+
+
+@check("contour_segments", oracle=_segments_oracle())
 def q_contour_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Checked over the MULTI-raster catalog so the driver exercises the
     grouped (per-raster-task) path, not the single-raster special case."""

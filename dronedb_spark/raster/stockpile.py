@@ -144,13 +144,99 @@ def detect_stockpiles(
     return segs.orderBy("raster_id", F.desc("estimated_volume"), "stockpile_id")
 
 
-@check("stockpile_detect", oracle=None)  # numpy kernel — rows-only check
+def _detect_oracle() -> str:
+    """FULL per-component oracle: connected components via a recursive
+    min-label reachability CTE (a label spreads to a 4-neighbor whenever
+    it is smaller than the neighbor's own pixel id; the component label is
+    the MIN over reachable labels = the component's smallest pixel id).
+    Per-component n_pixels / centroid / peak / volume then reduce to plain
+    aggregates.  The kernel's scan-order stockpile_id is NOT part of the
+    comparison (the driver compares sorted row multisets), so labeling
+    order differences between BFS and SQL are immaterial — this upgrades
+    the r2 rows-only check to exact per-component verification."""
+    from dronedb_spark.raster.synth import multi_dem_sql
+
+    return f"""
+        WITH RECURSIVE px AS MATERIALIZED ({multi_dem_sql("duckdb")}),
+        v AS (SELECT raster_id, CAST(row AS DOUBLE) AS r,
+                     CAST(col AS DOUBLE) AS c, value AS z
+              FROM px WHERE value <> {NODATA}),
+        m AS (SELECT raster_id, AVG(r) AS mr, AVG(c) AS mc, AVG(z) AS mz
+              FROM v GROUP BY raster_id),
+        s AS (SELECT v.raster_id,
+                     SUM((c - mc) * (c - mc)) AS scc,
+                     SUM((r - mr) * (r - mr)) AS srr,
+                     SUM((c - mc) * (r - mr)) AS scr,
+                     SUM((c - mc) * (z - mz)) AS scz,
+                     SUM((r - mr) * (z - mz)) AS srz
+              FROM v JOIN m ON m.raster_id = v.raster_id
+              GROUP BY v.raster_id),
+        coef AS (SELECT s.raster_id,
+                        (scz * srr - srz * scr) / (scc * srr - scr * scr) AS b,
+                        (scc * srz - scr * scz) / (scc * srr - scr * scr) AS cc,
+                        mz AS mz, mc AS mc, mr AS mr
+                 FROM s JOIN m ON m.raster_id = s.raster_id),
+        mask AS MATERIALIZED (
+            SELECT v.raster_id, CAST(v.r AS BIGINT) AS r, CAST(v.c AS BIGINT) AS c,
+                   z - ((mz - b * mc - cc * mr) + b * c + cc * r) AS height,
+                   CAST(v.r AS BIGINT) * 1000 + CAST(v.c AS BIGINT) AS pid
+            FROM v JOIN coef ON coef.raster_id = v.raster_id
+            WHERE z - ((mz - b * mc - cc * mr) + b * c + cc * r) > 5.0),
+        edges AS MATERIALIZED (
+            -- 4-neighbor adjacency as EQUI-joins (an abs()=1 OR-join in
+            -- the recursive term is quadratic; this keeps each recursion
+            -- step hash-joinable)
+            SELECT a.raster_id, a.r, a.c, b.r AS nr, b.c AS nc, b.pid AS npid
+            FROM mask a JOIN mask b
+              ON b.raster_id = a.raster_id AND b.r = a.r + 1 AND b.c = a.c
+            UNION ALL
+            SELECT a.raster_id, a.r, a.c, b.r, b.c, b.pid
+            FROM mask a JOIN mask b
+              ON b.raster_id = a.raster_id AND b.r = a.r - 1 AND b.c = a.c
+            UNION ALL
+            SELECT a.raster_id, a.r, a.c, b.r, b.c, b.pid
+            FROM mask a JOIN mask b
+              ON b.raster_id = a.raster_id AND b.r = a.r AND b.c = a.c + 1
+            UNION ALL
+            SELECT a.raster_id, a.r, a.c, b.r, b.c, b.pid
+            FROM mask a JOIN mask b
+              ON b.raster_id = a.raster_id AND b.r = a.r AND b.c = a.c - 1),
+        reach AS (
+            SELECT raster_id, r, c, pid AS lbl FROM mask
+            UNION
+            SELECT e.raster_id, e.nr AS r, e.nc AS c, re.lbl
+            FROM reach re
+            JOIN edges e ON e.raster_id = re.raster_id AND e.r = re.r AND e.c = re.c
+            WHERE re.lbl < e.npid),
+        lab AS (SELECT raster_id, r, c, MIN(lbl) AS comp
+                FROM reach GROUP BY raster_id, r, c)
+        SELECT l.raster_id, CAST(COUNT(*) AS BIGINT) AS n_pixels,
+               AVG(CAST(l.r AS DOUBLE)) AS centroid_row,
+               AVG(CAST(l.c AS DOUBLE)) AS centroid_col,
+               ROUND(MAX(mk.height), 4) AS peak_height,
+               ROUND(SUM(mk.height) * 0.25, 4) AS estimated_volume
+        FROM lab l JOIN mask mk
+          ON mk.raster_id = l.raster_id AND mk.r = l.r AND mk.c = l.c
+        GROUP BY l.raster_id, l.comp HAVING COUNT(*) >= 16
+        ORDER BY l.raster_id, estimated_volume DESC"""
+
+
+@check("stockpile_detect", oracle=_detect_oracle())
 def q_stockpiles(spark, sf_dir: str) -> DataFrame:
     """Checked over the MULTI-raster catalog so the driver exercises the
-    grouped (per-raster-task) path."""
+    grouped (per-raster-task) path.  The scan-order stockpile_id is
+    projected OUT (the oracle labels components by min pixel id instead);
+    peak/volume round to 4 dp to absorb summation-order drift."""
     from dronedb_spark.raster.synth import multi_dem_df
 
-    return detect_stockpiles(multi_dem_df(spark))
+    return detect_stockpiles(multi_dem_df(spark)).select(
+        "raster_id",
+        "n_pixels",
+        "centroid_row",
+        "centroid_col",
+        F.round("peak_height", 4).alias("peak_height"),
+        F.round("estimated_volume", 4).alias("estimated_volume"),
+    )
 
 
 def _mass_balance_oracle() -> str:
