@@ -1,0 +1,338 @@
+"""Pure-Python ESRI Shapefile reader/writer (.shp geometry + .dbf
+attributes — both public specs: the ESRI Shapefile Technical Description
+whitepaper and the dBASE III file layout).
+
+Closes the biggest S8 vector-format gap after GeoJSON: the reference
+opens shapefiles through OGR (entry.cpp format list, vector_query.cpp);
+here the two fixed binary layouts are decoded directly and land in the
+SAME ``features`` table model (``sources/geojson.FEATURE_SCHEMA``) that
+``operators/vector_query.py`` filters, pages, and describes — so every
+existing vector operator works on shapefile input unchanged.
+
+Spark shape: a shapefile is a multi-file dataset (stem.shp + stem.dbf).
+The distributed read scans both extensions in one ``binaryFile`` pass,
+groups by stem (one shuffle of raw bytes, small: vector files are KB-MB),
+and decodes each pair in a grouped Arrow kernel — one task per dataset,
+the natural parallel unit for a directory of thousands of layers.
+
+Shape types implemented: 0 null, 1 Point, 3 PolyLine, 5 Polygon,
+8 MultiPoint (+ their geometry-identical Z/M variants 11/13/15/18 by
+reading only the XY block).  dBASE: C/N/F/L/D fields, ASCII records.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dronedb_spark.sources.geojson import FEATURE_SCHEMA
+from dronedb_spark.suite import check
+
+_SHP_GEOM = {
+    1: "Point", 3: "LineString", 5: "Polygon", 8: "MultiPoint",
+    11: "Point", 13: "LineString", 15: "Polygon", 18: "MultiPoint",
+}
+
+
+def parse_shp(data: bytes) -> list[dict]:
+    """Record list: {fid, geom_type, points[(x, y)...], n_parts}."""
+    if len(data) < 100 or struct.unpack_from(">i", data, 0)[0] != 9994:
+        raise ValueError("not a shapefile (.shp)")
+    (version,) = struct.unpack_from("<i", data, 28)
+    if version != 1000:
+        raise ValueError(f"shapefile version {version}")
+    (file_len_words,) = struct.unpack_from(">i", data, 24)
+    end = min(file_len_words * 2, len(data))
+    out = []
+    pos = 100
+    while pos + 8 <= end:
+        rec_no, content_words = struct.unpack_from(">ii", data, pos)
+        pos += 8
+        rec_end = pos + content_words * 2
+        (stype,) = struct.unpack_from("<i", data, pos)
+        if stype == 0:  # null shape
+            out.append({"fid": rec_no, "geom_type": None, "points": [], "n_parts": 0})
+        elif stype in (1, 11):
+            x, y = struct.unpack_from("<2d", data, pos + 4)
+            out.append(
+                {"fid": rec_no, "geom_type": _SHP_GEOM[stype], "points": [(x, y)], "n_parts": 1}
+            )
+        elif stype in (8, 18):
+            (n_pts,) = struct.unpack_from("<i", data, pos + 36)
+            pts = np.frombuffer(data, dtype="<f8", count=2 * n_pts, offset=pos + 40)
+            out.append(
+                {
+                    "fid": rec_no,
+                    "geom_type": _SHP_GEOM[stype],
+                    "points": list(zip(pts[0::2], pts[1::2])),
+                    "n_parts": 1,
+                }
+            )
+        elif stype in (3, 5, 13, 15):
+            n_parts, n_pts = struct.unpack_from("<2i", data, pos + 36)
+            pts_off = pos + 44 + 4 * n_parts
+            pts = np.frombuffer(data, dtype="<f8", count=2 * n_pts, offset=pts_off)
+            out.append(
+                {
+                    "fid": rec_no,
+                    "geom_type": _SHP_GEOM[stype],
+                    "points": list(zip(pts[0::2], pts[1::2])),
+                    "n_parts": n_parts,
+                }
+            )
+        else:
+            raise NotImplementedError(f"shape type {stype}")
+        pos = rec_end
+    return out
+
+
+def parse_dbf(data: bytes) -> tuple[list[str], list[dict]]:
+    """(field names, records) from a dBASE III table."""
+    if len(data) < 32:
+        raise ValueError("not a dBF file")
+    n_records, header_size, record_size = struct.unpack_from("<IHH", data, 4)
+    fields = []
+    pos = 32
+    while pos < header_size - 1 and data[pos] != 0x0D:
+        name = data[pos : pos + 11].split(b"\x00")[0].decode("ascii", errors="replace")
+        ftype = chr(data[pos + 11])
+        flen = data[pos + 16]
+        fdec = data[pos + 17]
+        fields.append((name, ftype, flen, fdec))
+        pos += 32
+    records = []
+    pos = header_size
+    for _ in range(n_records):
+        if pos + record_size > len(data):
+            break
+        if data[pos : pos + 1] != b"*":  # not deleted
+            rec = {}
+            off = pos + 1
+            for name, ftype, flen, fdec in fields:
+                raw = data[off : off + flen].decode("ascii", errors="replace").strip()
+                if ftype in ("N", "F") and raw:
+                    rec[name] = float(raw) if ("." in raw or fdec) else int(raw)
+                elif ftype == "L":
+                    rec[name] = raw in ("Y", "y", "T", "t")
+                else:
+                    rec[name] = raw
+                off += flen
+            records.append(rec)
+        pos += record_size
+    return [f[0] for f in fields], records
+
+
+# ------------------------------------------------------------------ write
+
+
+def encode_shp(shapes: list[tuple[int, list[tuple[float, float]]]]) -> bytes:
+    """(shape_type, points) list → .shp bytes.  PolyLine/Polygon records
+    are written single-part; Polygon rings should repeat the first point."""
+    body = bytearray()
+    allx: list[float] = []
+    ally: list[float] = []
+    for rec_no, (stype, pts) in enumerate(shapes, start=1):
+        if stype == 1:
+            content = struct.pack("<i2d", 1, pts[0][0], pts[0][1])
+        elif stype in (3, 5):
+            xs = [p[0] for p in pts]
+            ys = [p[1] for p in pts]
+            content = struct.pack(
+                "<i4d2ii", stype, min(xs), min(ys), max(xs), max(ys), 1, len(pts), 0
+            ) + b"".join(struct.pack("<2d", x, y) for x, y in pts)
+        elif stype == 8:
+            xs = [p[0] for p in pts]
+            ys = [p[1] for p in pts]
+            content = struct.pack(
+                "<i4di", 8, min(xs), min(ys), max(xs), max(ys), len(pts)
+            ) + b"".join(struct.pack("<2d", x, y) for x, y in pts)
+        else:
+            raise NotImplementedError(f"encode shape type {stype}")
+        body += struct.pack(">ii", rec_no, len(content) // 2)
+        body += content
+        allx.extend(p[0] for p in pts)
+        ally.extend(p[1] for p in pts)
+    header = bytearray(100)
+    struct.pack_into(">i", header, 0, 9994)
+    struct.pack_into(">i", header, 24, (100 + len(body)) // 2)
+    struct.pack_into("<i", header, 28, 1000)
+    struct.pack_into("<i", header, 32, shapes[0][0] if shapes else 0)
+    struct.pack_into(
+        "<4d", header, 36,
+        min(allx) if allx else 0.0, min(ally) if ally else 0.0,
+        max(allx) if allx else 0.0, max(ally) if ally else 0.0,
+    )
+    return bytes(header) + bytes(body)
+
+
+def encode_dbf(fields: list[tuple[str, str, int, int]], records: list[dict]) -> bytes:
+    """dBASE III writer: fields = [(name, type, length, decimals)]."""
+    record_size = 1 + sum(f[2] for f in fields)
+    header_size = 32 + 32 * len(fields) + 1
+    out = bytearray()
+    out += struct.pack("<B3BIHH", 0x03, 24, 1, 1, len(records), header_size, record_size)
+    out += b"\x00" * 20
+    for name, ftype, flen, fdec in fields:
+        out += name.encode("ascii").ljust(11, b"\x00")
+        out += ftype.encode("ascii")
+        out += b"\x00" * 4
+        out += bytes([flen, fdec])
+        out += b"\x00" * 14
+    out += b"\x0d"
+    for rec in records:
+        out += b" "
+        for name, ftype, flen, fdec in fields:
+            v = rec.get(name, "")
+            if ftype in ("N", "F"):
+                s = (f"{v:.{fdec}f}" if fdec else str(int(v))) if v != "" else ""
+                out += s.rjust(flen).encode("ascii")[:flen]
+            elif ftype == "L":
+                out += (b"T" if v else b"F").ljust(flen)
+            else:
+                out += str(v).ljust(flen).encode("ascii")[:flen]
+    out += b"\x1a"
+    return bytes(out)
+
+
+# ----------------------------------------------------------------- reader
+
+
+def read_shapefiles(spark: SparkSession, root: str) -> DataFrame:
+    """S8 entry point: a directory of stem.shp/stem.dbf pairs → features
+    table.  One ``binaryFile`` scan picks up both extensions; pairing is a
+    groupBy on the stem (shuffle of raw KB-scale vector bytes), then each
+    dataset decodes in its own task."""
+    sep = root.rstrip("/") + "/"
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.{shp,dbf}")
+        .option("recursiveFileLookup", "true")
+        .load(root)
+        .select(
+            F.regexp_replace(
+                F.substring_index("path", sep, -1), r"\.(shp|dbf)$", ""
+            ).alias("stem"),
+            F.regexp_extract("path", r"\.(shp|dbf)$", 1).alias("ext"),
+            "content",
+        )
+    )
+
+    def decode(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = [f.name for f in FEATURE_SCHEMA.fields]
+        stem = pdf["stem"].iloc[0]
+        shp = dbf = None
+        for ext, content in zip(pdf["ext"], pdf["content"]):
+            if ext == "shp":
+                shp = bytes(content)
+            elif ext == "dbf":
+                dbf = bytes(content)
+        rows = []
+        if shp is not None:
+            try:
+                shapes = parse_shp(shp)
+                n_props = 0
+                if dbf is not None:
+                    names, _recs = parse_dbf(dbf)
+                    n_props = len(names)
+                for s in shapes:
+                    xs = [p[0] for p in s["points"]]
+                    ys = [p[1] for p in s["points"]]
+                    rows.append(
+                        {
+                            "dataset_id": stem,
+                            "layer": stem,
+                            "fid": s["fid"],
+                            "geom_type": s["geom_type"],
+                            "bbox_minx": min(xs) if xs else None,
+                            "bbox_miny": min(ys) if ys else None,
+                            "bbox_maxx": max(xs) if xs else None,
+                            "bbox_maxy": max(ys) if ys else None,
+                            "n_vertices": len(s["points"]),
+                            "n_props": n_props,
+                        }
+                    )
+            except Exception:
+                pass  # skip undecodable datasets — never fail the job
+        return pd.DataFrame(rows, columns=cols)
+
+    return files.groupBy("stem").applyInPandas(decode, schema=FEATURE_SCHEMA)
+
+
+# ------------------------------------------------------------------ check
+
+_SF_N = 240  # features per dataset; 2 datasets
+
+
+def _shapefile_fixture_root() -> str:
+    """Two REAL shapefile datasets (closed-form two-decimal coordinate
+    grid, mixed Point/LineString/Polygon, 3-field dbf)."""
+    import os
+
+    root = os.path.abspath(
+        os.path.join(os.path.dirname(__file__), "..", "..", "tests", "fixtures", "shp_cat_v1")
+    )
+    os.makedirs(root, exist_ok=True)
+    for d in range(2):
+        shapes = []
+        records = []
+        for k in range(_SF_N):
+            fid = d * _SF_N + k
+            x = -120.0 + ((fid * 733) % 4000) / 100.0
+            y = 30.0 + ((fid * 389) % 1500) / 100.0
+            dx = (1 + fid % 7) / 100.0
+            dy = (1 + fid % 5) / 100.0
+            if fid % 4 == 0:
+                shapes.append((1, [(x, y)]))
+            elif fid % 2 == 0:
+                shapes.append((3, [(x, y), (x + dx, y + dy)]))
+            else:
+                shapes.append(
+                    (5, [(x, y), (x + dx, y), (x + dx, y + dy), (x, y + dy), (x, y)])
+                )
+            records.append({"NAME": f"f{fid}", "KIND": fid % 3, "AREA": dx * dy})
+        fields = [("NAME", "C", 12, 0), ("KIND", "N", 4, 0), ("AREA", "N", 12, 6)]
+        shp = encode_shp(shapes)
+        dbf = encode_dbf(fields, records)
+        for ext, payload in (("shp", shp), ("dbf", dbf)):
+            p = os.path.join(root, f"layer_{d}.{ext}")
+            if not os.path.exists(p) or open(p, "rb").read() != payload:
+                with open(p, "wb") as f:
+                    f.write(payload)
+            os.utime(p, (1700000000, 1700000000))
+    return root
+
+
+@check(
+    "shapefile_parse_features",
+    oracle=f"""
+        WITH c AS (
+            SELECT d.d * {_SF_N} + k.k AS gid, d.d, k.k,
+                   -120.0 + ((d.d * {_SF_N} + k.k) * 733) % 4000 / 100.0 AS x,
+                   30.0 + ((d.d * {_SF_N} + k.k) * 389) % 1500 / 100.0 AS y,
+                   (1 + (d.d * {_SF_N} + k.k) % 7) / 100.0 AS dx,
+                   (1 + (d.d * {_SF_N} + k.k) % 5) / 100.0 AS dy
+            FROM (SELECT unnest(range(0, 2)) AS d) d,
+                 (SELECT unnest(range(0, {_SF_N})) AS k) k)
+        SELECT 'layer_' || d AS dataset_id, 'layer_' || d AS layer,
+               -- .shp record numbers are 1-based per dataset
+               CAST(k + 1 AS BIGINT) AS fid,
+               CASE WHEN gid % 4 = 0 THEN 'Point'
+                    WHEN gid % 2 = 0 THEN 'LineString' ELSE 'Polygon' END AS geom_type,
+               x AS bbox_minx, y AS bbox_miny,
+               CASE WHEN gid % 4 = 0 THEN x ELSE x + dx END AS bbox_maxx,
+               CASE WHEN gid % 4 = 0 THEN y ELSE y + dy END AS bbox_maxy,
+               CAST(CASE WHEN gid % 4 = 0 THEN 1
+                         WHEN gid % 2 = 0 THEN 2 ELSE 5 END AS INT) AS n_vertices,
+               CAST(3 AS INT) AS n_props
+        FROM c ORDER BY dataset_id, fid""",
+)
+def q_shapefile_parse_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL .shp/.dbf bytes → distributed pair decode → features table,
+    value-checked against the closed-form coordinate grid.  Exercises the
+    record framing (big-endian headers), little-endian geometry, part
+    arrays, ring closure, and the dBASE field descriptor walk."""
+    return read_shapefiles(spark, _shapefile_fixture_root()).orderBy("dataset_id", "fid")

@@ -83,3 +83,26 @@ def test_geojson_feeds_vector_query(spark, tmp_path):
     df = read_geojson(spark, str(tmp_path))
     hit = query_vector(df, "grid", "grid", bbox=(2.5, 0.0, 6.5, 90.0), max_features=3)
     assert [r.fid for r in hit.collect()] == [3, 4, 5]
+
+
+def test_shapefile_roundtrip_parse():
+    from dronedb_spark.sources.shapefile import encode_dbf, encode_shp, parse_dbf, parse_shp
+
+    shapes = [
+        (1, [(10.5, -3.25)]),
+        (3, [(0.0, 0.0), (1.5, 2.5), (3.0, 1.0)]),
+        (5, [(0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0), (0.0, 0.0)]),
+        (8, [(5.0, 5.0), (6.0, 7.0)]),
+    ]
+    recs = parse_shp(encode_shp(shapes))
+    assert [r["geom_type"] for r in recs] == ["Point", "LineString", "Polygon", "MultiPoint"]
+    assert [r["fid"] for r in recs] == [1, 2, 3, 4]
+    assert recs[2]["points"][0] == recs[2]["points"][-1]  # ring closed
+    assert recs[1]["points"] == [(0.0, 0.0), (1.5, 2.5), (3.0, 1.0)]
+
+    fields = [("NAME", "C", 8, 0), ("KIND", "N", 4, 0), ("VAL", "N", 10, 3)]
+    rows = [{"NAME": "a", "KIND": 2, "VAL": 1.5}, {"NAME": "bb", "KIND": 11, "VAL": -0.125}]
+    names, parsed = parse_dbf(encode_dbf(fields, rows))
+    assert names == ["NAME", "KIND", "VAL"]
+    assert parsed[0] == {"NAME": "a", "KIND": 2, "VAL": 1.5}
+    assert parsed[1]["KIND"] == 11 and parsed[1]["VAL"] == -0.125
