@@ -615,3 +615,67 @@ def q_jpeg_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return media.mapInPandas(stats, schema=schema).orderBy("media_id")
+
+
+# ----------------------------------------------------------------- MP4 --
+
+_MP4_N = 12
+
+
+def _mp4_fixture_root() -> str:
+    import os
+
+    from dronedb_spark.sources.mp4 import encode_mp4_stub
+
+    root = os.path.abspath(
+        os.path.join(os.path.dirname(__file__), "..", "..", "tests", "fixtures", "mp4_cat_v1")
+    )
+    os.makedirs(root, exist_ok=True)
+    for i in range(_MP4_N):
+        payload = encode_mp4_stub(
+            duration_s=2.0 + i * 0.25,
+            width=320 + 16 * i,
+            height=240 + 8 * i,
+            n_audio_tracks=i % 3,
+        )
+        p = os.path.join(root, f"clip_{i:02d}.mp4")
+        if not os.path.exists(p) or open(p, "rb").read() != payload:
+            with open(p, "wb") as f:
+                f.write(payload)
+        os.utime(p, (1700000000, 1700000000))
+    os.utime(root, (1700000000, 1700000000))
+    return root
+
+
+@check(
+    "video_mp4_metadata",
+    oracle=f"""
+        SELECT 'clip_' || CASE WHEN i < 10 THEN '0' ELSE '' END || i || '.mp4' AS path,
+               CAST(9 AS INT) AS type,  -- ENTRY_TYPES['Video']
+               2.0 + i * 0.25 AS duration_s,
+               CAST(320 + 16 * i AS INT) AS width,
+               CAST(240 + 8 * i AS INT) AS height,
+               CAST(1 + i % 3 AS INT) AS tracks
+        FROM (SELECT unnest(range(0, {_MP4_N})) AS i)
+        ORDER BY path""",
+)
+def q_video_mp4_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL ISO-BMFF bytes → full ingest (fingerprint by extension, box
+    walk in the entry parser) → typed video properties, value-checked
+    against the closed-form fixture params — the metadata half of
+    entry.cpp:1086-1099's video classification."""
+    from dronedb_spark.sources.fs import ingest
+
+    ent = ingest(spark, _mp4_fixture_root())
+    return (
+        ent.filter(F.col("path").endswith(".mp4"))
+        .select(
+            "path",
+            F.col("type").cast("int").alias("type"),
+            F.get_json_object("properties", "$.duration").cast("double").alias("duration_s"),
+            F.get_json_object("properties", "$.width").cast("int").alias("width"),
+            F.get_json_object("properties", "$.height").cast("int").alias("height"),
+            F.get_json_object("properties", "$.tracks").cast("int").alias("tracks"),
+        )
+        .orderBy("path")
+    )

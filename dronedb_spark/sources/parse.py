@@ -73,6 +73,26 @@ def _parse_ply(header: bytes) -> dict:
     return props
 
 
+def _parse_mp4(header: bytes) -> dict:
+    """ISO BMFF metadata (duration/dimensions/tracks) when the moov box
+    falls inside the 4 KiB header window — true for metadata-first files;
+    moov-at-end files degrade to {} (the parse stage stays header-only by
+    design, matching the ingest contract)."""
+    from dronedb_spark.sources.mp4 import mp4_info
+
+    try:
+        info = mp4_info(header)
+    except (ValueError, struct.error):
+        return {}
+    props: dict = {"tracks": info["n_tracks"]}
+    if info["duration_s"] is not None:
+        props["duration"] = info["duration_s"]
+    if info["width"] is not None:
+        props["width"] = info["width"]
+        props["height"] = info["height"]
+    return props
+
+
 def _parse_wav(header: bytes) -> dict:
     if header[:4] != b"RIFF" or header[8:12] != b"WAVE":
         return {}
@@ -147,4 +167,6 @@ def parse_entry(rel_path: str, header: bytes) -> dict:
         props = parse_exif(rel_path, header)
         props.update(_parse_geotiff(header))
         return props
+    if header[4:8] == b"ftyp":
+        return _parse_mp4(header)
     return parse_exif(rel_path, header)  # JPEG-embedded TIFF scan fallback

@@ -96,6 +96,7 @@ def load_all() -> dict[str, Check]:
     import dronedb_spark.sources.ingest_check  # noqa: F401  (EXIF ingest)
     import dronedb_spark.sources.geojson  # noqa: F401  (S8 real decode, new in r2)
     import dronedb_spark.sources.shapefile  # noqa: F401  (S8 .shp/.dbf, new in r3)
+    import dronedb_spark.catalog.nested  # noqa: F401  (dataset roll-up, new in r3)
     import dronedb_spark.operators.tpch_ext  # noqa: F401  (Q8-Q21, new in r2)
     # --- green rows in CORRECTNESS_r01: register after ------------------
     import dronedb_spark.operators.search  # noqa: F401

@@ -243,3 +243,17 @@ def test_jpeg_roundtrip_color_and_gray():
         assert d.shape == c.shape
         rmse = float(np.sqrt(np.mean((d.astype(float) - c.astype(float)) ** 2)))
         assert rmse < 6.0, (ss, rmse)
+
+
+def test_mp4_info_roundtrip():
+    from dronedb_spark.sources.mp4 import encode_mp4_stub, mp4_info
+
+    info = mp4_info(encode_mp4_stub(12.5, 1920, 1080, n_audio_tracks=2))
+    assert info["duration_s"] == 12.5
+    assert (info["width"], info["height"]) == (1920, 1080)
+    assert info["n_tracks"] == 3 and info["brand"] == "isom"
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        mp4_info(b"\x00\x00\x00\x08ftypisom")  # ftyp only, no moov
