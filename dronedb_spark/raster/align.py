@@ -62,6 +62,125 @@ def align_bands(bands: dict[str, np.ndarray], ref_band: str) -> dict[str, np.nda
     return out
 
 
+def ncc_patches(
+    ref: np.ndarray,
+    mov: np.ndarray,
+    patch: int = 12,
+    grid: int = 4,
+    search: int = 12,
+    min_ncc: float = 0.5,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Patch-grid normalized cross-correlation (align.cpp's NCC matcher):
+    a grid×grid lattice of patches from ``ref`` is matched against a
+    ±search window in ``mov``; returns (src_pts, dst_pts) arrays of
+    matched centers (ref coords → mov coords).  Matches below ``min_ncc``
+    are dropped (featureless or occluded patches)."""
+    h, w = ref.shape
+    half = patch // 2
+    margin = half + search + 1
+    ys = np.linspace(margin, h - margin - 1, grid).astype(int)
+    xs = np.linspace(margin, w - margin - 1, grid).astype(int)
+    src, dst = [], []
+    for cy in ys:
+        for cx in xs:
+            p = ref[cy - half : cy + half, cx - half : cx + half].astype(np.float64)
+            pz = p - p.mean()
+            pn = np.sqrt((pz * pz).sum())
+            if pn < 1e-12:
+                continue
+            best, best_off = -2.0, (0, 0)
+            for oy in range(-search, search + 1):
+                for ox in range(-search, search + 1):
+                    q = mov[
+                        cy + oy - half : cy + oy + half, cx + ox - half : cx + ox + half
+                    ].astype(np.float64)
+                    qz = q - q.mean()
+                    qn = np.sqrt((qz * qz).sum())
+                    if qn < 1e-12:
+                        continue
+                    ncc = float((pz * qz).sum() / (pn * qn))
+                    if ncc > best:
+                        best, best_off = ncc, (oy, ox)
+            if best >= min_ncc:
+                src.append((cx, cy))
+                dst.append((cx + best_off[1], cy + best_off[0]))
+    return np.array(src, dtype=np.float64), np.array(dst, dtype=np.float64)
+
+
+def fit_similarity(src: np.ndarray, dst: np.ndarray) -> tuple[float, float, float, float]:
+    """Least-squares similarity dst ≈ s·R(θ)·src + t from ≥2 points
+    (closed-form absolute orientation): returns (scale, theta_rad, tx, ty)."""
+    ms, md = src.mean(axis=0), dst.mean(axis=0)
+    sc, dc = src - ms, dst - md
+    denom = float((sc * sc).sum())
+    if denom < 1e-12:
+        raise ValueError("degenerate points")
+    a = float((sc * dc).sum())  # Σ xs·xd + ys·yd
+    b = float((sc[:, 0] * dc[:, 1] - sc[:, 1] * dc[:, 0]).sum())
+    s_cos, s_sin = a / denom, b / denom
+    s = float(np.hypot(s_cos, s_sin))
+    theta = float(np.arctan2(s_sin, s_cos))
+    r = np.array([[s_cos, -s_sin], [s_sin, s_cos]])
+    t = md - r @ ms
+    return s, theta, float(t[0]), float(t[1])
+
+
+def ransac_similarity(
+    src: np.ndarray,
+    dst: np.ndarray,
+    iters: int = 200,
+    tol: float = 1.5,
+    seed: int = 0,
+) -> tuple[tuple[float, float, float, float], np.ndarray]:
+    """RANSAC over 2-point minimal samples (align.cpp's robust estimator):
+    best consensus set is refit with the full least-squares solve.
+    Returns ((scale, theta, tx, ty), inlier_mask)."""
+    n = len(src)
+    if n < 2:
+        raise ValueError("need >= 2 correspondences")
+    rng = np.random.RandomState(seed)
+    best_mask = None
+    best_count = -1
+    for _ in range(iters):
+        i, j = rng.choice(n, 2, replace=False)
+        if np.allclose(src[i], src[j]):
+            continue
+        try:
+            s, th, tx, ty = fit_similarity(src[[i, j]], dst[[i, j]])
+        except ValueError:
+            continue
+        c, sn = s * np.cos(th), s * np.sin(th)
+        pred = np.column_stack(
+            [c * src[:, 0] - sn * src[:, 1] + tx, sn * src[:, 0] + c * src[:, 1] + ty]
+        )
+        err = np.sqrt(((pred - dst) ** 2).sum(axis=1))
+        mask = err <= tol
+        if int(mask.sum()) > best_count:
+            best_count = int(mask.sum())
+            best_mask = mask
+    if best_mask is None or best_count < 2:
+        raise ValueError("RANSAC found no consensus")
+    return fit_similarity(src[best_mask], dst[best_mask]), best_mask
+
+
+def align_similarity(
+    ref: np.ndarray, mov: np.ndarray, seed: int = 0, **ncc_kw
+) -> dict:
+    """R10 full pipeline (align.cpp parity): NCC patch correspondences →
+    RANSAC similarity → (scale, rotation, translation) mapping ref
+    coordinates into mov coordinates."""
+    src, dst = ncc_patches(ref, mov, **ncc_kw)
+    (s, th, tx, ty), mask = ransac_similarity(src, dst, seed=seed)
+    return {
+        "scale": s,
+        "theta_deg": float(np.degrees(th)),
+        "tx": tx,
+        "ty": ty,
+        "n_matches": int(len(src)),
+        "n_inliers": int(mask.sum()),
+    }
+
+
 def mask_borders(grid: np.ndarray, nodata: float = -9999.0, iterations: int = 1) -> np.ndarray:
     """R12: boolean mask of interior valid pixels — valid cells whose
     4-neighborhood is fully valid, eroded ``iterations`` times (the
@@ -202,6 +321,116 @@ def _register_checks() -> None:
             .repartition(len(_BAND_SHIFTS))
         )
         return sets.mapInPandas(run, schema=schema).orderBy("set_id", "band")
+
+    # R10 full parity: known similarity transforms (rotation + scale +
+    # shift, about the image center) recovered via NCC patches + RANSAC.
+    # Integer-pixel NCC limits precision, so the oracle is property-style
+    # (recovered-within-tolerance booleans), like footprint_bbox_props.
+    _SIMS: dict[int, tuple[float, float, float, float]] = {
+        0: (0.0, 1.0, 0.0, 0.0),      # theta_deg, scale, tx, ty
+        1: (3.0, 1.02, 2.5, -1.5),
+        2: (-4.0, 0.97, -3.0, 2.0),
+        3: (5.0, 1.05, 4.0, 4.0),
+        4: (-2.5, 1.0, -5.0, 0.0),
+        5: (1.5, 0.96, 0.0, 6.0),
+    }
+    _SN = 96
+
+    def _smooth_field(pid: int) -> np.ndarray:
+        rng = np.random.RandomState(1000 + pid)
+        f = rng.rand(_SN + 8, _SN + 8)
+        # 9x9 box smoothing via cumsum (no scipy): feature-rich but
+        # low-frequency enough for NCC to lock unambiguously
+        c = np.cumsum(np.cumsum(f, axis=0), axis=1)
+        c = np.pad(c, ((1, 0), (1, 0)))
+        k = 8
+        s = c[k:, k:] - c[:-k, k:] - c[k:, :-k] + c[:-k, :-k]
+        return s[: _SN, : _SN] * 100.0
+
+    def _warp_similarity(ref: np.ndarray, theta_deg: float, scale: float,
+                         tx: float, ty: float) -> np.ndarray:
+        """mov(p) = ref(T⁻¹(p)) with T = center-anchored s·R + t,
+        bilinear sampling (edge-clamped)."""
+        h, w = ref.shape
+        cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+        th = np.radians(theta_deg)
+        cth, sth = np.cos(th), np.sin(th)
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+        px, py = xx - cx - tx, yy - cy - ty
+        sx = (cth * px + sth * py) / scale + cx
+        sy = (-sth * px + cth * py) / scale + cy
+        x0 = np.clip(np.floor(sx).astype(int), 0, w - 2)
+        y0 = np.clip(np.floor(sy).astype(int), 0, h - 2)
+        fx = np.clip(sx - x0, 0.0, 1.0)
+        fy = np.clip(sy - y0, 0.0, 1.0)
+        return (
+            ref[y0, x0] * (1 - fx) * (1 - fy)
+            + ref[y0, x0 + 1] * fx * (1 - fy)
+            + ref[y0 + 1, x0] * (1 - fx) * fy
+            + ref[y0 + 1, x0 + 1] * fx * fy
+        )
+
+    @check(
+        "align_similarity_recovery",
+        oracle="SELECT * FROM (VALUES "
+        + ", ".join(f"({pid}, TRUE, TRUE, TRUE, TRUE)" for pid in _SIMS)
+        + ") AS t(pair_id, theta_ok, scale_ok, shift_ok, inliers_ok)"
+        " ORDER BY pair_id",
+    )
+    def q_align_similarity_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """R10 NCC+RANSAC parity (align.cpp's estimator, beyond the phase-
+        correlation seed): per pair the kernel must recover the known
+        center-anchored rotation/scale/shift within tolerance (θ ±0.5°,
+        s ±0.01, t ±1 px, ≥60% inliers).  One Arrow batch per pair."""
+        schema = T.StructType(
+            [
+                T.StructField("pair_id", T.IntegerType()),
+                T.StructField("theta_ok", T.BooleanType()),
+                T.StructField("scale_ok", T.BooleanType()),
+                T.StructField("shift_ok", T.BooleanType()),
+                T.StructField("inliers_ok", T.BooleanType()),
+            ]
+        )
+
+        def _shift_err(got, tx, ty) -> float:
+            """Compare transforms at the image CENTER (the estimator's t is
+            origin-anchored; the ground truth is center-anchored — evaluate
+            both maps at the center point where the true displacement is
+            exactly (tx, ty))."""
+            c = (_SN - 1) / 2.0
+            th = np.radians(got["theta_deg"])
+            s = got["scale"]
+            gx = s * (np.cos(th) * c - np.sin(th) * c) + got["tx"]
+            gy = s * (np.sin(th) * c + np.cos(th) * c) + got["ty"]
+            return float(np.hypot(gx - (c + tx), gy - (c + ty)))
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            cols = ["pair_id", "theta_ok", "scale_ok", "shift_ok", "inliers_ok"]
+            for pdf in batches:
+                rows = []
+                for pid in pdf["pair_id"]:
+                    pid = int(pid)
+                    theta, scale, tx, ty = _SIMS[pid]
+                    ref = _smooth_field(pid)
+                    mov = _warp_similarity(ref, theta, scale, tx, ty)
+                    got = align_similarity(ref, mov, seed=pid, grid=5)
+                    rows.append(
+                        {
+                            "pair_id": pid,
+                            "theta_ok": abs(got["theta_deg"] - theta) <= 0.5,
+                            "scale_ok": abs(got["scale"] - scale) <= 0.01,
+                            "shift_ok": _shift_err(got, tx, ty) <= 1.0,
+                            "inliers_ok": got["n_inliers"] >= 0.6 * got["n_matches"] > 0,
+                        }
+                    )
+                yield pd.DataFrame(rows, columns=cols)
+
+        pairs = (
+            spark.range(len(_SIMS))
+            .select(F.col("id").cast("int").alias("pair_id"))
+            .repartition(len(_SIMS))
+        )
+        return pairs.mapInPandas(run, schema=schema).orderBy("pair_id")
 
     # R12 border mask: a rh x rw valid rectangle in a nodata sea, eroded
     # k times, keeps (rh-2k)*(rw-2k) interior cells — stated by the

@@ -95,3 +95,26 @@ def test_mask_borders():
     assert not m[0].any() and not m[:, -1].any()
     assert not m[1].all()  # row adjacent to nodata border eroded
     assert m[5, 5]
+
+
+def test_ransac_similarity_rejects_outliers():
+    import numpy as np
+
+    from dronedb_spark.raster.align import fit_similarity, ransac_similarity
+
+    rng = np.random.RandomState(4)
+    src = rng.rand(30, 2) * 80
+    s, th, tx, ty = 1.03, np.radians(2.5), 3.0, -1.5
+    c, sn = s * np.cos(th), s * np.sin(th)
+    dst = np.column_stack(
+        [c * src[:, 0] - sn * src[:, 1] + tx, sn * src[:, 0] + c * src[:, 1] + ty]
+    )
+    dst[::5] += rng.rand(6, 2) * 40 + 10  # 20% gross outliers
+    (rs, rth, rtx, rty), mask = ransac_similarity(src, dst, seed=1)
+    assert abs(rs - s) < 1e-6 and abs(rth - th) < 1e-8
+    assert abs(rtx - tx) < 1e-6 and abs(rty - ty) < 1e-6
+    assert mask.sum() == 24  # exactly the clean points
+
+    # exact fit degenerates gracefully to the closed form
+    s2, th2, tx2, ty2 = fit_similarity(src[~np.arange(30) % 5 == 0][:2], dst[1:3])
+    assert np.isfinite([s2, th2, tx2, ty2]).all()
