@@ -136,3 +136,268 @@ def q_mvt_tile_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("dataset_id") == "vec1") & (F.col("layer") == "parcels")
     )
     return mvt_tile_summary(mvt_encode(feats, _Z))
+
+
+# ------------------------------------------------------- protobuf bytes
+# Real MVT (Mapbox Vector Tile 2.1) protobuf framing — hand-rolled wire
+# format (varint / zigzag / length-delimited), no protobuf library.
+# Geometries are POINT commands at the quantized centroid (the model this
+# sink already computes); the source geom_type rides as a layer property.
+
+
+def _varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _zigzag(v: int) -> int:
+    return (v << 1) ^ (v >> 63) if v < 0 else v << 1
+
+
+def _unzigzag(v: int) -> int:
+    return (v >> 1) ^ -(v & 1)
+
+
+def _field(num: int, wire: int) -> bytes:
+    return _varint((num << 3) | wire)
+
+
+def _ld(num: int, payload: bytes) -> bytes:
+    return _field(num, 2) + _varint(len(payload)) + payload
+
+
+def encode_tile_pbf(layer_name: str, features: list[dict], extent: int = EXTENT) -> bytes:
+    """One Tile message, one layer.  features: [{fid, u, v, geom_type}].
+    Spec fields: layer.version=2, name, extent; feature.id, tags (key
+    'geom_type' → string value), type=POINT, geometry=[MoveTo(1), zz(u),
+    zz(v)]."""
+    keys = ["geom_type"]
+    value_index: dict[str, int] = {}
+    values: list[str] = []
+    feats = b""
+    for f in sorted(features, key=lambda f: f["fid"]):
+        gt = str(f.get("geom_type"))
+        if gt not in value_index:
+            value_index[gt] = len(values)
+            values.append(gt)
+        geometry = _varint((1 << 3) | 1) + _varint(_zigzag(int(f["u"]))) + _varint(
+            _zigzag(int(f["v"]))
+        )
+        body = (
+            _field(1, 0) + _varint(int(f["fid"]))
+            + _ld(2, _varint(0) + _varint(value_index[gt]))  # packed tags
+            + _field(3, 0) + _varint(1)  # GeomType POINT
+            + _ld(4, geometry)
+        )
+        feats += _ld(2, body)
+    layer = (
+        _field(15, 0) + _varint(2)  # version
+        + _ld(1, layer_name.encode("utf-8"))
+        + feats
+        + b"".join(_ld(3, k.encode("utf-8")) for k in keys)
+        + b"".join(_ld(4, _ld(1, v.encode("utf-8"))) for v in values)
+        + _field(5, 0) + _varint(extent)
+    )
+    return _ld(3, layer)
+
+
+def _read_varint(data: bytes, pos: int) -> tuple[int, int]:
+    out = shift = 0
+    while True:
+        b = data[pos]
+        pos += 1
+        out |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return out, pos
+        shift += 7
+
+
+def decode_tile_pbf(data: bytes) -> list[dict]:
+    """Independent decoder for the same subset: returns [{layer, extent,
+    fid, u, v, geom_type}] — used by the round-trip gate, so any framing
+    slip in the encoder (tags, lengths, zigzag) breaks value parity."""
+    out = []
+    pos = 0
+    while pos < len(data):
+        tag, pos = _read_varint(data, pos)
+        if tag >> 3 != 3 or tag & 7 != 2:
+            raise ValueError(f"unexpected Tile field {tag >> 3}")
+        llen, pos = _read_varint(data, pos)
+        lend = pos + llen
+        name, extent = "", EXTENT
+        keys: list[str] = []
+        values: list[str] = []
+        raw_feats: list[bytes] = []
+        while pos < lend:
+            t, pos = _read_varint(data, pos)
+            num, wire = t >> 3, t & 7
+            if wire == 0:
+                v, pos = _read_varint(data, pos)
+                if num == 5:
+                    extent = v
+            elif wire == 2:
+                ln, pos = _read_varint(data, pos)
+                body = data[pos : pos + ln]
+                pos += ln
+                if num == 1:
+                    name = body.decode("utf-8")
+                elif num == 2:
+                    raw_feats.append(body)
+                elif num == 3:
+                    keys.append(body.decode("utf-8"))
+                elif num == 4:
+                    # Value message: string_value = field 1
+                    vt, vp = _read_varint(body, 0)
+                    if vt >> 3 == 1 and vt & 7 == 2:
+                        vl, vp = _read_varint(body, vp)
+                        values.append(body[vp : vp + vl].decode("utf-8"))
+                    else:
+                        values.append("")
+            else:
+                raise ValueError(f"wire type {wire}")
+        for body in raw_feats:
+            fid = None
+            tags: list[int] = []
+            gtype = 0
+            u = v = None
+            fp = 0
+            while fp < len(body):
+                t, fp = _read_varint(body, fp)
+                num, wire = t >> 3, t & 7
+                if num == 1 and wire == 0:
+                    fid, fp = _read_varint(body, fp)
+                elif num == 2 and wire == 2:
+                    ln, fp = _read_varint(body, fp)
+                    end = fp + ln
+                    while fp < end:
+                        tv, fp = _read_varint(body, fp)
+                        tags.append(tv)
+                elif num == 3 and wire == 0:
+                    gtype, fp = _read_varint(body, fp)
+                elif num == 4 and wire == 2:
+                    ln, fp = _read_varint(body, fp)
+                    end = fp + ln
+                    cmd, fp = _read_varint(body, fp)
+                    if cmd != ((1 << 3) | 1):
+                        raise ValueError("expected MoveTo(1)")
+                    zu, fp = _read_varint(body, fp)
+                    zv, fp = _read_varint(body, fp)
+                    u, v = _unzigzag(zu), _unzigzag(zv)
+                    fp = end
+                else:
+                    raise ValueError(f"feature field {num}/{wire}")
+            props = {
+                keys[tags[i]]: values[tags[i + 1]] for i in range(0, len(tags), 2)
+            }
+            if gtype != 1:
+                raise ValueError("expected POINT geometry")
+            out.append(
+                {
+                    "layer": name,
+                    "extent": extent,
+                    "fid": fid,
+                    "u": u,
+                    "v": v,
+                    "geom_type": props.get("geom_type"),
+                }
+            )
+        pos = lend
+    return out
+
+
+def mvt_write_tiles(encoded: DataFrame) -> DataFrame:
+    """K4 sink: per-tile .pbf payloads — groupBy on the tile key (the
+    sink's physical partitioning) and one protobuf build per tile."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("z", T.IntegerType()),
+            T.StructField("tx", T.LongType()),
+            T.StructField("ty", T.LongType()),
+            T.StructField("n_features", T.LongType()),
+            T.StructField("pbf", T.BinaryType()),
+        ]
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        feats = [
+            {"fid": int(r.fid), "u": int(r.u), "v": int(r.v), "geom_type": r.geom_type}
+            for r in pdf.itertuples()
+        ]
+        name = f"{pdf['dataset_id'].iloc[0]}/{pdf['layer'].iloc[0]}"
+        return pd.DataFrame(
+            [
+                {
+                    "z": int(pdf["z"].iloc[0]),
+                    "tx": int(pdf["tx"].iloc[0]),
+                    "ty": int(pdf["ty"].iloc[0]),
+                    "n_features": len(feats),
+                    "pbf": encode_tile_pbf(name, feats),
+                }
+            ]
+        )
+
+    return encoded.groupBy("z", "tx", "ty").applyInPandas(build, schema=schema)
+
+
+@check(
+    "mvt_pbf_roundtrip",
+    oracle=f"""
+        WITH features AS ({FEATURES_SQL}),
+        enc AS ({_encode_sql(_Z)})
+        SELECT z, tx, ty, fid, u, v, geom_type
+        FROM enc WHERE dataset_id = 'vec1' AND layer = 'parcels'
+        ORDER BY fid""",
+)
+def q_mvt_pbf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL .pbf bytes: quantized features → per-tile protobuf encode →
+    independent byte-level decode → per-feature rows, which must equal
+    the relational quantization oracle.  Any framing error (varint,
+    zigzag, tag indices, lengths) shifts the decoded values and fails
+    the hash — this closes K4 from 'quantization model' to actual MVT
+    payloads."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    feats = features_df(spark, sf_dir).filter(
+        (F.col("dataset_id") == "vec1") & (F.col("layer") == "parcels")
+    )
+    tiles = mvt_write_tiles(mvt_encode(feats, _Z))
+
+    schema = T.StructType(
+        [
+            T.StructField("z", T.IntegerType()),
+            T.StructField("tx", T.LongType()),
+            T.StructField("ty", T.LongType()),
+            T.StructField("fid", T.LongType()),
+            T.StructField("u", T.IntegerType()),
+            T.StructField("v", T.IntegerType()),
+            T.StructField("geom_type", T.StringType()),
+        ]
+    )
+
+    def unpack(batches):
+        cols = ["z", "tx", "ty", "fid", "u", "v", "geom_type"]
+        for pdf in batches:
+            rows = []
+            for z, tx, ty, pbf in zip(pdf["z"], pdf["tx"], pdf["ty"], pdf["pbf"]):
+                for f in decode_tile_pbf(bytes(pbf)):
+                    rows.append(
+                        {
+                            "z": int(z), "tx": int(tx), "ty": int(ty),
+                            "fid": int(f["fid"]), "u": int(f["u"]), "v": int(f["v"]),
+                            "geom_type": f["geom_type"],
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return tiles.mapInPandas(unpack, schema=schema).orderBy("fid")

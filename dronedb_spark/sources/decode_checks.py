@@ -679,3 +679,87 @@ def q_video_mp4_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("path")
     )
+
+
+# ------------------------------------------------------ SPZ / 3TZ probes
+
+_SPZ_N, _TZ_N = 6, 5
+
+
+def _splat_fixture_root() -> str:
+    import os
+
+    from dronedb_spark.sources.splat import encode_3tz, encode_spz
+
+    root = os.path.abspath(
+        os.path.join(os.path.dirname(__file__), "..", "..", "tests", "fixtures", "splat_cat_v1")
+    )
+    os.makedirs(root, exist_ok=True)
+    payloads: dict[str, bytes] = {}
+    for i in range(_SPZ_N):
+        payloads[f"splat_{i}.spz"] = encode_spz(
+            num_points=1000 + 137 * i, sh_degree=i % 4
+        )
+    for i in range(_TZ_N):
+        payloads[f"scene_{i}.3tz"] = encode_3tz(
+            geometric_error=16.0 + i * 2.0, n_children=1 + i % 4
+        )
+    for rel, payload in payloads.items():
+        p = os.path.join(root, rel)
+        if not os.path.exists(p) or open(p, "rb").read() != payload:
+            with open(p, "wb") as f:
+                f.write(payload)
+        os.utime(p, (1700000000, 1700000000))
+    os.utime(root, (1700000000, 1700000000))
+    return root
+
+
+def _splat_oracle() -> str:
+    from dronedb_spark.catalog.derive import ENTRY_TYPES as ET
+
+    # absent props -> -1 sentinels: the parity comparator sorts row tuples
+    # and None is unordered against numbers (same convention as
+    # ingest_format_props)
+    return f"""
+        SELECT 'splat_' || i || '.spz' AS path, CAST({ET["GaussianSplat"]} AS INT) AS type,
+               CAST(1000 + 137 * i AS BIGINT) AS point_count,
+               CAST(i % 4 AS INT) AS sh_degree,
+               CAST(-1.0 AS DOUBLE) AS geometric_error, CAST(-1 AS INT) AS child_count
+        FROM (SELECT unnest(range(0, {_SPZ_N})) AS i)
+        UNION ALL
+        SELECT 'scene_' || i || '.3tz', CAST({ET["Tiles3D"]} AS INT),
+               CAST(-1 AS BIGINT), CAST(-1 AS INT),
+               16.0 + i * 2.0, CAST(1 + i % 4 AS INT)
+        FROM (SELECT unnest(range(0, {_TZ_N})) AS i)
+        ORDER BY path"""
+
+
+@check("splat_tiles_probe", oracle=_splat_oracle())
+def q_splat_tiles_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL .spz (gzip header probe) and .3tz (zip stream walk) bytes →
+    full ingest → typed splat/tileset properties (entry.cpp:463-475 and
+    :711-751 parity, replacing r2's extension-only classification)."""
+    from dronedb_spark.sources.fs import ingest
+
+    ent = ingest(spark, _splat_fixture_root())
+    return (
+        ent.filter(F.col("path").endswith(".spz") | F.col("path").endswith(".3tz"))
+        .select(
+            "path",
+            F.col("type").cast("int").alias("type"),
+            F.coalesce(
+                F.get_json_object("properties", "$.pointCount").cast("bigint"), F.lit(-1)
+            ).alias("point_count"),
+            F.coalesce(
+                F.get_json_object("properties", "$.shDegree").cast("int"), F.lit(-1)
+            ).alias("sh_degree"),
+            F.coalesce(
+                F.get_json_object("properties", "$.geometricError").cast("double"),
+                F.lit(-1.0),
+            ).alias("geometric_error"),
+            F.coalesce(
+                F.get_json_object("properties", "$.childCount").cast("int"), F.lit(-1)
+            ).alias("child_count"),
+        )
+        .orderBy("path")
+    )

@@ -93,6 +93,38 @@ def _parse_mp4(header: bytes) -> dict:
     return props
 
 
+def _parse_spz(header: bytes) -> dict:
+    """Gaussian-splat header probe (entry.cpp:463-475 parity)."""
+    from dronedb_spark.sources.splat import spz_info
+
+    try:
+        info = spz_info(header)
+    except (ValueError, struct.error, OSError):
+        return {}
+    return {
+        "pointCount": info["numPoints"],
+        "shDegree": info["shDegree"],
+        "spzVersion": info["version"],
+    }
+
+
+def _parse_3tz(header: bytes) -> dict:
+    """3D-Tiles archive probe (entry.cpp:711-751 parity)."""
+    from dronedb_spark.sources.splat import tz3_info
+
+    try:
+        info = tz3_info(header)
+    except (ValueError, struct.error, OSError):
+        return {}
+    props: dict = {}
+    if info["tilesetVersion"] is not None:
+        props["tilesetVersion"] = info["tilesetVersion"]
+    if info["geometricError"] is not None:
+        props["geometricError"] = info["geometricError"]
+    props["childCount"] = info["nChildren"]
+    return props
+
+
 def _parse_wav(header: bytes) -> dict:
     if header[:4] != b"RIFF" or header[8:12] != b"WAVE":
         return {}
@@ -169,4 +201,8 @@ def parse_entry(rel_path: str, header: bytes) -> dict:
         return props
     if header[4:8] == b"ftyp":
         return _parse_mp4(header)
+    if header[:2] == b"\x1f\x8b" and rel_path.lower().endswith(".spz"):
+        return _parse_spz(header)
+    if header[:2] == b"PK" and rel_path.lower().endswith((".3tz", ".kmz")):
+        return _parse_3tz(header) if rel_path.lower().endswith(".3tz") else {}
     return parse_exif(rel_path, header)  # JPEG-embedded TIFF scan fallback

@@ -257,3 +257,69 @@ def test_mp4_info_roundtrip():
 
     with pytest.raises(ValueError):
         mp4_info(b"\x00\x00\x00\x08ftypisom")  # ftyp only, no moov
+
+
+def test_spz_and_3tz_probes():
+    import pytest
+
+    from dronedb_spark.sources.splat import encode_3tz, encode_spz, spz_info, tz3_info
+
+    spz = encode_spz(num_points=4321, sh_degree=3)
+    info = spz_info(spz)
+    assert info["numPoints"] == 4321 and info["shDegree"] == 3 and info["version"] == 2
+    # header probe works on a 4 KiB stream prefix (the ingest window)
+    assert spz_info(spz[:4096])["numPoints"] == 4321
+
+    tz = encode_3tz(geometric_error=24.0, n_children=3)
+    info = tz3_info(tz)
+    assert info == {"tilesetVersion": "1.1", "geometricError": 24.0, "nChildren": 3}
+    # stream-prefix parse (no central directory in the window)
+    assert tz3_info(tz[:4096])["nChildren"] == 3
+
+    with pytest.raises(ValueError):
+        spz_info(b"\x00\x01")
+    with pytest.raises(ValueError):
+        tz3_info(b"nope")
+
+
+def test_kml_parse_and_kmz():
+    import io
+    import zipfile
+
+    from dronedb_spark.sources.kml import parse_kml
+
+    doc = (
+        '<?xml version="1.0"?><kml xmlns="http://www.opengis.net/kml/2.2">'
+        "<Document><Placemark><name>a</name>"
+        "<Point><coordinates>-120.5,45.25,0</coordinates></Point></Placemark>"
+        "<Placemark><name>b</name><ExtendedData>"
+        '<Data name="k"><value>1</value></Data></ExtendedData>'
+        "<Polygon><outerBoundaryIs><LinearRing><coordinates>"
+        "0,0 1,0 1,1 0,1 0,0</coordinates></LinearRing></outerBoundaryIs></Polygon>"
+        "</Placemark></Document></kml>"
+    ).encode()
+    pms = parse_kml(doc)
+    assert [p["geom_type"] for p in pms] == ["Point", "Polygon"]
+    assert pms[0]["points"] == [(-120.5, 45.25)]
+    assert pms[1]["n_props"] == 1 and len(pms[1]["points"]) == 5
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("doc.kml", doc)
+    assert [p["name"] for p in parse_kml(buf.getvalue())] == ["a", "b"]
+
+
+def test_mvt_pbf_roundtrip_bytes():
+    from dronedb_spark.functions.mvt import decode_tile_pbf, encode_tile_pbf
+
+    feats = [
+        {"fid": 7, "u": 0, "v": 4095, "geom_type": "Polygon"},
+        {"fid": 2, "u": 300, "v": 17, "geom_type": "Point"},
+        {"fid": 1023, "u": 2048, "v": 2048, "geom_type": "LineString"},
+    ]
+    pbf = encode_tile_pbf("vec1/parcels", feats)
+    got = sorted(decode_tile_pbf(pbf), key=lambda f: f["fid"])
+    assert [f["fid"] for f in got] == [2, 7, 1023]
+    assert got[1]["u"] == 0 and got[1]["v"] == 4095
+    assert got[0]["geom_type"] == "Point" and got[2]["geom_type"] == "LineString"
+    assert all(f["layer"] == "vec1/parcels" and f["extent"] == 4096 for f in got)

@@ -21,8 +21,16 @@ def test_decode_roundtrip():
     assert arr.shape == (12, 16, 3)
     vid = decode_media(fake_video(7, n_frames=8, w=8, h=8))
     assert vid.shape == (8, 8, 8)
-    with pytest.raises(NotImplementedError):
-        decode_media(b"\xff\xd8\xff\xe0 real jpeg")
+    # real JPEG now decodes through the baseline codec...
+    import numpy as np
+
+    from dronedb_spark.sources.jpeg import encode_jpeg
+
+    img = (np.arange(24 * 32 * 3) % 251).astype(np.uint8).reshape(24, 32, 3)
+    assert decode_media(encode_jpeg(img)).shape == (24, 32, 3)
+    # ...and truncated JPEG bytes fail loudly (kernels catch-and-skip)
+    with pytest.raises(ValueError):
+        decode_media(b"\xff\xd8\xff\xe0 truncated jpeg")
 
 
 def test_media_pipeline(spark, sf_dir):
