@@ -425,3 +425,146 @@ def set_gps(
             return bytes(out)
     out += jpeg[pos:]
     return bytes(out)
+
+
+# ------------------------------------------------- general tag editor (W12)
+
+
+def read_exif_tree(data: bytes) -> tuple[str, dict[str, dict[int, tuple[int, int, bytes]]]]:
+    """Full EXIF tree (endian, {ifd: {tag: (type, count, raw_value)}}) for
+    ifd0 / exif / gps — EVERY tag preserved raw, not just the modeled
+    property subset.  The editor's read half (exifeditor.cpp parity)."""
+    tiff = _find_tiff(data)
+    if tiff is None:
+        return "<", {"ifd0": {}, "exif": {}, "gps": {}}
+    endian = "<" if tiff[:2] == b"II" else ">"
+    (ifd0_off,) = struct.unpack_from(endian + "I", tiff, 4)
+    ifd0 = _read_ifd(tiff, ifd0_off, endian)
+    exif = gps = {}
+    if _TAG_EXIF_IFD in ifd0:
+        exif = _read_ifd(tiff, _u32(ifd0[_TAG_EXIF_IFD], endian) or 0, endian)
+    if _TAG_GPS_IFD in ifd0:
+        gps = _read_ifd(tiff, _u32(ifd0[_TAG_GPS_IFD], endian) or 0, endian)
+    ifd0 = {t: v for t, v in ifd0.items() if t not in (_TAG_EXIF_IFD, _TAG_GPS_IFD)}
+    return endian, {"ifd0": ifd0, "exif": exif, "gps": gps}
+
+
+def _serialize_tiff(endian: str, tree: dict[str, dict[int, tuple[int, int, bytes]]]) -> bytes:
+    """Re-serialize the tree with recomputed offsets (entries tag-sorted
+    per the TIFF spec; out-of-line values in a shared heap)."""
+    ifd0 = dict(tree.get("ifd0", {}))
+    exif = dict(tree.get("exif", {}))
+    gps = dict(tree.get("gps", {}))
+
+    def ifd_size(entries: dict) -> int:
+        return 2 + 12 * len(entries) + 4
+
+    # IFD0 carries pointer tags to the sub-IFDs when they are non-empty
+    n_ifd0 = len(ifd0) + (1 if exif else 0) + (1 if gps else 0)
+    ifd0_off = 8
+    exif_off = ifd0_off + 2 + 12 * n_ifd0 + 4
+    gps_off = exif_off + (ifd_size(exif) if exif else 0)
+    heap_off = gps_off + (ifd_size(gps) if gps else 0)
+
+    heap = bytearray()
+
+    def entry_bytes(tag: int, typ: int, cnt: int, val: bytes) -> bytes:
+        out = struct.pack(endian + "HHI", tag, typ, cnt)
+        if len(val) <= 4:
+            return out + val.ljust(4, b"\x00")
+        off = heap_off + len(heap)
+        heap.extend(val)
+        if len(heap) % 2:  # word-align heap values
+            heap.append(0)
+        return out + struct.pack(endian + "I", off)
+
+    def ifd_bytes(entries: dict, extra: dict | None = None) -> bytes:
+        items = dict(entries)
+        if extra:
+            items.update(extra)
+        body = b"".join(
+            entry_bytes(tag, typ, cnt, val)
+            for tag, (typ, cnt, val) in sorted(items.items())
+        )
+        return struct.pack(endian + "H", len(items)) + body + b"\x00\x00\x00\x00"
+
+    pointers: dict[int, tuple[int, int, bytes]] = {}
+    if exif:
+        pointers[_TAG_EXIF_IFD] = (4, 1, struct.pack(endian + "I", exif_off))
+    if gps:
+        pointers[_TAG_GPS_IFD] = (4, 1, struct.pack(endian + "I", gps_off))
+    # heap fills as IFDs serialize, in order
+    out0 = ifd_bytes(ifd0, pointers)
+    oute = ifd_bytes(exif) if exif else b""
+    outg = ifd_bytes(gps) if gps else b""
+    header = (b"II" if endian == "<" else b"MM") + struct.pack(endian + "HI", 42, 8)
+    return header + out0 + oute + outg + bytes(heap)
+
+
+def _replace_app1(jpeg: bytes, tiff: bytes) -> bytes:
+    """Splice a rebuilt Exif APP1 into the JPEG, preserving every other
+    segment (scan data included) byte-for-byte."""
+    if jpeg[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    payload = b"Exif\x00\x00" + tiff
+    new_app1 = b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
+    out = bytearray(b"\xff\xd8")
+    out += new_app1
+    pos = 2
+    while pos + 4 <= len(jpeg):
+        if jpeg[pos] != 0xFF:
+            break
+        marker = jpeg[pos + 1]
+        if marker == 0xD9 or 0xD0 <= marker <= 0xD7:
+            out += jpeg[pos : pos + 2]
+            pos += 2
+            continue
+        (seglen,) = struct.unpack_from(">H", jpeg, pos + 2)
+        is_old_exif = marker == 0xE1 and jpeg[pos + 4 : pos + 10] == b"Exif\x00\x00"
+        if not is_old_exif:
+            out += jpeg[pos : pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xDA:
+            out += jpeg[pos:]
+            return bytes(out)
+    out += jpeg[pos:]
+    return bytes(out)
+
+
+def tag_ascii(s: str) -> tuple[int, int, bytes]:
+    b = s.encode("ascii") + b"\x00"
+    return (2, len(b), b)
+
+
+def tag_short(endian: str, *vals: int) -> tuple[int, int, bytes]:
+    return (3, len(vals), b"".join(struct.pack(endian + "H", v) for v in vals))
+
+
+def tag_long(endian: str, *vals: int) -> tuple[int, int, bytes]:
+    return (4, len(vals), b"".join(struct.pack(endian + "I", v) for v in vals))
+
+
+def tag_rational(endian: str, *pairs: tuple[int, int]) -> tuple[int, int, bytes]:
+    return (5, len(pairs), b"".join(struct.pack(endian + "II", n, d) for n, d in pairs))
+
+
+def edit_exif(
+    jpeg: bytes,
+    set_tags: dict[tuple[str, int], tuple[int, int, bytes]] | None = None,
+    remove_tags: list[tuple[str, int]] | None = None,
+) -> bytes:
+    """General EXIF tag editor (W12 — exifeditor.cpp parity, superseding
+    the GPS-only ``set_gps`` for arbitrary tags): parse the full
+    ifd0/exif/gps tree preserving EVERY existing tag, apply the
+    set/remove patch, re-serialize with recomputed offsets, and splice
+    the rebuilt APP1 back into the JPEG.
+
+    ``set_tags`` maps ("ifd0"|"exif"|"gps", tag_id) → (type, count,
+    value_bytes); build values with the ``tag_*`` helpers using the
+    file's endianness from ``read_exif_tree``."""
+    endian, tree = read_exif_tree(jpeg)
+    for (ifd, tag), val in (set_tags or {}).items():
+        tree[ifd][tag] = val
+    for ifd, tag in remove_tags or []:
+        tree[ifd].pop(tag, None)
+    return _replace_app1(jpeg, _serialize_tiff(endian, tree))

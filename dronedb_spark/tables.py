@@ -91,6 +91,13 @@ def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = N
         load(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+# (applicationId, semanticHash) -> input partition count, so repeated
+# spread() calls on the same logical plan skip the df.rdd conversion
+# (it compiles the plan each time; cheap but measurable across ~90
+# driver checks).
+_SPREAD_CACHE: dict[tuple[str, int], int] = {}
+
+
 def spread(df: DataFrame) -> DataFrame:
     """Repartition up to the session's default parallelism IF the input
     has fewer partitions — the small-file/heavy-compute fix.
@@ -103,6 +110,15 @@ def spread(df: DataFrame) -> DataFrame:
     parallelism.  Measured 6x on the MinHash signature stage at sf0.1
     (1 input file, 32 cores)."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        key = (df.sparkSession.sparkContext.applicationId, df.semanticHash())
+    except Exception:
+        key = None
+    n = _SPREAD_CACHE.get(key) if key else None
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        if key:
+            _SPREAD_CACHE[key] = n
+    if n < target:
         return df.repartition(target)
     return df

@@ -101,3 +101,41 @@ def test_catalog_setexif_rewrites_and_reindexes(spark, tmp_path):
     assert row["type"] == ENTRY_TYPES["GeoImage"]  # gained GPS → upgraded
     assert abs(row["point_lat"] - 47.25) < 1e-7
     assert abs(row["point_lon"] - (-122.44)) < 1e-7
+
+
+def test_edit_exif_general_tags_preserved():
+    from dronedb_spark.sources.exif import (
+        build_jpeg_with_exif, deg_to_dms, edit_exif, parse_exif,
+        read_exif_tree, tag_ascii, tag_rational,
+    )
+
+    jpeg = build_jpeg_with_exif(
+        lat_dms=deg_to_dms(46.84), lat_ref="N",
+        lon_dms=deg_to_dms(91.92), lon_ref="W",
+        alt=(1200000, 10000), datetime_original="2023:06:01 10:00:00",
+        focal=(1026, 100), make="SENSEFLY", model="eBee", width=4608, height=3456,
+    )
+    before = parse_exif("a.jpg", jpeg)
+    out = edit_exif(
+        jpeg,
+        set_tags={
+            ("ifd0", 0x010F): tag_ascii("EDITED"),       # Make: modify
+            ("ifd0", 0x013B): tag_ascii("pilot"),        # Artist: add new
+            ("exif", 0x920A): tag_rational("<", (2000, 100)),  # focal: 20mm
+        },
+    )
+    after = parse_exif("a.jpg", out)
+    # edited tags took; every untouched tag survived the rebuild
+    assert after["make"] == "EDITED"
+    assert after["focalLength"] == 20.0
+    assert after["model"] == "eBee"
+    assert after["point_lat"] == before["point_lat"]
+    assert after["point_lon"] == before["point_lon"]
+    assert after["point_alt"] == before["point_alt"]
+    assert after["captureTime"] == before["captureTime"]
+    _, tree = read_exif_tree(out)
+    assert tree["ifd0"][0x013B][2].rstrip(b"\x00") == b"pilot"
+    # removal drops exactly the named tag
+    out2 = edit_exif(out, remove_tags=[("gps", 0x0006), ("gps", 0x0005)])
+    after2 = parse_exif("a.jpg", out2)
+    assert "point_alt" not in after2 and after2["point_lat"] == before["point_lat"]
