@@ -106,3 +106,38 @@ def test_shapefile_roundtrip_parse():
     assert names == ["NAME", "KIND", "VAL"]
     assert parsed[0] == {"NAME": "a", "KIND": 2, "VAL": 1.5}
     assert parsed[1]["KIND"] == 11 and parsed[1]["VAL"] == -0.125
+
+
+def test_gpkg_roundtrip():
+    from dronedb_spark.sources.gpkg import _decode_gpkg_bytes, encode_gpkg, parse_wkb
+
+    feats = [
+        {"fid": 1, "geom_type": "Point", "points": [(-120.5, 45.25)], "props": {"name": "a"}},
+        {"fid": 2, "geom_type": "LineString", "points": [(0.0, 0.0), (1.5, 2.5)],
+         "props": {"name": "b"}},
+        {"fid": 3, "geom_type": "Polygon",
+         "points": [(0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 0.0)], "props": {"name": "c"}},
+    ]
+    rows = _decode_gpkg_bytes("ds", encode_gpkg({"roads": feats}))
+    assert [r["fid"] for r in rows] == [1, 2, 3]
+    assert [r["geom_type"] for r in rows] == ["Point", "LineString", "Polygon"]
+    assert rows[0]["bbox_minx"] == -120.5 and rows[2]["bbox_maxy"] == 2.0
+    assert all(r["layer"] == "roads" and r["n_props"] == 2 for r in rows)
+
+    # big-endian WKB also parses
+    import struct
+
+    be = struct.pack(">BIdd", 0, 1, 3.5, -7.25)
+    assert parse_wkb(be) == ("Point", [(3.5, -7.25)])
+
+
+def test_gaia_blob_roundtrip():
+    from dronedb_spark.sources.sqlite_catalog import (
+        encode_gaia_pointz, encode_gaia_polygonz, parse_gaia_blob,
+    )
+
+    cls, pts = parse_gaia_blob(encode_gaia_pointz(-91.9, 46.8, 120.5))
+    assert cls == 1001 and pts == [(-91.9, 46.8, 120.5)]
+    ring = [(0.0, 0.0, 1.0), (1.0, 0.0, 1.0), (1.0, 1.0, 1.0), (0.0, 0.0, 1.0)]
+    cls, pts = parse_gaia_blob(encode_gaia_polygonz(ring))
+    assert cls == 1003 and pts == ring
