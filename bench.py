@@ -50,6 +50,16 @@ HEADLINE = [
     "contour_segments",
     "mvt_tile_features",
     "thermal_point_query",
+    # round-3 breadth: real codecs on real bytes (LASzip decompression,
+    # baseline-JPEG Huffman+IDCT, MVT protobuf round-trip, shapefile +
+    # GeoPackage binary decode), TPC-H extension shapes
+    "pointcloud_laz_stats",
+    "media_jpeg_channel_stats",
+    "mvt_pbf_roundtrip",
+    "shapefile_parse_features",
+    "gpkg_parse_features",
+    "q8_market_share",
+    "q18_large_orders",
 ]
 
 _SMALL_RESULT = {
