@@ -65,29 +65,36 @@ def rollup_nested(entries: DataFrame, roots: list[str]) -> DataFrame:
         F.max("bbox_maxx").alias("bbox_maxx"),
         F.max("bbox_maxy").alias("bbox_maxy"),
     )
-    rolled_entries = rolled.select(
-        F.col("ds_root").alias("path"),
-        F.lit("").alias("hash"),
-        F.lit(ENTRY_TYPES["DroneDB"]).alias("type"),
+    # adapt the rolled projection to the INPUT's entry schema (the ingest
+    # schema carries capture_ms; the derived catalog schema does not)
+    cols: dict[str, F.Column] = {
+        "path": F.col("ds_root"),
+        "hash": F.lit(""),
+        "type": F.lit(ENTRY_TYPES["DroneDB"]),
         # sorted-key JSON, matching the ingest convention
-        F.concat(
+        "properties": F.concat(
             F.lit('{"entries": '),
             F.col("n_entries").cast("string"),
             F.lit(', "totalSize": '),
             F.col("size").cast("string"),
             F.lit("}"),
-        ).alias("properties"),
-        F.col("mtime"),
-        F.col("size"),
-        F.expr("size(split(ds_root, '/')) - 1").alias("depth"),
-        F.lit(None).cast("double").alias("point_lon"),
-        F.lit(None).cast("double").alias("point_lat"),
-        F.lit(None).cast("double").alias("point_alt"),
-        "bbox_minx",
-        "bbox_miny",
-        "bbox_maxx",
-        "bbox_maxy",
-        F.lit(0).cast("long").alias("capture_ms"),
+        ),
+        "mtime": F.col("mtime"),
+        "size": F.col("size"),
+        "depth": F.expr("size(split(ds_root, '/')) - 1"),
+        "bbox_minx": F.col("bbox_minx"),
+        "bbox_miny": F.col("bbox_miny"),
+        "bbox_maxx": F.col("bbox_maxx"),
+        "bbox_maxy": F.col("bbox_maxy"),
+        "capture_ms": F.lit(0).cast("long"),
+    }
+    rolled_entries = rolled.select(
+        *[
+            (cols[f.name] if f.name in cols else F.lit(None).cast(f.dataType))
+            .cast(f.dataType)
+            .alias(f.name)
+            for f in entries.schema.fields
+        ]
     )
     kept = entries.join(
         F.broadcast(roots_df),

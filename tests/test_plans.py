@@ -261,3 +261,51 @@ def test_spatial_join_no_cartesian(spark):
     plan = physical_plan(q)
     assert not has_cartesian(q)
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mvt_pbf_sink_single_shuffle(spark):
+    """The tile sink is ONE exchange (repartition on the tile key); the
+    per-group applyInPandas formulation (an extra sort-aggregate shape
+    with ms-level per-tile overhead) must not come back."""
+    from dronedb_spark.functions.mvt import mvt_encode, mvt_write_tiles
+    from dronedb_spark.operators.vector_query import features_df
+
+    feats = features_df(spark, "/root/testdata/sf0.001").filter(
+        (F.col("dataset_id") == "vec1") & (F.col("layer") == "parcels")
+    )
+    tiles = mvt_write_tiles(mvt_encode(feats, 10))
+    plan = physical_plan(tiles)
+    assert not has_cartesian(tiles)
+    # exactly one round-robin/hash repartition introduced by the sink
+    # (the features source itself is shuffle-free)
+    assert exchange_count(tiles) == 1, plan
+
+
+def test_codec_bridges_no_shuffle_before_decode(spark):
+    """File bytes must decode where they are scanned: the LAZ/TIFF bridge
+    plans contain no exchange below the decode mapInPandas (spread() is a
+    no-op when the scan already has >= default parallelism; on the tiny
+    fixture it may add at most the one explicit spread repartition)."""
+    from dronedb_spark.sources.bridge import (
+        _laz_catalog_root, las_point_table, scan_binaries,
+    )
+
+    files = scan_binaries(spark, _laz_catalog_root(), "*.laz")
+    pts = las_point_table(files)  # no spread: raw scan partitioning
+    assert exchange_count(pts) == 0, physical_plan(pts)
+
+
+def test_nested_rollup_broadcasts_roots(spark):
+    """Dataset-root ownership must be a broadcast join (the root list is
+    tiny); a shuffle join over 100M entries on a prefix predicate would
+    be a scale-killer."""
+    from dronedb_spark.catalog.derive import entries_df
+    from dronedb_spark.catalog.nested import rollup_nested
+
+    ent = entries_df(spark, "/root/testdata/sf0.001")
+    out = rollup_nested(ent, ["src1", "src2"])
+    # a path-prefix predicate cannot hash-join; the correct plan is a
+    # BroadcastNestedLoopJoin with the tiny root list as the build side
+    plan = physical_plan(out)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert not has_cartesian(out)
