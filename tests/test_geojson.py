@@ -141,3 +141,20 @@ def test_gaia_blob_roundtrip():
     ring = [(0.0, 0.0, 1.0), (1.0, 0.0, 1.0), (1.0, 1.0, 1.0), (0.0, 0.0, 1.0)]
     cls, pts = parse_gaia_blob(encode_gaia_polygonz(ring))
     assert cls == 1003 and pts == ring
+
+
+def test_dxf_roundtrip_parse():
+    from dronedb_spark.sources.dxf import encode_dxf, parse_dxf
+
+    ents = [
+        {"geom_type": "Point", "points": [(1.5, -2.25)], "layer": "a"},
+        {"geom_type": "LineString", "points": [(0.0, 0.0), (3.0, 4.0)], "layer": "b"},
+        {"geom_type": "Polygon", "layer": "a",
+         "points": [(0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 0.0)]},
+    ]
+    got = parse_dxf(encode_dxf(ents))
+    assert [g["geom_type"] for g in got] == ["Point", "LineString", "Polygon"]
+    assert got[0]["points"] == [(1.5, -2.25)] and got[0]["layer"] == "a"
+    assert got[2]["points"][0] == got[2]["points"][-1]  # ring re-closed
+    # entities outside the ENTITIES section are ignored
+    assert parse_dxf("0\nSECTION\n2\nHEADER\n0\nPOINT\n10\n1\n20\n2\n0\nENDSEC\n0\nEOF\n") == []
