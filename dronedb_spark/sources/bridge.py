@@ -48,6 +48,10 @@ _POINT_SCHEMA = T.StructType(
         T.StructField("z", T.DoubleType()),
         T.StructField("intensity", T.LongType()),
         T.StructField("classification", T.LongType()),
+        # populated for colored formats (LAS/LAZ point formats 2/3)
+        T.StructField("red", T.LongType()),
+        T.StructField("green", T.LongType()),
+        T.StructField("blue", T.LongType()),
     ]
 )
 
@@ -130,6 +134,9 @@ def las_point_table(files: DataFrame) -> DataFrame:
                         "z": d["z"],
                         "intensity": d["intensity"],
                         "classification": d["classification"],
+                        "red": d.get("red"),
+                        "green": d.get("green"),
+                        "blue": d.get("blue"),
                     }
                 )
 
@@ -331,6 +338,75 @@ def q_laz_catalog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("classification").alias("cls_sum"),
             F.sum("intensity").alias("inten_sum"),
             F.sum(F.when(F.col("classification") == 2, 1).otherwise(0)).alias("n_ground"),
+        )
+        .orderBy("cloud_id")
+    )
+
+
+_LZC_N = 2
+
+
+def _laz_rgb_catalog_root() -> str:
+    """Colored .laz fixtures (point format 3: GPS time + RGB)."""
+    import os
+
+    from dronedb_spark.sources.laz import encode_laz
+
+    root = os.path.abspath(
+        os.path.join(os.path.dirname(__file__), "..", "..", "tests", "fixtures", "laz_rgb_v1")
+    )
+    os.makedirs(root, exist_ok=True)
+    for i in range(_LZC_N):
+        n = 2000 + 400 * i
+        k = np.arange(n, dtype=np.int64)
+        x = ((i * 11 + k * 7) % 80000).astype(np.float64) * 0.001
+        y = ((i * 19 + k * 3) % 80000).astype(np.float64) * 0.001
+        z = ((i * 5 + k * 13) % 40000).astype(np.float64) * 0.001
+        rgb = np.stack(
+            [(k * 97 + i) % 65536, (k * 53 + i * 7) % 65536, (k * 29 + i * 13) % 65536],
+            axis=1,
+        ).astype(np.uint16)
+        gps = 100000.0 + k * 0.0001
+        payload = encode_laz(x, y, z, gps_time=gps, rgb=rgb, chunk_size=700)
+        p = os.path.join(root, f"color_{i}.laz")
+        if not os.path.exists(p) or open(p, "rb").read() != payload:
+            with open(p, "wb") as f:
+                f.write(payload)
+        os.utime(p, (1700000000, 1700000000))
+    return root
+
+
+@check(
+    "pointcloud_laz_rgb_stats",
+    oracle=f"""
+        WITH pts AS (
+            SELECT 'color_' || i.i || '.laz' AS cloud_id,
+                   (k.k * 97 + i.i) % 65536 AS r,
+                   (k.k * 53 + i.i * 7) % 65536 AS g,
+                   (k.k * 29 + i.i * 13) % 65536 AS b,
+                   CAST((i.i * 5 + k.k * 13) % 40000 AS DOUBLE) * 0.001 AS z
+            FROM (SELECT unnest(range(0, {_LZC_N})) AS i) i,
+                 (SELECT unnest(range(0, 2000 + 400 * {_LZC_N - 1})) AS k) k
+            WHERE k.k < 2000 + 400 * i.i)
+        SELECT cloud_id, CAST(COUNT(1) AS BIGINT) AS n,
+               CAST(SUM(r) AS BIGINT) AS r_sum, CAST(MAX(r) AS BIGINT) AS r_max,
+               CAST(SUM(g) AS BIGINT) AS g_sum, CAST(SUM(b) AS BIGINT) AS b_sum,
+               MAX(z) AS z_max
+        FROM pts GROUP BY cloud_id ORDER BY cloud_id""",
+)
+def q_laz_rgb_catalog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Colored .laz catalog (point format 3: POINT10+GPSTIME11+RGB12) →
+    distributed LASzip decode → per-cloud RGB aggregates: gates the RGB12
+    arithmetic layer on real compressed bytes."""
+    files = scan_binaries(spark, _laz_rgb_catalog_root(), "*.laz")
+    points = las_point_table(spread(files))
+    return (
+        points.groupBy("cloud_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("red").alias("r_sum"), F.max("red").alias("r_max"),
+            F.sum("green").alias("g_sum"), F.sum("blue").alias("b_sum"),
+            F.max("z").alias("z_max"),
         )
         .orderBy("cloud_id")
     )

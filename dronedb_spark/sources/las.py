@@ -2,8 +2,8 @@
 
 Closes the S9 seam for the surveying-native format the reference ingests
 via PDAL: header parse (point count, bbox, scale/offset) plus point
-record decode for formats 0 and 1 (x/y/z int32·scale+offset, intensity,
-return info, classification, and GPS time for format 1).  LAZ-compressed
+record decode for formats 0-3 (x/y/z int32·scale+offset, intensity,
+return info, classification, GPS time for formats 1/3, RGB for 2/3).  LAZ-compressed
 files dispatch to the pure-Python LASzip codec (sources/laz.py).
 Reference role-equivalent: getPointCloudInfo header/stats path.
 """
@@ -15,7 +15,7 @@ import struct
 import numpy as np
 
 _HDR12 = 227
-_PT_LEN = {0: 20, 1: 28}
+_PT_LEN = {0: 20, 1: 28, 2: 26, 3: 34}
 
 
 def encode_las(
@@ -25,14 +25,16 @@ def encode_las(
     classification: np.ndarray | None = None,
     intensity: np.ndarray | None = None,
     gps_time: np.ndarray | None = None,
+    rgb: np.ndarray | None = None,
     scale: tuple[float, float, float] = (0.001, 0.001, 0.001),
     offset: tuple[float, float, float] = (0.0, 0.0, 0.0),
 ) -> bytes:
-    """Write a minimal LAS 1.2 file (point format 1 if gps_time given,
-    else 0).  Coordinates are quantized to the given scale/offset grid —
-    callers that want exact round-trips should pass grid-aligned values."""
+    """Write a minimal LAS 1.2 file (point format 0/1/2/3 from
+    gps_time/rgb presence).  Coordinates are quantized to the given
+    scale/offset grid — callers that want exact round-trips should pass
+    grid-aligned values."""
     n = len(x)
-    fmt = 1 if gps_time is not None else 0
+    fmt = (1 if gps_time is not None else 0) | (2 if rgb is not None else 0)
     rec_len = _PT_LEN[fmt]
     classification = (
         np.zeros(n, dtype=np.uint8) if classification is None else classification.astype(np.uint8)
@@ -77,8 +79,13 @@ def encode_las(
         ("user_data", "u1", np.zeros(n, dtype=np.uint8)),
         ("point_source", "<u2", np.zeros(n, dtype=np.uint16)),
     ]
-    if fmt == 1:
+    if fmt & 1:
         fields.append(("gps_time", "<f8", np.asarray(gps_time, dtype=np.float64)))
+    if fmt & 2:
+        rgb_arr = np.asarray(rgb, dtype=np.uint16)
+        fields.append(("red", "<u2", rgb_arr[:, 0]))
+        fields.append(("green", "<u2", rgb_arr[:, 1]))
+        fields.append(("blue", "<u2", rgb_arr[:, 2]))
     rec = np.zeros(n, dtype=np.dtype([(fname, ft) for fname, ft, _ in fields]))
     for fname, _ft, arr in fields:
         rec[fname] = arr
@@ -115,8 +122,9 @@ def las_info(data: bytes) -> dict:
 
 
 def decode_las(data: bytes) -> dict[str, np.ndarray]:
-    """Decode point records (formats 0/1) → dict of float64/int arrays:
-    x, y, z (scaled), intensity, classification, return_number [, gps_time]."""
+    """Decode point records (formats 0-3) → dict of float64/int arrays:
+    x, y, z (scaled), intensity, classification, return_number
+    [, gps_time] [, red/green/blue]."""
     info = las_info(data)
     fmt, n = info["point_format"], info["n_points"]
     if info["compressed"]:
@@ -130,8 +138,10 @@ def decode_las(data: bytes) -> dict[str, np.ndarray]:
         ("flags", "u1"), ("classification", "u1"), ("scan_angle", "i1"),
         ("user_data", "u1"), ("point_source", "<u2"),
     ]
-    if fmt == 1:
+    if fmt & 1:
         base.append(("gps_time", "<f8"))
+    if fmt & 2:
+        base += [("red", "<u2"), ("green", "<u2"), ("blue", "<u2")]
     dt = np.dtype(base)
     # record_length can exceed the format's base length (extra bytes);
     # build a padded dtype in that case
@@ -148,6 +158,10 @@ def decode_las(data: bytes) -> dict[str, np.ndarray]:
         "classification": rec["classification"].astype(np.int64),
         "return_number": (rec["flags"] & 0x07).astype(np.int64),
     }
-    if fmt == 1:
+    if fmt & 1:
         out["gps_time"] = rec["gps_time"].astype(np.float64)
+    if fmt & 2:
+        out["red"] = rec["red"].astype(np.int64)
+        out["green"] = rec["green"].astype(np.int64)
+        out["blue"] = rec["blue"].astype(np.int64)
     return out

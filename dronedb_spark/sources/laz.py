@@ -15,7 +15,7 @@ invoked per file inside Arrow ``mapInPandas`` (sources/bridge.py), so a
 1000-executor cluster decodes one .laz per task with no shuffle before
 the decode — the file is the natural parallel unit.
 
-Scope: point formats 0 (POINT10) and 1 (POINT10+GPSTIME11), LAS 1.2
+Scope: point formats 0-3 (POINT10, +GPSTIME11, +RGB12), LAS 1.2
 headers, fixed-size chunking (default 50000).  These cover the dominant
 real-world survey exports; other item types raise ``NotImplementedError``.
 """
@@ -797,16 +797,19 @@ _LASZIP_RECORD_ID = 22204
 _COMPRESSOR_POINTWISE_CHUNKED = 2
 _ITEM_POINT10 = 6
 _ITEM_GPSTIME11 = 7
+_ITEM_RGB12 = 8
 _HDR12 = 227
-_PT_LEN = {0: 20, 1: 28}
+_PT_LEN = {0: 20, 1: 28, 2: 26, 3: 34}
 _DEFAULT_CHUNK = 50000
 
 
 def _laszip_vlr(point_format: int, chunk_size: int) -> bytes:
     """LASzip VLR payload + 54-byte VLR header (public VLR layout)."""
     items = [(_ITEM_POINT10, 20, 2)]
-    if point_format == 1:
+    if point_format in (1, 3):
         items.append((_ITEM_GPSTIME11, 8, 2))
+    if point_format in (2, 3):
+        items.append((_ITEM_RGB12, 6, 2))
     payload = struct.pack(
         "<HHBBHIIqqH",
         _COMPRESSOR_POINTWISE_CHUNKED,  # compressor
@@ -857,15 +860,17 @@ def encode_laz(
     classification: np.ndarray | None = None,
     intensity: np.ndarray | None = None,
     gps_time: np.ndarray | None = None,
+    rgb: np.ndarray | None = None,
     scale: tuple[float, float, float] = (0.001, 0.001, 0.001),
     offset: tuple[float, float, float] = (0.0, 0.0, 0.0),
     chunk_size: int = _DEFAULT_CHUNK,
 ) -> bytes:
-    """Write a LAZ-compressed LAS 1.2 file (point format 1 if gps_time
-    given, else 0).  Coordinates quantize to the scale/offset grid exactly
-    as ``encode_las`` does, so LAS and LAZ round-trip identically."""
+    """Write a LAZ-compressed LAS 1.2 file (point format 0/1/2/3 chosen
+    from gps_time/rgb presence).  Coordinates quantize to the scale/offset
+    grid exactly as ``encode_las`` does, so LAS and LAZ round-trip
+    identically."""
     n = len(x)
-    fmt = 1 if gps_time is not None else 0
+    fmt = (1 if gps_time is not None else 0) | (2 if rgb is not None else 0)
     classification = (
         np.zeros(n, dtype=np.uint8) if classification is None else classification.astype(np.uint8)
     )
@@ -877,8 +882,9 @@ def encode_laz(
     zi = np.round((np.asarray(z, dtype=np.float64) - offset[2]) / scale[2]).astype(np.int32)
     xd, yd, zd = (xi * scale[0] + offset[0], yi * scale[1] + offset[1], zi * scale[2] + offset[2])
     gps_bits = (
-        np.asarray(gps_time, dtype=np.float64).view(np.uint64) if fmt == 1 else None
+        np.asarray(gps_time, dtype=np.float64).view(np.uint64) if fmt & 1 else None
     )
+    rgb_arr = np.asarray(rgb, dtype=np.uint16) if fmt & 2 else None
 
     vlr = _laszip_vlr(fmt, chunk_size)
     header = bytearray(_HDR12)
@@ -911,16 +917,21 @@ def encode_laz(
         buf = bytearray()
         p10 = Point10V2()
         gps11 = GpsTime11V2()
+        rgb12 = Rgb12V2()
         first = [
             int(xi[start]), int(yi[start]), int(zi[start]), int(intensity[start]),
             flags, int(classification[start]), 0, 0, 0,
         ]
         buf += _P10.pack(*first)
-        if fmt == 1:
+        if fmt & 1:
             buf += struct.pack("<Q", int(gps_bits[start]))
+        if fmt & 2:
+            buf += struct.pack("<3H", *(int(v) for v in rgb_arr[start]))
         p10.init(first)
-        if fmt == 1:
+        if fmt & 1:
             gps11.init(int(gps_bits[start]))
+        if fmt & 2:
+            rgb12.init(tuple(int(v) for v in rgb_arr[start]))
         enc = ArithmeticEncoder()
         for i in range(start + 1, end):
             cur = [
@@ -928,8 +939,10 @@ def encode_laz(
                 flags, int(classification[i]), 0, 0, 0,
             ]
             p10.write(enc, cur)
-            if fmt == 1:
+            if fmt & 1:
                 gps11.write(enc, int(gps_bits[i]))
+            if fmt & 2:
+                rgb12.write(enc, tuple(int(v) for v in rgb_arr[i]))
         buf += enc.done()
         chunks.append(bytes(buf))
 
@@ -969,7 +982,11 @@ def decode_laz(data: bytes) -> dict[str, np.ndarray]:
     vlr = _parse_laszip_vlr(data, header_size, n_vlrs)
     if vlr["compressor"] != _COMPRESSOR_POINTWISE_CHUNKED or vlr["coder"] != 0:
         raise NotImplementedError(f"LAZ compressor {vlr['compressor']} coder {vlr['coder']}")
-    expect = [(_ITEM_POINT10, 20, 2)] + ([(_ITEM_GPSTIME11, 8, 2)] if fmt == 1 else [])
+    expect = (
+        [(_ITEM_POINT10, 20, 2)]
+        + ([(_ITEM_GPSTIME11, 8, 2)] if fmt & 1 else [])
+        + ([(_ITEM_RGB12, 6, 2)] if fmt & 2 else [])
+    )
     if [tuple(i) for i in vlr["items"]] != expect:
         raise NotImplementedError(f"LAZ item layout {vlr['items']}")
     chunk_size = vlr["chunk_size"]
@@ -993,7 +1010,8 @@ def decode_laz(data: bytes) -> dict[str, np.ndarray]:
     out_int = np.empty(n, dtype=np.int64)
     out_cls = np.empty(n, dtype=np.int64)
     out_flags = np.empty(n, dtype=np.int64)
-    out_gps = np.empty(n, dtype=np.uint64) if fmt == 1 else None
+    out_gps = np.empty(n, dtype=np.uint64) if fmt & 1 else None
+    out_rgb = np.empty((n, 3), dtype=np.int64) if fmt & 2 else None
 
     pos = point_start + 8
     idx = 0
@@ -1003,15 +1021,22 @@ def decode_laz(data: bytes) -> dict[str, np.ndarray]:
         count = min(chunk_size, remaining)
         first = list(_P10.unpack_from(data, pos))
         pos += 20
-        if fmt == 1:
+        if fmt & 1:
             (gps,) = struct.unpack_from("<Q", data, pos)
             pos += 8
+        if fmt & 2:
+            rgb0 = struct.unpack_from("<3H", data, pos)
+            pos += 6
         p10 = Point10V2()
         p10.init(first)
-        if fmt == 1:
+        if fmt & 1:
             gps11 = GpsTime11V2()
             gps11.init(gps)
             out_gps[idx] = gps
+        if fmt & 2:
+            rgb12 = Rgb12V2()
+            rgb12.init(rgb0)
+            out_rgb[idx] = rgb0
         out_x[idx], out_y[idx], out_z[idx] = first[0], first[1], first[2]
         out_int[idx], out_flags[idx], out_cls[idx] = first[3], first[4], first[5]
         idx += 1
@@ -1021,8 +1046,10 @@ def decode_laz(data: bytes) -> dict[str, np.ndarray]:
                 p = p10.read(dec)
                 out_x[idx], out_y[idx], out_z[idx] = p[0], p[1], p[2]
                 out_int[idx], out_flags[idx], out_cls[idx] = p[3], p[4], p[5]
-                if fmt == 1:
+                if fmt & 1:
                     out_gps[idx] = gps11.read(dec)
+                if fmt & 2:
+                    out_rgb[idx] = rgb12.read(dec)
                 idx += 1
         pos = chunk_end
     if idx != n:
@@ -1038,6 +1065,117 @@ def decode_laz(data: bytes) -> dict[str, np.ndarray]:
         "classification": out_cls,
         "return_number": out_flags & 0x07,
     }
-    if fmt == 1:
+    if fmt & 1:
         out["gps_time"] = out_gps.view(np.float64).copy()
+    if fmt & 2:
+        out["red"] = out_rgb[:, 0]
+        out["green"] = out_rgb[:, 1]
+        out["blue"] = out_rgb[:, 2]
     return out
+
+
+# ------------------------------------------------------------ RGB12 layer
+
+
+def _u8_clamp(x: int) -> int:
+    return 0 if x < 0 else (255 if x > 255 else x)
+
+
+def _div2(x: int) -> int:
+    """C-style truncation toward zero (Python // floors negatives)."""
+    return -((-x) >> 1) if x < 0 else x >> 1
+
+
+class Rgb12V2:
+    """RGB12 v2: a 7-bit change mask picks which of the six color bytes
+    differ; low bytes predict green/blue from the red delta chain."""
+
+    def __init__(self) -> None:
+        self.m_byte_used = ArithmeticModel(128)
+        self.m_diff = [ArithmeticModel(256) for _ in range(6)]
+
+    def init(self, first: tuple[int, int, int]) -> None:
+        self.m_byte_used.init()
+        for m in self.m_diff:
+            m.init()
+        self.last = list(first)
+
+    def write(self, enc: ArithmeticEncoder, rgb: tuple[int, int, int]) -> None:
+        r, g, b = rgb
+        lr, lg, lb = self.last
+        sym = (
+            ((lr & 255) != (r & 255)) << 0
+            | ((lr >> 8) != (r >> 8)) << 1
+            | ((lg & 255) != (g & 255)) << 2
+            | ((lg >> 8) != (g >> 8)) << 3
+            | ((lb & 255) != (b & 255)) << 4
+            | ((lb >> 8) != (b >> 8)) << 5
+        )
+        sym |= (
+            ((r & 255) != (g & 255)) or ((r & 255) != (b & 255))
+            or ((r >> 8) != (g >> 8)) or ((r >> 8) != (b >> 8))
+        ) << 6
+        enc.encode_symbol(self.m_byte_used, sym)
+        if sym & 1:
+            enc.encode_symbol(self.m_diff[0], ((r & 255) - (lr & 255)) & 0xFF)
+        if sym & 2:
+            enc.encode_symbol(self.m_diff[1], ((r >> 8) - (lr >> 8)) & 0xFF)
+        if sym & 64:
+            diff = (r & 255) - (lr & 255)
+            if sym & 4:
+                enc.encode_symbol(
+                    self.m_diff[2], ((g & 255) - _u8_clamp(diff + (lg & 255))) & 0xFF
+                )
+            if sym & 16:
+                diff = _div2(diff + (g & 255) - (lg & 255))
+                enc.encode_symbol(
+                    self.m_diff[4], ((b & 255) - _u8_clamp(diff + (lb & 255))) & 0xFF
+                )
+            diff = (r >> 8) - (lr >> 8)
+            if sym & 8:
+                enc.encode_symbol(
+                    self.m_diff[3], ((g >> 8) - _u8_clamp(diff + (lg >> 8))) & 0xFF
+                )
+            if sym & 32:
+                diff = _div2(diff + (g >> 8) - (lg >> 8))
+                enc.encode_symbol(
+                    self.m_diff[5], ((b >> 8) - _u8_clamp(diff + (lb >> 8))) & 0xFF
+                )
+        self.last = [r, g, b]
+
+    def read(self, dec: ArithmeticDecoder) -> tuple[int, int, int]:
+        lr, lg, lb = self.last
+        sym = dec.decode_symbol(self.m_byte_used)
+        if sym & 1:
+            r = (dec.decode_symbol(self.m_diff[0]) + (lr & 255)) & 0xFF
+        else:
+            r = lr & 0xFF
+        if sym & 2:
+            r |= ((dec.decode_symbol(self.m_diff[1]) + (lr >> 8)) & 0xFF) << 8
+        else:
+            r |= lr & 0xFF00
+        if sym & 64:
+            diff = (r & 255) - (lr & 255)
+            if sym & 4:
+                g = (dec.decode_symbol(self.m_diff[2]) + _u8_clamp(diff + (lg & 255))) & 0xFF
+            else:
+                g = lg & 0xFF
+            if sym & 16:
+                diff = _div2(diff + (g & 255) - (lg & 255))
+                b = (dec.decode_symbol(self.m_diff[4]) + _u8_clamp(diff + (lb & 255))) & 0xFF
+            else:
+                b = lb & 0xFF
+            diff = (r >> 8) - (lr >> 8)
+            if sym & 8:
+                g |= ((dec.decode_symbol(self.m_diff[3]) + _u8_clamp(diff + (lg >> 8))) & 0xFF) << 8
+            else:
+                g |= lg & 0xFF00
+            if sym & 32:
+                diff = _div2(diff + (g >> 8) - (lg >> 8))
+                b |= ((dec.decode_symbol(self.m_diff[5]) + _u8_clamp(diff + (lb >> 8))) & 0xFF) << 8
+            else:
+                b |= lb & 0xFF00
+        else:
+            g = b = r
+        self.last = [r, g, b]
+        return r, g, b
