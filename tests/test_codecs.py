@@ -323,3 +323,61 @@ def test_mvt_pbf_roundtrip_bytes():
     assert got[1]["u"] == 0 and got[1]["v"] == 4095
     assert got[0]["geom_type"] == "Point" and got[2]["geom_type"] == "LineString"
     assert all(f["layer"] == "vec1/parcels" and f["extent"] == 4096 for f in got)
+
+
+def test_laz_roundtrip_rgb_formats_2_and_3():
+    import numpy as np
+
+    from dronedb_spark.sources.las import decode_las, encode_las
+    from dronedb_spark.sources.laz import decode_laz, encode_laz
+
+    rng = np.random.RandomState(9)
+    n = 2000
+    k = np.arange(n)
+    x = np.cumsum(rng.randint(-300, 300, n)) * 0.001
+    y = np.cumsum(rng.randint(-300, 300, n)) * 0.001
+    z = np.cumsum(rng.randint(-40, 40, n)) * 0.001
+    gps = 1e5 + np.cumsum(np.abs(rng.randn(n)) * 1e-4)
+    rgb = np.zeros((n, 3), np.uint16)
+    rgb[:, 0] = (k * 97) % 65536
+    # grayscale runs exercise the sym bit-6 short path
+    rgb[:, 1] = np.where(k % 11 == 0, rgb[:, 0], (k * 53 + 1000) % 65536)
+    rgb[:, 2] = np.where(k % 11 == 0, rgb[:, 0], (k * 29 + 7) % 65536)
+
+    for kwargs in (dict(rgb=rgb), dict(gps_time=gps, rgb=rgb)):
+        got = decode_laz(encode_laz(x, y, z, chunk_size=800, **kwargs))
+        want = decode_las(encode_las(x, y, z, **kwargs))
+        assert set(got) == set(want)
+        for f in want:
+            assert np.array_equal(got[f], want[f]), f
+
+
+def test_laz_roundtrip_property():
+    """Property-style fuzz: random walks + random colors/classes must
+    round-trip bit-exactly through the LASzip codec at any chunk size."""
+    import numpy as np
+
+    from dronedb_spark.sources.las import decode_las, encode_las
+    from dronedb_spark.sources.laz import decode_laz, encode_laz
+
+    for seed in range(5):
+        rng = np.random.RandomState(100 + seed)
+        n = int(rng.randint(1, 1500))
+        x = np.cumsum(rng.randint(-10**6, 10**6, n)) * 0.001
+        y = np.cumsum(rng.randint(-10**6, 10**6, n)) * 0.001
+        z = np.cumsum(rng.randint(-10**4, 10**4, n)) * 0.001
+        cls = rng.randint(0, 256, n).astype(np.uint8)
+        inten = rng.randint(0, 65536, n).astype(np.uint16)
+        gps = rng.rand(n) * 1e9 - 5e8  # wild jumps: full-resync path
+        rgb = rng.randint(0, 65536, (n, 3)).astype(np.uint16)
+        chunk = int(rng.choice([1, 7, 100, 50000]))
+        got = decode_laz(
+            encode_laz(x, y, z, classification=cls, intensity=inten,
+                       gps_time=gps, rgb=rgb, chunk_size=chunk)
+        )
+        want = decode_las(
+            encode_las(x, y, z, classification=cls, intensity=inten,
+                       gps_time=gps, rgb=rgb)
+        )
+        for f in want:
+            assert np.array_equal(got[f], want[f]), (seed, f, chunk)
