@@ -61,7 +61,7 @@ _ROUND3_PRIORITY = [
     "align_similarity_recovery", "video_mp4_metadata",
     "mvt_pbf_roundtrip", "kml_parse_features", "splat_tiles_probe",
     "gpkg_parse_features", "sqlite_catalog_entries", "dxf_parse_features",
-    "pointcloud_laz_rgb_stats",
+    "pointcloud_laz_rgb_stats", "fgb_parse_features",
 ]
 
 
@@ -104,6 +104,7 @@ def load_all() -> dict[str, Check]:
     import dronedb_spark.sources.gpkg  # noqa: F401  (S8 GeoPackage, new in r3)
     import dronedb_spark.sources.sqlite_catalog  # noqa: F401  (S7, new in r3)
     import dronedb_spark.sources.dxf  # noqa: F401  (S8 DXF, new in r3)
+    import dronedb_spark.sources.fgb  # noqa: F401  (S8 FlatGeobuf, new in r3)
     import dronedb_spark.operators.tpch_ext  # noqa: F401  (Q8-Q21, new in r2)
     # --- green rows in CORRECTNESS_r01: register after ------------------
     import dronedb_spark.operators.search  # noqa: F401

@@ -158,3 +158,24 @@ def test_dxf_roundtrip_parse():
     assert got[2]["points"][0] == got[2]["points"][-1]  # ring re-closed
     # entities outside the ENTITIES section are ignored
     assert parse_dxf("0\nSECTION\n2\nHEADER\n0\nPOINT\n10\n1\n20\n2\n0\nENDSEC\n0\nEOF\n") == []
+
+
+def test_fgb_roundtrip_parse():
+    from dronedb_spark.sources.fgb import encode_fgb, parse_fgb
+
+    feats = [
+        {"geom_type": "Point", "points": [(-120.5, 45.25)]},
+        {"geom_type": "LineString", "points": [(0.0, 0.0), (1.5, 2.5), (3.0, 1.0)]},
+        {"geom_type": "Polygon",
+         "points": [(0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 0.0)]},
+    ]
+    doc = parse_fgb(encode_fgb("roads", "LineString", feats))
+    assert doc["name"] == "roads" and doc["geom_type"] == "LineString"
+    assert [f["geom_type"] for f in doc["features"]] == ["Point", "LineString", "Polygon"]
+    assert doc["features"][0]["points"] == [(-120.5, 45.25)]
+    assert doc["features"][1]["points"][1] == (1.5, 2.5)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        parse_fgb(b"not a flatgeobuf")
