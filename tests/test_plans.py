@@ -309,3 +309,26 @@ def test_nested_rollup_broadcasts_roots(spark):
     plan = physical_plan(out)
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert not has_cartesian(out)
+
+
+def test_all_tpch_shapes_no_cartesian(spark):
+    """Sweep: every TPC-H-shaped check must plan without a cartesian
+    product at sf0.001 — a join that loses its keys (e.g. a condition
+    pushed wrongly) degrades to CartesianProduct and dies at scale."""
+    from dronedb_spark.suite import load_all
+
+    reg = load_all()
+    qs = [n for n in reg if n[0] == "q" and n[1].isdigit()]
+    assert len(qs) == 22
+    bad = []
+    for name in qs:
+        df = reg[name].spark_fn(spark, "/root/testdata/sf0.001")
+        plan = physical_plan(df)
+        if "CartesianProduct" in plan:
+            bad.append(name)
+        elif "BroadcastNestedLoopJoin" in plan and "Cross" in plan:
+            # allowed ONLY as the 1-row scalar-attach pattern: the cross
+            # side must be a broadcast of an ungrouped aggregate
+            if "BroadcastExchange IdentityBroadcastMode" not in plan:
+                bad.append(name)
+    assert not bad, f"cartesian product in: {bad}"
