@@ -135,6 +135,7 @@ def decode_png(data: bytes) -> np.ndarray:
     w = h = None
     bit_depth = color_type = interlace = None
     idat = bytearray()
+    plte = None
     while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         tag = data[pos + 4 : pos + 8]
@@ -144,12 +145,20 @@ def decode_png(data: bytes) -> np.ndarray:
             w, h, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", payload
             )
+        elif tag == b"PLTE":
+            plte = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat.extend(payload)
         elif tag == b"IEND":
             break
     if w is None:
         raise ValueError("PNG missing IHDR")
+    if color_type == 3 and bit_depth == 8 and interlace == 0:
+        # palette: 1 index byte per pixel, expanded through PLTE to RGB
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        idx = _unfilter(zlib.decompress(bytes(idat)), h, w, 1)
+        return plte[idx]
     if bit_depth != 8 or color_type not in _CHANNELS or interlace != 0:
         raise NotImplementedError(
             f"PNG bit_depth={bit_depth} color_type={color_type} interlace={interlace}"
@@ -162,4 +171,6 @@ def png_info(data: bytes) -> tuple[int, int, int]:
     if not data.startswith(_SIG) or data[12:16] != b"IHDR":
         raise ValueError("not a PNG")
     w, h, _depth, color_type = struct.unpack(">IIBB", data[16:26])
-    return w, h, _CHANNELS.get(color_type, 0)
+    # palette images decode to RGB (3 channels); unknown types report 0
+    # and the parse stage omits the bands property
+    return w, h, 3 if color_type == 3 else _CHANNELS.get(color_type, 0)

@@ -48,16 +48,29 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
             audio_fmt, channels, sample_rate, _br, _ba, bits = struct.unpack(
                 "<HHIIHH", payload[:16]
             )
-            if audio_fmt != 1:
+            if audio_fmt not in (1, 3):  # PCM / IEEE float
                 raise NotImplementedError(f"non-PCM WAV format {audio_fmt}")
         elif tag == b"data":
             raw = payload
     if raw is None or sample_rate is None:
         raise ValueError("WAV missing fmt/data chunk")
-    if bits == 16:
+    if audio_fmt == 3 and bits == 32:
+        arr = np.frombuffer(raw, dtype="<f4").astype(np.float64)
+    elif audio_fmt == 3:
+        raise NotImplementedError(f"{bits}-bit IEEE float WAV")
+    elif bits == 16:
         arr = np.frombuffer(raw, dtype="<i2").astype(np.float64)
     elif bits == 8:
         arr = np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
+    elif bits == 24:
+        b3 = np.frombuffer(raw[: len(raw) - len(raw) % 3], dtype=np.uint8).reshape(-1, 3)
+        arr = (
+            b3[:, 0].astype(np.int32)
+            | (b3[:, 1].astype(np.int32) << 8)
+            | (b3[:, 2].astype(np.int8).astype(np.int32) << 16)
+        ).astype(np.float64)
+    elif bits == 32:
+        arr = np.frombuffer(raw, dtype="<i4").astype(np.float64)
     else:
         raise NotImplementedError(f"{bits}-bit PCM")
     if channels > 1:

@@ -381,3 +381,96 @@ def test_laz_roundtrip_property():
         )
         for f in want:
             assert np.array_equal(got[f], want[f]), (seed, f, chunk)
+
+
+def test_tiff_compression_variants():
+    import numpy as np
+
+    from dronedb_spark.sources.tiff import _lzw_decode, _lzw_encode, decode_tiff, encode_tiff
+
+    base = (np.arange(40 * 50, dtype=np.uint16).reshape(40, 50) * 37) % 7919
+    fl = (base * 0.25).astype(np.float32)
+    for comp in ("none", "deflate", "lzw"):
+        for pred in (False, True):
+            data = encode_tiff(
+                base, pixel_scale=(0.5, 0.5), tiepoint=(100.0, 200.0),
+                rows_per_strip=16, compression=comp, predictor=pred,
+            )
+            arr, geo = decode_tiff(data)
+            assert np.array_equal(arr, base), (comp, pred)
+            assert geo["pixel_scale"] == (0.5, 0.5)
+        arr, _ = decode_tiff(encode_tiff(fl, compression=comp))
+        assert np.array_equal(arr, fl), comp
+    # LZW fuzz incl. the table-reset path (low-entropy long input)
+    rng = np.random.RandomState(3)
+    for payload in (
+        bytes(rng.randint(0, 256, 30000, dtype=np.uint8)),
+        bytes(rng.randint(0, 4, 50000, dtype=np.uint8)),
+        b"", b"a", b"ab" * 5000,
+    ):
+        assert _lzw_decode(_lzw_encode(payload)) == payload
+
+
+def test_png_palette_decode():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from dronedb_spark.sources.png import decode_png, png_info
+
+    # hand-build a palette PNG: 4x3, PLTE with 5 colors
+    w, h = 4, 3
+    palette = np.array(
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255], [10, 20, 30], [200, 200, 0]],
+        dtype=np.uint8,
+    )
+    idx = np.array([[0, 1, 2, 3], [4, 3, 2, 1], [0, 0, 4, 4]], dtype=np.uint8)
+    raw = b"".join(b"\x00" + row.tobytes() for row in idx)  # filter 0 rows
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload)) + tag + payload
+            + struct.pack(">I", zlib.crc32(tag + payload))
+        )
+
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", palette.tobytes())
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    img = decode_png(data)
+    assert img.shape == (3, 4, 3)
+    assert np.array_equal(img, palette[idx])
+    assert png_info(data) == (4, 3, 3)
+
+
+def test_wav_float_and_deep_pcm():
+    import struct
+
+    import numpy as np
+
+    from dronedb_spark.sources.wav import decode_wav
+
+    def wav(fmt_code: int, bits: int, payload: bytes, ch: int = 1, sr: int = 8000) -> bytes:
+        fmt = struct.pack("<HHIIHH", fmt_code, ch, sr, sr * ch * bits // 8,
+                          ch * bits // 8, bits)
+        body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        body += b"data" + struct.pack("<I", len(payload)) + payload
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    # IEEE float32
+    f = np.array([0.5, -0.25, 1.0, -1.0], dtype=np.float32)
+    sr, arr = decode_wav(wav(3, 32, f.tobytes()))
+    assert sr == 8000 and np.array_equal(arr, f.astype(np.float64))
+    # 24-bit PCM (incl. negative values: sign extension)
+    vals = [0, 1, -1, 8388607, -8388608, 123456]
+    payload = b"".join(int(v).to_bytes(3, "little", signed=True) for v in vals)
+    _, arr = decode_wav(wav(1, 24, payload))
+    assert arr.tolist() == [float(v) for v in vals]
+    # 32-bit PCM
+    i = np.array([0, 2**31 - 1, -(2**31), 7], dtype=np.int32)
+    _, arr = decode_wav(wav(1, 32, i.tobytes()))
+    assert np.array_equal(arr, i.astype(np.float64))
