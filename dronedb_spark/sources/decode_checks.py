@@ -763,3 +763,143 @@ def q_splat_tiles_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("path")
     )
+
+
+# -------------------------------------------- extended codec variants ---
+# variants: 0 deflate-TIFF, 1 deflate+predictor, 2 LZW, 3 LZW+predictor
+# (all uint8 pixels v(i) = (i*37 + variant*11) % 251), 4 palette-PNG
+# (palette[j] = (j*41, j*59, j*83) % 251, index(i) = i % 16), 5 float32
+# WAV (s(i) = ((i*13) % 101 - 50)/4 — exact in f32), 6 24-bit-PCM WAV
+# (s(i) = (i*2003) % 100000 - 50000).
+
+_XC_N = 48 * 32
+
+
+def _xc_media(variant: int) -> bytes:
+    if variant <= 3:
+        from dronedb_spark.sources.tiff import encode_tiff
+
+        i = np.arange(_XC_N, dtype=np.int64)
+        v = ((i * 37 + variant * 11) % 251).astype(np.uint8).reshape(32, 48)
+        return encode_tiff(
+            v, compression="deflate" if variant < 2 else "lzw",
+            predictor=bool(variant % 2), rows_per_strip=8,
+        )
+    if variant == 4:
+        import struct as _st
+        import zlib as _zl
+
+        pal = np.stack(
+            [(np.arange(16) * 41) % 251, (np.arange(16) * 59) % 251,
+             (np.arange(16) * 83) % 251], axis=1,
+        ).astype(np.uint8)
+        idx = (np.arange(_XC_N, dtype=np.int64) % 16).astype(np.uint8).reshape(32, 48)
+        raw = b"".join(b"\x00" + row.tobytes() for row in idx)
+
+        def chunk(tag: bytes, payload: bytes) -> bytes:
+            return (
+                _st.pack(">I", len(payload)) + tag + payload
+                + _st.pack(">I", _zl.crc32(tag + payload))
+            )
+
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", _st.pack(">IIBBBBB", 48, 32, 8, 3, 0, 0, 0))
+            + chunk(b"PLTE", pal.tobytes())
+            + chunk(b"IDAT", _zl.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+    import struct as _st
+
+    i = np.arange(_XC_N, dtype=np.int64)
+    if variant == 5:
+        samples = (((i * 13) % 101 - 50) / 4.0).astype(np.float32)
+        payload = samples.tobytes()
+        fmt = _st.pack("<HHIIHH", 3, 1, 8000, 8000 * 4, 4, 32)
+    else:
+        vals = (i * 2003) % 100000 - 50000
+        payload = b"".join(int(v).to_bytes(3, "little", signed=True) for v in vals)
+        fmt = _st.pack("<HHIIHH", 1, 1, 8000, 8000 * 3, 3, 24)
+    body = b"WAVE" + b"fmt " + _st.pack("<I", len(fmt)) + fmt
+    body += b"data" + _st.pack("<I", len(payload)) + payload
+    return b"RIFF" + _st.pack("<I", len(body)) + body
+
+
+@check(
+    "codec_extended_formats",
+    oracle=f"""
+        WITH i AS (SELECT unnest(range(0, {_XC_N})) AS i)
+        SELECT v.variant,
+               AVG(CAST((i.i * 37 + v.variant * 11) % 251 AS DOUBLE)) AS mean_val,
+               CAST(MIN((i.i * 37 + v.variant * 11) % 251) AS DOUBLE) AS min_val,
+               CAST(MAX((i.i * 37 + v.variant * 11) % 251) AS DOUBLE) AS max_val,
+               CAST({_XC_N} AS BIGINT) AS n
+        FROM (SELECT unnest(range(0, 4)) AS variant) v, i
+        GROUP BY v.variant
+        UNION ALL
+        SELECT 4,
+               AVG(CAST((i.i % 16) * 41 % 251 + (i.i % 16) * 59 % 251
+                        + (i.i % 16) * 83 % 251 AS DOUBLE)) / 3.0,
+               CAST(MIN(LEAST((i.i % 16) * 41 % 251, (i.i % 16) * 59 % 251,
+                              (i.i % 16) * 83 % 251)) AS DOUBLE),
+               CAST(MAX(GREATEST((i.i % 16) * 41 % 251, (i.i % 16) * 59 % 251,
+                                 (i.i % 16) * 83 % 251)) AS DOUBLE),
+               CAST({_XC_N} * 3 AS BIGINT)
+        FROM i
+        UNION ALL
+        SELECT 5,
+               AVG(CAST((i.i * 13) % 101 - 50 AS DOUBLE) / 4.0),
+               CAST(MIN((i.i * 13) % 101 - 50) AS DOUBLE) / 4.0,
+               CAST(MAX((i.i * 13) % 101 - 50) AS DOUBLE) / 4.0,
+               CAST({_XC_N} AS BIGINT)
+        FROM i
+        UNION ALL
+        SELECT 6,
+               AVG(CAST((i.i * 2003) % 100000 - 50000 AS DOUBLE)),
+               CAST(MIN((i.i * 2003) % 100000 - 50000) AS DOUBLE),
+               CAST(MAX((i.i * 2003) % 100000 - 50000) AS DOUBLE),
+               CAST({_XC_N} AS BIGINT)
+        FROM i
+        ORDER BY variant""",
+)
+def q_codec_extended_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deflate/LZW TIFF (with and without predictor), palette PNG, and
+    float32 / 24-bit WAV decode paths — each variant's real bytes decoded
+    distributed and value-checked against its closed form."""
+    from pyspark.sql import types as T2
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from dronedb_spark.multimodal.media import decode_media
+        from dronedb_spark.sources.tiff import decode_tiff
+
+        cols = ["variant", "mean_val", "min_val", "max_val", "n"]
+        for pdf in it:
+            rows = []
+            for v in pdf["id"]:
+                v = int(v)
+                data = _xc_media(v)
+                if v <= 3:
+                    arr = decode_tiff(data)[0].astype(np.float64)
+                else:
+                    arr = decode_media(data).astype(np.float64)
+                rows.append(
+                    {
+                        "variant": v,
+                        "mean_val": float(arr.mean()),
+                        "min_val": float(arr.min()),
+                        "max_val": float(arr.max()),
+                        "n": int(arr.size),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    schema = T2.StructType(
+        [
+            T2.StructField("variant", T2.LongType()),
+            T2.StructField("mean_val", T2.DoubleType()),
+            T2.StructField("min_val", T2.DoubleType()),
+            T2.StructField("max_val", T2.DoubleType()),
+            T2.StructField("n", T2.LongType()),
+        ]
+    )
+    return spread(spark.range(7)).mapInPandas(run, schema=schema).orderBy("variant")

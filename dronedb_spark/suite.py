@@ -61,7 +61,7 @@ _ROUND3_PRIORITY = [
     "align_similarity_recovery", "video_mp4_metadata",
     "mvt_pbf_roundtrip", "kml_parse_features", "splat_tiles_probe",
     "gpkg_parse_features", "sqlite_catalog_entries", "dxf_parse_features",
-    "pointcloud_laz_rgb_stats", "fgb_parse_features",
+    "pointcloud_laz_rgb_stats", "fgb_parse_features", "codec_extended_formats",
 ]
 
 
