@@ -3,9 +3,10 @@
 This makes image decode REAL for one ubiquitous public format: the
 multimodal kernels (`multimodal/media.py:decode_media`) and the thumbnail
 sink no longer depend on the FAKE container when the payload is a PNG.
-Scope: 8-bit depth, color types 0 (gray), 2 (RGB), 4 (gray+alpha) and
-6 (RGBA), all five filter types, non-interlaced — the shapes a training
-pipeline's image shards actually use.  Reference role-equivalent:
+Scope: 8- and 16-bit depths, color types 0 (gray), 2 (RGB), 3 (palette),
+4 (gray+alpha) and 6 (RGBA), all five filter types, non-interlaced — the
+shapes a training pipeline's image shards (and 16-bit DEM heightmaps)
+actually use.  Reference role-equivalent:
 thumbs.cpp (decode → resize) minus the GDAL dependency.
 """
 
@@ -45,10 +46,16 @@ def _filter_row(cur: np.ndarray, prev: np.ndarray, c: int, ftype: int) -> np.nda
 
 
 def encode_png(arr: np.ndarray, filters: list[int] | None = None) -> bytes:
-    """Encode a uint8 array — (h, w) gray, (h, w, 2) gray+alpha, (h, w, 3)
-    RGB or (h, w, 4) RGBA — as a non-interlaced PNG.  ``filters`` names
-    the per-row filter type (cycled); default all rows filter 0."""
-    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    """Encode a uint8 or uint16 array — (h, w) gray, (h, w, 2) gray+alpha,
+    (h, w, 3) RGB or (h, w, 4) RGBA — as a non-interlaced PNG.
+    ``filters`` names the per-row filter type (cycled); default all rows
+    filter 0.  16-bit samples store big-endian per the spec."""
+    arr = np.ascontiguousarray(arr)
+    if arr.dtype == np.uint16:
+        sample_bytes = 2
+    else:
+        arr = arr.astype(np.uint8)
+        sample_bytes = 1
     if arr.ndim == 2:
         h, w, c = arr.shape[0], arr.shape[1], 1
     elif arr.ndim == 3 and arr.shape[2] in (2, 3, 4):
@@ -56,13 +63,19 @@ def encode_png(arr: np.ndarray, filters: list[int] | None = None) -> bytes:
     else:
         raise ValueError(f"unsupported array shape {arr.shape}")
     color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
-    raw = arr.reshape(h, w * c)
+    if sample_bytes == 2:
+        raw = np.frombuffer(
+            arr.astype(">u2").tobytes(), dtype=np.uint8
+        ).reshape(h, w * c * 2)
+    else:
+        raw = arr.reshape(h, w * c)
+    bpp = c * sample_bytes
     if filters:
         parts = []
-        prev = np.zeros(w * c, dtype=np.uint8)
+        prev = np.zeros(w * c * sample_bytes, dtype=np.uint8)
         for y in range(h):
             f = filters[y % len(filters)]
-            parts.append(bytes([f]) + _filter_row(raw[y], prev, c, f).tobytes())
+            parts.append(bytes([f]) + _filter_row(raw[y], prev, bpp, f).tobytes())
             prev = raw[y]
         scanlines = b"".join(parts)
     else:
@@ -76,7 +89,7 @@ def encode_png(arr: np.ndarray, filters: list[int] | None = None) -> bytes:
             + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8 * sample_bytes, color_type, 0, 0, 0)
     return (
         _SIG
         + chunk(b"IHDR", ihdr)
@@ -85,10 +98,13 @@ def encode_png(arr: np.ndarray, filters: list[int] | None = None) -> bytes:
     )
 
 
-def _unfilter(data: bytes, h: int, w: int, c: int) -> np.ndarray:
+def _unfilter(data: bytes, h: int, w: int, c: int, sample_bytes: int = 1) -> np.ndarray:
     """Reverse the per-row filters.  Rows are sequential by spec (each row
-    references the reconstructed previous row); columns are vectorized."""
-    stride = w * c
+    references the reconstructed previous row); columns are vectorized.
+    Filters operate on BYTES at distance bpp = channels x sample bytes
+    (PNG spec), regardless of sample depth."""
+    bpp = c * sample_bytes
+    stride = w * c * sample_bytes
     out = np.zeros((h, stride), dtype=np.uint8)
     raw = np.frombuffer(data, dtype=np.uint8)
     if raw.size < h * (stride + 1):
@@ -100,23 +116,26 @@ def _unfilter(data: bytes, h: int, w: int, c: int) -> np.ndarray:
         line = raw[base + 1 : base + 1 + stride].astype(np.int32)
         if ftype == 0:
             rec = line
-        elif ftype == 1:  # Sub — a running sum per channel: cumsum mod 256
-            rec = np.cumsum(line.reshape(w, c), axis=0, dtype=np.int64).reshape(stride) & 0xFF
+        elif ftype == 1:  # Sub — a running sum per byte lane: cumsum mod 256
+            rec = (
+                np.cumsum(line.reshape(stride // bpp, bpp), axis=0, dtype=np.int64)
+                .reshape(stride) & 0xFF
+            )
         elif ftype == 2:  # Up
             rec = (line + prev) & 0xFF
         elif ftype == 3:  # Average
             rec = line.copy()
             p = prev.astype(np.int32)
             for x in range(stride):
-                left = rec[x - c] if x >= c else 0
+                left = rec[x - bpp] if x >= bpp else 0
                 rec[x] = (rec[x] + ((left + p[x]) >> 1)) & 0xFF
         elif ftype == 4:  # Paeth
             rec = line.copy()
             p = prev.astype(np.int32)
             for x in range(stride):
-                a = rec[x - c] if x >= c else 0
+                a = rec[x - bpp] if x >= bpp else 0
                 b = p[x]
-                cc = p[x - c] if x >= c else 0
+                cc = p[x - bpp] if x >= bpp else 0
                 pa, pb, pc = abs(b - cc), abs(a - cc), abs(a + b - 2 * cc)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
                 rec[x] = (rec[x] + pred) & 0xFF
@@ -124,6 +143,9 @@ def _unfilter(data: bytes, h: int, w: int, c: int) -> np.ndarray:
             raise ValueError(f"unknown PNG filter {ftype}")
         out[y] = rec.astype(np.uint8)
         prev = out[y]
+    if sample_bytes == 2:
+        a = np.frombuffer(out.tobytes(), dtype=">u2").reshape(h, w, c).astype(np.uint16)
+        return a if c > 1 else a.reshape(h, w)
     return out.reshape(h, w, c) if c > 1 else out.reshape(h, w)
 
 
@@ -153,6 +175,10 @@ def decode_png(data: bytes) -> np.ndarray:
             break
     if w is None:
         raise ValueError("PNG missing IHDR")
+    if bit_depth == 16 and color_type in _CHANNELS and interlace == 0:
+        return _unfilter(
+            zlib.decompress(bytes(idat)), h, w, _CHANNELS[color_type], sample_bytes=2
+        )
     if color_type == 3 and bit_depth == 8 and interlace == 0:
         # palette: 1 index byte per pixel, expanded through PLTE to RGB
         if plte is None:

@@ -474,3 +474,19 @@ def test_wav_float_and_deep_pcm():
     i = np.array([0, 2**31 - 1, -(2**31), 7], dtype=np.int32)
     _, arr = decode_wav(wav(1, 32, i.tobytes()))
     assert np.array_equal(arr, i.astype(np.float64))
+
+
+def test_png_16bit_roundtrip():
+    import numpy as np
+
+    from dronedb_spark.sources.png import decode_png, encode_png, png_info
+
+    dem = ((np.arange(24 * 40).reshape(24, 40) * 2749) % 60001).astype(np.uint16)
+    data = encode_png(dem, filters=[0, 1, 2, 3, 4])
+    out = decode_png(data)
+    assert out.dtype == np.uint16 and np.array_equal(out, dem)
+    assert png_info(data) == (40, 24, 1)
+
+    rgb = ((np.arange(12 * 16 * 3).reshape(12, 16, 3) * 977) % 65536).astype(np.uint16)
+    out = decode_png(encode_png(rgb, filters=[4, 3, 2, 1, 0]))
+    assert out.dtype == np.uint16 and np.array_equal(out, rgb)
