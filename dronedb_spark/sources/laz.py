@@ -798,18 +798,21 @@ _COMPRESSOR_POINTWISE_CHUNKED = 2
 _ITEM_POINT10 = 6
 _ITEM_GPSTIME11 = 7
 _ITEM_RGB12 = 8
+_ITEM_BYTE = 0
 _HDR12 = 227
 _PT_LEN = {0: 20, 1: 28, 2: 26, 3: 34}
 _DEFAULT_CHUNK = 50000
 
 
-def _laszip_vlr(point_format: int, chunk_size: int) -> bytes:
+def _laszip_vlr(point_format: int, chunk_size: int, extra_bytes: int = 0) -> bytes:
     """LASzip VLR payload + 54-byte VLR header (public VLR layout)."""
     items = [(_ITEM_POINT10, 20, 2)]
     if point_format in (1, 3):
         items.append((_ITEM_GPSTIME11, 8, 2))
     if point_format in (2, 3):
         items.append((_ITEM_RGB12, 6, 2))
+    if extra_bytes:
+        items.append((_ITEM_BYTE, extra_bytes, 2))
     payload = struct.pack(
         "<HHBBHIIqqH",
         _COMPRESSOR_POINTWISE_CHUNKED,  # compressor
@@ -861,6 +864,7 @@ def encode_laz(
     intensity: np.ndarray | None = None,
     gps_time: np.ndarray | None = None,
     rgb: np.ndarray | None = None,
+    extra: np.ndarray | None = None,
     scale: tuple[float, float, float] = (0.001, 0.001, 0.001),
     offset: tuple[float, float, float] = (0.0, 0.0, 0.0),
     chunk_size: int = _DEFAULT_CHUNK,
@@ -885,8 +889,10 @@ def encode_laz(
         np.asarray(gps_time, dtype=np.float64).view(np.uint64) if fmt & 1 else None
     )
     rgb_arr = np.asarray(rgb, dtype=np.uint16) if fmt & 2 else None
+    extra_arr = np.asarray(extra, dtype=np.uint8) if extra is not None else None
+    n_extra = extra_arr.shape[1] if extra_arr is not None else 0
 
-    vlr = _laszip_vlr(fmt, chunk_size)
+    vlr = _laszip_vlr(fmt, chunk_size, n_extra)
     header = bytearray(_HDR12)
     header[0:4] = b"LASF"
     header[24] = 1
@@ -898,7 +904,7 @@ def encode_laz(
     struct.pack_into("<I", header, 96, _HDR12 + len(vlr))  # point data offset
     struct.pack_into("<I", header, 100, 1)  # one VLR (laszip)
     header[104] = fmt | 0x80  # high bit flags LAZ compression
-    struct.pack_into("<H", header, 105, _PT_LEN[fmt])
+    struct.pack_into("<H", header, 105, _PT_LEN[fmt] + n_extra)
     struct.pack_into("<I", header, 107, n)
     struct.pack_into("<5I", header, 111, n, 0, 0, 0, 0)
     struct.pack_into("<3d", header, 131, *scale)
@@ -927,11 +933,16 @@ def encode_laz(
             buf += struct.pack("<Q", int(gps_bits[start]))
         if fmt & 2:
             buf += struct.pack("<3H", *(int(v) for v in rgb_arr[start]))
+        if n_extra:
+            buf += extra_arr[start].tobytes()
         p10.init(first)
         if fmt & 1:
             gps11.init(int(gps_bits[start]))
         if fmt & 2:
             rgb12.init(tuple(int(v) for v in rgb_arr[start]))
+        byte_v2 = ByteV2(n_extra) if n_extra else None
+        if byte_v2:
+            byte_v2.init(extra_arr[start].tobytes())
         enc = ArithmeticEncoder()
         for i in range(start + 1, end):
             cur = [
@@ -943,6 +954,8 @@ def encode_laz(
                 gps11.write(enc, int(gps_bits[i]))
             if fmt & 2:
                 rgb12.write(enc, tuple(int(v) for v in rgb_arr[i]))
+            if byte_v2:
+                byte_v2.write(enc, extra_arr[i].tobytes())
         buf += enc.done()
         chunks.append(bytes(buf))
 
@@ -987,7 +1000,14 @@ def decode_laz(data: bytes) -> dict[str, np.ndarray]:
         + ([(_ITEM_GPSTIME11, 8, 2)] if fmt & 1 else [])
         + ([(_ITEM_RGB12, 6, 2)] if fmt & 2 else [])
     )
-    if [tuple(i) for i in vlr["items"]] != expect:
+    got_items = [tuple(i) for i in vlr["items"]]
+    n_extra = 0
+    if got_items[: len(expect)] == expect and len(got_items) == len(expect) + 1:
+        t_, sz_, v_ = got_items[-1]
+        if t_ == _ITEM_BYTE and v_ == 2:
+            n_extra = sz_
+            got_items = got_items[:-1]
+    if got_items != expect:
         raise NotImplementedError(f"LAZ item layout {vlr['items']}")
     chunk_size = vlr["chunk_size"]
     point_start = info["point_data_offset"]
@@ -1012,6 +1032,7 @@ def decode_laz(data: bytes) -> dict[str, np.ndarray]:
     out_flags = np.empty(n, dtype=np.int64)
     out_gps = np.empty(n, dtype=np.uint64) if fmt & 1 else None
     out_rgb = np.empty((n, 3), dtype=np.int64) if fmt & 2 else None
+    out_extra = np.empty((n, n_extra), dtype=np.uint8) if n_extra else None
 
     pos = point_start + 8
     idx = 0
@@ -1027,6 +1048,9 @@ def decode_laz(data: bytes) -> dict[str, np.ndarray]:
         if fmt & 2:
             rgb0 = struct.unpack_from("<3H", data, pos)
             pos += 6
+        if n_extra:
+            extra0 = data[pos : pos + n_extra]
+            pos += n_extra
         p10 = Point10V2()
         p10.init(first)
         if fmt & 1:
@@ -1037,6 +1061,10 @@ def decode_laz(data: bytes) -> dict[str, np.ndarray]:
             rgb12 = Rgb12V2()
             rgb12.init(rgb0)
             out_rgb[idx] = rgb0
+        if n_extra:
+            byte_v2 = ByteV2(n_extra)
+            byte_v2.init(extra0)
+            out_extra[idx] = np.frombuffer(extra0, dtype=np.uint8)
         out_x[idx], out_y[idx], out_z[idx] = first[0], first[1], first[2]
         out_int[idx], out_flags[idx], out_cls[idx] = first[3], first[4], first[5]
         idx += 1
@@ -1050,6 +1078,8 @@ def decode_laz(data: bytes) -> dict[str, np.ndarray]:
                     out_gps[idx] = gps11.read(dec)
                 if fmt & 2:
                     out_rgb[idx] = rgb12.read(dec)
+                if n_extra:
+                    out_extra[idx] = np.frombuffer(byte_v2.read(dec), dtype=np.uint8)
                 idx += 1
         pos = chunk_end
     if idx != n:
@@ -1071,6 +1101,8 @@ def decode_laz(data: bytes) -> dict[str, np.ndarray]:
         out["red"] = out_rgb[:, 0]
         out["green"] = out_rgb[:, 1]
         out["blue"] = out_rgb[:, 2]
+    if n_extra:
+        out["extra_bytes"] = out_extra
     return out
 
 
@@ -1179,3 +1211,30 @@ class Rgb12V2:
             g = b = r
         self.last = [r, g, b]
         return r, g, b
+
+
+# ------------------------------------------------------------- BYTE layer
+
+
+class ByteV2:
+    """BYTE v2: n independent per-byte delta models — the LASzip item for
+    extra per-point attribute bytes beyond the base record."""
+
+    def __init__(self, n: int) -> None:
+        self.n = n
+        self.models = [ArithmeticModel(256) for _ in range(n)]
+
+    def init(self, first: bytes) -> None:
+        for m in self.models:
+            m.init()
+        self.last = list(first)
+
+    def write(self, enc: ArithmeticEncoder, cur: bytes) -> None:
+        for i in range(self.n):
+            enc.encode_symbol(self.models[i], (cur[i] - self.last[i]) & 0xFF)
+        self.last = list(cur)
+
+    def read(self, dec: ArithmeticDecoder) -> bytes:
+        for i in range(self.n):
+            self.last[i] = (dec.decode_symbol(self.models[i]) + self.last[i]) & 0xFF
+        return bytes(self.last)

@@ -490,3 +490,24 @@ def test_png_16bit_roundtrip():
     rgb = ((np.arange(12 * 16 * 3).reshape(12, 16, 3) * 977) % 65536).astype(np.uint16)
     out = decode_png(encode_png(rgb, filters=[4, 3, 2, 1, 0]))
     assert out.dtype == np.uint16 and np.array_equal(out, rgb)
+
+
+def test_laz_extra_bytes_item():
+    import numpy as np
+
+    from dronedb_spark.sources.laz import decode_laz, encode_laz
+
+    rng = np.random.RandomState(21)
+    n = 1500
+    x = np.cumsum(rng.randint(-300, 300, n)) * 0.001
+    y = np.cumsum(rng.randint(-300, 300, n)) * 0.001
+    z = np.cumsum(rng.randint(-40, 40, n)) * 0.001
+    extra = rng.randint(0, 256, (n, 5)).astype(np.uint8)
+    d = decode_laz(encode_laz(x, y, z, extra=extra, chunk_size=600))
+    assert np.array_equal(d["extra_bytes"], extra)
+    # plus RGB + GPS in the same record
+    rgb = rng.randint(0, 65536, (n, 3)).astype(np.uint16)
+    gps = 1e5 + np.arange(n) * 1e-4
+    d = decode_laz(encode_laz(x, y, z, gps_time=gps, rgb=rgb, extra=extra))
+    assert np.array_equal(d["extra_bytes"], extra)
+    assert np.array_equal(d["blue"], rgb[:, 2].astype(np.int64))
