@@ -118,9 +118,14 @@ def main() -> None:
 
         best = min(run_once(), run_once())
         # environment stall insurance: a sustained host-level hiccup can
-        # inflate both runs; one more attempt bounds the damage
-        if best > 2.5:
+        # inflate several consecutive runs (observed: q1 at 8.5s across 3
+        # runs, steady-state 0.9s); retry up to 2 extra times while the
+        # best still looks stalled so one noisy window can't fake a
+        # regression in the recorded round bench
+        extra = 0
+        while best > 2.5 and extra < 2:
             best = min(best, run_once())
+            extra += 1
         results[name] = round(best, 3)
         total += results[name]
 

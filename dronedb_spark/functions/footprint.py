@@ -211,13 +211,7 @@ def _register_checks() -> None:
     from dronedb_spark.suite import check
     from dronedb_spark.tables import load
 
-    # Deliberately rows-only: the footprint runs through the full UTM
-    # Krüger forward+inverse series — reproducing that in SQL to hash
-    # precision is not practical.  The kernel IS oracle-constrained by
-    # footprint_bbox_props below (center-containment + metric extent
-    # checks reproduce TRUE/FALSE relationally).
-    @check("image_footprints", oracle=None)
-    def q_image_footprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def _footprint_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
         """S5-geometry (calculateFootprint, entry.cpp:770-836): per-image
         ground footprint rings from synthetic camera params — the ingest
         stage that derives polygon_geom.  Arrow-batched pandas UDF over
@@ -252,14 +246,22 @@ def _register_checks() -> None:
             agg("greatest", "lat", -90.0).alias("maxlat"),
         ).orderBy("vec_id")
 
+    # One registered check for the footprint kernel: the raw ring runs
+    # through the full UTM Krüger forward+inverse series (not practical to
+    # reproduce in SQL to hash precision), so the check projects the ring
+    # bbox to RELATIONALLY CHECKABLE properties and carries a real oracle.
+    # r1–r3 registered the raw-bbox projection as a second, rows-only
+    # check ("image_footprints", oracle=None) — the driver reports
+    # rows-only as `no_oracle` errors, so that row could never go green;
+    # the property projection now IS image_footprints (VERDICT r3 #2).
     @check(
-        "footprint_bbox_props",
+        "image_footprints",
         oracle="""
             SELECT vec_id, TRUE AS center_inside,
                    TRUE AS height_ok, TRUE AS width_ok
             FROM embeddings ORDER BY vec_id""",
     )
-    def q_footprint_bbox_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def q_image_footprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Property-style oracle for the trig kernel: every nadir shot's
         bbox must (a) contain the camera position and (b) measure
         w|cos yaw| + h|sin yaw| x w|sin yaw| + h|cos yaw| meters, where
@@ -272,7 +274,7 @@ def _register_checks() -> None:
         the value being checked is the Spark-side predicate itself."""
         from dronedb_spark.functions.geo import haversine_m
 
-        bbox = q_image_footprints(spark, sf_dir)
+        bbox = _footprint_bbox(spark, sf_dir)
         cams = load(spark, sf_dir, "embeddings").select(
             "vec_id",
             (F.lit(46.8) + (F.col("vec_id") % 100) / F.lit(1000.0)).alias("cam_lat"),

@@ -312,14 +312,57 @@ def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
     return media.mapInPandas(run, schema=schema)
 
 
-# Deliberately rows-only: the unique surface here is the ARRAY-typed
-# feature column (unrounded doubles inside a list defeat the driver's
-# scalar rounding).  The same decode+stripe kernel is oracle-checked
-# scalar-wise by media_stripe_means.
-@check("media_features", oracle=None)
+# The ARRAY-typed feature column is projected to scalars (first/last
+# element, min/max, size) so the driver can canonicalize rows — r3's
+# registration returned the raw array<double> and crashed the harness's
+# row sort (unhashable list).  Every projected scalar is EXACT: a stripe
+# mean is an exact-int-sum / stripe_len (identical double in both
+# engines), element_at is order-defined, and min/max are
+# order-independent, so no rounding is needed anywhere.
+@check(
+    "media_features",
+    oracle="""
+        WITH px AS (
+            SELECT e.vec_id AS media_id, 'image' AS kind, 576 AS nb, 72 AS sl,
+                   i.i // 72 AS stripe,
+                   CAST((e.vec_id * 2654435761 + i.i * 40503) % 251 AS DOUBLE) AS v
+            FROM embeddings e, (SELECT unnest(range(0, 576)) AS i) i
+            WHERE e.vec_id % 3 <> 2
+            UNION ALL
+            SELECT e.vec_id, 'video', 192, 24, i.i // 24,
+                   CAST((e.vec_id * 97
+                         + (CASE WHEN i.i < 64 THEN i.i
+                                 WHEN i.i < 128 THEN 256 + (i.i - 64)
+                                 ELSE 448 + (i.i - 128) END) * 31) % 251 AS DOUBLE)
+            FROM embeddings e, (SELECT unnest(range(0, 192)) AS i) i
+            WHERE e.vec_id % 3 = 2),
+        st AS (
+            SELECT media_id, kind, nb, stripe, AVG(v) AS m
+            FROM px GROUP BY media_id, kind, nb, stripe),
+        g AS (SELECT media_id, AVG(v) AS mean_value FROM px GROUP BY media_id)
+        SELECT st.media_id, st.kind, CAST(st.nb AS BIGINT) AS n_bytes,
+               g.mean_value, CAST(8 AS INT) AS n_feat,
+               MAX(CASE WHEN stripe = 0 THEN m END) AS feat_first,
+               MAX(CASE WHEN stripe = 7 THEN m END) AS feat_last,
+               MIN(m) AS feat_min, MAX(m) AS feat_max
+        FROM st JOIN g ON st.media_id = g.media_id
+        GROUP BY st.media_id, st.kind, st.nb, g.mean_value
+        ORDER BY st.media_id""",
+)
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = synth_media(spark, load(spark, sf_dir, "embeddings"))
-    return extract_features(media).orderBy("media_id")
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "mean_value",
+        F.size("feature").alias("n_feat"),
+        F.element_at("feature", 1).alias("feat_first"),
+        F.element_at("feature", -1).alias("feat_last"),
+        F.array_min("feature").alias("feat_min"),
+        F.array_max("feature").alias("feat_max"),
+    ).orderBy("media_id")
 
 
 # The fake containers are closed-form (image pixel i = (seed*2654435761 +

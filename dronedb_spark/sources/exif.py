@@ -440,7 +440,10 @@ def read_exif_tree(data: bytes) -> tuple[str, dict[str, dict[int, tuple[int, int
     endian = "<" if tiff[:2] == b"II" else ">"
     (ifd0_off,) = struct.unpack_from(endian + "I", tiff, 4)
     ifd0 = _read_ifd(tiff, ifd0_off, endian)
-    exif = gps = {}
+    # distinct literals: `exif = gps = {}` aliased one dict, so editing a
+    # tag in either IFD of a sub-IFD-less JPEG wrote both (phantom GPS IFD)
+    exif: dict = {}
+    gps: dict = {}
     if _TAG_EXIF_IFD in ifd0:
         exif = _read_ifd(tiff, _u32(ifd0[_TAG_EXIF_IFD], endian) or 0, endian)
     if _TAG_GPS_IFD in ifd0:

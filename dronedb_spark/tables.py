@@ -71,10 +71,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if isinstance(df.schema["ts"].dataType, T.LongType):
-            df = df.withColumn(
-                "ts",
-                F.timestamp_micros(((F.col("ts") - F.col("ts") % 1000) / 1000).cast("bigint")),
-            )
+            # integer `div` keeps the rebuild in pure long arithmetic —
+            # the previous float-division form ((ts - ts%1000)/1000) went
+            # through DOUBLE, which both adds per-row fp work on every
+            # scan of events and would lose precision past 2^53
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         else:
             # native timestamp; normalize to session-TZ-agnostic NTZ→TS
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))

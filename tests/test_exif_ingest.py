@@ -139,3 +139,29 @@ def test_edit_exif_general_tags_preserved():
     out2 = edit_exif(out, remove_tags=[("gps", 0x0006), ("gps", 0x0005)])
     after2 = parse_exif("a.jpg", out2)
     assert "point_alt" not in after2 and after2["point_lat"] == before["point_lat"]
+
+
+def test_edit_exif_no_subifds_no_phantom_gps():
+    """Regression (ADVICE r3): read_exif_tree initialized exif/gps as ONE
+    shared dict, so on a JPEG whose TIFF block has neither sub-IFD,
+    setting a tag in the exif IFD also materialized a phantom GPS IFD
+    carrying the same tag."""
+    import struct
+
+    from dronedb_spark.sources.exif import edit_exif, read_exif_tree, tag_ascii
+
+    # minimal APP1: 'Exif\0\0' + LE TIFF with IFD0 = {Make: "DDB\0"} only
+    tiff = bytearray()
+    tiff += b"II" + struct.pack("<HI", 42, 8)
+    make = b"DDB\x00"  # 4 bytes -> stored inline in the value field
+    tiff += struct.pack("<H", 1)
+    tiff += struct.pack("<HHI", 0x010F, 2, len(make)) + make
+    tiff += struct.pack("<I", 0)  # next-IFD
+    payload = b"Exif\x00\x00" + bytes(tiff)
+    jpeg = b"\xff\xd8\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload + b"\xff\xd9"
+
+    out = edit_exif(jpeg, set_tags={("exif", 0x9003): tag_ascii("2023:06:01 10:00:00")})
+    _, tree = read_exif_tree(out)
+    assert 0x9003 in tree["exif"]
+    assert tree["gps"] == {}  # no phantom GPS IFD
+    assert tree["ifd0"][0x010F][2].rstrip(b"\x00") == b"DDB"
