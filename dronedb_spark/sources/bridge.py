@@ -48,10 +48,16 @@ _POINT_SCHEMA = T.StructType(
         T.StructField("z", T.DoubleType()),
         T.StructField("intensity", T.LongType()),
         T.StructField("classification", T.LongType()),
-        # populated for colored formats (LAS/LAZ point formats 2/3)
+        # populated for colored formats (LAS/LAZ point formats 2/3, 7/8)
         T.StructField("red", T.LongType()),
         T.StructField("green", T.LongType()),
         T.StructField("blue", T.LongType()),
+        # populated for LAS 1.4 extended formats (PDRF 6-8)
+        T.StructField("scan_angle", T.LongType()),
+        T.StructField("return_number", T.LongType()),
+        T.StructField("number_of_returns", T.LongType()),
+        T.StructField("scanner_channel", T.LongType()),
+        T.StructField("gps_time", T.DoubleType()),
     ]
 )
 
@@ -137,6 +143,11 @@ def las_point_table(files: DataFrame) -> DataFrame:
                         "red": d.get("red"),
                         "green": d.get("green"),
                         "blue": d.get("blue"),
+                        "scan_angle": d.get("scan_angle"),
+                        "return_number": d.get("return_number"),
+                        "number_of_returns": d.get("number_of_returns"),
+                        "scanner_channel": d.get("scanner_channel"),
+                        "gps_time": d.get("gps_time"),
                     }
                 )
 
@@ -407,6 +418,108 @@ def q_laz_rgb_catalog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("red").alias("r_sum"), F.max("red").alias("r_max"),
             F.sum("green").alias("g_sum"), F.sum("blue").alias("b_sum"),
             F.max("z").alias("z_max"),
+        )
+        .orderBy("cloud_id")
+    )
+
+
+_L14_N = 3
+
+
+def _laz14_catalog_root() -> str:
+    """LAS 1.4 / LASzip v3 fixtures: files 0-1 are PDRF 6 (extended
+    returns, scanner channels, 16-bit scan angles), file 2 is PDRF 8
+    (+RGB+NIR) — all closed-form so decoded values are SQL-reproducible.
+    chunk_size=900 exercises the multi-chunk layered stream."""
+    import os
+
+    from dronedb_spark.sources.laz14 import encode_laz14
+
+    root = os.path.abspath(
+        os.path.join(os.path.dirname(__file__), "..", "..", "tests", "fixtures", "laz14_cat_v1")
+    )
+    os.makedirs(root, exist_ok=True)
+    for i in range(_L14_N):
+        n = 2500 + 400 * i
+        k = np.arange(n, dtype=np.int64)
+        kw = {}
+        if i == 2:
+            kw["rgb"] = np.stack(
+                [(k * 97 + i) % 65536, (k * 53) % 65536, (k * 29) % 65536], axis=1
+            ).astype(np.uint16)
+            kw["nir"] = ((k * 41) % 65536).astype(np.uint16)
+        payload = encode_laz14(
+            ((i * 17 + k * 5) % 90000).astype(np.float64) * 0.001,
+            ((i * 13 + k * 9) % 90000).astype(np.float64) * 0.001,
+            ((i * 23 + k * 3) % 45000).astype(np.float64) * 0.001,
+            classification=(i + k) % 32,
+            intensity=(k * 31) % 5000,
+            gps_time=150000.0 + i * 1000 + k * 0.0005,
+            return_number=k % 4 + 1,
+            number_of_returns=np.full(n, 4),
+            scanner_channel=(k + i) % 4,
+            scan_angle=(k * 11 + i * 7) % 6001 - 3000,
+            point_source=(k // 50 + i) % 20,
+            chunk_size=900,
+            **kw,
+        )
+        p = os.path.join(root, f"ext_{i}.laz")
+        if not os.path.exists(p) or open(p, "rb").read() != payload:
+            with open(p, "wb") as f:
+                f.write(payload)
+        os.utime(p, (1700000000, 1700000000))
+    return root
+
+
+@check(
+    "pointcloud_laz14_stats",
+    oracle=f"""
+        WITH pts AS (
+            SELECT 'ext_' || i.i || '.laz' AS cloud_id,
+                   CAST((i.i * 17 + k.k * 5) % 90000 AS DOUBLE) * 0.001 AS x,
+                   CAST((i.i * 23 + k.k * 3) % 45000 AS DOUBLE) * 0.001 AS z,
+                   (i.i + k.k) % 32 AS cls, (k.k * 31) % 5000 AS inten,
+                   (k.k * 11 + i.i * 7) % 6001 - 3000 AS angle,
+                   k.k % 4 + 1 AS rn, (k.k + i.i) % 4 AS ch,
+                   150000.0 + i.i * 1000 + k.k * 0.0005 AS gps,
+                   CASE WHEN i.i = 2 THEN (k.k * 97 + i.i) % 65536 END AS r
+            FROM (SELECT unnest(range(0, {_L14_N})) AS i) i,
+                 (SELECT unnest(range(0, 2500 + 400 * {_L14_N - 1})) AS k) k
+            WHERE k.k < 2500 + 400 * i.i)
+        SELECT cloud_id, CAST(COUNT(1) AS BIGINT) AS n,
+               MIN(x) AS x_min, MAX(x) AS x_max,
+               MIN(z) AS z_min, MAX(z) AS z_max,
+               CAST(SUM(cls) AS BIGINT) AS cls_sum,
+               CAST(SUM(inten) AS BIGINT) AS inten_sum,
+               CAST(SUM(angle) AS BIGINT) AS angle_sum,
+               CAST(SUM(rn) AS BIGINT) AS rn_sum,
+               CAST(SUM(CASE WHEN ch = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_ch1,
+               MIN(gps) AS gps_min, MAX(gps) AS gps_max,
+               CAST(COALESCE(SUM(r), -1) AS BIGINT) AS r_sum
+        FROM pts GROUP BY cloud_id ORDER BY cloud_id""",
+)
+def q_laz14_catalog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAS 1.4 / LASzip v3 catalog → distributed layered decode →
+    per-cloud stats over the PDRF6 extended fields (4-bit returns,
+    scanner channel, i16 scan angle) + RGB for the PDRF8 file.  Same
+    scale layout as pointcloud_laz_stats: one file per task, decode
+    before any shuffle.  r_sum COALESCEs to -1 for the colorless files
+    (driver comparator sorts row tuples; NULL is unordered)."""
+    files = scan_binaries(spark, _laz14_catalog_root(), "*.laz")
+    points = las_point_table(spread(files))
+    return (
+        points.groupBy("cloud_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("x").alias("x_min"), F.max("x").alias("x_max"),
+            F.min("z").alias("z_min"), F.max("z").alias("z_max"),
+            F.sum("classification").alias("cls_sum"),
+            F.sum("intensity").alias("inten_sum"),
+            F.sum("scan_angle").alias("angle_sum"),
+            F.sum("return_number").alias("rn_sum"),
+            F.sum(F.when(F.col("scanner_channel") == 1, 1).otherwise(0)).alias("n_ch1"),
+            F.min("gps_time").alias("gps_min"), F.max("gps_time").alias("gps_max"),
+            F.coalesce(F.sum("red"), F.lit(-1)).cast("bigint").alias("r_sum"),
         )
         .orderBy("cloud_id")
     )

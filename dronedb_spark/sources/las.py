@@ -131,6 +131,8 @@ def decode_las(data: bytes) -> dict[str, np.ndarray]:
         from dronedb_spark.sources.laz import decode_laz
 
         return decode_laz(data)
+    if fmt in (6, 7, 8):
+        return _decode_las14(data, info)
     if fmt not in _PT_LEN:
         raise NotImplementedError(f"LAS point format {fmt}")
     base = [
@@ -164,4 +166,46 @@ def decode_las(data: bytes) -> dict[str, np.ndarray]:
         out["red"] = rec["red"].astype(np.int64)
         out["green"] = rec["green"].astype(np.int64)
         out["blue"] = rec["blue"].astype(np.int64)
+    return out
+
+
+def _decode_las14(data: bytes, info: dict) -> dict[str, np.ndarray]:
+    """Uncompressed LAS 1.4 PDRF 6/7/8 records (sources/laz14.py writes
+    them; the compressed path lives there too)."""
+    fmt, n = info["point_format"], info["n_points"]
+    base = [
+        ("x", "<i4"), ("y", "<i4"), ("z", "<i4"), ("intensity", "<u2"),
+        ("returns", "u1"), ("flags", "u1"), ("classification", "u1"),
+        ("user_data", "u1"), ("scan_angle", "<i2"), ("point_source", "<u2"),
+        ("gps_time", "<f8"),
+    ]
+    if fmt >= 7:
+        base += [("red", "<u2"), ("green", "<u2"), ("blue", "<u2")]
+    if fmt == 8:
+        base.append(("nir", "<u2"))
+    dt = np.dtype(base)
+    if info["record_length"] > dt.itemsize:
+        dt = np.dtype(base + [("_extra", f"V{info['record_length'] - dt.itemsize}")])
+    rec = np.frombuffer(data, dtype=dt, count=n, offset=info["point_data_offset"])
+    sx, sy, sz = info["scale"]
+    ox, oy, oz = info["offset"]
+    out = {
+        "x": rec["x"] * sx + ox,
+        "y": rec["y"] * sy + oy,
+        "z": rec["z"] * sz + oz,
+        "intensity": rec["intensity"].astype(np.int64),
+        "classification": rec["classification"].astype(np.int64),
+        "return_number": (rec["returns"] & 0x0F).astype(np.int64),
+        "number_of_returns": ((rec["returns"] >> 4) & 0x0F).astype(np.int64),
+        "scanner_channel": ((rec["flags"] >> 4) & 0x03).astype(np.int64),
+        "scan_angle": rec["scan_angle"].astype(np.int64),
+        "point_source": rec["point_source"].astype(np.int64),
+        "gps_time": rec["gps_time"].astype(np.float64),
+    }
+    if fmt >= 7:
+        out["red"] = rec["red"].astype(np.int64)
+        out["green"] = rec["green"].astype(np.int64)
+        out["blue"] = rec["blue"].astype(np.int64)
+    if fmt == 8:
+        out["nir"] = rec["nir"].astype(np.int64)
     return out

@@ -988,6 +988,10 @@ def decode_laz(data: bytes) -> dict[str, np.ndarray]:
     if not info["compressed"]:
         raise ValueError("not LAZ-compressed; use decode_las")
     fmt, n = info["point_format"], info["n_points"]
+    if fmt in (6, 7, 8):
+        from dronedb_spark.sources.laz14 import decode_laz14
+
+        return decode_laz14(data)
     if fmt not in _PT_LEN:
         raise NotImplementedError(f"LAZ point format {fmt}")
     (header_size,) = struct.unpack_from("<H", data, 94)
