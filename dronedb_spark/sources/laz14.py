@@ -86,6 +86,8 @@ def _las14_header(
     n_vlrs: int,
     vlr_len: int,
     compressed: bool,
+    evlr_offset: int = 0,
+    evlr_count: int = 0,
 ) -> bytes:
     header = bytearray(_HDR14)
     header[0:4] = b"LASF"
@@ -108,7 +110,7 @@ def _las14_header(
     maxx, minx, maxy, miny, maxz, minz = bbox
     struct.pack_into("<6d", header, 179, maxx, minx, maxy, miny, maxz, minz)
     struct.pack_into("<Q", header, 227, 0)  # waveform packet offset
-    struct.pack_into("<QI", header, 235, 0, 0)  # EVLR offset / count
+    struct.pack_into("<QI", header, 235, evlr_offset, evlr_count)
     struct.pack_into("<Q", header, 247, n)  # 64-bit point count
     # 15 x u64 points-by-return: all first-return unless caller cares
     struct.pack_into("<15Q", header, 255, n, *([0] * 14))
@@ -346,6 +348,12 @@ class Point14Layered:
         return out
 
 
+# variable-size chunking sentinel (LASzip: chunk boundaries are caller
+# controlled — COPC uses one chunk per octree node — and the chunk table
+# stores (point count, byte size) pairs instead of sizes only)
+VARIABLE_CHUNKS = 0xFFFFFFFF
+
+
 def _laszip14_vlr(fmt: int, chunk_size: int, extra_bytes: int = 0) -> bytes:
     """LASzip VLR for compressor 3 (layered chunked) + v3 item records."""
     items = [(_ITEM_POINT14, 30, 3)]
@@ -375,8 +383,23 @@ def encode_laz14(
     scan_angle=None, point_source=None, user_data=None, extra=None,
     scale=(0.001, 0.001, 0.001), offset=(0.0, 0.0, 0.0),
     chunk_size: int = _DEFAULT_CHUNK,
-) -> bytes:
-    """LAZ-compressed LAS 1.4 (PDRF 6/7/8), LASzip v3 layered chunks."""
+    chunk_bounds: list[int] | None = None,
+    extra_vlrs: list[bytes] | None = None,
+    evlrs: list[tuple[bytes, int, bytes]] | None = None,
+    return_layout: bool = False,
+):
+    """LAZ-compressed LAS 1.4 (PDRF 6/7/8), LASzip v3 layered chunks.
+
+    ``chunk_bounds``: explicit chunk cut points (ascending, ending at n)
+    → variable-size chunking (VLR chunk_size = 0xFFFFFFFF, chunk table
+    stores (count, size) pairs) — the COPC layout, one chunk per octree
+    node.  ``extra_vlrs``: raw VLR blocks (header+payload) placed BEFORE
+    the laszip VLR (COPC info must be the first VLR).  ``evlrs``:
+    (user_id, record_id, payload) extended VLRs appended after the chunk
+    table.  ``return_layout``: also return a dict with per-chunk
+    (offset, size, count) and the EVLR payload offsets — what a
+    container writer (COPC hierarchy) needs.
+    """
     fmt = 6 if rgb is None else (8 if nir is not None else 7)
     n, f = _pack_fields(
         x, y, z, scale, offset, classification, intensity, gps_time,
@@ -397,11 +420,14 @@ def encode_laz14(
     if n_extra:
         layers.append("extra")
 
-    vlr = _laszip14_vlr(fmt, chunk_size, n_extra)
-    header = _las14_header(
-        n, fmt, rec_len, scale, offset,
-        _bbox_of(f["xi"], f["yi"], f["zi"], scale, offset), 1, len(vlr), True,
-    )
+    if chunk_bounds is not None:
+        ranges = list(zip([0] + list(chunk_bounds)[:-1], chunk_bounds))
+        vlr = _laszip14_vlr(fmt, VARIABLE_CHUNKS, n_extra)
+    else:
+        ranges = [(s, min(s + chunk_size, n)) for s in range(0, n, chunk_size)]
+        vlr = _laszip14_vlr(fmt, chunk_size, n_extra)
+    pre_vlrs = b"".join(extra_vlrs or [])
+    all_vlr = pre_vlrs + vlr
 
     def seed_bytes(i: int) -> bytes:
         b = _P14.pack(
@@ -424,8 +450,7 @@ def encode_laz14(
         return {k: int(f[k][i]) for k in f}
 
     chunks: list[bytes] = []
-    for start in range(0, n, chunk_size):
-        end = min(start + chunk_size, n)
+    for start, end in ranges:
         codec = Point14Layered(row(start))
         rgb12 = nir_ic = byte_v2 = None
         if fmt >= 7:
@@ -454,21 +479,52 @@ def encode_laz14(
             buf += p
         chunks.append(bytes(buf))
 
-    point_start = _HDR14 + len(vlr)
+    point_start = _HDR14 + len(all_vlr)
     body = bytearray(b"\x00" * 8)
-    for c in chunks:
+    chunk_layout = []
+    for (start, end), c in zip(ranges, chunks):
+        chunk_layout.append(
+            {"offset": point_start + len(body), "size": len(c), "count": end - start}
+        )
         body += c
     struct.pack_into("<q", body, 0, point_start + len(body))
     body += struct.pack("<II", 0, len(chunks))
     if chunks:
         tenc = ArithmeticEncoder()
         tic = IntegerCompressor(32, 2)
-        prev = 0
-        for c in chunks:
-            tic.compress(tenc, prev, len(c), 1)
-            prev = len(c)
+        prev_n = prev_s = 0
+        for (start, end), c in zip(ranges, chunks):
+            if chunk_bounds is not None:
+                # variable chunking: the table carries (count, size) pairs
+                tic.compress(tenc, prev_n, end - start, 0)
+                prev_n = end - start
+            tic.compress(tenc, prev_s, len(c), 1)
+            prev_s = len(c)
         body += tenc.done()
-    return header + vlr + bytes(body)
+
+    evlr_block = bytearray()
+    evlr_layout = []
+    evlr_base = point_start + len(body)
+    for user_id, record_id, payload in evlrs or []:
+        evlr_layout.append(
+            {"payload_offset": evlr_base + len(evlr_block) + 60, "size": len(payload)}
+        )
+        evlr_block += struct.pack(
+            "<H16sHQ32s", 0, user_id.ljust(16, b"\x00"), record_id, len(payload),
+            b"dronedb_spark".ljust(32, b"\x00"),
+        )
+        evlr_block += payload
+
+    header = _las14_header(
+        n, fmt, rec_len, scale, offset,
+        _bbox_of(f["xi"], f["yi"], f["zi"], scale, offset),
+        1 + len(extra_vlrs or []), len(all_vlr), True,
+        evlr_offset=evlr_base if evlrs else 0, evlr_count=len(evlrs or []),
+    )
+    data = header + all_vlr + bytes(body) + bytes(evlr_block)
+    if return_layout:
+        return data, {"chunks": chunk_layout, "evlrs": evlr_layout}
+    return data
 
 
 # The field layers a caller can skip; xy is always decoded (it carries
@@ -479,31 +535,7 @@ _SELECTIVE = {
 }
 
 
-def decode_laz14(data: bytes, want: set | None = None) -> dict[str, np.ndarray]:
-    """Decode a LASzip-v3 layered file → dict of arrays (decode_las
-    layout + number_of_returns / scanner_channel / scan_angle / nir).
-
-    ``want``: optional subset of ``_SELECTIVE`` layer names — skipped
-    layers are never entropy-decoded (their bytes are jumped via the
-    recorded layer sizes), the selective-decompression contract of the
-    v3 format.  x/y are always decoded.
-    """
-    from dronedb_spark.sources.las import las_info
-    from dronedb_spark.sources.laz import _parse_laszip_vlr
-
-    info = las_info(data)
-    fmt, n = info["point_format"], info["n_points"]
-    (header_size,) = struct.unpack_from("<H", data, 94)
-    (n_vlrs,) = struct.unpack_from("<I", data, 100)
-    vlr = _parse_laszip_vlr(data, header_size, n_vlrs)
-    if vlr["compressor"] != _COMPRESSOR_LAYERED_CHUNKED:
-        raise NotImplementedError(f"laz14: compressor {vlr['compressor']}")
-    items = [tuple(i) for i in vlr["items"]]
-    if items[0][0] != _ITEM_POINT14:
-        raise NotImplementedError(f"laz14: item layout {items}")
-    n_extra = next((s for t, s, _ in items if t == _ITEM_BYTE14), 0)
-    chunk_size = vlr["chunk_size"]
-
+def _laz14_layers(fmt: int, n_extra: int) -> list[str]:
     layers = list(Point14Layered.POINT_LAYERS)
     if fmt >= 7:
         layers.append("rgb")
@@ -511,99 +543,92 @@ def decode_laz14(data: bytes, want: set | None = None) -> dict[str, np.ndarray]:
         layers.append("nir")
     if n_extra:
         layers.append("extra")
-    want = set(want) if want is not None else set(layers)
-    want &= set(layers)
-    want |= {"xy"}
+    return layers
 
-    point_start = info["point_data_offset"]
-    (table_offset,) = struct.unpack_from("<q", data, point_start)
-    _version, n_chunks = struct.unpack_from("<II", data, table_offset)
-    sizes: list[int] = []
-    if n_chunks:
-        tdec = ArithmeticDecoder(data, table_offset + 8)
-        tic = IntegerCompressor(32, 2)
-        prev = 0
-        for _ in range(n_chunks):
-            prev = tic.decompress(tdec, prev, 1)
-            sizes.append(prev)
 
-    rec_len = _PT14_LEN[fmt] + n_extra
+def _read_chunk14(
+    data: bytes, pos: int, count: int, fmt: int, n_extra: int, want: set
+) -> dict[str, np.ndarray]:
+    """Decode ONE layered chunk (seed + layer sizes + layer streams) at
+    ``pos`` → dict of integer-domain arrays of length ``count``.  The
+    COPC reader calls this per selected octree node."""
+    layers = _laz14_layers(fmt, n_extra)
+    want = set(want) | {"xy"}
+    seed = {}
+    (
+        seed["xi"], seed["yi"], seed["zi"], seed["intensity"], seed["returns"],
+        seed["flags"], seed["classification"], seed["user_data"],
+        seed["scan_angle"], seed["point_source"], gps_f,
+    ) = _P14.unpack_from(data, pos)
+    seed["gps_bits"] = np.float64(gps_f).view(np.uint64)
+    p = pos + 30
+    if fmt >= 7:
+        rgb0 = struct.unpack_from("<3H", data, p)
+        p += 6
+    if fmt == 8:
+        (nir0,) = struct.unpack_from("<H", data, p)
+        p += 2
+    if n_extra:
+        extra0 = data[p : p + n_extra]
+        p += n_extra
+    lay_sizes = struct.unpack_from(f"<{len(layers)}I", data, p)
+    p += 4 * len(layers)
+    dec: dict[str, ArithmeticDecoder] = {}
+    for name, lsz in zip(layers, lay_sizes):
+        if name in want:
+            dec[name] = ArithmeticDecoder(data, p)
+        p += lsz
+
     cols = {
-        "xi": np.empty(n, np.int64), "yi": np.empty(n, np.int64),
-        "zi": np.empty(n, np.int64), "intensity": np.zeros(n, np.int64),
-        "returns": np.empty(n, np.int64), "flags": np.zeros(n, np.int64),
-        "classification": np.zeros(n, np.int64), "user_data": np.zeros(n, np.int64),
-        "scan_angle": np.zeros(n, np.int64), "point_source": np.zeros(n, np.int64),
-        "gps_bits": np.zeros(n, np.uint64),
+        k: np.zeros(count, np.int64)
+        for k in (
+            "xi", "yi", "zi", "intensity", "returns", "flags",
+            "classification", "user_data", "scan_angle", "point_source",
+        )
     }
-    rgb_out = np.zeros((n, 3), np.int64) if fmt >= 7 else None
-    nir_out = np.zeros(n, np.int64) if fmt == 8 else None
-    extra_out = np.zeros((n, n_extra), np.uint8) if n_extra else None
+    cols["gps_bits"] = np.zeros(count, np.uint64)
+    rgb_out = np.zeros((count, 3), np.int64) if fmt >= 7 else None
+    nir_out = np.zeros(count, np.int64) if fmt == 8 else None
+    extra_out = np.zeros((count, n_extra), np.uint8) if n_extra else None
 
-    pos = point_start + 8
-    idx = 0
-    for size in sizes:
-        chunk_end = pos + size
-        count = min(chunk_size, n - idx)
-        seed = {}
-        (
-            seed["xi"], seed["yi"], seed["zi"], seed["intensity"], seed["returns"],
-            seed["flags"], seed["classification"], seed["user_data"],
-            seed["scan_angle"], seed["point_source"], gps_f,
-        ) = _P14.unpack_from(data, pos)
-        seed["gps_bits"] = np.float64(gps_f).view(np.uint64)
-        p = pos + 30
-        if fmt >= 7:
-            rgb0 = struct.unpack_from("<3H", data, p)
-            p += 6
-        if fmt == 8:
-            (nir0,) = struct.unpack_from("<H", data, p)
-            p += 2
-        if n_extra:
-            extra0 = data[p : p + n_extra]
-            p += n_extra
-        lay_sizes = struct.unpack_from(f"<{len(layers)}I", data, p)
-        p += 4 * len(layers)
-        dec: dict[str, ArithmeticDecoder] = {}
-        for name, lsz in zip(layers, lay_sizes):
-            if name in want:
-                dec[name] = ArithmeticDecoder(data, p)
-            p += lsz
-
-        codec = Point14Layered(seed)
-        rgb12 = nir_ic = byte_v2 = None
-        if fmt >= 7:
-            rgb12 = Rgb12V2()
-            rgb12.init(rgb0)
-            rgb_out[idx] = rgb0
-        if fmt == 8:
-            nir_ic = IntegerCompressor(16, 1)
-            last_nir = nir0
-            nir_out[idx] = nir0
-        if n_extra:
-            byte_v2 = ByteV2(n_extra)
-            byte_v2.init(extra0)
-            extra_out[idx] = np.frombuffer(extra0, dtype=np.uint8)
+    codec = Point14Layered(seed)
+    rgb12 = nir_ic = byte_v2 = None
+    if fmt >= 7:
+        rgb12 = Rgb12V2()
+        rgb12.init(rgb0)
+        rgb_out[0] = rgb0
+    if fmt == 8:
+        nir_ic = IntegerCompressor(16, 1)
+        last_nir = nir0
+        nir_out[0] = nir0
+    if n_extra:
+        byte_v2 = ByteV2(n_extra)
+        byte_v2.init(extra0)
+        extra_out[0] = np.frombuffer(extra0, dtype=np.uint8)
+    for k in cols:
+        cols[k][0] = seed[k]
+    for idx in range(1, count):
+        out = codec.read(dec, want)
         for k in cols:
-            cols[k][idx] = seed.get(k, 0)
-        idx += 1
-        for _ in range(count - 1):
-            out = codec.read(dec, want)
-            for k in cols:
-                if k in out:
-                    cols[k][idx] = out[k]
-            if rgb12 is not None and "rgb" in want:
-                rgb_out[idx] = rgb12.read(dec["rgb"])
-            if nir_ic is not None and "nir" in want:
-                last_nir = nir_ic.decompress(dec["nir"], last_nir)
-                nir_out[idx] = last_nir
-            if byte_v2 is not None and "extra" in want:
-                extra_out[idx] = np.frombuffer(byte_v2.read(dec["extra"]), dtype=np.uint8)
-            idx += 1
-        pos = chunk_end
-    if idx != n:
-        raise ValueError(f"laz14: {idx} points decoded, header says {n}")
+            if k in out:
+                cols[k][idx] = out[k]
+        if rgb12 is not None and "rgb" in want:
+            rgb_out[idx] = rgb12.read(dec["rgb"])
+        if nir_ic is not None and "nir" in want:
+            last_nir = nir_ic.decompress(dec["nir"], last_nir)
+            nir_out[idx] = last_nir
+        if byte_v2 is not None and "extra" in want:
+            extra_out[idx] = np.frombuffer(byte_v2.read(dec["extra"]), dtype=np.uint8)
+    if rgb_out is not None:
+        cols["rgb"] = rgb_out
+    if nir_out is not None:
+        cols["nir"] = nir_out
+    if extra_out is not None:
+        cols["extra"] = extra_out
+    return cols
 
+
+def _cols_to_points(cols: dict, info: dict, fmt: int, n_extra: int) -> dict[str, np.ndarray]:
     sx, sy, sz = info["scale"]
     ox, oy, oz = info["offset"]
     out = {
@@ -620,9 +645,85 @@ def decode_laz14(data: bytes, want: set | None = None) -> dict[str, np.ndarray]:
         "gps_time": cols["gps_bits"].view(np.float64).copy(),
     }
     if fmt >= 7:
-        out["red"], out["green"], out["blue"] = rgb_out[:, 0], rgb_out[:, 1], rgb_out[:, 2]
+        out["red"], out["green"], out["blue"] = (
+            cols["rgb"][:, 0], cols["rgb"][:, 1], cols["rgb"][:, 2],
+        )
     if fmt == 8:
-        out["nir"] = nir_out
+        out["nir"] = cols["nir"]
     if n_extra:
-        out["extra_bytes"] = extra_out
+        out["extra_bytes"] = cols["extra"]
     return out
+
+
+def _laz14_meta(data: bytes) -> dict:
+    """Parse header + laszip VLR + chunk table → everything a chunked
+    reader needs: per-chunk (offset, size, count), fmt, n_extra."""
+    from dronedb_spark.sources.las import las_info
+    from dronedb_spark.sources.laz import _parse_laszip_vlr
+
+    info = las_info(data)
+    fmt, n = info["point_format"], info["n_points"]
+    (header_size,) = struct.unpack_from("<H", data, 94)
+    (n_vlrs,) = struct.unpack_from("<I", data, 100)
+    vlr = _parse_laszip_vlr(data, header_size, n_vlrs)
+    if vlr["compressor"] != _COMPRESSOR_LAYERED_CHUNKED:
+        raise NotImplementedError(f"laz14: compressor {vlr['compressor']}")
+    items = [tuple(i) for i in vlr["items"]]
+    if items[0][0] != _ITEM_POINT14:
+        raise NotImplementedError(f"laz14: item layout {items}")
+    n_extra = next((s for t, s, _ in items if t == _ITEM_BYTE14), 0)
+    chunk_size = vlr["chunk_size"]
+    variable = chunk_size == VARIABLE_CHUNKS
+
+    point_start = info["point_data_offset"]
+    (table_offset,) = struct.unpack_from("<q", data, point_start)
+    _version, n_chunks = struct.unpack_from("<II", data, table_offset)
+    chunks = []
+    if n_chunks:
+        tdec = ArithmeticDecoder(data, table_offset + 8)
+        tic = IntegerCompressor(32, 2)
+        prev_n = prev_s = 0
+        pos = point_start + 8
+        remaining = n
+        for _ in range(n_chunks):
+            if variable:
+                prev_n = tic.decompress(tdec, prev_n, 0)
+                count = prev_n
+            else:
+                count = min(chunk_size, remaining)
+            prev_s = tic.decompress(tdec, prev_s, 1)
+            chunks.append({"offset": pos, "size": prev_s, "count": count})
+            pos += prev_s
+            remaining -= count
+    return {"info": info, "fmt": fmt, "n": n, "n_extra": n_extra, "chunks": chunks}
+
+
+def decode_laz14(data: bytes, want: set | None = None) -> dict[str, np.ndarray]:
+    """Decode a LASzip-v3 layered file → dict of arrays (decode_las
+    layout + number_of_returns / scanner_channel / scan_angle / nir).
+
+    ``want``: optional subset of ``_SELECTIVE`` layer names — skipped
+    layers are never entropy-decoded (their bytes are jumped via the
+    recorded layer sizes), the selective-decompression contract of the
+    v3 format.  x/y are always decoded; unrequested fields are
+    unspecified (carry stale predictor state).
+    """
+    meta = _laz14_meta(data)
+    fmt, n, n_extra = meta["fmt"], meta["n"], meta["n_extra"]
+    layers = _laz14_layers(fmt, n_extra)
+    want = set(want) if want is not None else set(layers)
+    want &= set(layers)
+    want |= {"xy"}
+
+    parts = [
+        _read_chunk14(data, c["offset"], c["count"], fmt, n_extra, want)
+        for c in meta["chunks"]
+    ]
+    total = sum(c["count"] for c in meta["chunks"])
+    if total != n:
+        raise ValueError(f"laz14: {total} points in chunk table, header says {n}")
+    cols = {
+        k: np.concatenate([p[k] for p in parts]) if parts else np.zeros(0, np.int64)
+        for k in (parts[0] if parts else {})
+    }
+    return _cols_to_points(cols, meta["info"], fmt, n_extra)
