@@ -75,10 +75,12 @@ def decode_media(content: bytes) -> np.ndarray:
 
     REAL formats handled pure-Python (public specs, stdlib zlib):
     PNG (sources/png.py), baseline JPEG (sources/jpeg.py — Huffman +
-    IDCT, gray/4:4:4/4:2:0), and WAV PCM (sources/wav.py).  Video codecs
-    still need ffmpeg — those raise ``NotImplementedError``; the
-    deterministic FAKE container covers their plumbing tests.  Swap this
-    single function for a Pillow/ffmpeg implementation — every downstream
+    IDCT, gray/4:4:4/4:2:0), WAV PCM (sources/wav.py), and MJPEG-in-AVI
+    video (sources/avi.py — every frame is a full baseline JPEG, decoded
+    to an (n, h, w[, 3]) stack).  Inter-frame codecs (H.264/HEVC) still
+    need ffmpeg — those raise ``NotImplementedError``; the deterministic
+    FAKE container covers their plumbing tests.  Swap this single
+    function for a Pillow/ffmpeg implementation — every downstream
     kernel keeps working unchanged.
     """
     magic = content[:4]
@@ -95,6 +97,10 @@ def decode_media(content: bytes) -> np.ndarray:
 
         _sr, samples = decode_wav(content)
         return samples
+    if magic == b"RIFF" and content[8:12] == b"AVI ":
+        from dronedb_spark.sources.avi import decode_avi_frames
+
+        return decode_avi_frames(content)
     if magic == b"FIMG":
         w, h, c = struct.unpack("<HHB", content[4:9])
         return np.frombuffer(content[9 : 9 + w * h * c], dtype=np.uint8).reshape(h, w, c)

@@ -903,3 +903,101 @@ def q_codec_extended_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spread(spark.range(7)).mapInPandas(run, schema=schema).orderBy("variant")
+
+
+# --------------------------------------------------------- MJPEG AVI ---
+
+_VID_N, _VID_F, _VID_BY, _VID_BX = 6, 9, 3, 4
+
+
+def _vid_dc(i: int, t: int) -> np.ndarray:
+    """DC-block values for frame t of clip i — pixel decodes to exactly
+    128 + 2*dc (see encode_jpeg_dc_blocks)."""
+    r = np.arange(_VID_BY, dtype=np.int64)[:, None]
+    c = np.arange(_VID_BX, dtype=np.int64)[None, :]
+    return (i * 7 + t * 11 + r * 5 + c * 3) % 120 - 60
+
+
+@check(
+    "video_frame_decode",
+    oracle=f"""
+        WITH px AS (
+            SELECT i.i AS media_id, t.t AS frame_idx,
+                   CAST(128 + 2 * ((i.i * 7 + t.t * 11 + r.r * 5 + c.c * 3) % 120 - 60)
+                        AS DOUBLE) AS v
+            FROM (SELECT unnest(range(0, {_VID_N})) AS i) i,
+                 (SELECT unnest([0, {_VID_F // 2}, {_VID_F - 1}]) AS t) t,
+                 (SELECT unnest(range(0, {_VID_BY})) AS r) r,
+                 (SELECT unnest(range(0, {_VID_BX})) AS c) c)
+        SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+               AVG(v) AS mean_val, MIN(v) AS min_val, MAX(v) AS max_val,
+               CAST({_VID_F} AS BIGINT) AS n_frames
+        FROM px GROUP BY media_id, frame_idx ORDER BY media_id, frame_idx""",
+)
+def q_video_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MJPEG video: RIFF AVI containers whose '00dc' chunks are
+    baseline JPEGs (sources/avi.py + sources/jpeg.py) → per-file
+    first/middle/last frame sampling WITHOUT decoding the rest (the
+    idx1-style independent-frame contract) → per-frame stats.  DC-block
+    frames make the lossy codec integer-exact, so the oracle reproduces
+    the decoded pixels relationally — closes the K9 video-frame gap
+    (thumbs.cpp video path, entry.cpp:1086-1099)."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from dronedb_spark.sources.avi import encode_avi_mjpeg
+        from dronedb_spark.sources.jpeg import encode_jpeg_dc_blocks
+
+        for pdf in it:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                frames = [
+                    encode_jpeg_dc_blocks(_vid_dc(i, t), q0=16) for t in range(_VID_F)
+                ]
+                rows.append(
+                    {
+                        "media_id": i,
+                        "content": encode_avi_mjpeg(frames, _VID_BX * 8, _VID_BY * 8),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = spread(spark.range(_VID_N)).mapInPandas(gen, schema=_BIN_SCHEMA)
+
+    def stats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from dronedb_spark.sources.avi import avi_info, decode_avi_frames
+
+        sample = [0, _VID_F // 2, _VID_F - 1]
+        for pdf in it:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                data = bytes(content)
+                info = avi_info(data)
+                frames = decode_avi_frames(data, indices=sample).astype(np.float64)
+                for t, fr in zip(sample, frames):
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "frame_idx": t,
+                            "mean_val": float(fr.mean()),
+                            "min_val": float(fr.min()),
+                            "max_val": float(fr.max()),
+                            "n_frames": int(info["n_frames"]),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "mean_val", "min_val", "max_val", "n_frames"],
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_idx", T.LongType()),
+            T.StructField("mean_val", T.DoubleType()),
+            T.StructField("min_val", T.DoubleType()),
+            T.StructField("max_val", T.DoubleType()),
+            T.StructField("n_frames", T.LongType()),
+        ]
+    )
+    return media.mapInPandas(stats, schema=schema).orderBy("media_id", "frame_idx")
