@@ -217,3 +217,204 @@ def stac_datetime_iso(entries: DataFrame) -> DataFrame:
 )
 def q_stac_datetime_iso(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stac_datetime_iso(entries_df(spark, sf_dir))
+
+
+# ------------------------------------------------- Collection document
+
+_STAC_VERSION = "1.0.0"
+
+
+def stac_collection_rollup(entries: DataFrame) -> DataFrame:
+    """The distributed portion of the Collection document assembly
+    (stac.cpp:528-595): ONE aggregation pass producing every dynamic
+    field — item-link path list (geometry entries, ordered by path,
+    stac.cpp:563-574), asset path list (no geometry, type ∉ {1 Directory,
+    7 DroneDB}, stac.cpp:580-591), the spatial extent rollup
+    (database.cpp:370-384 Extent(GUnion(...)) → min/max over the
+    materialized MBR/point columns), and the temporal extent
+    (captureTime ms > 0 → ISO Z, database.cpp:391-420).
+
+    Scale shape: counts/min/max are map-side partial aggregates; the two
+    path lists are the only driver-sized payload (a Collection document
+    enumerates its members by design — same output the reference emits).
+    """
+    has_geom = F.col("point_lon").isNotNull() | F.col("bbox_minx").isNotNull()
+    is_asset = (~has_geom) & ~F.col("type").isin(1, 7)
+    minx = F.coalesce(F.col("bbox_minx"), F.col("point_lon"))
+    miny = F.coalesce(F.col("bbox_miny"), F.col("point_lat"))
+    maxx = F.coalesce(F.col("bbox_maxx"), F.col("point_lon"))
+    maxy = F.coalesce(F.col("bbox_maxy"), F.col("point_lat"))
+    cap_s = F.when(
+        F.col("capture_ms") > 0,
+        ((F.col("capture_ms") - F.col("capture_ms") % 1000) / 1000).cast("bigint"),
+    )
+    return entries.agg(
+        F.sort_array(F.collect_list(F.when(has_geom, F.col("path")))).alias("item_paths"),
+        F.sort_array(F.collect_list(F.when(is_asset, F.col("path")))).alias("asset_paths"),
+        F.min(F.when(has_geom, minx)).alias("ext_minx"),
+        F.min(F.when(has_geom, miny)).alias("ext_miny"),
+        F.max(F.when(has_geom, maxx)).alias("ext_maxx"),
+        F.max(F.when(has_geom, maxy)).alias("ext_maxy"),
+        F.min(cap_s).alias("t_start_s"),
+        F.max(cap_s).alias("t_end_s"),
+    )
+
+
+def stac_collection_doc(
+    entries: DataFrame,
+    collection_id: str,
+    title: str | None = None,
+    description: str | None = None,
+    license: str = "proprietary",
+    collection_root: str = ".",
+    catalog_root: str = "",
+) -> DataFrame:
+    """The full STAC Collection JSON as a one-row (doc STRING) DataFrame —
+    field-for-field the reference's generateStac collection branch
+    (stac.cpp:528-595): id/type/title/description/license, root+parent
+    links when a catalog root exists, self link when served, one
+    rel:item link per geometry entry (href = /stac/<base64(path)>,
+    type application/geo+json), assets keyed by path, and the
+    spatial+temporal extent object.  TZ-safe ISO instants (NTZ convert,
+    same discipline as ``stac_datetime_iso``)."""
+    title = title or collection_id
+    iso = (
+        "date_format(convert_timezone('UTC', timestamp_seconds(%s)),"
+        " \"yyyy-MM-dd'T'HH:mm:ss'Z'\")"
+    )
+    r = stac_collection_rollup(entries).select(
+        "*",
+        F.expr(iso % "t_start_s").alias("t_start_iso"),
+        F.expr(iso % "t_end_s").alias("t_end_iso"),
+    )
+    static_links = []
+    if catalog_root:
+        static_links.append(
+            '{"rel":"root","href":"%s/stac","type":"application/json"}' % catalog_root
+        )
+        static_links.append(
+            '{"rel":"parent","href":"%s/stac","type":"application/json"}' % catalog_root
+        )
+    if collection_root != ".":
+        static_links.append(
+            '{"rel":"self","href":"%s/stac","type":"application/json"}' % collection_root
+        )
+    item_links = F.transform(
+        F.col("item_paths"),
+        lambda p: F.concat(
+            F.lit('{"rel":"item","href":"%s/stac/' % collection_root),
+            F.base64(p.cast("binary")),
+            F.lit('","type":"application/geo+json","title":"'),
+            p,
+            F.lit('"}'),
+        ),
+    )
+    all_links = item_links
+    if static_links:
+        all_links = F.concat(F.array(*[F.lit(s) for s in static_links]), item_links)
+    assets = F.concat_ws(
+        ",",
+        F.transform(
+            F.col("asset_paths"),
+            lambda p: F.concat(
+                F.lit('"'), p,
+                F.lit('":{"href":"%s/download?path=' % collection_root),
+                p, F.lit('","title":"'), p, F.lit('"}'),
+            ),
+        ),
+    )
+    bbox = F.when(
+        F.col("ext_minx").isNotNull(),
+        F.concat_ws(
+            ",",
+            F.col("ext_minx").cast("string"), F.col("ext_miny").cast("string"),
+            F.col("ext_maxx").cast("string"), F.col("ext_maxy").cast("string"),
+        ),
+    ).otherwise(F.lit("0,0,0,0,0,0"))
+    interval = F.concat(
+        F.when(F.col("t_start_iso").isNotNull(),
+               F.concat(F.lit('"'), F.col("t_start_iso"), F.lit('"'))).otherwise(F.lit("null")),
+        F.lit(","),
+        F.when(F.col("t_end_iso").isNotNull(),
+               F.concat(F.lit('"'), F.col("t_end_iso"), F.lit('"'))).otherwise(F.lit("null")),
+    )
+    doc = F.concat(
+        F.lit('{"stac_version":"%s","id":"%s","type":"Collection","title":"%s",'
+              '"description":"%s","license":"%s","links":[' %
+              (_STAC_VERSION, collection_id, title, description or title, license)),
+        F.concat_ws(",", all_links),
+        F.lit('],"extent":{"spatial":{"bbox":[['),
+        bbox,
+        F.lit(']]},"temporal":{"interval":[['),
+        interval,
+        F.lit(']]}},"assets":{'),
+        assets,
+        F.lit("}}"),
+    )
+    return r.select(doc.alias("doc"))
+
+
+@check(
+    "stac_collection_doc",
+    oracle=with_catalog(
+        """SELECT 'ds' AS collection_id,
+                  CAST(n_items AS BIGINT) AS n_items,
+                  CAST(n_assets AS BIGINT) AS n_assets,
+                  md5(item_b64_csv) AS items_md5,
+                  md5(asset_csv) AS assets_md5,
+                  ext_minx, ext_miny, ext_maxx, ext_maxy,
+                  strftime(make_timestamp(t_start_s * 1000000), '%Y-%m-%dT%H:%M:%SZ')
+                      AS t_start_iso,
+                  strftime(make_timestamp(t_end_s * 1000000), '%Y-%m-%dT%H:%M:%SZ')
+                      AS t_end_iso
+           FROM (
+             SELECT
+               COUNT(CASE WHEN point_lon IS NOT NULL OR bbox_minx IS NOT NULL
+                          THEN 1 END) AS n_items,
+               COUNT(CASE WHEN point_lon IS NULL AND bbox_minx IS NULL
+                          AND type NOT IN (1, 7) THEN 1 END) AS n_assets,
+               string_agg(CASE WHEN point_lon IS NOT NULL OR bbox_minx IS NOT NULL
+                               THEN to_base64(CAST(path AS BLOB)) END, ','
+                          ORDER BY path) AS item_b64_csv,
+               string_agg(CASE WHEN point_lon IS NULL AND bbox_minx IS NULL
+                               AND type NOT IN (1, 7) THEN path END, ','
+                          ORDER BY path) AS asset_csv,
+               MIN(CASE WHEN point_lon IS NOT NULL OR bbox_minx IS NOT NULL
+                        THEN COALESCE(bbox_minx, point_lon) END) AS ext_minx,
+               MIN(CASE WHEN point_lon IS NOT NULL OR bbox_minx IS NOT NULL
+                        THEN COALESCE(bbox_miny, point_lat) END) AS ext_miny,
+               MAX(CASE WHEN point_lon IS NOT NULL OR bbox_minx IS NOT NULL
+                        THEN COALESCE(bbox_maxx, point_lon) END) AS ext_maxx,
+               MAX(CASE WHEN point_lon IS NOT NULL OR bbox_minx IS NOT NULL
+                        THEN COALESCE(bbox_maxy, point_lat) END) AS ext_maxy,
+               MIN(CASE WHEN capture_ms > 0
+                        THEN CAST((capture_ms - capture_ms % 1000) / 1000 AS BIGINT)
+                   END) AS t_start_s,
+               MAX(CASE WHEN capture_ms > 0
+                        THEN CAST((capture_ms - capture_ms % 1000) / 1000 AS BIGINT)
+                   END) AS t_end_s
+             FROM entries) roll"""
+    ),
+)
+def q_stac_collection_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-level check of the Collection rollup: link lists are pinned
+    by md5 over the ordered base64(path) CSV (the exact href payload the
+    document embeds), extent by the min/max rollup, temporal by the ISO
+    instants — every dynamic field of the document, scalar-projected."""
+    r = stac_collection_rollup(entries_df(spark, sf_dir))
+    iso = (
+        "date_format(convert_timezone('UTC', timestamp_seconds(%s)),"
+        " \"yyyy-MM-dd'T'HH:mm:ss'Z'\")"
+    )
+    return r.select(
+        F.lit("ds").alias("collection_id"),
+        F.size("item_paths").cast("bigint").alias("n_items"),
+        F.size("asset_paths").cast("bigint").alias("n_assets"),
+        F.md5(
+            F.concat_ws(",", F.transform(F.col("item_paths"), lambda p: F.base64(p.cast("binary"))))
+        ).alias("items_md5"),
+        F.md5(F.concat_ws(",", F.col("asset_paths"))).alias("assets_md5"),
+        "ext_minx", "ext_miny", "ext_maxx", "ext_maxy",
+        F.expr(iso % "t_start_s").alias("t_start_iso"),
+        F.expr(iso % "t_end_s").alias("t_end_iso"),
+    )
