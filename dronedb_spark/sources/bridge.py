@@ -18,7 +18,10 @@ feeding Catalyst aggregations.
 
 from __future__ import annotations
 
+import logging
 from collections.abc import Iterator
+
+_log = logging.getLogger(__name__)
 
 import numpy as np
 import pandas as pd
@@ -92,10 +95,13 @@ def tiff_pixel_table(files: DataFrame) -> DataFrame:
             for name, content in zip(pdf["file_name"], pdf["content"]):
                 try:
                     arr, geo = decode_tiff(bytes(content))
-                except Exception:
+                except Exception as ex:
                     # catch-and-skip: one corrupt / unsupported file (e.g.
                     # compressed TIFF) must not fail the whole job — mirror
-                    # the ingest path's and the reference's log-and-skip.
+                    # the reference's log-and-skip, and actually LOG it so a
+                    # systematically broken codec path is observable in the
+                    # executor logs rather than silently missing rows.
+                    _log.warning("tiff_pixel_table: skipping %s: %s", name, ex)
                     continue
                 h, w = arr.shape
                 r = np.repeat(np.arange(h, dtype=np.int32), w)
@@ -130,8 +136,11 @@ def las_point_table(files: DataFrame) -> DataFrame:
             for name, content in zip(pdf["file_name"], pdf["content"]):
                 try:
                     d = decode_las(bytes(content))
-                except Exception:
-                    continue  # skip undecodable files (e.g. LAZ), don't fail the job
+                except Exception as ex:
+                    # skip undecodable files, don't fail the job — logged so
+                    # skipped inputs are visible (reference log-and-skip)
+                    _log.warning("las_point_table: skipping %s: %s", name, ex)
+                    continue
                 yield pd.DataFrame(
                     {
                         "cloud_id": name,

@@ -38,6 +38,10 @@ _TAG_DATETIME_ORIGINAL = 0x9003
 _TAG_FOCAL_LENGTH = 0x920A
 _TAG_PIXEL_X = 0xA002
 _TAG_PIXEL_Y = 0xA003
+_TAG_FP_XRES = 0xA20E  # FocalPlaneXResolution (RATIONAL)
+_TAG_FP_YRES = 0xA20F  # FocalPlaneYResolution (RATIONAL)
+_TAG_FP_UNIT = 0xA210  # FocalPlaneResolutionUnit (SHORT)
+_TAG_FOCAL35 = 0xA405  # FocalLengthIn35mmFilm (SHORT)
 _GPS_LAT_REF = 0x0001
 _GPS_LAT = 0x0002
 _GPS_LON_REF = 0x0003
@@ -180,6 +184,19 @@ def parse_exif(rel_path: str, header: bytes) -> dict:
         focal = _rationals(exif.get(_TAG_FOCAL_LENGTH), endian)
         if focal:
             props["focalLength"] = focal[0]
+        focal35 = _u16(exif.get(_TAG_FOCAL35), endian)
+        if focal35:
+            props["focalLength35"] = focal35
+        # sensor-size inputs (extractSensorSize, exif.cpp:194-232)
+        fp_unit = _u16(exif.get(_TAG_FP_UNIT), endian)
+        fp_x = _rationals(exif.get(_TAG_FP_XRES), endian)
+        fp_y = _rationals(exif.get(_TAG_FP_YRES), endian)
+        if fp_unit is not None:
+            props["focalPlaneResolutionUnit"] = fp_unit
+        if fp_x:
+            props["focalPlaneXResolution"] = fp_x[0]
+        if fp_y:
+            props["focalPlaneYResolution"] = fp_y[0]
         w = _u32(exif.get(_TAG_PIXEL_X), endian) or _u16(exif.get(_TAG_PIXEL_X), endian)
         h = _u32(exif.get(_TAG_PIXEL_Y), endian) or _u16(exif.get(_TAG_PIXEL_Y), endian)
         if w:
@@ -241,12 +258,20 @@ def build_exif_app1(
     model: str = "CAM0",
     width: int = 4000,
     height: int = 3000,
+    focal35: int | None = None,
+    fp_xres: tuple[int, int] | None = None,
+    fp_yres: tuple[int, int] | None = None,
+    fp_unit: int = 2,
 ) -> bytes:
     """The APP1 payload ('Exif\\0\\0' + TIFF little-endian) for the given
     properties.  DMS components are (deg, min, (sec_num, sec_den)) so the
-    expected decimal degrees are exactly reconstructible by an oracle."""
+    expected decimal degrees are exactly reconstructible by an oracle.
+    ``fp_xres``/``fp_yres`` emit the FocalPlane sensor-size tags (with
+    ``fp_unit``); ``focal35`` emits FocalLengthIn35mmFilm — the inputs of
+    the reference's extractSensorSize/computeFocal (exif.cpp:167-232)."""
     # layout: TIFF header(8) | IFD0 | ExifIFD | GPSIFD | heap
-    ifd0_n, exif_n = 6, 4
+    ifd0_n = 6
+    exif_n = 4 + (1 if focal35 is not None else 0) + (3 if fp_xres is not None else 0)
     gps_n = 6 if lat_dms is not None else 0
     ifd0_off = 8
     exif_off = ifd0_off + 2 + 12 * ifd0_n + 4
@@ -291,6 +316,12 @@ def build_exif_app1(
         _entry_bytes(_TAG_PIXEL_X, 4, 1, struct.pack("<I", width), heap, heap_base),
         _entry_bytes(_TAG_PIXEL_Y, 4, 1, struct.pack("<I", height), heap, heap_base),
     ]
+    if fp_xres is not None:
+        ee.append(_entry_bytes(_TAG_FP_XRES, 5, 1, rat(*fp_xres), heap, heap_base))
+        ee.append(_entry_bytes(_TAG_FP_YRES, 5, 1, rat(*(fp_yres or fp_xres)), heap, heap_base))
+        ee.append(_entry_bytes(_TAG_FP_UNIT, 3, 1, struct.pack("<H", fp_unit), heap, heap_base))
+    if focal35 is not None:
+        ee.append(_entry_bytes(_TAG_FOCAL35, 3, 1, struct.pack("<H", focal35), heap, heap_base))
     eg: list[bytes] = []
     if gps_n:
         lad, lam, (lasn, lasd) = lat_dms

@@ -262,8 +262,14 @@ def read_shapefiles(spark: SparkSession, root: str) -> DataFrame:
                             "n_props": n_props,
                         }
                     )
-            except Exception:
-                pass  # skip undecodable datasets — never fail the job
+            except Exception as ex:
+                # skip undecodable datasets — never fail the job; logged so
+                # skipped inputs are visible in executor logs
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "read_shapefiles: skipping %s: %s", stem, ex
+                )
         return pd.DataFrame(rows, columns=cols)
 
     return files.groupBy("stem").applyInPandas(decode, schema=FEATURE_SCHEMA)

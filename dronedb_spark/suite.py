@@ -107,6 +107,7 @@ def load_all() -> dict[str, Check]:
     import dronedb_spark.sources.fgb  # noqa: F401  (S8 FlatGeobuf, new in r3)
     import dronedb_spark.sources.copc  # noqa: F401  (K6 real COPC container, new in r4)
     import dronedb_spark.sources.topojson  # noqa: F401  (S8 TopoJSON, new in r4)
+    import dronedb_spark.sources.sensors  # noqa: F401  (sensor DB chain, new in r4)
     import dronedb_spark.sources.cog  # noqa: F401  (K5 real COG sink, new in r4)
     import dronedb_spark.operators.tpch_ext  # noqa: F401  (Q8-Q21, new in r2)
     # --- green rows in CORRECTNESS_r01: register after ------------------
