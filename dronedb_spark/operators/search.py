@@ -183,3 +183,59 @@ _INFO_SUFFIXES = ["/doc_000010.txt", "/doc_000033.txt", "/doc_000207.txt"]
 )
 def q_entry_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     return entry_info(entries_df(spark, sf_dir), _INFO_SUFFIXES)
+
+
+# ------------------------------------------------- K1 JSON sink + P10 paths
+
+
+def entry_json(entries: DataFrame) -> DataFrame:
+    """K1 (``ddb info --format json``, info.cpp:27-103): one JSON document
+    per entry, nested like the reference's output — fixed fields under
+    ``entry``, geometry components under ``geo``.  Pure ``to_json`` struct
+    assembly: JVM-side, codegen, no Python in the loop."""
+    return entries.select(
+        "path",
+        F.to_json(
+            F.struct(
+                F.struct("path", "hash", "type", "size", "mtime", "depth").alias("entry"),
+                F.struct(
+                    F.col("point_lon").alias("lon"),
+                    F.col("point_lat").alias("lat"),
+                    F.col("point_alt").alias("alt"),
+                ).alias("geo"),
+            )
+        ).alias("doc"),
+    )
+
+
+@check(
+    "json_sink_roundtrip",
+    oracle=with_catalog(
+        """SELECT path, CAST(type AS INT) AS type, CAST(size AS BIGINT) AS size,
+                  CAST(depth AS INT) AS depth,
+                  COALESCE(point_lon, -999.0) AS lon,
+                  COALESCE(point_lat, -999.0) AS lat
+           FROM entries WHERE size % 17 = 3
+           ORDER BY path"""
+    ),
+)
+def q_json_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1+P10 round-trip: entries → nested JSON documents (the text sink
+    payload) → JSON-PATH extraction back to typed columns.  Any slip in
+    the struct assembly, null omission, or dotted-path walk breaks value
+    parity with the oracle's direct relational projection.  Doubles
+    survive exactly: to_json emits shortest round-trip decimals and the
+    cast parses them back to the identical binary."""
+    docs = entry_json(entries_df(spark, sf_dir).filter(F.col("size") % 17 == 3))
+    return docs.select(
+        F.get_json_object("doc", "$.entry.path").alias("path"),
+        F.get_json_object("doc", "$.entry.type").cast("int").alias("type"),
+        F.get_json_object("doc", "$.entry.size").cast("bigint").alias("size"),
+        F.get_json_object("doc", "$.entry.depth").cast("int").alias("depth"),
+        F.coalesce(
+            F.get_json_object("doc", "$.geo.lon").cast("double"), F.lit(-999.0)
+        ).alias("lon"),
+        F.coalesce(
+            F.get_json_object("doc", "$.geo.lat").cast("double"), F.lit(-999.0)
+        ).alias("lat"),
+    ).orderBy("path")

@@ -34,7 +34,9 @@ def _parse_las(header: bytes) -> dict:
 
     try:
         info = las_info(header)
-    except (ValueError, struct.error):
+    except (ValueError, struct.error, IndexError):
+        # IndexError: header shorter than the fixed LAS block (truncated
+        # or stub file) — classify by magic, no properties (log-and-skip)
         return {}
     (minx, miny, minz), (maxx, maxy, maxz) = info["bounds"]
     return {
