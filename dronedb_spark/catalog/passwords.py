@@ -46,3 +46,46 @@ class PasswordManager:
 
     def clear(self) -> None:
         self.table.write(self.spark.createDataFrame([], schema=_SCHEMA))
+
+
+# ------------------------------------------------------------------ check
+
+
+def _register_check() -> None:
+    import tempfile
+
+    from pyspark.sql import DataFrame
+
+    from dronedb_spark.suite import check
+
+    _ORACLE = """
+        SELECT stage, candidate, ok FROM (VALUES
+            ('empty', '-', TRUE),
+            ('set', 'alpha', TRUE),
+            ('set', 'beta', TRUE),
+            ('set', 'gamma', FALSE),
+            ('cleared', 'gamma', TRUE)
+        ) AS t(stage, candidate, ok)
+        ORDER BY stage, candidate"""
+
+    @check("passwords_verify", oracle=_ORACLE)
+    def q_passwords_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """W11 (passwordmanager.cpp): append/verify/clear truth table —
+        empty table admits anyone (open dataset), any stored password
+        verifies, wrong ones don't, clear() reopens.  Salts are random
+        per run; the salted-hash scheme makes the OUTCOMES deterministic,
+        which is exactly what the check pins."""
+        root = tempfile.mkdtemp(prefix="pw_")
+        pm = PasswordManager(spark, root)
+        rows = [("empty", "-", pm.verify("-"))]
+        pm.append("alpha")
+        pm.append("beta")
+        rows += [("set", c, pm.verify(c)) for c in ("alpha", "beta", "gamma")]
+        pm.clear()
+        rows.append(("cleared", "gamma", pm.verify("gamma")))
+        return spark.createDataFrame(
+            rows, "stage string, candidate string, ok boolean"
+        ).orderBy("stage", "candidate")
+
+
+_register_check()

@@ -110,3 +110,109 @@ def q_catalog_workflow_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         sorted(rows),
         "path string, type int, depth int, size bigint, hash string, mtime bigint",
     ).orderBy("path")
+
+
+# ---------------------------------------------------------- W12 setexif
+
+_XLAT, _XLON, _XALT = 12.5, -7.25, 340.0
+
+
+@check(
+    "setexif_gps_roundtrip",
+    oracle=f"""
+        SELECT path, CAST(type AS INT) AS type, lon, lat, alt FROM (VALUES
+            ('img_exif.jpg', 3, {_XLAT!r}, {_XLON!r}, {_XALT!r}),
+            ('img_gps.jpg', 3, {_XLAT!r}, {_XLON!r}, {_XALT!r}),
+            ('img_plain.jpg', 3, {_XLAT!r}, {_XLON!r}, {_XALT!r}),
+            ('note.txt', 2, -999.0, -999.0, -999.0)
+        ) AS t(path, type, lat, lon, alt)
+        ORDER BY path"""
+)
+def q_setexif_gps_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W12 (exifeditor.cpp SetGPS / apps setexif): distributed EXIF GPS
+    rewrite over the indexed images — plain-JPEG, EXIF-without-GPS, and
+    GPS-overwrite paths — then re-index.  Every image must come back
+    GeoImage with the EXACT written point (12.5 / −7.25 are exact in the
+    DMS rational encoding, so parse(encode(x)) == x); the non-image is
+    untouched.  The REAL byte path: marker walk, APP1 rebuild, atomic
+    rename, mtime-invalidated re-ingest."""
+    from dronedb_spark.catalog.store import DatasetCatalog
+    from dronedb_spark.sources.exif import build_jpeg_with_exif, build_plain_jpeg
+
+    root = tempfile.mkdtemp(prefix="sx_")
+    try:
+        files = {
+            "img_plain.jpg": build_plain_jpeg(),
+            "img_exif.jpg": build_jpeg_with_exif(datetime_original="2024:01:05 10:00:00"),
+            "img_gps.jpg": build_jpeg_with_exif(
+                lat_dms=(45, 0, (0, 1)), lon_dms=(7, 30, (0, 1)), alt=(500, 1),
+                datetime_original="2024:01:05 11:00:00",
+            ),
+            "note.txt": b"notes\n",
+        }
+        for rel, data in files.items():
+            with open(os.path.join(root, rel), "wb") as f:
+                f.write(data)
+            os.utime(os.path.join(root, rel), (1700000000, 1700000000))
+        cat = DatasetCatalog.init(spark, root)
+        cat.add()
+        n = cat.setexif("*.jpg", lat=_XLAT, lon=_XLON, alt=_XALT)
+        assert n == 3, f"expected 3 rewritten images, got {n}"
+        rows = [
+            (r["path"], int(r["type"]),
+             r["point_lat"] if r["point_lat"] is not None else -999.0,
+             r["point_lon"] if r["point_lon"] is not None else -999.0,
+             r["point_alt"] if r["point_alt"] is not None else -999.0)
+            for r in cat.entries().collect()
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        sorted(rows),
+        "path string, type int, lat double, lon double, alt double",
+    ).orderBy("path")
+
+
+# ---------------------------------------------------- W7/W8 meta + chattr
+
+
+@check(
+    "meta_chattr_roundtrip",
+    oracle="""
+        SELECT scope, key, vals FROM (VALUES
+            ('', 'name', '"site"'),
+            ('', 'public', '1'),
+            ('', 'tags', '"a"|"b"'),
+            ('b.txt', 'license', '')
+        ) AS t(scope, key, vals)
+        ORDER BY scope, key"""
+)
+def q_meta_chattr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7/W8 (metamanager.cpp, chattr): singular set (delete-then-insert,
+    overwrite pinned by writing name twice), plural add (list append),
+    dataset-level attrs via chattr (path=''), per-path meta, and unset.
+    Values come back through meta_get — the snapshot-table read path."""
+    from dronedb_spark.catalog.store import DatasetCatalog
+
+    root = tempfile.mkdtemp(prefix="mc_")
+    try:
+        cat = DatasetCatalog.init(spark, root)
+        cat.chattr("public", "1")
+        cat.meta_set("name", '"draft"')
+        cat.meta_set("name", '"site"')          # overwrite, not append
+        cat.meta_add("tags", '"a"')
+        cat.meta_add("tags", '"b"')
+        cat.meta_set("license", '"CC"', path="b.txt")
+        n_unset = cat.meta_unset("license", path="b.txt")
+        assert n_unset == 1
+        rows = [
+            ("", "name", "|".join(sorted(cat.meta_get("name")))),
+            ("", "public", "|".join(sorted(cat.meta_get("public")))),
+            ("", "tags", "|".join(sorted(cat.meta_get("tags")))),
+            ("b.txt", "license", "|".join(sorted(cat.meta_get("license", path="b.txt")))),
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, "scope string, key string, vals string").orderBy(
+        "scope", "key"
+    )

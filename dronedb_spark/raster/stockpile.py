@@ -298,3 +298,38 @@ def q_stockpile_mass_balance(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("raster_id")
     )
+
+
+@check(
+    "stockpile_single",
+    oracle=f"""
+        SELECT * FROM ({_detect_oracle()}) allp
+        QUALIFY row_number() OVER (PARTITION BY raster_id
+                                   ORDER BY estimated_volume DESC) = 1
+        ORDER BY raster_id""",
+)
+def q_stockpile_single(spark, sf_dir: str) -> DataFrame:
+    """A12 (stockpile.h single-stockpile volume): the one-stockpile query
+    — detect within the raster and report THE dominant pile's volume /
+    peak / centroid.  Per-raster top-1 via a window over the grouped
+    detect kernel; the recursive-CTE component oracle verifies the same
+    component's aggregates exactly."""
+    from pyspark.sql import Window
+
+    from dronedb_spark.raster.synth import multi_dem_df
+
+    w = Window.partitionBy("raster_id").orderBy(F.desc("estimated_volume"))
+    return (
+        detect_stockpiles(multi_dem_df(spark))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "raster_id",
+            "n_pixels",
+            "centroid_row",
+            "centroid_col",
+            F.round("peak_height", 4).alias("peak_height"),
+            F.round("estimated_volume", 4).alias("estimated_volume"),
+        )
+        .orderBy("raster_id")
+    )

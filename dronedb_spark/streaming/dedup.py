@@ -24,3 +24,50 @@ def stream_dedup_exact(docs_stream: DataFrame, watermark: str = "1 hour") -> Dat
         .withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(["content_hash"])
     )
+
+
+# ------------------------------------------------------------------ check
+#
+# The streaming operator itself can't run under the driver's batch
+# harness; its SEMANTICS — emit each content hash once, first arrival
+# wins — can.  tests/test_streaming.py pins stream == batch-twin on the
+# same input; this check pins batch-twin == oracle, closing the loop.
+
+
+def _register_check() -> None:
+    from pyspark.sql import SparkSession, Window
+
+    from dronedb_spark.suite import check
+    from dronedb_spark.tables import load
+
+    @check(
+        "stream_dedup_twin",
+        oracle="""
+            WITH k AS (
+                SELECT source, doc_id,
+                       row_number() OVER (PARTITION BY md5(text)
+                                          ORDER BY doc_id) AS rn
+                FROM documents)
+            SELECT source, CAST(COUNT(1) AS BIGINT) AS n_first_seen,
+                   CAST(SUM(doc_id) AS BIGINT) AS sum_kept_ids
+            FROM k WHERE rn = 1 GROUP BY source ORDER BY source""",
+    )
+    def q_stream_dedup_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """First-seen-wins exact dedup, batch twin of stream_dedup_exact:
+        one row survives per content hash (deterministic arrival order =
+        doc_id), aggregated per source.  sum_kept_ids pins WHICH row won,
+        not just how many."""
+        docs = load(spark, sf_dir, "documents")
+        w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+        first = docs.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+        return (
+            first.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_first_seen"),
+                F.sum("doc_id").cast("bigint").alias("sum_kept_ids"),
+            )
+            .orderBy("source")
+        )
+
+
+_register_check()

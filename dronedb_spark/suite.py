@@ -111,6 +111,8 @@ def load_all() -> dict[str, Check]:
     import dronedb_spark.catalog.workflow_check  # noqa: F401  (W1-W6 lifecycle, new in r4)
     import dronedb_spark.sources.fingerprint_check  # noqa: F401  (S4 sniffer, new in r4)
     import dronedb_spark.operators.parquet_sinks  # noqa: F401  (K3/R13 sinks, new in r4)
+    import dronedb_spark.catalog.passwords  # noqa: F401  (W11 verify, new in r4)
+    import dronedb_spark.streaming.dedup  # noqa: F401  (stream-dedup batch twin, new in r4)
     import dronedb_spark.sources.cog  # noqa: F401  (K5 real COG sink, new in r4)
     import dronedb_spark.operators.tpch_ext  # noqa: F401  (Q8-Q21, new in r2)
     # --- green rows in CORRECTNESS_r01: register after ------------------
