@@ -60,6 +60,13 @@ HEADLINE = [
     "gpkg_parse_features",
     "q8_market_share",
     "q18_large_orders",
+    # round-4 breadth: TopoJSON arc decode, the STAC Collection rollup,
+    # JSON sink + path extraction over the full catalog, first-seen
+    # window dedup (streaming batch twin)
+    "topojson_parse_features",
+    "stac_collection_doc",
+    "json_sink_roundtrip",
+    "stream_dedup_twin",
 ]
 
 _SMALL_RESULT = {
@@ -71,6 +78,8 @@ _SMALL_RESULT = {
     "vector_query_page",
     "stac_items_keyset",
     "thermal_point_query",
+    "stac_collection_doc",
+    "stream_dedup_twin",
 }
 
 

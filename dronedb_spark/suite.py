@@ -30,45 +30,40 @@ def check(name: str, oracle: str | None = None):
     return deco
 
 
-# Checks with no driver CORRECTNESS row in rounds 1–2 (33, from
-# VERDICT r2), plus checks whose r2 row was `no_oracle` and now carries a
-# real oracle, plus checks NEW in round 3.  The driver walks the registry
-# in order under a ~50-check budget, so these must fill the first slots;
-# everything already green in r1/r2 registers after.
-_ROUND3_PRIORITY = [
-    # 16 TPC-H extension shapes — implemented in r2, never gated
-    "q7_nation_trade", "q8_market_share", "q9_profit_by_nation",
-    "q10_returned_customers", "q11_important_parts", "q12_late_shipments",
-    "q13_order_distribution", "q14_promo_revenue", "q15_top_supplier",
-    "q16_brand_supplier_counts", "q17_small_qty_revenue", "q18_large_orders",
-    "q19_disjunctive_revenue", "q20_volume_share_suppliers",
-    "q21_sole_blame_suppliers", "q22_idle_rich_customers",
-    # text-pipeline checks never gated
-    "dedup_cluster_ids", "dedup_corpus_segments_10x", "decontam_overlap",
-    "pii_redaction_metrics", "mixture_quota_sample", "stratified_sample_counts",
-    "token_counts", "events_sessionize",
-    # geo/footprint + ingest + vector checks never gated
-    "footprint_bbox_props", "image_footprints", "ingest_exif_properties",
-    "geojson_parse_features",
-    # multimodal checks never gated
-    "media_features", "media_stripe_means", "audio_features", "thumb_stats",
-    "video_frame_sample",
-    # r2 rows-only checks, re-registered with real oracles in r3
-    "contour_segments", "stockpile_detect",
-    # NEW in round 3
-    "pointcloud_laz_stats", "media_jpeg_channel_stats",
-    "shapefile_parse_features", "nested_dataset_rollup",
-    "align_similarity_recovery", "video_mp4_metadata",
-    "mvt_pbf_roundtrip", "kml_parse_features", "splat_tiles_probe",
-    "gpkg_parse_features", "sqlite_catalog_entries", "dxf_parse_features",
-    "pointcloud_laz_rgb_stats", "fgb_parse_features", "codec_extended_formats",
+# Checks with no green driver CORRECTNESS row in rounds 1–3, ordered
+# first so the driver's ~50-check budget gates them this round: the two
+# r3 rows-only checks repaired with real oracles, everything NEW in
+# round 4, then a refresh band of checks whose code changed in r4 (so a
+# regression would surface at the driver, not just in pytest).
+_ROUND4_PRIORITY = [
+    # r3 red rows, repaired (real oracles since c16297d)
+    "image_footprints", "media_features",
+    # NEW in round 4 — codecs & containers
+    "pointcloud_laz14_stats", "copc_container_pages", "cog_roundtrip",
+    "video_frame_decode",
+    # NEW in round 4 — vector formats
+    "topojson_parse_features", "shz_parse_features",
+    # NEW in round 4 — STAC / sensor / ingest surface
+    "stac_collection_doc", "sensor_size_resolution", "fingerprint_types",
+    # NEW in round 4 — catalog write workflow + sinks
+    "catalog_workflow_lifecycle", "setexif_gps_roundtrip",
+    "meta_chattr_roundtrip", "passwords_verify",
+    "json_sink_roundtrip", "features_parquet_sink", "raster_export_parquet",
+    # NEW in round 4 — pipeline ops
+    "stockpile_single", "stream_dedup_twin",
+    # refresh band: touched in r4 (asof fix, exif builder layout, bridge
+    # logging, shapefile reader split) — re-gate against regressions
+    "asof_join_events", "ingest_exif_properties", "shapefile_parse_features",
+    "pointcloud_laz_stats", "raster_area_stats", "catalog_search_like",
+    "stockpile_detect", "stac_items_page",
+    "entries_meta_join", "dedup_neardup_pairs", "knn_cosine_top10",
 ]
 
 
 def load_all() -> dict[str, Check]:
     """Import every operator module so its checks register, then reorder
     the registry so the checks that still need a driver CORRECTNESS row
-    (``_ROUND3_PRIORITY``) come first — the driver walks in order under a
+    (``_ROUND4_PRIORITY``) come first — the driver walks in order under a
     ~50-check budget and the already-green families can cede their slots.
     """
     # --- never-gated in round 1: register first -------------------------
@@ -130,7 +125,7 @@ def load_all() -> dict[str, Check]:
     import dronedb_spark.text.segdedup  # noqa: F401
     import dronedb_spark.text.repetition  # noqa: F401
 
-    ordered = {n: REGISTRY[n] for n in _ROUND3_PRIORITY if n in REGISTRY}
+    ordered = {n: REGISTRY[n] for n in _ROUND4_PRIORITY if n in REGISTRY}
     ordered.update((n, c) for n, c in REGISTRY.items() if n not in ordered)
     REGISTRY.clear()
     REGISTRY.update(ordered)
