@@ -248,11 +248,22 @@ def dir_rows_df(spark: SparkSession, root: str, rel_paths: list[str] | None = No
     if rel_paths is not None:
         keep = set(rel_paths)
         dirs = [p for p in dirs if p in keep]
+    def _dir_type(p: str) -> int:
+        # a directory holding its own catalog is a nested dataset —
+        # EntryType DroneDB (entry.cpp:70-77 checks <dir>/.ddb/dbase.sqlite;
+        # here the marker is our catalog dir, or a reference-format .ddb)
+        full = os.path.join(root, p)
+        if os.path.isdir(os.path.join(full, ".ddb_spark")) or os.path.exists(
+            os.path.join(full, ".ddb", "dbase.sqlite")
+        ):
+            return ENTRY_TYPES["DroneDB"]
+        return ENTRY_TYPES["Directory"]
+
     rows = [
         (
             p,
             "",
-            ENTRY_TYPES["Directory"],
+            _dir_type(p),
             "null",
             int(os.path.getmtime(os.path.join(root, p))),
             0,

@@ -257,3 +257,22 @@ def test_snapshot_time_travel_and_diff(spark, tmp_path):
     assert d["removes"].count() == 0
     with pytest.raises(ValueError):
         cat.entries(version="v999999")
+
+
+def test_nested_dataset_dir_typed_dronedb(spark, tmp_path):
+    """A directory carrying its own catalog indexes as EntryType DroneDB
+    (entry.cpp:70-77), both for our .ddb_spark marker and a
+    reference-format .ddb/dbase.sqlite."""
+    (tmp_path / "plain").mkdir()
+    (tmp_path / "plain" / "x.txt").write_text("x\n")
+    (tmp_path / "ours").mkdir()
+    (tmp_path / "ours" / ".ddb_spark").mkdir()
+    (tmp_path / "theirs").mkdir()
+    (tmp_path / "theirs" / ".ddb").mkdir()
+    (tmp_path / "theirs" / ".ddb" / "dbase.sqlite").write_bytes(b"")
+    cat = DatasetCatalog.init(spark, str(tmp_path))
+    cat.add()
+    types = {r["path"]: r["type"] for r in cat.entries().collect()}
+    assert types["plain"] == ENTRY_TYPES["Directory"]
+    assert types["ours"] == ENTRY_TYPES["DroneDB"]
+    assert types["theirs"] == ENTRY_TYPES["DroneDB"]
