@@ -67,6 +67,7 @@ HEADLINE = [
     "stac_collection_doc",
     "json_sink_roundtrip",
     "stream_dedup_twin",
+    "sq8_adc_top10",
 ]
 
 _SMALL_RESULT = {
@@ -80,6 +81,7 @@ _SMALL_RESULT = {
     "thermal_point_query",
     "stac_collection_doc",
     "stream_dedup_twin",
+    "sq8_adc_top10",
 }
 
 
