@@ -332,3 +332,73 @@ def test_all_tpch_shapes_no_cartesian(spark):
             if "BroadcastExchange IdentityBroadcastMode" not in plan:
                 bad.append(name)
     assert not bad, f"cartesian product in: {bad}"
+
+
+def test_sensor_lookup_broadcasts_dim(spark):
+    """The sensor DB is a few-thousand-row dimension: the image side must
+    join it via broadcast hash join (no shuffle of the images)."""
+    from dronedb_spark.sources.sensors import builtin_sensor_df, resolve_sensor_size
+
+    img = spark.range(1000).select(
+        F.concat(F.lit("M"), (F.col("id") % 5).cast("string")).alias("make"),
+        F.concat(F.lit("X"), (F.col("id") % 7).cast("string")).alias("model"),
+        F.lit(4000).alias("width"), F.lit(3000).alias("height"),
+        F.lit(None).cast("double").alias("fp_xres"),
+        F.lit(None).cast("double").alias("fp_yres"),
+        F.lit(None).cast("int").alias("fp_unit"),
+    )
+    q = resolve_sensor_size(img, builtin_sensor_df(spark))
+    assert has_broadcast_join(q)
+    assert not has_cartesian(q)
+
+
+def test_stac_collection_rollup_partial_agg_single_exchange(spark, entries_parquet):
+    """The Collection document rollup is one aggregation pass: partial
+    (map-side) aggregation and a single exchange to the final agg."""
+    from dronedb_spark.operators.stac import stac_collection_rollup
+
+    q = stac_collection_rollup(entries_parquet)
+    assert has_partial_aggregation(q)
+    assert exchange_count(q) == 1
+
+
+def test_sq8_array_path_broadcasts_query_no_explode(spark):
+    """The SQ8 array scale path must not inflate rows (no Generate) and
+    must broadcast the 1-row query side."""
+    from dronedb_spark.vectors.quant import sq8_search_top10
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    q = sq8_search_top10(emb)
+    plan = physical_plan(q)
+    # the 1-row query side is broadcast (non-cross nested-loop, same shape
+    # as knn_cosine), top-k is TakeOrderedAndProject, and the search path
+    # has NO Generate: the dims explode happens once in the 64-row dims
+    # aggregate, never on the database vectors
+    assert "Broadcast" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert not has_cartesian(q)
+
+
+def test_stream_dedup_twin_partial_agg(spark):
+    from dronedb_spark.suite import load_all
+
+    reg = load_all()
+    q = reg["stream_dedup_twin"].spark_fn(spark, "/root/testdata/sf0.001")
+    assert has_partial_aggregation(q)
+    assert not has_cartesian(q)
+
+
+def test_features_sink_reread_prunes_partitions(spark, tmp_path_factory):
+    """Layer-partitioned Parquet re-reads prune to one directory when the
+    query filters on the partition key."""
+    from dronedb_spark.operators.vector_query import features_df
+
+    out = str(tmp_path_factory.mktemp("feat") / "features")
+    features_df(spark, "/root/testdata/sf0.001").write.mode("overwrite").partitionBy(
+        "layer"
+    ).parquet(out)
+    q = spark.read.parquet(out).filter(F.col("layer") == "roads").select("fid")
+    from dronedb_spark.plans.inspect import formatted
+
+    plan = formatted(q)
+    assert "PartitionFilters" in plan and "layer" in plan.split("PartitionFilters")[1][:120]
