@@ -51,6 +51,7 @@ _ROUND4_PRIORITY = [
     "json_sink_roundtrip", "features_parquet_sink", "raster_export_parquet",
     # NEW in round 4 — pipeline ops
     "stockpile_single", "stream_dedup_twin", "sq8_adc_top10",
+    "gsplat_decode_table",
     # refresh band: touched in r4 (asof fix, exif builder layout, bridge
     # logging, shapefile reader split) — re-gate against regressions
     "asof_join_events", "ingest_exif_properties", "shapefile_parse_features",
@@ -109,6 +110,7 @@ def load_all() -> dict[str, Check]:
     import dronedb_spark.catalog.passwords  # noqa: F401  (W11 verify, new in r4)
     import dronedb_spark.streaming.dedup  # noqa: F401  (stream-dedup batch twin, new in r4)
     import dronedb_spark.vectors.quant  # noqa: F401  (SQ8 ADC search, new in r4)
+    import dronedb_spark.sources.gsplat  # noqa: F401  (gaussian-splat decode, new in r4)
     import dronedb_spark.sources.cog  # noqa: F401  (K5 real COG sink, new in r4)
     import dronedb_spark.operators.tpch_ext  # noqa: F401  (Q8-Q21, new in r2)
     # --- green rows in CORRECTNESS_r01: register after ------------------
