@@ -48,6 +48,10 @@ _GPS_LON_REF = 0x0003
 _GPS_LON = 0x0004
 _GPS_ALT_REF = 0x0005
 _GPS_ALT = 0x0006
+_GPS_TIMESTAMP = 0x0007   # 3 RATIONALs (h, m, s) — UTC
+_GPS_DATESTAMP = 0x001D   # ASCII 'YYYY:MM:DD' — UTC
+_TAG_OFFSET_TIME_ORIGINAL = 0x9011  # ASCII '+HH:MM'
+_TAG_SUBSEC_ORIGINAL = 0x9291       # ASCII fractional seconds
 
 
 def _read_ifd(buf: bytes, off: int, endian: str) -> dict[int, tuple[int, int, bytes]]:
@@ -119,6 +123,85 @@ def _parse_datetime_ms(s: str | None) -> int:
         return 0
 
 
+def _parse_offset_secs(s: str | None) -> int | None:
+    """EXIF OffsetTime '+HH:MM' / '-HH:MM' → seconds east of UTC
+    (parseOffsetTime, exif.cpp).  None when absent/malformed."""
+    if not s or len(s) < 6 or s[0] not in "+-" or s[3] != ":":
+        return None
+    try:
+        h, m = int(s[1:3]), int(s[4:6])
+    except ValueError:
+        return None
+    sign = 1 if s[0] == "+" else -1
+    return sign * (h * 3600 + m * 60)
+
+
+def _parse_subsec_ms(s: str | None) -> int:
+    """EXIF SubSecTime fractional-seconds string → whole milliseconds."""
+    if not s or not s.strip().isdigit():
+        return 0
+    frac = s.strip()[:3].ljust(3, "0")
+    return int(frac)
+
+
+# Pluggable geo→timezone hook (priority 3 of the reference cascade,
+# exif.cpp:636-650: zonedetect lookup from GPS position).  The zonedetect
+# database ships with the reference, not here; install a resolver with
+# ``set_geo_timezone_resolver(fn)`` where fn(lat, lon) -> offset seconds
+# east of UTC, or leave None for the naive-UTC fallback (priority 4).
+_GEO_TZ_RESOLVER = None
+
+
+def set_geo_timezone_resolver(fn) -> None:
+    global _GEO_TZ_RESOLVER
+    _GEO_TZ_RESOLVER = fn
+
+
+def capture_time_ms(
+    dto: str | None,
+    gps_datestamp: str | None = None,
+    gps_timestamp: tuple[float, float, float] | None = None,
+    offset_time: str | None = None,
+    subsec: str | None = None,
+    lat: float | None = None,
+    lon: float | None = None,
+) -> int:
+    """The reference's capture-time priority cascade (extractCaptureTime,
+    exif.cpp:513-660), milliseconds UTC:
+
+      1. GPS DateStamp + TimeStamp — always UTC, most accurate;
+      2. DateTime + OffsetTime — explicit zone: UTC = local − offset;
+      3. DateTime + geo-timezone lookup (pluggable resolver);
+      4. DateTime naive (assume UTC).
+
+    (Priority 0, the XMP video Mac-epoch date, lives in the MP4/MOV
+    metadata parser — video containers don't reach this path.)"""
+    if gps_datestamp and gps_timestamp is not None:
+        try:
+            y, mo, d = (int(v) for v in gps_datestamp.split(":"))
+            h, mi = int(gps_timestamp[0]), int(gps_timestamp[1])
+            sec = float(gps_timestamp[2])
+            s = int(sec)
+            msecs = int(round((sec - s) * 1000.0))
+            base = calendar.timegm((y, mo, d, h, mi, s, 0, 0, 0)) * 1000
+            return base + msecs
+        except (ValueError, OverflowError):
+            pass
+    base = _parse_datetime_ms(dto)
+    if not base:
+        return 0
+    base += _parse_subsec_ms(subsec)
+    off = _parse_offset_secs(offset_time)
+    if off is not None:
+        return base - off * 1000  # local = UTC + offset ⇒ UTC = local − offset
+    if _GEO_TZ_RESOLVER is not None and lat is not None and lon is not None:
+        try:
+            return base - int(_GEO_TZ_RESOLVER(lat, lon)) * 1000
+        except Exception:
+            pass
+    return base  # naive: assume UTC
+
+
 def _find_tiff(header: bytes) -> bytes | None:
     """Locate the TIFF block: raw TIFF files start with it; JPEGs carry it
     in the APP1 'Exif' marker segment."""
@@ -178,9 +261,6 @@ def parse_exif(rel_path: str, header: bytes) -> dict:
         if orient is not None:
             props["orientation"] = orient
         dto = _ascii(exif.get(_TAG_DATETIME_ORIGINAL)) or _ascii(ifd0.get(_TAG_DATETIME))
-        ms = _parse_datetime_ms(dto)
-        if ms:
-            props["captureTime"] = ms
         focal = _rationals(exif.get(_TAG_FOCAL_LENGTH), endian)
         if focal:
             props["focalLength"] = focal[0]
@@ -222,6 +302,20 @@ def parse_exif(rel_path: str, header: bytes) -> dict:
                 if ref is not None and ref[2][:1] == b"\x01":  # below sea level
                     alt_v = -alt_v
                 props["point_alt"] = alt_v
+
+        # capture time LAST: the cascade may use the GPS point (geo-TZ hook)
+        gps_ts = _rationals(gps.get(_GPS_TIMESTAMP), endian)
+        ms = capture_time_ms(
+            dto,
+            gps_datestamp=_ascii(gps.get(_GPS_DATESTAMP)),
+            gps_timestamp=tuple(gps_ts) if len(gps_ts) == 3 else None,
+            offset_time=_ascii(exif.get(_TAG_OFFSET_TIME_ORIGINAL)),
+            subsec=_ascii(exif.get(_TAG_SUBSEC_ORIGINAL)),
+            lat=props.get("point_lat"),
+            lon=props.get("point_lon"),
+        )
+        if ms:
+            props["captureTime"] = ms
         return props
     except Exception:
         return {}
@@ -262,6 +356,10 @@ def build_exif_app1(
     fp_xres: tuple[int, int] | None = None,
     fp_yres: tuple[int, int] | None = None,
     fp_unit: int = 2,
+    offset_time: str | None = None,
+    subsec: str | None = None,
+    gps_datestamp: str | None = None,
+    gps_timestamp: tuple[tuple[int, int], tuple[int, int], tuple[int, int]] | None = None,
 ) -> bytes:
     """The APP1 payload ('Exif\\0\\0' + TIFF little-endian) for the given
     properties.  DMS components are (deg, min, (sec_num, sec_den)) so the
@@ -271,8 +369,16 @@ def build_exif_app1(
     the reference's extractSensorSize/computeFocal (exif.cpp:167-232)."""
     # layout: TIFF header(8) | IFD0 | ExifIFD | GPSIFD | heap
     ifd0_n = 6
-    exif_n = 4 + (1 if focal35 is not None else 0) + (3 if fp_xres is not None else 0)
-    gps_n = 6 if lat_dms is not None else 0
+    exif_n = (
+        4
+        + (1 if focal35 is not None else 0)
+        + (3 if fp_xres is not None else 0)
+        + (1 if offset_time is not None else 0)
+        + (1 if subsec is not None else 0)
+    )
+    gps_n = (6 if lat_dms is not None else 0) + (
+        2 if gps_datestamp is not None and gps_timestamp is not None else 0
+    )
     ifd0_off = 8
     exif_off = ifd0_off + 2 + 12 * ifd0_n + 4
     gps_off = exif_off + 2 + 12 * exif_n + 4
@@ -322,8 +428,21 @@ def build_exif_app1(
         ee.append(_entry_bytes(_TAG_FP_UNIT, 3, 1, struct.pack("<H", fp_unit), heap, heap_base))
     if focal35 is not None:
         ee.append(_entry_bytes(_TAG_FOCAL35, 3, 1, struct.pack("<H", focal35), heap, heap_base))
+    if offset_time is not None:
+        ee.append(
+            _entry_bytes(
+                _TAG_OFFSET_TIME_ORIGINAL, 2, len(offset_time) + 1,
+                asciiz(offset_time), heap, heap_base,
+            )
+        )
+    if subsec is not None:
+        ee.append(
+            _entry_bytes(
+                _TAG_SUBSEC_ORIGINAL, 2, len(subsec) + 1, asciiz(subsec), heap, heap_base
+            )
+        )
     eg: list[bytes] = []
-    if gps_n:
+    if lat_dms is not None:
         lad, lam, (lasn, lasd) = lat_dms
         lod, lom, (losn, losd) = lon_dms
         eg = [
@@ -350,6 +469,19 @@ def build_exif_app1(
             ),
             _entry_bytes(_GPS_ALT, 5, 1, rat(*(alt or (0, 1))), heap, heap_base),
         ]
+    if gps_datestamp is not None and gps_timestamp is not None:
+        (hn, hd), (mn, md), (sn, sd) = gps_timestamp
+        eg.append(
+            _entry_bytes(
+                _GPS_TIMESTAMP, 5, 3, rat(hn, hd) + rat(mn, md) + rat(sn, sd), heap, heap_base
+            )
+        )
+        eg.append(
+            _entry_bytes(
+                _GPS_DATESTAMP, 2, len(gps_datestamp) + 1,
+                asciiz(gps_datestamp), heap, heap_base,
+            )
+        )
 
     tiff = (
         b"II" + struct.pack("<HI", 42, ifd0_off)

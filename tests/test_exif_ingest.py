@@ -165,3 +165,46 @@ def test_edit_exif_no_subifds_no_phantom_gps():
     assert 0x9003 in tree["exif"]
     assert tree["gps"] == {}  # no phantom GPS IFD
     assert tree["ifd0"][0x010F][2].rstrip(b"\x00") == b"DDB"
+
+
+def test_offset_time_parsing_edges():
+    from dronedb_spark.sources.exif import _parse_offset_secs, _parse_subsec_ms
+
+    assert _parse_offset_secs("+02:00") == 7200
+    assert _parse_offset_secs("-05:30") == -(5 * 3600 + 30 * 60)
+    assert _parse_offset_secs("+00:00") == 0
+    assert _parse_offset_secs("02:00") is None
+    assert _parse_offset_secs("+2:00") is None
+    assert _parse_offset_secs(None) is None
+    assert _parse_subsec_ms("437") == 437
+    assert _parse_subsec_ms("4") == 400      # fractional-second digits, padded
+    assert _parse_subsec_ms("43789") == 437  # truncated to ms
+    assert _parse_subsec_ms("x") == 0
+
+
+def test_geo_timezone_resolver_hook():
+    from dronedb_spark.sources.exif import capture_time_ms, set_geo_timezone_resolver
+
+    naive = capture_time_ms("2024:06:01 12:00:00", lat=45.0, lon=7.0)
+    try:
+        set_geo_timezone_resolver(lambda lat, lon: 3600)  # CET-ish
+        shifted = capture_time_ms("2024:06:01 12:00:00", lat=45.0, lon=7.0)
+        assert shifted == naive - 3600 * 1000
+        # no position → resolver unused
+        assert capture_time_ms("2024:06:01 12:00:00") == naive
+    finally:
+        set_geo_timezone_resolver(None)
+    assert capture_time_ms("2024:06:01 12:00:00", lat=45.0, lon=7.0) == naive
+
+
+def test_gps_stamp_beats_offset():
+    from dronedb_spark.sources.exif import capture_time_ms
+    import calendar
+
+    got = capture_time_ms(
+        "2024:03:01 09:00:00",
+        gps_datestamp="2024:03:01",
+        gps_timestamp=(7.0, 45.0, 30.125),
+        offset_time="+02:00",
+    )
+    assert got == calendar.timegm((2024, 3, 1, 7, 45, 30, 0, 0, 0)) * 1000 + 125
