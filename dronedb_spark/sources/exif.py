@@ -49,6 +49,10 @@ _GPS_LON = 0x0004
 _GPS_ALT_REF = 0x0005
 _GPS_ALT = 0x0006
 _GPS_TIMESTAMP = 0x0007   # 3 RATIONALs (h, m, s) — UTC
+_GPS_TRACK_REF = 0x000E   # ASCII 'T' true / 'M' magnetic
+_GPS_TRACK = 0x000F       # RATIONAL degrees
+_GPS_IMG_DIR_REF = 0x0010
+_GPS_IMG_DIR = 0x0011
 _GPS_DATESTAMP = 0x001D   # ASCII 'YYYY:MM:DD' — UTC
 _TAG_OFFSET_TIME_ORIGINAL = 0x9011  # ASCII '+HH:MM'
 _TAG_SUBSEC_ORIGINAL = 0x9291       # ASCII fractional seconds
@@ -226,6 +230,76 @@ def _find_tiff(header: bytes) -> bytes | None:
     return None
 
 
+def _apply_xmp(header: bytes, props: dict) -> None:
+    """Fold the XMP drone-pose block into the properties dict
+    (entry.cpp:182-226): camera orientation (nadir defaults when the
+    packet lacks it), flight speed, GPS accuracy, relative altitude."""
+    import math as _math
+
+    from dronedb_spark.sources.xmp import (
+        camera_orientation,
+        extract_xmp_packet,
+        flight_speed,
+        gps_accuracy,
+        parse_xmp,
+        rel_altitude,
+    )
+
+    text = extract_xmp_packet(header)
+    xd = parse_xmp(text) if text else {}
+    pitch, yaw, roll, has_ori = camera_orientation(xd)
+    props["cameraPitch"] = pitch
+    props["cameraYaw"] = yaw
+    props["cameraRoll"] = roll
+    props["hasCameraOrientation"] = has_ori
+    fsd = flight_speed(xd)
+    if fsd is not None:
+        x, y, z = fsd
+        props["flightSpeedX"] = x
+        props["flightSpeedY"] = y
+        props["flightSpeedZ"] = z
+        props["flightSpeed"] = _math.sqrt(x * x + y * y)
+        props["flightSpeed3D"] = _math.sqrt(x * x + y * y + z * z)
+    props.update(gps_accuracy(xd))
+    ra = rel_altitude(xd)
+    if ra is not None:
+        props["relativeAltitude"] = ra
+
+
+def _apply_sensor_chain(props: dict, make: str | None, model: str | None) -> None:
+    """Per-file mirror of the sensor-size chain (extractSensorSize +
+    computeFocal, exif.cpp:167-232) over the already-parsed properties:
+    FocalPlane tags first, builtin sensor overlay second.  Emits
+    ``sensor``/``sensorWidth``/``sensorHeight``/``focalLength35``."""
+    from dronedb_spark.sources.sensors import BUILTIN_SENSORS, sensor_id
+
+    sid = sensor_id(make, model)
+    props["sensor"] = sid
+    w_px, h_px = props.get("width"), props.get("height")
+    fp_x = props.get("focalPlaneXResolution")
+    fp_y = props.get("focalPlaneYResolution")
+    unit = props.get("focalPlaneResolutionUnit")
+    mmu = {2: 25.4, 3: 10.0, 4: 1.0, 5: 0.001}.get(unit, 0.0)
+    sw = sh = None
+    if w_px and h_px and fp_x and fp_y and mmu:
+        sw = w_px * (1.0 / fp_x) * mmu
+        sh = h_px * (1.0 / fp_y) * mmu
+    elif w_px and h_px and sid in BUILTIN_SENSORS:
+        sw = BUILTIN_SENSORS[sid]
+        sh = sw / w_px * h_px
+    if sw is None:
+        return
+    props["sensorWidth"] = sw
+    props["sensorHeight"] = sh
+    f35 = props.get("focalLength35")
+    f = props.get("focalLength")
+    if f35:
+        props["focalLengthComputed"] = f35 / 36.0 * sw
+    elif f:
+        props["focalLength35"] = 36.0 * f / sw
+        props["focalLengthComputed"] = f
+
+
 def parse_exif(rel_path: str, header: bytes) -> dict:
     """(path, header bytes) → properties dict for the entries schema.
 
@@ -302,6 +376,26 @@ def parse_exif(rel_path: str, header: bytes) -> dict:
                 if ref is not None and ref[2][:1] == b"\x01":  # below sea level
                     alt_v = -alt_v
                 props["point_alt"] = alt_v
+
+        # GPS direction / track (extractGpsDirection, exif.cpp:800-831)
+        img_dir = _rationals(gps.get(_GPS_IMG_DIR), endian)
+        if img_dir:
+            props["gpsImgDirection"] = img_dir[0]
+            props["gpsImgDirectionRef"] = _ascii(gps.get(_GPS_IMG_DIR_REF)) or "T"
+        track = _rationals(gps.get(_GPS_TRACK), endian)
+        if track:
+            props["gpsTrack"] = track[0]
+            props["gpsTrackRef"] = _ascii(gps.get(_GPS_TRACK_REF)) or "T"
+
+        # XMP drone pose + telemetry, image files only (entry.cpp:182-226
+        # runs under `if (image)`; a GeoTIFF never gets camera props)
+        if header[:2] == b"\xff\xd8":
+            _apply_xmp(header, props)
+            # sensor id + size chain and focal35 (entry.cpp:158-181).  NOTE:
+            # `focalLength` stays the RAW FocalLength tag (r1-established
+            # property contract); the reference only emits it via computeFocal.
+            if make or model:
+                _apply_sensor_chain(props, make, model)
 
         # capture time LAST: the cascade may use the GPS point (geo-TZ hook)
         gps_ts = _rationals(gps.get(_GPS_TIMESTAMP), endian)
@@ -493,10 +587,17 @@ def build_exif_app1(
     return b"Exif\x00\x00" + tiff
 
 
-def build_jpeg_with_exif(**kwargs) -> bytes:
-    """A minimal but REAL JPEG: SOI + APP1(Exif) + EOI."""
+def build_jpeg_with_exif(xmp: dict | None = None, **kwargs) -> bytes:
+    """A minimal but REAL JPEG: SOI + APP1(Exif) [+ APP1(XMP)] + EOI.
+    ``xmp`` adds a real RDF/XML packet keyed ``prefix:Local`` (e.g.
+    ``{"drone-dji:GimbalYawDegree": "+15.0"}``)."""
     payload = build_exif_app1(**kwargs)
-    return b"\xff\xd8" + b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload + b"\xff\xd9"
+    out = b"\xff\xd8" + b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
+    if xmp:
+        from dronedb_spark.sources.xmp import build_xmp_jpeg_segment
+
+        out += build_xmp_jpeg_segment(xmp)
+    return out + b"\xff\xd9"
 
 
 def build_plain_jpeg() -> bytes:

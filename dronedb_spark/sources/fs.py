@@ -128,7 +128,9 @@ def _entry_row(rel: str, data: bytes, mtime: int, parser) -> dict:
     a second scan."""
     import hashlib
 
-    header = data[:4096]
+    # 64 KiB covers EXIF + XMP APP1 segments (embedded thumbnails can push
+    # the XMP packet past the first 4 KiB on real drone JPEGs)
+    header = data[:65536]
     t = fingerprint(rel, header)
     props: dict = {}
     geo = {}
@@ -152,6 +154,31 @@ def _entry_row(rel: str, data: bytes, mtime: int, parser) -> dict:
         elif t == ENTRY_TYPES["Panorama"]:
             t = ENTRY_TYPES["GeoPanorama"]
     capture_ms = int(props.get("captureTime", 0))
+    # GeoImage ground footprint at ingest (entry.cpp:246-258): geotagged
+    # non-pano image + XMP relative altitude + resolved sensor size +
+    # focal ⇒ polygon_geom; the catalog materializes its MBR (SURVEY X9)
+    bbox = None
+    if t == ENTRY_TYPES["GeoImage"]:
+        ra = props.get("relativeAltitude")
+        sw, sh = props.get("sensorWidth"), props.get("sensorHeight")
+        fl = props.get("focalLengthComputed") or props.get("focalLength")
+        if ra and sw and sh and fl:
+            from dronedb_spark.functions.footprint import calculate_footprint
+
+            try:
+                ring = calculate_footprint(
+                    sw, sh, fl,
+                    geo["point_lat"], geo["point_lon"], geo.get("point_alt", 0.0),
+                    ra,
+                    props.get("cameraYaw", 0.0),
+                    props.get("cameraPitch", -90.0),
+                    props.get("cameraRoll", 0.0),
+                )
+                lons = [p[0] for p in ring]
+                lats = [p[1] for p in ring]
+                bbox = (min(lons), min(lats), max(lons), max(lats))
+            except (ValueError, ZeroDivisionError, OverflowError):
+                bbox = None
     return {
         "path": rel,
         "hash": hashlib.sha256(data).hexdigest(),
@@ -163,10 +190,10 @@ def _entry_row(rel: str, data: bytes, mtime: int, parser) -> dict:
         "point_lon": geo.get("point_lon"),
         "point_lat": geo.get("point_lat"),
         "point_alt": geo.get("point_alt"),
-        "bbox_minx": geo.get("point_lon"),
-        "bbox_miny": geo.get("point_lat"),
-        "bbox_maxx": geo.get("point_lon"),
-        "bbox_maxy": geo.get("point_lat"),
+        "bbox_minx": bbox[0] if bbox else geo.get("point_lon"),
+        "bbox_miny": bbox[1] if bbox else geo.get("point_lat"),
+        "bbox_maxx": bbox[2] if bbox else geo.get("point_lon"),
+        "bbox_maxy": bbox[3] if bbox else geo.get("point_lat"),
         "capture_ms": capture_ms,
     }
 

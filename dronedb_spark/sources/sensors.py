@@ -74,6 +74,19 @@ def mm_per_unit(unit_col: Column) -> Column:
     )
 
 
+def sensor_id(make: str | None, model: str | None) -> str:
+    """Plain-Python twin of ``sensor_id_expr`` for the per-file ingest
+    kernel (extractSensor, exif.cpp:143-165): lowercase, strip the make
+    substring out of the model (looped, unless make is "unknown"), trim,
+    join with one space."""
+    lmake = (make or "unknown").lower()
+    lmodel = (model or "").lower()
+    if lmake != "unknown":
+        while lmake and lmake in lmodel:
+            lmodel = lmodel.replace(lmake, "", 1)
+    return f"{lmake.strip()} {lmodel.strip()}"
+
+
 def sensor_id_expr(make: Column, model: Column) -> Column:
     """extractSensor normalization (exif.cpp:143-165): lowercase both,
     strip the make substring out of the model (unless make is
@@ -291,17 +304,21 @@ def _register_check() -> None:
 
     @check("sensor_size_resolution", oracle=_sensor_oracle())
     def q_sensor_size_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-        """End-to-end sensor chain on REAL EXIF bytes: binaryFile ingest →
-        FocalPlane tags when present, else broadcast lookup against the
-        union of the builtin overlay and a REAL reference-format
-        sensor_data.sqlite — then the computeFocal algebra.  Misses pin
-        the null path via -1 sentinels (driver comparator contract)."""
+        """Two-tier sensor chain on REAL EXIF bytes.  Tier 1: the ingest
+        kernel itself resolves FocalPlane-tag and builtin-overlay sensors
+        (properties sensorWidth/Height, focalLengthComputed,
+        focalLength35 — entry.cpp:158-181 parity).  Tier 2: rows the
+        kernel could NOT resolve go through the DataFrame broadcast
+        lookup against a REAL reference-format sensor_data.sqlite (the
+        full-DB deployment shape) + the computeFocal algebra.  Misses pin
+        the null path via -1 sentinels."""
         from dronedb_spark.sources.fs import ingest
 
         root, db = _sensor_fixture()
         ent = ingest(spark, root).filter(F.col("path").endswith(".jpg"))
-        img = ent.select(
+        base = ent.select(
             "path",
+            F.get_json_object("properties", "$.sensor").alias("sensor_id"),
             F.get_json_object("properties", "$.make").alias("make"),
             F.get_json_object("properties", "$.model").alias("model"),
             F.get_json_object("properties", "$.width").cast("int").alias("width"),
@@ -313,18 +330,32 @@ def _register_check() -> None:
             F.get_json_object("properties", "$.focalPlaneResolutionUnit")
             .cast("int").alias("fp_unit"),
             F.get_json_object("properties", "$.focalLength").cast("double").alias("focal_mm"),
-            F.get_json_object("properties", "$.focalLength35").cast("int").alias("focal35"),
+            F.get_json_object("properties", "$.focalLength35").cast("double").alias("focal35"),
+            F.get_json_object("properties", "$.sensorWidth").cast("double").alias("k_sw"),
+            F.get_json_object("properties", "$.sensorHeight").cast("double").alias("k_sh"),
+            F.get_json_object("properties", "$.focalLengthComputed")
+            .cast("double").alias("k_fmm"),
         )
-        dim = builtin_sensor_df(spark).unionByName(load_sensor_db(spark, db))
-        out = compute_focal(resolve_sensor_size(img, dim))
-        return out.select(
-            "path",
-            "sensor_id",
+        tier1 = base.filter(F.col("k_sw").isNotNull()).select(
+            "path", "sensor_id",
+            F.col("k_sw").alias("sensor_width_mm"),
+            F.col("k_sh").alias("sensor_height_mm"),
+            F.coalesce(F.col("k_fmm"), F.lit(-1.0)).alias("focal_mm"),
+            F.coalesce(F.col("focal35"), F.lit(-1.0)).alias("focal35"),
+        )
+        unresolved = base.filter(F.col("k_sw").isNull()).drop(
+            "k_sw", "k_sh", "k_fmm", "sensor_id"
+        )
+        tier2 = compute_focal(
+            resolve_sensor_size(unresolved, load_sensor_db(spark, db))
+        ).select(
+            "path", "sensor_id",
             F.coalesce(F.col("sensor_width_mm"), F.lit(-1.0)).alias("sensor_width_mm"),
             F.coalesce(F.col("sensor_height_mm"), F.lit(-1.0)).alias("sensor_height_mm"),
             F.coalesce(F.col("focal_mm_resolved"), F.lit(-1.0)).alias("focal_mm"),
             F.coalesce(F.col("focal35_resolved"), F.lit(-1.0)).alias("focal35"),
-        ).orderBy("path")
+        )
+        return tier1.unionByName(tier2).orderBy("path")
 
 
 _register_check()

@@ -51,7 +51,7 @@ _ROUND4_PRIORITY = [
     "json_sink_roundtrip", "features_parquet_sink", "raster_export_parquet",
     # NEW in round 4 — pipeline ops
     "stockpile_single", "stream_dedup_twin", "sq8_adc_top10",
-    "gsplat_decode_table", "capture_time_cascade",
+    "gsplat_decode_table", "capture_time_cascade", "ingest_xmp_pose",
     # refresh band: touched in r4 (asof fix, exif builder layout, bridge
     # logging, shapefile reader split) — re-gate against regressions
     "asof_join_events", "ingest_exif_properties", "shapefile_parse_features",

@@ -1,0 +1,79 @@
+"""XMP packet parsing unit coverage: element-form packets, namespace
+normalization, key priorities, malformed input."""
+
+from __future__ import annotations
+
+from dronedb_spark.sources.xmp import (
+    build_xmp_jpeg_segment,
+    camera_orientation,
+    extract_xmp_packet,
+    flight_speed,
+    gps_accuracy,
+    parse_xmp,
+    rel_altitude,
+)
+
+
+def test_attribute_and_element_forms():
+    xml = (
+        '<x:xmpmeta xmlns:x="adobe:ns:meta/">'
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">'
+        '<rdf:Description rdf:about="" xmlns:drone-dji="http://www.dji.com/drone-dji/1.0/"'
+        ' drone-dji:GimbalYawDegree="+12.5">'
+        "<drone-dji:RelativeAltitude>+55.3</drone-dji:RelativeAltitude>"
+        "</rdf:Description></rdf:RDF></x:xmpmeta>"
+    )
+    d = parse_xmp(xml)
+    assert d["drone-dji:GimbalYawDegree"] == "+12.5"
+    assert d["drone-dji:RelativeAltitude"] == "+55.3"
+    assert rel_altitude(d) == 55.3
+
+
+def test_orientation_priorities_and_defaults():
+    # DJI keys beat Camera keys
+    d = {
+        "drone-dji:GimbalPitchDegree": "-89.9",
+        "drone-dji:GimbalYawDegree": "100",
+        "drone-dji:GimbalRollDegree": "1",
+        "Camera:Pitch": "-10", "Camera:Yaw": "0", "Camera:Roll": "0",
+    }
+    assert camera_orientation(d) == (-89.9, 100.0, 1.0, True)
+    # FlightYawDegree fills a missing gimbal yaw
+    d2 = {
+        "drone-dji:GimbalPitchDegree": "-90",
+        "drone-dji:FlightYawDegree": "33",
+        "drone-dji:GimbalRollDegree": "0",
+    }
+    assert camera_orientation(d2) == (-90.0, 33.0, 0.0, True)
+    # any missing component → nadir defaults
+    assert camera_orientation({"drone-dji:GimbalYawDegree": "5"}) == (-90.0, 0.0, 0.0, False)
+    assert camera_orientation({}) == (-90.0, 0.0, 0.0, False)
+
+
+def test_accuracy_pix4d_beats_rtk():
+    d = {
+        "Camera:GPSXYAccuracy": "0.05", "Camera:GPSZAccuracy": "0.08",
+        "drone-dji:RtkStdLon": "0.5", "drone-dji:RtkStdLat": "0.6",
+    }
+    assert gps_accuracy(d) == {"gpsXYAccuracy": 0.05, "gpsZAccuracy": 0.08}
+    d2 = {"drone-dji:RtkStdLon": "0.02", "drone-dji:RtkStdLat": "0.03",
+          "drone-dji:RtkStdHgt": "0.04"}
+    assert gps_accuracy(d2) == {"gpsXYAccuracy": 0.03, "gpsZAccuracy": 0.04}
+
+
+def test_flight_speed_requires_all_axes():
+    assert flight_speed({"drone-dji:FlightXSpeed": "1"}) is None
+    assert flight_speed(
+        {"drone-dji:FlightXSpeed": "3", "drone-dji:FlightYSpeed": "4",
+         "drone-dji:FlightZSpeed": "0"}
+    ) == (3.0, 4.0, 0.0)
+
+
+def test_segment_roundtrip_and_malformed():
+    seg = build_xmp_jpeg_segment({"drone-dji:GimbalYawDegree": "+7.0"})
+    jpeg = b"\xff\xd8" + seg + b"\xff\xd9"
+    text = extract_xmp_packet(jpeg)
+    assert text is not None
+    assert parse_xmp(text)["drone-dji:GimbalYawDegree"] == "+7.0"
+    assert extract_xmp_packet(b"\x00\x01") is None
+    assert parse_xmp("<not-xml") == {}
