@@ -247,6 +247,25 @@ def _apply_xmp(header: bytes, props: dict) -> None:
 
     text = extract_xmp_packet(header)
     xd = parse_xmp(text) if text else {}
+
+    # Panorama projection info (extractPanoramaInfo, exif.cpp:833-875;
+    # stored for Panorama-typed entries, entry.cpp:262-275): GPano keys
+    # over full-frame equirectangular defaults.  The pano condition is
+    # the same integer-aspect test the type refinement uses.
+    w, h = props.get("width"), props.get("height")
+    if w and h and w // h >= 2:
+        props["projectionType"] = xd.get("GPano:ProjectionType", "equirectangular")
+        cw, ch = xd.get("GPano:CroppedAreaImageWidthPixels"), xd.get(
+            "GPano:CroppedAreaImageHeightPixels"
+        )
+        props["croppedWidth"] = int(cw) if cw and ch else w
+        props["croppedHeight"] = int(ch) if cw and ch else h
+        props["croppedX"] = int(xd.get("GPano:CroppedAreaLeftPixels", 0))
+        props["croppedY"] = int(xd.get("GPano:CroppedAreaTopPixels", 0))
+        props["poseHeading"] = float(xd.get("GPano:PoseHeadingDegrees", 0.0))
+        props["posePitch"] = float(xd.get("GPano:PosePitchDegrees", 0.0))
+        props["poseRoll"] = float(xd.get("GPano:PoseRollDegrees", 0.0))
+
     pitch, yaw, roll, has_ori = camera_orientation(xd)
     props["cameraPitch"] = pitch
     props["cameraYaw"] = yaw
@@ -271,10 +290,16 @@ def _apply_sensor_chain(props: dict, make: str | None, model: str | None) -> Non
     computeFocal, exif.cpp:167-232) over the already-parsed properties:
     FocalPlane tags first, builtin sensor overlay second.  Emits
     ``sensor``/``sensorWidth``/``sensorHeight``/``focalLength35``."""
-    from dronedb_spark.sources.sensors import BUILTIN_SENSORS, sensor_id
+    from dronedb_spark.sources.sensors import (
+        BUILTIN_SENSORS,
+        is_thermal_sensor,
+        sensor_id,
+    )
 
     sid = sensor_id(make, model)
     props["sensor"] = sid
+    if is_thermal_sensor(make, model):  # entry.cpp:162-168
+        props["sensorCategory"] = "thermal"
     w_px, h_px = props.get("width"), props.get("height")
     fp_x = props.get("focalPlaneXResolution")
     fp_y = props.get("focalPlaneYResolution")

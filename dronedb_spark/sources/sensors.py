@@ -74,6 +74,29 @@ def mm_per_unit(unit_col: Column) -> Column:
     )
 
 
+# Thermal sensor make/model substring patterns (thermal.cpp:24-39; empty
+# model = any camera of that make).
+THERMAL_SENSOR_PATTERNS: list[tuple[str, str]] = [
+    ("FLIR", ""),
+    ("DJI", "H20T"), ("DJI", "ZH20T"), ("DJI", "Zenmuse H20T"),
+    ("DJI", "H30T"), ("DJI", "ZH30T"), ("DJI", "Zenmuse H30T"),
+    ("DJI", "MAVIC3T"), ("DJI", "M3T"), ("DJI", "Mavic 3T"),
+    ("DJI", "Mavic 3 Enterprise"),
+    ("Workswell", "WirisProSc"),
+    ("MicaSense", "Altum"),
+]
+
+
+def is_thermal_sensor(make: str | None, model: str | None) -> bool:
+    """Case-insensitive substring match against the thermal pattern table
+    (isThermalImageFromExif, thermal.cpp:40-58)."""
+    mk, md = (make or "").lower(), (model or "").lower()
+    for pat_make, pat_model in THERMAL_SENSOR_PATTERNS:
+        if pat_make.lower() in mk and (not pat_model or pat_model.lower() in md):
+            return True
+    return False
+
+
 def sensor_id(make: str | None, model: str | None) -> str:
     """Plain-Python twin of ``sensor_id_expr`` for the per-file ingest
     kernel (extractSensor, exif.cpp:143-165): lowercase, strip the make

@@ -75,3 +75,25 @@ def test_focalplane_path_beats_db(spark):
     assert row.sensor_height_mm == 3000 * (1.0 / 900.0) * 10.0
     assert row.focal_mm_resolved == 5.5
     assert row.focal35_resolved == 36.0 * 5.5 / row.sensor_width_mm
+
+
+def test_thermal_sensor_detection():
+    from dronedb_spark.sources.sensors import is_thermal_sensor
+
+    assert is_thermal_sensor("FLIR Systems", "Vue Pro")   # any FLIR
+    assert is_thermal_sensor("DJI", "ZH20T")
+    assert is_thermal_sensor("dji", "mavic 3t")           # case-insensitive
+    assert is_thermal_sensor("MicaSense", "Altum")
+    assert not is_thermal_sensor("DJI", "FC6360")
+    assert not is_thermal_sensor("MicaSense", "RedEdge")
+    assert not is_thermal_sensor(None, None)
+
+
+def test_thermal_category_in_ingest(spark, tmp_path):
+    from dronedb_spark.sources.exif import build_jpeg_with_exif, parse_exif
+
+    data = build_jpeg_with_exif(make="DJI", model="ZH20T")
+    props = parse_exif("t.jpg", data)
+    assert props.get("sensorCategory") == "thermal"
+    props2 = parse_exif("n.jpg", build_jpeg_with_exif(make="DJI", model="FC6360"))
+    assert "sensorCategory" not in props2

@@ -77,3 +77,36 @@ def test_segment_roundtrip_and_malformed():
     assert parse_xmp(text)["drone-dji:GimbalYawDegree"] == "+7.0"
     assert extract_xmp_packet(b"\x00\x01") is None
     assert parse_xmp("<not-xml") == {}
+
+
+def test_panorama_props_defaults_and_gpano(spark=None):
+    from dronedb_spark.sources.exif import build_jpeg_with_exif, parse_exif
+
+    # aspect >= 2 without GPano → equirectangular full-frame defaults
+    p = parse_exif("p.jpg", build_jpeg_with_exif(width=8000, height=2000))
+    assert p["projectionType"] == "equirectangular"
+    assert (p["croppedWidth"], p["croppedHeight"], p["croppedX"], p["croppedY"]) == (
+        8000, 2000, 0, 0,
+    )
+    # GPano overrides
+    p2 = parse_exif(
+        "p2.jpg",
+        build_jpeg_with_exif(
+            width=6000, height=3000,
+            xmp={
+                "GPano:ProjectionType": "cylindrical",
+                "GPano:CroppedAreaImageWidthPixels": "5000",
+                "GPano:CroppedAreaImageHeightPixels": "2500",
+                "GPano:CroppedAreaLeftPixels": "500",
+                "GPano:CroppedAreaTopPixels": "250",
+                "GPano:PoseHeadingDegrees": "123.5",
+            },
+        ),
+    )
+    assert p2["projectionType"] == "cylindrical"
+    assert (p2["croppedWidth"], p2["croppedHeight"]) == (5000, 2500)
+    assert (p2["croppedX"], p2["croppedY"]) == (500, 250)
+    assert p2["poseHeading"] == 123.5
+    # normal aspect → no pano props
+    p3 = parse_exif("n.jpg", build_jpeg_with_exif(width=4000, height=3000))
+    assert "projectionType" not in p3
