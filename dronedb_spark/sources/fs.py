@@ -153,6 +153,8 @@ def _entry_row(rel: str, data: bytes, mtime: int, parser) -> dict:
             t = ENTRY_TYPES["GeoImage"]
         elif t == ENTRY_TYPES["Panorama"]:
             t = ENTRY_TYPES["GeoPanorama"]
+        elif t == ENTRY_TYPES["Video"]:
+            t = ENTRY_TYPES["GeoVideo"]  # XMP GPSCoordinates (entry.cpp:93,243)
     capture_ms = int(props.get("captureTime", 0))
     # GeoImage ground footprint at ingest (entry.cpp:246-258): geotagged
     # non-pano image + XMP relative altitude + resolved sensor size +

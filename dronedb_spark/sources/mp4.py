@@ -106,3 +106,95 @@ def encode_mp4_stub(
     moov = box(b"moov", mvhd + traks)
     ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
     return ftyp + moov
+
+
+# ----------------------------------------------------------- video XMP
+
+# ISO BMFF XMP container uuid (public Adobe XMP-in-MP4 convention)
+_XMP_UUID = bytes.fromhex("be7acfcb97a942e89c71999491e3afac")
+
+# seconds between Jan 1st 1904 (Mac/QuickTime epoch) and Jan 1st 1970
+_MAC_TO_UNIX_EPOCH = 2082844800
+
+
+def parse_gps_coordinates(gps: str) -> tuple[float, float, float | None] | None:
+    """Xmp.video.GPSCoordinates '+46.839139-91.999828+25.700' →
+    (lat, lon, alt) — the reference's character scanner bug-for-bug
+    (exif.cpp:326-392): digits/','/'.' accumulate, '+'/'-' delimit,
+    at least 2 components required, extras ignored."""
+    if not gps or gps[0] not in "+-":
+        return None
+    vals: list[float] = []
+    buf = gps[0]
+    s = gps + "$"
+    for ch in s[1:]:
+        if ch.isdigit() or ch in ",.":
+            buf += ch
+        elif ch in "+-$":
+            try:
+                vals.append(float(buf))
+            except ValueError:
+                return None
+            buf = ch
+    if len(vals) < 2:
+        return None
+    return (vals[0], vals[1], vals[2] if len(vals) > 2 else None)
+
+
+def video_xmp(data: bytes) -> dict:
+    """XMP-derived video metadata from the uuid box (top level or inside
+    moov): GPS point (GeoVideo upgrade), Mac-epoch capture time
+    (extractCaptureTime priority 0, exif.cpp:514-537), XMP dimensions."""
+    from dronedb_spark.sources.xmp import parse_xmp
+
+    def find_xmp(start: int, end: int, depth: int = 0):
+        for btype, body, bend in _iter_boxes(data, start, end):
+            if btype == b"uuid" and data[body : body + 16] == _XMP_UUID:
+                return data[body + 16 : bend].decode("utf-8", errors="replace")
+            if btype == b"moov" and depth == 0:
+                inner = find_xmp(body, bend, 1)
+                if inner:
+                    return inner
+        return None
+
+    text = find_xmp(0, len(data))
+    if not text:
+        return {}
+    xd = parse_xmp(text)
+    out: dict = {}
+    gps = parse_gps_coordinates(xd.get("video:GPSCoordinates", ""))
+    if gps:
+        out["point_lat"], out["point_lon"] = gps[0], gps[1]
+        if gps[2] is not None:
+            out["point_alt"] = gps[2]
+    date = xd.get("video:DateUTC") or xd.get("video:MediaCreateDate")
+    if date:
+        try:
+            ms = (int(float(date)) - _MAC_TO_UNIX_EPOCH) * 1000
+            if ms > 0:
+                out["captureTime"] = ms
+        except ValueError:
+            pass
+    for k, prop in (("video:Width", "width"), ("video:Height", "height")):
+        v = xd.get(k)
+        if v and v.isdigit():
+            out.setdefault(prop, int(v))
+    return out
+
+
+def encode_xmp_uuid_box(attrs: dict[str, str]) -> bytes:
+    """Fixture builder: a real XMP uuid box for the given video attrs."""
+    from dronedb_spark.sources.xmp import NS_PREFIXES, _RDF_NS
+
+    uri_of = {v: k for k, v in NS_PREFIXES.items()}
+    used = sorted({k.split(":", 1)[0] for k in attrs})
+    decls = " ".join(f'xmlns:{p}="{uri_of[p]}"' for p in used)
+    fields = " ".join(f'{k}="{v}"' for k, v in sorted(attrs.items()))
+    xml = (
+        '<x:xmpmeta xmlns:x="adobe:ns:meta/">'
+        f'<rdf:RDF xmlns:rdf="{_RDF_NS}">'
+        f"<rdf:Description rdf:about='' {decls} {fields}/>"
+        "</rdf:RDF></x:xmpmeta>"
+    ).encode("utf-8")
+    payload = _XMP_UUID + xml
+    return struct.pack(">I", 8 + len(payload)) + b"uuid" + payload

@@ -92,6 +92,12 @@ def _parse_mp4(header: bytes) -> dict:
     if info["width"] is not None:
         props["width"] = info["width"]
         props["height"] = info["height"]
+    # XMP uuid box: GPS point (GeoVideo upgrade), Mac-epoch capture time,
+    # XMP dimensions fallback (exif.cpp:66-80, 326-392, 514-537)
+    from dronedb_spark.sources.mp4 import video_xmp
+
+    for k, v in video_xmp(header).items():
+        props.setdefault(k, v)
     return props
 
 

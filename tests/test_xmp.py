@@ -110,3 +110,17 @@ def test_panorama_props_defaults_and_gpano(spark=None):
     # normal aspect → no pano props
     p3 = parse_exif("n.jpg", build_jpeg_with_exif(width=4000, height=3000))
     assert "projectionType" not in p3
+
+
+def test_gps_coordinates_scanner_quirks():
+    from dronedb_spark.sources.mp4 import parse_gps_coordinates
+
+    assert parse_gps_coordinates("+46.839139-91.999828+25.700") == (
+        46.839139, -91.999828, 25.7,
+    )
+    assert parse_gps_coordinates("+10.5-20.25") == (10.5, -20.25, None)
+    # extra components ignored (reference logs and drops them)
+    assert parse_gps_coordinates("+1+2+3+4") == (1.0, 2.0, 3.0)
+    assert parse_gps_coordinates("46.8-91.9") is None  # must start with +/-
+    assert parse_gps_coordinates("") is None
+    assert parse_gps_coordinates("+abc-def") is None
