@@ -216,3 +216,126 @@ def q_meta_chattr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "scope string, key string, vals string").orderBy(
         "scope", "key"
     )
+
+
+# ------------------------------------------------- W9 build derivatives
+
+_BD_N_PTS = 300
+_BD_DEM_H, _BD_DEM_W = 48, 36
+
+
+@check(
+    "build_derivatives_real",
+    oracle=f"""
+        SELECT kind, metric_a, metric_b FROM (VALUES
+            ('cog', {_BD_DEM_W}, CAST((SELECT SUM(CAST((r.r * {_BD_DEM_W} + c.c) % 89 AS BIGINT))
+                  FROM (SELECT unnest(range(0, {_BD_DEM_H})) AS r) r,
+                       (SELECT unnest(range(0, {_BD_DEM_W})) AS c) c) AS BIGINT)),
+            ('copc', {_BD_N_PTS}, CAST((SELECT SUM(CAST(i.i % 5 AS BIGINT))
+                  FROM (SELECT unnest(range(0, {_BD_N_PTS})) AS i) i) AS BIGINT)),
+            ('gsplat', 7, 7),
+            ('thumb', 20, 28),
+            ('vec', 2, 4)
+        ) AS t(kind, metric_a, metric_b)
+        ORDER BY kind""",
+)
+def q_build_derivatives_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W9 build pipeline end to end with REAL artifacts (build.cpp
+    per-type dispatch): a scratch dataset of decodable fixtures →
+    distributed build → each artifact re-opened with its own reader and
+    reduced to scalars the oracle states closed-form — COG level-0 width
+    + exact pixel sum, COPC point count + classification sum, thumbnail
+    dimensions, vec feature count + vertex sum, splat row count."""
+    import json
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from dronedb_spark.catalog.build import (
+        ARTIFACT_FILES,
+        _artifact_dir,
+        build_all,
+    )
+    from dronedb_spark.catalog.store import DatasetCatalog
+    from dronedb_spark.sources.cog import cog_info, decode_cog_level
+    from dronedb_spark.sources.gsplat import encode_splat_binary
+    from dronedb_spark.sources.las import encode_las, las_info
+    from dronedb_spark.sources.laz14 import decode_laz14
+    from dronedb_spark.sources.png import encode_png, png_info
+    from dronedb_spark.sources.tiff import encode_tiff
+
+    root = tempfile.mkdtemp(prefix="bd_")
+    try:
+        idx = np.arange(_BD_N_PTS)
+        files = {
+            "pc.las": encode_las(
+                idx * 0.25, idx * 0.5, (idx % 11).astype(float),
+                classification=(idx % 5),
+            ),
+            "dem.tif": encode_tiff(
+                ((np.arange(_BD_DEM_H * _BD_DEM_W) % 89).astype(float)
+                 .reshape(_BD_DEM_H, _BD_DEM_W)),
+                pixel_scale=(1.0, 1.0), tiepoint=(0.0, 0.0),
+            ),
+            "img.png": encode_png(
+                ((np.arange(28 * 20 * 3) * 3) % 255).astype(np.uint8).reshape(28, 20, 3)
+            ),
+            "parcels.geojson": json.dumps({
+                "type": "FeatureCollection",
+                "features": [
+                    {"type": "Feature", "properties": {},
+                     "geometry": {"type": "Point", "coordinates": [1.0, 2.0]}},
+                    {"type": "Feature", "properties": {},
+                     "geometry": {"type": "LineString",
+                                  "coordinates": [[0.0, 0.0], [1.0, 1.0], [2.0, 0.0]]}},
+                ],
+            }).encode(),
+            "cloud.splat": encode_splat_binary([
+                {"pos": (float(i), 0.0, 1.0), "scale_linear": (1.0, 0.5, 2.0),
+                 "rgba": (i * 30 % 256, 0, 0, 128), "quat_wxyz": (0.0, 0.0, 0.0, -1.0)}
+                for i in range(7)
+            ]),
+        }
+        for name, data in files.items():
+            with open(os.path.join(root, name), "wb") as f:
+                f.write(data)
+            os.utime(os.path.join(root, name), (1700000000, 1700000000))
+        cat = DatasetCatalog.init(spark, root)
+        cat.add()
+        counts = build_all(cat)
+        assert counts == {"copc": 1, "cog": 1, "thumb": 1, "vec": 1, "gsplat": 1}, counts
+        hashes = {r["path"]: r["hash"] for r in cat.entries().collect()}
+
+        def artifact(path, kind):
+            return open(
+                os.path.join(_artifact_dir(root, hashes[path], kind), ARTIFACT_FILES[kind]),
+                "rb",
+            ).read()
+
+        copc = artifact("pc.las", "copc")
+        dcp = decode_laz14(copc)
+        rows = [
+            ("copc", int(las_info(copc)["n_points"]), int(dcp["classification"].sum())),
+        ]
+        cogb = artifact("dem.tif", "cog")
+        rows.append(
+            ("cog", int(cog_info(cogb)["levels"][0]["width"]),
+             int(decode_cog_level(cogb, 0).sum()))
+        )
+        w, h, _c = png_info(artifact("img.png", "thumb"))
+        rows.append(("thumb", int(w), int(h)))
+        vec = pq.read_table(
+            os.path.join(_artifact_dir(root, hashes["parcels.geojson"], "vec"),
+                         ARTIFACT_FILES["vec"])
+        )
+        rows.append(("vec", vec.num_rows, int(sum(vec.column("n_vertices").to_pylist()))))
+        gs = pq.read_table(
+            os.path.join(_artifact_dir(root, hashes["cloud.splat"], "gsplat"),
+                         ARTIFACT_FILES["gsplat"])
+        )
+        rows.append(("gsplat", gs.num_rows, gs.num_rows))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        sorted(rows), "kind string, metric_a bigint, metric_b bigint"
+    ).orderBy("kind")

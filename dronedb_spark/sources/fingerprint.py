@@ -42,6 +42,8 @@ _EXT_TYPES = {
     ".nxs": "Model",
     ".nxz": "Model",
     ".spz": "GaussianSplat",
+    ".splat": "GaussianSplat",   # antimatter15 binary (gsplat.cpp:46-49)
+    ".ksplat": "GaussianSplat",  # mkkellogg format (gsplat.cpp:50)
     ".3tz": "Tiles3D",
     # vector formats (entry.cpp:1034-1035, vector_query.cpp:138-151)
     ".geojson": "Vector",

@@ -52,7 +52,7 @@ _ROUND4_PRIORITY = [
     # NEW in round 4 — pipeline ops
     "stockpile_single", "stream_dedup_twin", "sq8_adc_top10",
     "gsplat_decode_table", "capture_time_cascade", "ingest_xmp_pose",
-    "geovideo_xmp_ingest",
+    "geovideo_xmp_ingest", "build_derivatives_real",
     # refresh band: touched in r4 (asof fix, exif builder layout, bridge
     # logging, shapefile reader split) — re-gate against regressions
     "asof_join_events", "ingest_exif_properties", "shapefile_parse_features",

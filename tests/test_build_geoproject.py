@@ -11,32 +11,124 @@ from dronedb_spark.catalog.store import DatasetCatalog
 from dronedb_spark.raster.geoproject import geoproject, homography_from_corners
 
 
+def _png_bytes(seed: int = 1) -> bytes:
+    from dronedb_spark.sources.png import encode_png
+
+    arr = ((np.arange(24 * 16 * 3) * seed) % 251).astype(np.uint8).reshape(24, 16, 3)
+    return encode_png(arr)
+
+
 @pytest.fixture()
 def built_tree(tmp_path):
-    (tmp_path / "a.jpg").write_bytes(b"\xff\xd8\xff\xe0" + b"\x01" * 32)
-    (tmp_path / "c.las").write_bytes(b"LASF" + b"\x00" * 64)
-    (tmp_path / "r.tif").write_bytes(b"II*\x00" + b"\x00" * 64)
+    from dronedb_spark.sources.las import encode_las
+    from dronedb_spark.sources.tiff import encode_tiff
+
+    (tmp_path / "a.png").write_bytes(_png_bytes())
+    xs = np.arange(200, dtype=float) * 0.5
+    (tmp_path / "c.las").write_bytes(
+        encode_las(xs, xs * 2.0, xs % 7.0, classification=(np.arange(200) % 3))
+    )
+    dem = (np.arange(40 * 30, dtype=float) % 97).reshape(40, 30)
+    (tmp_path / "r.tif").write_bytes(
+        encode_tiff(dem, pixel_scale=(1.0, 1.0), tiepoint=(10.0, 20.0))
+    )
     (tmp_path / "plain.txt").write_text("no artifact for Generic")
     return tmp_path
 
 
-def test_build_idempotent(spark, built_tree):
+def test_build_idempotent_real_artifacts(spark, built_tree):
+    import os
+
+    from dronedb_spark.catalog.build import ARTIFACT_FILES, _artifact_dir
+    from dronedb_spark.sources.cog import cog_info
+    from dronedb_spark.sources.las import las_info
+    from dronedb_spark.sources.png import png_info
+
     cat = DatasetCatalog.init(spark, str(built_tree))
     cat.add()
-    assert len(pending_builds(cat)) == 3  # jpg, las, tif (txt is Generic)
+    assert len(pending_builds(cat)) == 3  # png, las, tif (txt is Generic)
     counts = build_all(cat)
     assert counts == {"thumb": 1, "copc": 1, "cog": 1}
+    # artifacts are REAL containers, decodable by their own readers
+    hashes = {r["path"]: r["hash"] for r in cat.entries().collect()}
+
+    def artifact(path, kind):
+        d = _artifact_dir(cat.root, hashes[path], kind)
+        return open(os.path.join(d, ARTIFACT_FILES[kind]), "rb").read()
+
+    copc = artifact("c.las", "copc")
+    assert las_info(copc)["n_points"] == 200
+    from dronedb_spark.sources.copc import copc_info
+
+    assert copc_info(copc)["halfsize"] > 0  # real COPC info VLR present
+    ci = cog_info(artifact("r.tif", "cog"))
+    assert ci["levels"][0]["width"] == 30 and ci["levels"][0]["height"] == 40
+    w, h, _c = png_info(artifact("a.png", "thumb"))
+    assert (w, h) == (16, 24)  # under the thumb cap → unscaled
     # second run: everything complete, nothing rebuilt (build.cpp:161-175)
     assert pending_builds(cat) == []
     assert build_all(cat) == {}
     # content change → new hash → artifact pending again
-    import os, time
+    import time
 
-    p = built_tree / "a.jpg"
-    p.write_bytes(b"\xff\xd8\xff\xe0" + b"\x02" * 32)
+    p = built_tree / "a.png"
+    p.write_bytes(_png_bytes(seed=7))
     os.utime(p, (time.time() + 5, time.time() + 5))
     cat.add()
     assert [k for _, _, k in pending_builds(cat)] == ["thumb"]
+
+
+def test_build_vec_and_gsplat_artifacts(spark, tmp_path):
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from dronedb_spark.catalog.build import ARTIFACT_FILES, _artifact_dir
+    from dronedb_spark.sources.gsplat import encode_splat_binary
+
+    fc = {
+        "type": "FeatureCollection",
+        "features": [
+            {"type": "Feature", "geometry": {"type": "Point", "coordinates": [1.0, 2.0]},
+             "properties": {}},
+            {"type": "Feature", "geometry": {
+                "type": "LineString", "coordinates": [[0.0, 0.0], [1.0, 1.0], [2.0, 0.0]]},
+             "properties": {}},
+        ],
+    }
+    (tmp_path / "parcels.geojson").write_text(json.dumps(fc))
+    rows = [
+        {"pos": (0.0, 1.0, 2.0), "scale_linear": (1.0, 1.0, 1.0),
+         "rgba": (255, 0, 0, 200), "quat_wxyz": (0.0, 0.0, 0.0, -1.0)}
+        for _ in range(5)
+    ]
+    (tmp_path / "cloud.splat").write_bytes(encode_splat_binary(rows))
+    cat = DatasetCatalog.init(spark, str(tmp_path))
+    cat.add()
+    counts = build_all(cat)
+    assert counts == {"vec": 1, "gsplat": 1}
+    hashes = {r["path"]: r["hash"] for r in cat.entries().collect()}
+    vec = pq.read_table(
+        os.path.join(_artifact_dir(cat.root, hashes["parcels.geojson"], "vec"),
+                     ARTIFACT_FILES["vec"])
+    )
+    assert vec.num_rows == 2
+    assert sorted(vec.column("n_vertices").to_pylist()) == [1, 3]
+    gs = pq.read_table(
+        os.path.join(_artifact_dir(cat.root, hashes["cloud.splat"], "gsplat"),
+                     ARTIFACT_FILES["gsplat"])
+    )
+    assert gs.num_rows == 5
+
+
+def test_build_failure_stays_pending(spark, tmp_path):
+    (tmp_path / "broken.las").write_bytes(b"LASF" + b"\x00" * 64)  # truncated
+    cat = DatasetCatalog.init(spark, str(tmp_path))
+    cat.add()
+    assert build_all(cat) == {}  # decode failed → not counted
+    # still pending: incomplete artifacts retry on the next build pass
+    assert [k for _, _, k in pending_builds(cat)] == ["copc"]
 
 
 def test_password_manager(spark, tmp_path):
