@@ -24,6 +24,7 @@ NS_PREFIXES = {
     "http://pix4d.com/camera/1.0/": "Camera",
     "http://ns.google.com/photos/1.0/panorama/": "GPano",
     "http://www.video/": "video",
+    "http://ns.flir.com/xmp/1.0/": "FLIR",
     "http://ns.adobe.com/xap/1.0/": "xmp",
 }
 

@@ -124,3 +124,31 @@ def test_gps_coordinates_scanner_quirks():
     assert parse_gps_coordinates("46.8-91.9") is None  # must start with +/-
     assert parse_gps_coordinates("") is None
     assert parse_gps_coordinates("+abc-def") is None
+
+
+def test_rjpeg_extraction_edges():
+    import numpy as np
+
+    from dronedb_spark.sources.rjpeg import (
+        encode_rjpeg,
+        extract_raw_thermal,
+        thermal_calibration,
+    )
+
+    raw = (np.arange(160 * 120) % 77 * 256 + 5120).astype("<u2").reshape(120, 160)
+    got = extract_raw_thermal(encode_rjpeg(raw, {"FLIR:RawThermalImageWidth": "160",
+                                                 "FLIR:RawThermalImageHeight": "120"}))
+    assert got is not None
+    arr, w, h = got
+    assert (w, h) == (160, 120)
+    assert (arr == raw).all()
+    # no FLIR segment → None
+    assert extract_raw_thermal(b"\xff\xd8\xff\xd9") is None
+    # calibration priority: FLIR keys set valid; DJI fallback; make default
+    c = thermal_calibration({"FLIR:PlanckR1": "17000", "FLIR:PlanckB": "1430"})
+    assert c["valid"] and c["r1"] == 17000.0 and c["b"] == 1430.0
+    c2 = thermal_calibration({"drone-dji:ThermalObjectEmissivity": "0.9"})
+    assert c2["valid"] and c2["emissivity"] == 0.9
+    c3 = thermal_calibration({}, make="FLIR Systems", model="Vue")
+    assert c3["valid"]
+    assert not thermal_calibration({}, make="DJI", model="FC6360")["valid"]
