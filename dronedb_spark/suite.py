@@ -52,7 +52,7 @@ _ROUND4_PRIORITY = [
     # NEW in round 4 — pipeline ops
     "stockpile_single", "stream_dedup_twin", "sq8_adc_top10",
     "gsplat_decode_table", "capture_time_cascade", "ingest_xmp_pose",
-    "geovideo_xmp_ingest", "build_derivatives_real", "thermal_rjpeg_stats",
+    "geovideo_xmp_ingest", "build_derivatives_real", "thermal_rjpeg_stats", "sensor_profile_presets",
     # refresh band: touched in r4 (asof fix, exif builder layout, bridge
     # logging, shapefile reader split) — re-gate against regressions
     "asof_join_events", "ingest_exif_properties", "shapefile_parse_features",
@@ -113,6 +113,7 @@ def load_all() -> dict[str, Check]:
     import dronedb_spark.vectors.quant  # noqa: F401  (SQ8 ADC search, new in r4)
     import dronedb_spark.sources.gsplat  # noqa: F401  (gaussian-splat decode, new in r4)
     import dronedb_spark.sources.rjpeg  # noqa: F401  (FLIR R-JPEG thermal, new in r4)
+    import dronedb_spark.functions.sensorprofiles  # noqa: F401  (profiles/presets, new in r4)
     import dronedb_spark.sources.cog  # noqa: F401  (K5 real COG sink, new in r4)
     import dronedb_spark.operators.tpch_ext  # noqa: F401  (Q8-Q21, new in r2)
     # --- green rows in CORRECTNESS_r01: register after ------------------
