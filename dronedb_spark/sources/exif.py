@@ -49,11 +49,15 @@ _GPS_LON = 0x0004
 _GPS_ALT_REF = 0x0005
 _GPS_ALT = 0x0006
 _GPS_TIMESTAMP = 0x0007   # 3 RATIONALs (h, m, s) — UTC
+_GPS_DOP = 0x000B         # RATIONAL dilution of precision
+_GPS_SPEED_REF = 0x000C   # ASCII 'K' km/h / 'M' mph / 'N' knots
+_GPS_SPEED = 0x000D       # RATIONAL scalar ground speed
 _GPS_TRACK_REF = 0x000E   # ASCII 'T' true / 'M' magnetic
 _GPS_TRACK = 0x000F       # RATIONAL degrees
 _GPS_IMG_DIR_REF = 0x0010
 _GPS_IMG_DIR = 0x0011
 _GPS_DATESTAMP = 0x001D   # ASCII 'YYYY:MM:DD' — UTC
+_GPS_H_POS_ERROR = 0x001F  # RATIONAL horizontal positioning error (m)
 _TAG_OFFSET_TIME_ORIGINAL = 0x9011  # ASCII '+HH:MM'
 _TAG_SUBSEC_ORIGINAL = 0x9291       # ASCII fractional seconds
 
@@ -422,6 +426,27 @@ def parse_exif(rel_path: str, header: bytes) -> dict:
             if make or model:
                 _apply_sensor_chain(props, make, model)
 
+        # EXIF scalar fallbacks, only when the XMP priority-1 keys were
+        # absent (extractFlightSpeed priority 2, exif.cpp:709-739;
+        # extractGpsAccuracy priority 3, exif.cpp:782-798)
+        if "flightSpeedX" not in props:
+            spd = _rationals(gps.get(_GPS_SPEED), endian)
+            if spd:
+                ref = _ascii(gps.get(_GPS_SPEED_REF)) or "K"
+                speed_ms = spd[0] / {"K": 3.6, "M": 2.237, "N": 1.944}.get(ref, 3.6)
+                props["flightSpeedX"] = speed_ms
+                props["flightSpeedY"] = 0.0
+                props["flightSpeedZ"] = 0.0
+                props["flightSpeed"] = speed_ms
+                props["flightSpeed3D"] = speed_ms
+        if "gpsXYAccuracy" not in props and "gpsZAccuracy" not in props:
+            herr = _rationals(gps.get(_GPS_H_POS_ERROR), endian)
+            if herr:
+                props["gpsXYAccuracy"] = herr[0]
+            dop = _rationals(gps.get(_GPS_DOP), endian)
+            if dop:
+                props["gpsDop"] = dop[0]
+
         # capture time LAST: the cascade may use the GPS point (geo-TZ hook)
         gps_ts = _rationals(gps.get(_GPS_TIMESTAMP), endian)
         ms = capture_time_ms(
@@ -479,6 +504,10 @@ def build_exif_app1(
     subsec: str | None = None,
     gps_datestamp: str | None = None,
     gps_timestamp: tuple[tuple[int, int], tuple[int, int], tuple[int, int]] | None = None,
+    gps_speed: tuple[int, int] | None = None,
+    gps_speed_ref: str | None = None,
+    gps_dop: tuple[int, int] | None = None,
+    gps_h_pos_error: tuple[int, int] | None = None,
 ) -> bytes:
     """The APP1 payload ('Exif\\0\\0' + TIFF little-endian) for the given
     properties.  DMS components are (deg, min, (sec_num, sec_den)) so the
@@ -495,8 +524,13 @@ def build_exif_app1(
         + (1 if offset_time is not None else 0)
         + (1 if subsec is not None else 0)
     )
-    gps_n = (6 if lat_dms is not None else 0) + (
-        2 if gps_datestamp is not None and gps_timestamp is not None else 0
+    gps_n = (
+        (6 if lat_dms is not None else 0)
+        + (2 if gps_datestamp is not None and gps_timestamp is not None else 0)
+        + (1 if gps_speed is not None else 0)
+        + (1 if gps_speed_ref is not None else 0)
+        + (1 if gps_dop is not None else 0)
+        + (1 if gps_h_pos_error is not None else 0)
     )
     ifd0_off = 8
     exif_off = ifd0_off + 2 + 12 * ifd0_n + 4
@@ -601,6 +635,14 @@ def build_exif_app1(
                 asciiz(gps_datestamp), heap, heap_base,
             )
         )
+    if gps_dop is not None:
+        eg.append(_entry_bytes(_GPS_DOP, 5, 1, rat(*gps_dop), heap, heap_base))
+    if gps_speed_ref is not None:
+        eg.append(_entry_bytes(_GPS_SPEED_REF, 2, 2, asciiz(gps_speed_ref), heap, heap_base))
+    if gps_speed is not None:
+        eg.append(_entry_bytes(_GPS_SPEED, 5, 1, rat(*gps_speed), heap, heap_base))
+    if gps_h_pos_error is not None:
+        eg.append(_entry_bytes(_GPS_H_POS_ERROR, 5, 1, rat(*gps_h_pos_error), heap, heap_base))
 
     tiff = (
         b"II" + struct.pack("<HI", 42, ifd0_off)

@@ -131,8 +131,9 @@ def flight_speed(xmp: dict[str, str]) -> tuple[float, float, float] | None:
 
 def gps_accuracy(xmp: dict[str, str]) -> dict[str, float]:
     """extractGpsAccuracy (exif.cpp:741-798): Pix4D XY/Z accuracy keys,
-    or the DJI RTK per-axis standard deviations combined the same way
-    (xy = max(lat, lon) std, z = hgt std)."""
+    or the DJI RTK per-axis standard deviations combined as the planar
+    vector norm (xy = sqrt(lonStd² + latStd²), z = hgt std) — the
+    reference's exact combine at exif.cpp:768-771."""
     out: dict[str, float] = {}
     xy = _num(xmp, "Camera:GPSXYAccuracy")
     z = _num(xmp, "Camera:GPSZAccuracy")
@@ -140,7 +141,7 @@ def gps_accuracy(xmp: dict[str, str]) -> dict[str, float]:
         lon = _num(xmp, "drone-dji:RtkStdLon")
         lat = _num(xmp, "drone-dji:RtkStdLat")
         if lon is not None and lat is not None:
-            xy = max(lon, lat)
+            xy = (lon * lon + lat * lat) ** 0.5
         z = _num(xmp, "drone-dji:RtkStdHgt")
     if xy is not None and xy >= 0:
         out["gpsXYAccuracy"] = xy

@@ -208,3 +208,42 @@ def test_gps_stamp_beats_offset():
         offset_time="+02:00",
     )
     assert got == calendar.timegm((2024, 3, 1, 7, 45, 30, 0, 0, 0)) * 1000 + 125
+
+
+def test_gps_scalar_speed_fallback_units():
+    """extractFlightSpeed priority 2 (exif.cpp:709-739): EXIF GPSSpeed +
+    GPSSpeedRef in km/h ('K'), mph ('M'), knots ('N'), default km/h."""
+    for ref, div in [("K", 3.6), ("M", 2.237), ("N", 1.944), (None, 3.6)]:
+        jp = build_jpeg_with_exif(gps_speed=(36, 1), gps_speed_ref=ref)
+        p = parse_exif("a.jpg", jp)
+        assert p["flightSpeed"] == 36 / div
+        assert p["flightSpeed3D"] == 36 / div
+        assert p["flightSpeedX"] == 36 / div
+        assert p["flightSpeedY"] == 0.0 and p["flightSpeedZ"] == 0.0
+
+
+def test_gps_scalar_speed_loses_to_xmp_vector():
+    jp = build_jpeg_with_exif(
+        gps_speed=(36, 1), gps_speed_ref="K",
+        xmp={"drone-dji:FlightXSpeed": "3", "drone-dji:FlightYSpeed": "4",
+             "drone-dji:FlightZSpeed": "0"},
+    )
+    p = parse_exif("a.jpg", jp)
+    assert p["flightSpeed"] == 5.0  # XMP 3-vector wins over EXIF scalar
+
+
+def test_gps_accuracy_exif_fallback_and_priority():
+    """extractGpsAccuracy priority 3 (exif.cpp:782-798): HPositioningError
+    → gpsXYAccuracy, GPSDOP → gpsDop — only when no XMP accuracy."""
+    jp = build_jpeg_with_exif(gps_h_pos_error=(5, 2), gps_dop=(3, 2))
+    p = parse_exif("a.jpg", jp)
+    assert p["gpsXYAccuracy"] == 2.5
+    assert p["gpsDop"] == 1.5
+    # any XMP accuracy short-circuits the whole EXIF tier (incl. DOP)
+    jp2 = build_jpeg_with_exif(
+        gps_h_pos_error=(5, 2), gps_dop=(3, 2),
+        xmp={"Camera:GPSZAccuracy": "0.08"},
+    )
+    p2 = parse_exif("a.jpg", jp2)
+    assert p2["gpsZAccuracy"] == 0.08
+    assert "gpsXYAccuracy" not in p2 and "gpsDop" not in p2

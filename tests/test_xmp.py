@@ -56,9 +56,10 @@ def test_accuracy_pix4d_beats_rtk():
         "drone-dji:RtkStdLon": "0.5", "drone-dji:RtkStdLat": "0.6",
     }
     assert gps_accuracy(d) == {"gpsXYAccuracy": 0.05, "gpsZAccuracy": 0.08}
-    d2 = {"drone-dji:RtkStdLon": "0.02", "drone-dji:RtkStdLat": "0.03",
+    # RTK combine is the planar vector norm (exif.cpp:768-771): 3-4-5
+    d2 = {"drone-dji:RtkStdLon": "0.03", "drone-dji:RtkStdLat": "0.04",
           "drone-dji:RtkStdHgt": "0.04"}
-    assert gps_accuracy(d2) == {"gpsXYAccuracy": 0.03, "gpsZAccuracy": 0.04}
+    assert gps_accuracy(d2) == {"gpsXYAccuracy": 0.05, "gpsZAccuracy": 0.04}
 
 
 def test_flight_speed_requires_all_axes():
