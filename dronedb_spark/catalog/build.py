@@ -217,6 +217,15 @@ def build_one(root: str, rel: str, hash_: str, kind: str, data: bytes) -> str:
             )
             pq.write_table(pa.Table.from_pylist(recs), out_path + ".tmp")
             os.replace(out_path + ".tmp", out_path)
+            # the LOD delivery artifact build.cpp:169 checks for
+            # (gsplat/model.rad): coarse-to-fine RAD container, preview =
+            # leading chunks only
+            from dronedb_spark.sources.rad import build_rad
+
+            rad_path = os.path.join(target, "model.rad")
+            with open(rad_path + ".tmp", "wb") as f:
+                f.write(build_rad(recs))
+            os.replace(rad_path + ".tmp", rad_path)
             open(os.path.join(target, "_SUCCESS"), "w").close()
             return "built"
         else:  # 3dtiles: NXS/obj2tiles builds are out of scope (SURVEY §3.3)
