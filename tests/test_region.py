@@ -1,0 +1,119 @@
+"""Raster region render (raster/region.py; reference raster_region.cpp)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dronedb_spark.raster.region import (
+    bilinear_region,
+    composite_white,
+    render_index_png,
+    render_index_region,
+)
+
+NODATA = -9999.0
+
+
+def _pixels(spark, vals: dict[tuple[int, int], dict]):
+    rows = [
+        {"row": r, "col": c, **bands} for (r, c), bands in vals.items()
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_bilinear_identity_at_native_resolution(spark):
+    # 2x2 window sampled at 2x2: pixel centres land exactly on sources
+    px = _pixels(spark, {
+        (0, 0): {"N": 1.0}, (0, 1): {"N": 2.0},
+        (1, 0): {"N": 3.0}, (1, 1): {"N": 4.0},
+    })
+    got = {(r["py"], r["px"]): r["N"]
+           for r in bilinear_region(px, ["N"], 0, 1, 0, 1, 2, 2).collect()}
+    assert got == {(0, 0): 1.0, (0, 1): 2.0, (1, 0): 3.0, (1, 1): 4.0}
+
+
+def test_bilinear_midpoint_blend_and_nodata_renormalize(spark):
+    px = _pixels(spark, {
+        (0, 0): {"N": 0.0}, (0, 1): {"N": 4.0},
+        (1, 0): {"N": 8.0}, (1, 1): {"N": NODATA},
+    })
+    # single output pixel centred in the middle: fx = fy = 0.5
+    [row] = bilinear_region(px, ["N"], 0, 1, 0, 1, 1, 1).collect()
+    # weights 0.25 each; nodata corner drops, renormalize over 0.75
+    assert row["N"] == pytest.approx((0.0 + 4.0 + 8.0) * 0.25 / 0.75)
+
+
+def test_all_nodata_sample_is_null_and_transparent(spark):
+    px = _pixels(spark, {
+        (0, 0): {"N": NODATA, "R": 1.0}, (0, 1): {"N": NODATA, "R": 1.0},
+        (1, 0): {"N": NODATA, "R": 1.0}, (1, 1): {"N": NODATA, "R": 1.0},
+    })
+    [row] = render_index_region(px, "NDVI", 0, 1, 0, 1, 1, 1).collect()
+    assert row["value"] is None
+    assert (row["r"], row["g"], row["b"], row["a"]) == (0, 0, 0, 0)
+
+
+@pytest.mark.parametrize(
+    "index,bands,expected",
+    [
+        # single-pixel window → sample = the pixel itself
+        ("NDVI", {"N": 0.6, "R": 0.2}, (0.6 - 0.2) / 0.8),
+        ("NDRE", {"N": 0.6, "Re": 0.3}, (0.6 - 0.3) / 0.9),
+        ("NDWI", {"G": 0.4, "N": 0.6}, (0.4 - 0.6) / 1.0),
+        ("SAVI", {"N": 0.6, "R": 0.2}, (0.6 - 0.2) / (0.6 + 0.2 + 0.5) * 1.5),
+        ("EVI", {"N": 0.6, "R": 0.2, "B": 0.1},
+         2.5 * (0.6 - 0.2) / (0.6 + 6 * 0.2 - 7.5 * 0.1 + 1.0)),
+    ],
+)
+def test_index_formulas(spark, index, bands, expected):
+    px = _pixels(spark, {(0, 0): bands})
+    [row] = render_index_region(px, index, 0, 0, 0, 0, 1, 1).collect()
+    assert row["value"] == pytest.approx(expected)
+
+
+def test_ramp_endpoints(spark):
+    # v=-1 → pure red; v=0 → yellow; v=+1 → pure green (rampNdvi)
+    px = _pixels(spark, {(0, 0): {"N": 0.0, "R": 0.5}})   # v=-1
+    [lo] = render_index_region(px, "NDVI", 0, 0, 0, 0, 1, 1).collect()
+    assert (lo["r"], lo["g"], lo["b"], lo["a"]) == (255, 0, 0, 255)
+    px = _pixels(spark, {(0, 0): {"N": 0.5, "R": 0.0}})   # v=+1
+    [hi] = render_index_region(px, "NDVI", 0, 0, 0, 0, 1, 1).collect()
+    assert (hi["r"], hi["g"], hi["b"], hi["a"]) == (0, 255, 0, 255)
+    px = _pixels(spark, {(0, 0): {"N": 0.5, "R": 0.5}})   # v=0 → t=0.5
+    [mid] = render_index_region(px, "NDVI", 0, 0, 0, 0, 1, 1).collect()
+    assert (mid["r"], mid["g"], mid["b"]) == (255, 255, 0)
+
+
+def test_composite_white_jpeg_path(spark):
+    rgba = spark.createDataFrame(
+        [{"px": 0, "py": 0, "r": 255, "g": 0, "b": 0, "a": 0},
+         {"px": 1, "py": 0, "r": 100, "g": 200, "b": 0, "a": 255}]
+    )
+    got = {r["px"]: (r["r"], r["g"], r["b"]) for r in composite_white(rgba).collect()}
+    assert got[0] == (255, 255, 255)  # transparent → white background
+    assert got[1] == (100, 200, 0)    # opaque → unchanged
+
+
+def test_render_index_png_roundtrip(spark):
+    from dronedb_spark.raster.synth import ms_df
+    from dronedb_spark.sources.png import decode_png
+
+    data = render_index_png(ms_df(spark), "NDVI", 8, 39, 4, 35, 8, 8)
+    arr = decode_png(data)
+    assert arr.shape == (8, 8, 4)
+    rows = render_index_region(ms_df(spark), "NDVI", 8, 39, 4, 35, 8, 8).collect()
+    for row in rows:
+        assert tuple(arr[row["py"], row["px"]]) == (
+            row["r"], row["g"], row["b"], row["a"]
+        )
+
+
+def test_region_plan_broadcasts_grid_no_cartesian(spark):
+    from dronedb_spark.raster.synth import ms_df
+
+    df = render_index_region(ms_df(spark), "NDVI", 8, 39, 4, 35, 16, 16)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
