@@ -50,7 +50,8 @@ _ROUND4_PRIORITY = [
     "meta_chattr_roundtrip", "passwords_verify",
     "json_sink_roundtrip", "features_parquet_sink", "raster_export_parquet",
     # NEW in round 4 — pipeline ops
-    "stockpile_single", "stream_dedup_twin", "sq8_adc_top10",
+    "stockpile_single", "stream_dedup_twin", "sq8_adc_top10", "lm_doc_perplexity",
+    "pack_sequences_chunks",
     "gsplat_decode_table", "rad_coarse_splats", "render_index_region",
     "capture_time_cascade", "ingest_xmp_pose",
     "geovideo_xmp_ingest", "build_derivatives_real", "thermal_rjpeg_stats", "sensor_profile_presets",
@@ -118,6 +119,8 @@ def load_all() -> dict[str, Check]:
     import dronedb_spark.sources.cog  # noqa: F401  (K5 real COG sink, new in r4)
     import dronedb_spark.sources.rad  # noqa: F401  (RAD splat-LOD container, new in r4)
     import dronedb_spark.raster.region  # noqa: F401  (region/index render, new in r4)
+    import dronedb_spark.text.lm  # noqa: F401  (LM perplexity filter, new in r4)
+    import dronedb_spark.text.packing  # noqa: F401  (sequence packing, new in r4)
     import dronedb_spark.operators.tpch_ext  # noqa: F401  (Q8-Q21, new in r2)
     # --- green rows in CORRECTNESS_r01: register after ------------------
     import dronedb_spark.operators.search  # noqa: F401

@@ -1,0 +1,93 @@
+"""LM perplexity scoring (text/lm.py) and sequence packing
+(text/packing.py) unit tests."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from dronedb_spark.text.lm import doc_cross_entropy, train_unigram, unigram_logprob, explode_tokens
+from dronedb_spark.text.packing import pack_sequences, running_offsets
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    )
+
+
+def test_unigram_probabilities_sum_below_one(spark):
+    lm = train_unigram(_docs(spark, ["a a b", "b c"])).collect()
+    by_tok = {r["tok"]: r for r in lm}
+    # N=5 tokens, V=3 vocab → denom 9; add-one: a:(2+1)/9, b:(2+1)/9, c:(1+1)/9
+    assert by_tok["a"]["logp"] == pytest.approx(math.log(3 / 9))
+    assert by_tok["c"]["logp"] == pytest.approx(math.log(2 / 9))
+    assert by_tok["a"]["oov_logp"] == pytest.approx(math.log(1 / 9))
+    total_p = sum(math.exp(r["logp"]) for r in lm) + math.exp(lm[0]["oov_logp"])
+    assert total_p == pytest.approx(1.0)
+
+
+def test_cross_entropy_with_oov(spark):
+    train = _docs(spark, ["a a b"])
+    lm = train_unigram(train)
+    score = _docs(spark, ["a z"])  # z is OOV
+    [row] = doc_cross_entropy(score, lm).collect()
+    # N=3, V=2 → denom 6; a: 3/6, oov: 1/6
+    expect = -(math.log(3 / 6) + math.log(1 / 6)) / 2
+    assert row["n_tokens"] == 2 and row["n_oov"] == 1
+    assert row["cross_entropy"] == pytest.approx(expect)
+    assert row["perplexity"] == pytest.approx(math.exp(expect))
+
+
+def test_head_tail_split_matches_full_broadcast(spark):
+    docs = _docs(spark, ["a b c d e", "a a b z q", "c c c c x"])
+    lm = train_unigram(docs)
+    toks = explode_tokens(docs)
+    tiny = unigram_logprob(toks, lm, head_k=1).groupBy("doc_id").agg(
+        F.round(F.sum("logp"), 9).alias("s")).collect()
+    big = unigram_logprob(toks, lm, head_k=10_000).groupBy("doc_id").agg(
+        F.round(F.sum("logp"), 9).alias("s")).collect()
+    assert sorted(map(tuple, tiny)) == sorted(map(tuple, big))
+
+
+def test_running_offsets_matches_serial_scan(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [{"k": i, "v": rng.randint(0, 50)} for i in range(500)]
+    df = spark.createDataFrame(rows).repartition(13)  # scrambled input
+    got = {r["k"]: r["offset"]
+           for r in running_offsets(df, "k", "v").collect()}
+    acc = 0
+    for r in rows:  # already in k order
+        assert got[r["k"]] == acc, r
+        acc += r["v"]
+
+
+def test_pack_sequences_roster(spark):
+    # 3 docs of 4, 5, 3 tokens; seq_len 6 → chunks [0,6) [6,12)
+    docs = _docs(spark, ["a b c d", "e f g h i", "j k l"])
+    out = {r["chunk_id"]: r for r in pack_sequences(docs, 6).collect()}
+    assert set(out) == {0, 1}
+    # chunk 0: doc0 (0-3) + doc1 (4-8 spills) → docs {0,1}
+    assert (out[0]["n_docs"], out[0]["first_doc"], out[0]["last_doc"]) == (2, 0, 1)
+    assert out[0]["n_tokens"] == 6
+    # chunk 1: doc1 tail + doc2 (9-11) → docs {1,2}; short fill 12-12=6 → total=12 → 6
+    assert (out[1]["n_docs"], out[1]["first_doc"], out[1]["last_doc"]) == (2, 1, 2)
+    assert out[1]["n_tokens"] == 6
+    # short last chunk
+    out2 = {r["chunk_id"]: r for r in pack_sequences(docs, 5).collect()}
+    assert out2[2]["n_tokens"] == 2  # total 12 tokens → last chunk holds 2
+
+
+def test_lm_score_plan_broadcasts_head(spark):
+    docs = _docs(spark, ["a b", "b c"])
+    lm = train_unigram(docs)
+    plan = (
+        doc_cross_entropy(docs, lm)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
