@@ -68,6 +68,13 @@ HEADLINE = [
     "json_sink_roundtrip",
     "stream_dedup_twin",
     "sq8_adc_top10",
+    # round-4 late breadth: unigram-LM corpus scoring (train + skew-split
+    # score joins), distributed-prefix-sum sequence packing, bilinear
+    # region warp + index ramp, RAD coarse-chunk decode
+    "lm_doc_perplexity",
+    "pack_sequences_chunks",
+    "render_index_region",
+    "rad_coarse_splats",
 ]
 
 _SMALL_RESULT = {

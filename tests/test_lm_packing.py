@@ -91,3 +91,29 @@ def test_lm_score_plan_broadcasts_head(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_semdedup_drops_exact_copies_keeps_originals(spark, sf_dir):
+    from dronedb_spark.tables import load
+    from dronedb_spark.vectors.semdedup import semdedup
+
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.unionByName(
+        emb.filter(F.col("vec_id") % 5 == 0).withColumn("vec_id", F.col("vec_id") + 10000)
+    )
+    rows = {r["vec_id"]: r["kept"] for r in semdedup(corpus).collect()}
+    originals = [v for v in rows if v < 10000]
+    copies = [v for v in rows if v >= 10000]
+    assert copies and all(not rows[v] for v in copies)      # every copy pruned
+    assert all(rows[v] for v in originals)                  # every original kept
+
+
+def test_semdedup_plan_equijoin_on_cell(spark, sf_dir):
+    from dronedb_spark.tables import load
+    from dronedb_spark.vectors.semdedup import semdedup
+
+    plan = (
+        semdedup(load(spark, sf_dir, "embeddings"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
