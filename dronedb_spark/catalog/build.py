@@ -160,6 +160,21 @@ def build_one(root: str, rel: str, hash_: str, kind: str, data: bytes) -> str:
     target = _artifact_dir(root, hash_, kind)
     os.makedirs(target, exist_ok=True)
     out_path = os.path.join(target, ARTIFACT_FILES[kind])
+    from dronedb_spark.catalog.buildlock import BuildLock
+
+    # serialize per-artifact across processes/speculative duplicates
+    # (buildlock.cpp); re-check completeness once the lock is ours — the
+    # previous holder may have just finished this same artifact
+    with BuildLock(os.path.join(target, ".buildlock")):
+        if _is_complete(root, hash_, kind):
+            return "already_built"
+        return _build_one_locked(root, rel, hash_, kind, data, target, out_path)
+
+
+def _build_one_locked(root: str, rel: str, hash_: str, kind: str,
+                      data: bytes, target: str, out_path: str) -> str:
+    import numpy as np
+
     try:
         if kind == "copc":
             from dronedb_spark.sources.copc import encode_copc
