@@ -51,35 +51,18 @@ INDEXES: dict[str, tuple[str, str, str | None, int, float]] = {
 }
 
 
-def bilinear_region(
+def bilinear_blend(
     pixels: DataFrame,
     bands: list[str],
-    r0: int, r1: int, c0: int, c1: int,
-    width: int, height: int,
+    grid: DataFrame,
     nodata: float = NODATA,
 ) -> DataFrame:
-    """Crop the inclusive pixel window [r0..r1]×[c0..c1] and resample to
-    ``width``×``height`` with bilinear blending (the gdalwarp call of
-    raster_region.cpp:122-139 as four equi-joins).  → (px, py, <bands>),
-    NULL where a band has no valid corner."""
-    spark = pixels.sparkSession
-    grid = spark.range(width * height).select(
-        (F.col("id") % width).cast("int").alias("px"),
-        (F.col("id") / width).cast("int").alias("py"),
-    )
-    sxf = F.lit(float(c0)) + (F.col("px") + 0.5) * float(c1 - c0 + 1) / width - 0.5
-    syf = F.lit(float(r0)) + (F.col("py") + 0.5) * float(r1 - r0 + 1) / height - 0.5
-    sx = F.least(F.greatest(sxf, F.lit(float(c0))), F.lit(float(c1)))
-    sy = F.least(F.greatest(syf, F.lit(float(r0))), F.lit(float(r1)))
-    x0 = F.floor(sx).cast("int")
-    y0 = F.floor(sy).cast("int")
-    grid = grid.select(
-        "px", "py",
-        x0.alias("x0"), y0.alias("y0"),
-        F.least(x0 + 1, F.lit(c1)).alias("x1"),
-        F.least(y0 + 1, F.lit(r1)).alias("y1"),
-        (sx - x0).alias("fx"), (sy - y0).alias("fy"),
-    )
+    """Core of the relational warp: ``grid`` carries (px, py, x0, x1,
+    y0, y1, fx, fy); four broadcast equi-joins fetch the corner pixels
+    and blend with weights renormalized over the VALID corners.  A
+    corner that misses the table entirely (outside the raster) simply
+    contributes weight 0 — so edge samples renormalize and fully
+    outside samples go NULL, with no clamping logic anywhere."""
     src = pixels.select(
         F.col("row").alias("prow"), F.col("col").alias("pcol"),
         *[F.col(b).alias(f"v_{b}") for b in bands],
@@ -116,6 +99,38 @@ def bilinear_region(
         vsum = (vs[0] + vs[1]) + (vs[2] + vs[3])
         cols.append(F.when(wsum > 0.0, vsum / wsum).alias(b))
     return out.select("px", "py", *cols)
+
+
+def bilinear_region(
+    pixels: DataFrame,
+    bands: list[str],
+    r0: int, r1: int, c0: int, c1: int,
+    width: int, height: int,
+    nodata: float = NODATA,
+) -> DataFrame:
+    """Crop the inclusive pixel window [r0..r1]×[c0..c1] and resample to
+    ``width``×``height`` with bilinear blending (the gdalwarp call of
+    raster_region.cpp:122-139 as four equi-joins).  → (px, py, <bands>),
+    NULL where a band has no valid corner."""
+    spark = pixels.sparkSession
+    grid = spark.range(width * height).select(
+        (F.col("id") % width).cast("int").alias("px"),
+        (F.col("id") / width).cast("int").alias("py"),
+    )
+    sxf = F.lit(float(c0)) + (F.col("px") + 0.5) * float(c1 - c0 + 1) / width - 0.5
+    syf = F.lit(float(r0)) + (F.col("py") + 0.5) * float(r1 - r0 + 1) / height - 0.5
+    sx = F.least(F.greatest(sxf, F.lit(float(c0))), F.lit(float(c1)))
+    sy = F.least(F.greatest(syf, F.lit(float(r0))), F.lit(float(r1)))
+    x0 = F.floor(sx).cast("int")
+    y0 = F.floor(sy).cast("int")
+    grid = grid.select(
+        "px", "py",
+        x0.alias("x0"), y0.alias("y0"),
+        F.least(x0 + 1, F.lit(c1)).alias("x1"),
+        F.least(y0 + 1, F.lit(r1)).alias("y1"),
+        (sx - x0).alias("fx"), (sy - y0).alias("fy"),
+    )
+    return bilinear_blend(pixels, bands, grid, nodata)
 
 
 def _ramp(v: Column) -> list[Column]:

@@ -51,7 +51,7 @@ _ROUND4_PRIORITY = [
     "json_sink_roundtrip", "features_parquet_sink", "raster_export_parquet",
     # NEW in round 4 — pipeline ops
     "stockpile_single", "stream_dedup_twin", "sq8_adc_top10", "lm_doc_perplexity",
-    "pack_sequences_chunks", "semdedup_cell_prune",
+    "pack_sequences_chunks", "semdedup_cell_prune", "raster_tile_render",
     "gsplat_decode_table", "rad_coarse_splats", "render_index_region",
     "capture_time_cascade", "ingest_xmp_pose",
     "geovideo_xmp_ingest", "build_derivatives_real", "thermal_rjpeg_stats", "sensor_profile_presets",
@@ -122,6 +122,7 @@ def load_all() -> dict[str, Check]:
     import dronedb_spark.text.lm  # noqa: F401  (LM perplexity filter, new in r4)
     import dronedb_spark.text.packing  # noqa: F401  (sequence packing, new in r4)
     import dronedb_spark.vectors.semdedup  # noqa: F401  (cluster-prune dedup, new in r4)
+    import dronedb_spark.raster.tiler  # noqa: F401  (XYZ raster tile render, new in r4)
     import dronedb_spark.operators.tpch_ext  # noqa: F401  (Q8-Q21, new in r2)
     # --- green rows in CORRECTNESS_r01: register after ------------------
     import dronedb_spark.operators.search  # noqa: F401

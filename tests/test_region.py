@@ -117,3 +117,31 @@ def test_region_plan_broadcasts_grid_no_cartesian(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tile_render_covers_all_regimes(spark):
+    from dronedb_spark.raster.synth import dem_df
+    from dronedb_spark.raster.tiler import _GT, _TS, _TX, _TY, _TZ, render_tile_gray
+
+    rows = render_tile_gray(dem_df(spark), _GT, _TZ, _TX, _TY, 190.0, 310.0, _TS).collect()
+    assert len(rows) == _TS * _TS
+    by = {(r["py"], r["px"]): r for r in rows}
+    # covered quarter: DEM = half tile width at 64px tile → px,py < 32 valid
+    assert by[(0, 0)]["a"] == 255 and by[(0, 0)]["value"] is not None
+    # outside the raster → transparent
+    assert by[(40, 40)]["a"] == 0 and by[(40, 40)]["g"] == 0
+    # the DEM nodata patch (rows 5-10, cols 100-110 → tile px 25-27, py 1-2)
+    assert by[(1, 26)]["a"] == 0
+    covered = sum(1 for r in rows if r["a"] == 255)
+    assert 30 * 30 < covered <= 32 * 32  # quarter coverage minus nodata patch
+
+
+def test_tile_png_roundtrip(spark):
+    from dronedb_spark.raster.synth import dem_df
+    from dronedb_spark.raster.tiler import _GT, _TX, _TY, _TZ, render_tile_png
+    from dronedb_spark.sources.png import decode_png
+
+    data = render_tile_png(dem_df(spark), _GT, _TZ, _TX, _TY, 190.0, 310.0, 32)
+    arr = decode_png(data)
+    assert arr.shape == (32, 32, 2)  # gray + alpha
+    assert arr[0, 0, 1] == 255 and arr[31, 31, 1] == 0
