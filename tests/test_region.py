@@ -145,3 +145,26 @@ def test_tile_png_roundtrip(spark):
     arr = decode_png(data)
     assert arr.shape == (32, 32, 2)  # gray + alpha
     assert arr[0, 0, 1] == 255 and arr[31, 31, 1] == 0
+
+
+def test_splat_tile_zbuffer_and_disc(spark):
+    from dronedb_spark.raster.points import _disc_offsets, splat_tile
+
+    assert len(_disc_offsets(2)) == 11  # asymmetric disc, +r edge excluded
+    # two points at the same centre pixel: higher z wins the whole disc
+    pts = spark.createDataFrame(
+        [
+            {"pid": 1, "x": 50.0, "y": 50.0, "z": 1.0, "red": 10, "green": 10, "blue": 10},
+            {"pid": 2, "x": 50.0, "y": 50.0, "z": 9.0, "red": 200, "green": 100, "blue": 50},
+        ]
+    )
+    rows = splat_tile(pts, 0.0, 0.0, 100.0, 100.0, tile_size=16, radius=2).collect()
+    assert len(rows) == 11  # one disc
+    assert all((r["r"], r["g"], r["b"]) == (200, 100, 50) for r in rows)
+    # 16-bit colours flip the normalize sweep: >> 8
+    pts16 = spark.createDataFrame(
+        [{"pid": 1, "x": 50.0, "y": 50.0, "z": 1.0,
+          "red": 51200, "green": 25600, "blue": 300}]
+    )
+    rows16 = splat_tile(pts16, 0.0, 0.0, 100.0, 100.0, tile_size=16, radius=2).collect()
+    assert all((r["r"], r["g"], r["b"]) == (200, 100, 1) for r in rows16)
