@@ -91,8 +91,13 @@ def bilinear_blend(
     for b in bands:
         def term(corner: str) -> tuple[Column, Column]:
             v = F.col(f"{b}_{corner}")
-            valid = F.when(v.isNotNull() & (v != nodata), F.lit(1.0)).otherwise(F.lit(0.0))
-            return w(corner) * valid, w(corner) * F.coalesce(v, F.lit(0.0)) * valid
+            ok = v.isNotNull() & (v != nodata)
+            valid = F.when(ok, F.lit(1.0)).otherwise(F.lit(0.0))
+            # gate the VALUE conditionally rather than multiplying by the
+            # flag: an infinite nodata sentinel would otherwise inject
+            # inf*0 = NaN into the sum; for finite values the two forms
+            # are bit-identical (×1.0 exact, ×0 = 0)
+            return w(corner) * valid, w(corner) * F.when(ok, v).otherwise(F.lit(0.0))
 
         ws, vs = zip(*(term(c) for c in ("00", "10", "01", "11")))
         wsum = (ws[0] + ws[1]) + (ws[2] + ws[3])  # fixed association order
