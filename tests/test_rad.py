@@ -94,3 +94,40 @@ def test_build_artifact_contains_model_rad(spark, tmp_path):
     d = read_rad_coarse(rad_path.read_bytes())
     assert d["count"] == 5
     assert rad_bounds(rad_path.read_bytes()) is not None
+
+
+def test_rad_to_preview_thumbnail_chain(spark):
+    """generateSplatThumbFromRad parity chain: RAD container → 2-chunk
+    coarse decode → orthographic preview → real PNG bytes."""
+    from dronedb_spark.raster.preview import splat_preview, splat_preview_png
+    from dronedb_spark.sources.png import decode_png
+    from dronedb_spark.sources.rad import _rad_fixture_root, read_rad_files
+
+    coarse = read_rad_files(spark, _rad_fixture_root(), max_chunks=2)
+    splats = coarse.withColumnRenamed("idx", "pid")
+    rows = splat_preview(splats, 16).collect()
+    assert rows, "some splats must rasterize"
+    data = splat_preview_png(splats, 16)
+    arr = decode_png(data)
+    assert arr.shape == (16, 16, 4)
+    assert (arr[..., 3] == 255).sum() == len(rows)
+
+
+def test_preview_depth_axis_selection(spark):
+    from dronedb_spark.raster.preview import splat_preview
+
+    # flat in y → depth axis 1; u = x (axis 0), v = z (axis 2)
+    flat_y = spark.createDataFrame(
+        [{"pid": i, "x": float(i), "y": 0.5, "z": float(i % 3),
+          "r": 1.0, "g": 0.0, "b": 0.0, "a": 1.0} for i in range(6)]
+    )
+    rows = splat_preview(flat_y, 8).collect()
+    assert rows and all(r["r"] == 255 for r in rows)
+    # sub-threshold opacity renders nothing
+    ghost = spark.createDataFrame(
+        [{"pid": 0, "x": 0.0, "y": 0.0, "z": 0.0,
+          "r": 1.0, "g": 1.0, "b": 1.0, "a": 0.01},
+         {"pid": 1, "x": 1.0, "y": 1.0, "z": 1.0,
+          "r": 1.0, "g": 1.0, "b": 1.0, "a": 0.01}]
+    )
+    assert splat_preview(ghost, 8).count() == 0
