@@ -52,7 +52,7 @@ _ROUND4_PRIORITY = [
     # NEW in round 4 — pipeline ops
     "stockpile_single", "stream_dedup_twin", "sq8_adc_top10", "lm_doc_perplexity",
     "pack_sequences_chunks", "semdedup_cell_prune", "raster_tile_render",
-    "pointcloud_splat_tile", "splat_preview_render",
+    "pointcloud_splat_tile", "splat_preview_render", "lm_bigram_interp",
     "gsplat_decode_table", "rad_coarse_splats", "render_index_region",
     "capture_time_cascade", "ingest_xmp_pose",
     "geovideo_xmp_ingest", "build_derivatives_real", "thermal_rjpeg_stats", "sensor_profile_presets",

@@ -151,3 +151,131 @@ def q_lm_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------------------------- bigram extension
+
+
+def explode_bigrams(docs: DataFrame) -> DataFrame:
+    """(doc_id, w1, w2) for consecutive token pairs — zip_with over the
+    token array and its tail, no posexplode/self-join."""
+    toks = F.split(F.col("text"), " ")
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    return docs.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+
+
+def train_bigram(train_docs: DataFrame) -> DataFrame:
+    """→ (w1, w2, n12, n1) bigram + left-context counts; the conditional
+    p(w2|w1) = (n12 + 1) / (n1 + V + 1) resolves at score time with the
+    unigram table's V."""
+    big = explode_bigrams(spread(train_docs)).groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("n12")
+    )
+    left = big.groupBy("w1").agg(F.sum("n12").alias("n1"))
+    return big.join(left, "w1")
+
+
+def doc_cross_entropy_interp(
+    docs: DataFrame, uni: DataFrame, bi: DataFrame, lam: float = 0.7,
+) -> DataFrame:
+    """Interpolated bigram cross-entropy (the Jelinek-Mercer smoothing of
+    the CCNet-style filter): score each consecutive pair with
+    ln(λ·p(w2|w1) + (1−λ)·p_uni(w2)); an unseen left context backs off
+    to the unigram term alone (λ·0 + ...).  Pairs join the bigram table
+    on (w1, w2) and the unigram table on w2 — both Zipf-skewed, both
+    going through the same broadcast-head/shuffle-tail split as the
+    unigram scorer (head reuse: the hot pairs ARE pairs of hot
+    unigrams)."""
+    v_tot = F.broadcast(
+        uni.agg(
+            F.count(F.lit(1)).alias("v_all"),
+            F.min("oov_logp").alias("oov_logp_all"),
+        )
+    )
+    pairs = explode_bigrams(spread(docs))
+    scored = (
+        pairs.join(bi, ["w1", "w2"], "left")
+        .join(
+            uni.select(F.col("tok").alias("w2"), F.col("logp").alias("uni_logp")),
+            "w2", "left",
+        )
+        .crossJoin(v_tot)
+    )
+    p_uni = F.coalesce(F.exp("uni_logp"), F.exp("oov_logp_all"))
+    p_bi = F.when(
+        F.col("n12").isNotNull(),
+        (F.col("n12") + 1.0) / (F.col("n1") + F.col("v_all") + 1.0),
+    ).otherwise(F.lit(0.0))
+    lp = F.log(lam * p_bi + (1.0 - lam) * p_uni)
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        (-F.sum(lp.cast("decimal(38,15)")).cast("double")).alias("nll"),
+    )
+    h = F.col("nll") / F.col("n_pairs")
+    return per_doc.select(
+        "doc_id", "n_pairs", h.alias("cross_entropy"), F.exp(h).alias("perplexity")
+    )
+
+
+_BILM_ORACLE = """
+    WITH train AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+    uni_toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM train),
+    uni AS (SELECT tok, COUNT(*) AS n FROM uni_toks GROUP BY tok),
+    totals AS (SELECT SUM(n) AS n_total, COUNT(*) AS v_total FROM uni),
+    uni_p AS (SELECT tok, ln((n + 1.0) / (n_total + v_total + 1.0)) AS logp
+              FROM uni, totals),
+    tr_pairs AS (
+        SELECT t.w1, lead(t.w1) OVER (PARTITION BY t.doc_id ORDER BY t.pos) AS w2
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w1,
+                     generate_subscripts(string_split(text, ' '), 1) AS pos
+              FROM train) t
+    ),
+    bi AS (SELECT w1, w2, COUNT(*) AS n12 FROM tr_pairs WHERE w2 IS NOT NULL
+           GROUP BY w1, w2),
+    lefts AS (SELECT w1, SUM(n12) AS n1 FROM bi GROUP BY w1),
+    sc_pairs AS (
+        SELECT t.doc_id, t.w1,
+               lead(t.w1) OVER (PARTITION BY t.doc_id ORDER BY t.pos) AS w2
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w1,
+                     generate_subscripts(string_split(text, ' '), 1) AS pos
+              FROM documents) t
+    ),
+    scored AS (
+        SELECT p.doc_id,
+               ln(0.7 * (CASE WHEN b.n12 IS NOT NULL
+                         THEN (b.n12 + 1.0) / (l.n1 + tt.v_total + 1.0)
+                         ELSE 0.0 END)
+                  + 0.3 * COALESCE(exp(u.logp),
+                                   exp(ln(1.0 / (tt.n_total + tt.v_total + 1.0))))) AS lp
+        FROM sc_pairs p
+        LEFT JOIN bi b ON p.w1 = b.w1 AND p.w2 = b.w2
+        LEFT JOIN lefts l ON p.w1 = l.w1
+        LEFT JOIN uni_p u ON p.w2 = u.tok
+        CROSS JOIN totals tt
+        WHERE p.w2 IS NOT NULL
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(CAST(-SUM(CAST(lp AS DECIMAL(38,15))) AS DOUBLE) / COUNT(*), 9)
+               AS cross_entropy
+    FROM scored GROUP BY doc_id ORDER BY doc_id"""
+
+
+@check("lm_bigram_interp", oracle=_BILM_ORACLE)
+def q_lm_bigram_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated-bigram cross-entropy (λ=0.7) trained on the even
+    half, scored corpus-wide — unseen pairs back off to the smoothed
+    unigram, unseen words to the OOV floor."""
+    docs = load(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    out = doc_cross_entropy_interp(docs, train_unigram(train), train_bigram(train))
+    return out.select(
+        "doc_id",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.round("cross_entropy", 9).alias("cross_entropy"),
+    ).orderBy("doc_id")

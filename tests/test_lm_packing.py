@@ -117,3 +117,27 @@ def test_semdedup_plan_equijoin_on_cell(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in plan
+
+
+def test_bigram_interp_closed_form(spark):
+    import math
+
+    from dronedb_spark.text.lm import (
+        doc_cross_entropy_interp, train_bigram, train_unigram,
+    )
+
+    train = _docs(spark, ["a b a b"])
+    uni, bi = train_unigram(train), train_bigram(train)
+    # unigram: N=4, V=2 → denom 7; p(a)=3/7, p(b)=3/7, oov=1/7
+    # bigrams: (a,b)x2, (b,a)x1; n1(a)=2, n1(b)=1; V=2
+    score = _docs(spark, ["a b z"])  # pairs: (a,b) seen, (b,z) unseen pair
+    [row] = doc_cross_entropy_interp(score, uni, bi, lam=0.7).collect()
+    p_ab = 0.7 * (2 + 1) / (2 + 2 + 1) + 0.3 * (3 / 7)
+    p_bz = 0.7 * 0.0 + 0.3 * (1 / 7)  # unseen pair AND oov word
+    expect = -(math.log(p_ab) + math.log(p_bz)) / 2
+    assert row["n_pairs"] == 2
+    assert row["cross_entropy"] == pytest.approx(expect)
+    # seen text scores lower entropy than gibberish
+    [good] = doc_cross_entropy_interp(_docs(spark, ["a b a b"]), uni, bi).collect()
+    [bad] = doc_cross_entropy_interp(_docs(spark, ["z q w v"]), uni, bi).collect()
+    assert good["cross_entropy"] < bad["cross_entropy"]

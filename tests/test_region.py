@@ -168,3 +168,27 @@ def test_splat_tile_zbuffer_and_disc(spark):
     )
     rows16 = splat_tile(pts16, 0.0, 0.0, 100.0, 100.0, tile_size=16, radius=2).collect()
     assert all((r["r"], r["g"], r["b"]) == (200, 100, 1) for r in rows16)
+
+
+def test_pointcloud_thumb_composition(spark):
+    """generatePointCloudThumb (thumbs.cpp:992) = cloud AABB → splat
+    render over its own extent → PNG; composed from existing pieces."""
+    import numpy as np
+
+    from dronedb_spark.raster.points import points_df, splat_tile
+    from dronedb_spark.sources.png import encode_png
+
+    pts = points_df(spark).selectExpr(
+        "pid", "x", "y", "z",
+        "intensity AS red", "intensity AS green", "intensity AS blue"
+    )
+    b = pts.agg(
+        F.min("x").alias("x0"), F.min("y").alias("y0"),
+        F.max("x").alias("x1"), F.max("y").alias("y1"),
+    ).collect()[0]
+    tile = splat_tile(pts, b["x0"], b["y0"], b["x1"], b["y1"], tile_size=32).collect()
+    assert len(tile) > 32 * 32 * 0.5  # dense cloud fills most of the thumb
+    arr = np.zeros((32, 32, 4), dtype=np.uint8)
+    for r in tile:
+        arr[r["py"], r["px"]] = (r["r"], r["g"], r["b"], 255)
+    assert len(encode_png(arr)) > 100
