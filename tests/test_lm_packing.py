@@ -141,3 +141,35 @@ def test_bigram_interp_closed_form(spark):
     [good] = doc_cross_entropy_interp(_docs(spark, ["a b a b"]), uni, bi).collect()
     [bad] = doc_cross_entropy_interp(_docs(spark, ["z q w v"]), uni, bi).collect()
     assert good["cross_entropy"] < bad["cross_entropy"]
+
+
+def test_bpe_learns_classic_merges(spark):
+    from dronedb_spark.text.bpe import END, encode_words, learn_bpe, word_freqs
+
+    docs = _docs(spark, ["low low low low low", "lower lower", "newest newest newest",
+                         "widest widest"])
+    merges = learn_bpe(docs, 8)
+    assert len(merges) >= 4
+    # 'lo' must merge early: 'l','o' appears in low(5)+lower(2) = 7 words
+    assert merges[0] == ("l", "o")
+    assert ("lo", "w") in merges[:3]
+    # encoding compresses: 'low</w>' becomes a single token eventually
+    words = word_freqs(docs)
+    enc = {r["word"]: r["tokens"] for r in encode_words(words, merges).collect()}
+    assert len(enc["low"]) < len("low") + 1
+    # the two encode paths agree
+    enc2 = {r["word"]: r["tokens"]
+            for r in encode_words(words, merges, expr_max=0).collect()}
+    assert enc == enc2
+    # every token stream reassembles the word + end marker
+    for w, toks in enc.items():
+        assert "".join(toks) == w + END
+
+
+def test_bpe_merge_fold_is_greedy_left(spark):
+    from dronedb_spark.text.bpe import apply_merge
+
+    t = spark.createDataFrame([{"word": "aaa", "freq": 1,
+                                "syms": ["a", "a", "a", "</w>"]}])
+    [row] = apply_merge(t, "a", "a").collect()
+    assert row["syms"] == ["aa", "a", "</w>"]  # left-to-right, no re-merge
