@@ -19,6 +19,32 @@ from dronedb_spark.suite import check
 EARTH_RADIUS_M = 6378137.0
 
 
+def mercator_resolution(zoom: int, tile_size: int = 256) -> float:
+    """Meters per pixel at a WebMercator zoom (GlobalMercator::resolution,
+    tiler.cpp:204-206)."""
+    return 2.0 * math.pi * EARTH_RADIUS_M / tile_size / (2 ** zoom)
+
+
+def zoom_for_length(meter_length: float, tile_size: int = 256) -> int:
+    """The zoom whose TILE span best matches a ground length —
+    round(log2(initialResolution / length * tileSize)), the thumbnail /
+    preview zoom pick (GlobalMercator::zoomForLength, tiler.cpp:209-212)."""
+    initial = 2.0 * math.pi * EARTH_RADIUS_M / tile_size
+    return round(math.log(initial / meter_length * tile_size) / math.log(2))
+
+
+def zoom_for_pixel_size(pixel_size: float, tile_size: int = 256,
+                        max_zoom: int = 32) -> int:
+    """The deepest zoom whose resolution is still coarser than the
+    raster's own pixel size (GlobalMercator::zoomForPixelSize,
+    tiler.cpp:214-225): first i with pixelSize > resolution(i) → i-1;
+    never negative (the reference clamps at 0 via its caller)."""
+    for i in range(max_zoom):
+        if pixel_size > mercator_resolution(i, tile_size):
+            return max(i - 1, 0)
+    return max_zoom - 1
+
+
 def lonlat_to_tile(lon: Column, lat: Column, zoom: int) -> tuple[Column, Column]:
     """XYZ tile indices (gdaltiler semantics; z fixed per call so 2^z is a
     folded constant)."""

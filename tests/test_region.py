@@ -192,3 +192,21 @@ def test_pointcloud_thumb_composition(spark):
     for r in tile:
         arr[r["py"], r["px"]] = (r["r"], r["g"], r["b"], 255)
     assert len(encode_png(arr)) > 100
+
+
+def test_mercator_zoom_helpers():
+    import math
+
+    from dronedb_spark.functions.geo import (
+        mercator_resolution, zoom_for_length, zoom_for_pixel_size,
+    )
+
+    circ = 2 * math.pi * 6378137.0
+    assert mercator_resolution(0) == pytest.approx(circ / 256)
+    # a scene as wide as one z-n tile picks zoom n
+    for z in (0, 3, 10, 18):
+        assert zoom_for_length(circ / 2 ** z) == z
+    # pixel-size pick: the first zoom whose resolution is FINER than the
+    # raster's own pixel backs off by one (tiler.cpp:218-221)
+    assert zoom_for_pixel_size(mercator_resolution(5) * 1.01) == 4
+    assert zoom_for_pixel_size(1e9) == 0  # coarser than z0 clamps at 0
