@@ -21,6 +21,7 @@ metadata are the genuine formats.
 from __future__ import annotations
 
 import calendar
+import os
 import struct
 import time
 
@@ -202,9 +203,34 @@ def capture_time_ms(
     off = _parse_offset_secs(offset_time)
     if off is not None:
         return base - off * 1000  # local = UTC + offset ⇒ UTC = local − offset
-    if _GEO_TZ_RESOLVER is not None and lat is not None and lon is not None:
+    global _GEO_TZ_RESOLVER
+    if _GEO_TZ_RESOLVER is None and os.environ.get("SPARK_GRAFT_TZDB"):
+        # lazy auto-install of the real zonedetect resolver when a
+        # database path is configured (one parse per worker process)
         try:
-            return base - int(_GEO_TZ_RESOLVER(lat, lon)) * 1000
+            from dronedb_spark.sources.zonedetect import make_timezone_resolver
+
+            _GEO_TZ_RESOLVER = make_timezone_resolver()
+        except Exception:
+            _GEO_TZ_RESOLVER = False  # do not retry every call
+    if _GEO_TZ_RESOLVER and lat is not None and lon is not None:
+        try:
+            res = _GEO_TZ_RESOLVER(lat, lon)
+            if isinstance(res, str):
+                # IANA zone name (the zonedetect resolver,
+                # sources/zonedetect.py): apply the zone's offset AT THE
+                # CAPTURE DATE — DST-correct, like the reference's cctz
+                # conversion (timezone.cpp:55-60)
+                import datetime as _dt
+                from zoneinfo import ZoneInfo
+
+                local_naive = _dt.datetime.fromtimestamp(
+                    base // 1000, _dt.timezone.utc
+                ).replace(tzinfo=None)
+                off = ZoneInfo(res).utcoffset(local_naive)
+                return base - int(off.total_seconds()) * 1000
+            if res is not None:
+                return base - int(res) * 1000  # plain offset seconds
         except Exception:
             pass
     return base  # naive: assume UTC

@@ -53,7 +53,7 @@ _ROUND4_PRIORITY = [
     "stockpile_single", "stream_dedup_twin", "sq8_adc_top10", "lm_doc_perplexity",
     "pack_sequences_chunks", "semdedup_cell_prune", "raster_tile_render",
     "pointcloud_splat_tile", "splat_preview_render", "lm_bigram_interp",
-    "bpe_first_merge",
+    "bpe_first_merge", "geo_timezone_lookup",
     "gsplat_decode_table", "rad_coarse_splats", "render_index_region",
     "capture_time_cascade", "ingest_xmp_pose",
     "geovideo_xmp_ingest", "build_derivatives_real", "thermal_rjpeg_stats", "sensor_profile_presets",
@@ -127,6 +127,7 @@ def load_all() -> dict[str, Check]:
     import dronedb_spark.vectors.semdedup  # noqa: F401  (cluster-prune dedup, new in r4)
     import dronedb_spark.raster.tiler  # noqa: F401  (XYZ raster tile render, new in r4)
     import dronedb_spark.raster.preview  # noqa: F401  (splat thumbnails, new in r4)
+    import dronedb_spark.sources.zonedetect  # noqa: F401  (geo→timezone, new in r4)
     import dronedb_spark.operators.tpch_ext  # noqa: F401  (Q8-Q21, new in r2)
     # --- green rows in CORRECTNESS_r01: register after ------------------
     import dronedb_spark.operators.search  # noqa: F401
