@@ -53,7 +53,7 @@ _ROUND4_PRIORITY = [
     "stockpile_single", "stream_dedup_twin", "sq8_adc_top10", "lm_doc_perplexity",
     "pack_sequences_chunks", "semdedup_cell_prune", "raster_tile_render",
     "pointcloud_splat_tile", "splat_preview_render", "lm_bigram_interp",
-    "bpe_first_merge", "geo_timezone_lookup",
+    "bpe_first_merge", "geo_timezone_lookup", "stream_attribution_twin",
     "gsplat_decode_table", "rad_coarse_splats", "render_index_region",
     "capture_time_cascade", "ingest_xmp_pose",
     "geovideo_xmp_ingest", "build_derivatives_real", "thermal_rjpeg_stats", "sensor_profile_presets",
@@ -114,6 +114,7 @@ def load_all() -> dict[str, Check]:
     import dronedb_spark.operators.parquet_sinks  # noqa: F401  (K3/R13 sinks, new in r4)
     import dronedb_spark.catalog.passwords  # noqa: F401  (W11 verify, new in r4)
     import dronedb_spark.streaming.dedup  # noqa: F401  (stream-dedup batch twin, new in r4)
+    import dronedb_spark.streaming.joins  # noqa: F401  (stream-stream join twin, new in r4)
     import dronedb_spark.vectors.quant  # noqa: F401  (SQ8 ADC search, new in r4)
     import dronedb_spark.sources.gsplat  # noqa: F401  (gaussian-splat decode, new in r4)
     import dronedb_spark.sources.rjpeg  # noqa: F401  (FLIR R-JPEG thermal, new in r4)

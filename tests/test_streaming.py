@@ -131,3 +131,32 @@ def test_stream_static_enrichment_matches_batch(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_stream_stream_attribution_matches_batch(spark, sf_dir, tmp_path):
+    from dronedb_spark.streaming.joins import attribution_batch, stream_attribution
+
+    events = load(spark, sf_dir, "events")
+    src = str(tmp_path / "events_ss")
+    events.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out = stream_attribution(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("attr_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r["view_id"], r["click_id"])
+        for r in spark.sql("SELECT * FROM attr_test").collect()
+    }
+    want = {
+        (r["view_id"], r["click_id"])
+        for r in attribution_batch(events).collect()
+    }
+    assert got == want and len(want) > 0
