@@ -54,15 +54,16 @@ _ROUND4_PRIORITY = [
     "pack_sequences_chunks", "semdedup_cell_prune", "raster_tile_render",
     "pointcloud_splat_tile", "splat_preview_render", "lm_bigram_interp",
     "bpe_first_merge", "geo_timezone_lookup", "stream_attribution_twin",
+    "embedding_covariance",
     "gsplat_decode_table", "rad_coarse_splats", "render_index_region",
     "capture_time_cascade", "ingest_xmp_pose",
     "geovideo_xmp_ingest", "build_derivatives_real", "thermal_rjpeg_stats", "sensor_profile_presets",
-    # refresh band: touched in r4 (asof fix, exif builder layout, bridge
-    # logging, shapefile reader split) — re-gate against regressions
-    "asof_join_events", "ingest_exif_properties", "shapefile_parse_features",
-    "pointcloud_laz_stats", "raster_area_stats", "catalog_search_like",
-    "stockpile_detect", "stac_items_page",
-    "entries_meta_join", "dedup_neardup_pairs", "knn_cosine_top10",
+    # refresh band: touched in r4 (asof fix, exif GPS fallbacks + geo-TZ
+    # cascade, build lock wiring, region-blend NaN guard) — re-gate the
+    # most load-bearing of them against regressions; the rest were green
+    # r1-r3 and cede their slots to the new surface above
+    "asof_join_events", "ingest_exif_properties", "catalog_search_like",
+    "raster_area_stats", "build_derivatives_real",
 ]
 
 
@@ -126,6 +127,7 @@ def load_all() -> dict[str, Check]:
     import dronedb_spark.text.packing  # noqa: F401  (sequence packing, new in r4)
     import dronedb_spark.text.bpe  # noqa: F401  (BPE vocab induction, new in r4)
     import dronedb_spark.vectors.semdedup  # noqa: F401  (cluster-prune dedup, new in r4)
+    import dronedb_spark.vectors.pca  # noqa: F401  (sufficient-statistics PCA, new in r4)
     import dronedb_spark.raster.tiler  # noqa: F401  (XYZ raster tile render, new in r4)
     import dronedb_spark.raster.preview  # noqa: F401  (splat thumbnails, new in r4)
     import dronedb_spark.sources.zonedetect  # noqa: F401  (geo→timezone, new in r4)

@@ -173,3 +173,34 @@ def test_bpe_merge_fold_is_greedy_left(spark):
                                 "syms": ["a", "a", "a", "</w>"]}])
     [row] = apply_merge(t, "a", "a").collect()
     assert row["syms"] == ["aa", "a", "</w>"]  # left-to-right, no re-merge
+
+
+def test_pca_matches_numpy_and_orders_variance(spark, sf_dir):
+    import numpy as np
+
+    from dronedb_spark.tables import load
+    from dronedb_spark.vectors.pca import covariance, pca_components, pca_project
+
+    emb = load(spark, sf_dir, "embeddings")
+    x = np.array([np.asarray(r["embedding"], np.float64)
+                  for r in emb.select("embedding").collect()])
+    cov, mean, n = covariance(emb)
+    assert n == len(x)
+    ref_cov = (x.T @ x) / n - np.outer(x.mean(0), x.mean(0))
+    assert np.allclose(cov, ref_cov, atol=1e-9)
+    comps, mean2 = pca_components(emb, 4)
+    assert comps.shape == (4, x.shape[1])
+    # projections: variance non-increasing across components, and the
+    # distributed projection equals the numpy one
+    proj = pca_project(emb.select("vec_id", "embedding"), comps, mean2)
+    rows = proj.orderBy("vec_id").collect()
+    got = np.array([[r[f"pc{k}"] for k in range(4)] for r in rows])
+    ids = [r["vec_id"] for r in rows]
+    ref = (x[np.argsort(np.argsort(ids))] - mean2) @ comps.T  # rows align by vec_id order
+    xs = np.array([np.asarray(r["embedding"], np.float64) for r in rows])
+    ref = (xs - mean2) @ comps.T
+    assert np.allclose(got, ref, atol=1e-9)
+    var = got.var(axis=0)
+    assert all(var[i] + 1e-12 >= var[i + 1] for i in range(3))
+    # top-4 capture more variance than any other 4 coordinates would
+    assert var.sum() > np.sort(np.diag(cov))[-4:].sum() - 1e-9
