@@ -54,7 +54,7 @@ _ROUND4_PRIORITY = [
     "pack_sequences_chunks", "semdedup_cell_prune", "raster_tile_render",
     "pointcloud_splat_tile", "splat_preview_render", "lm_bigram_interp",
     "bpe_first_merge", "geo_timezone_lookup", "stream_attribution_twin",
-    "embedding_covariance",
+    "embedding_covariance", "quality_feature_gram",
     "gsplat_decode_table", "rad_coarse_splats", "render_index_region",
     "capture_time_cascade", "ingest_xmp_pose",
     "geovideo_xmp_ingest", "build_derivatives_real", "thermal_rjpeg_stats", "sensor_profile_presets",
@@ -126,6 +126,7 @@ def load_all() -> dict[str, Check]:
     import dronedb_spark.text.lm  # noqa: F401  (LM perplexity filter, new in r4)
     import dronedb_spark.text.packing  # noqa: F401  (sequence packing, new in r4)
     import dronedb_spark.text.bpe  # noqa: F401  (BPE vocab induction, new in r4)
+    import dronedb_spark.text.classifier  # noqa: F401  (linear quality filter, new in r4)
     import dronedb_spark.vectors.semdedup  # noqa: F401  (cluster-prune dedup, new in r4)
     import dronedb_spark.vectors.pca  # noqa: F401  (sufficient-statistics PCA, new in r4)
     import dronedb_spark.raster.tiler  # noqa: F401  (XYZ raster tile render, new in r4)

@@ -204,3 +204,31 @@ def test_pca_matches_numpy_and_orders_variance(spark, sf_dir):
     assert all(var[i] + 1e-12 >= var[i + 1] for i in range(3))
     # top-4 capture more variance than any other 4 coordinates would
     assert var.sum() > np.sort(np.diag(cov))[-4:].sum() - 1e-9
+
+
+def test_ridge_classifier_beats_majority_baseline(spark, sf_dir):
+    import numpy as np
+
+    from dronedb_spark.tables import load
+    from dronedb_spark.text.classifier import fit_ridge, score
+
+    docs = load(spark, sf_dir, "documents")
+    label = F.col("lang") == "en"
+    w = fit_ridge(docs, label)
+    assert w.shape == (5,)
+    scored = score(docs, w).select("quality_score", label.alias("y")).collect()
+    ys = np.array([r["y"] for r in scored])
+    ss = np.array([r["quality_score"] for r in scored])
+    acc = ((ss > 0.5) == ys).mean()
+    majority = max(ys.mean(), 1 - ys.mean())
+    assert acc >= majority  # the fitted filter is at least as good
+    # gram solve matches a driver-side least-squares on the same features
+    from dronedb_spark.text.classifier import feature_cols
+
+    fx = load(spark, sf_dir, "documents").select(
+        *[c.alias(n) for n, c in feature_cols()], label.cast("double").alias("y")
+    ).collect()
+    X = np.array([[r[n] for n, _ in feature_cols()] for r in fx])
+    y = np.array([r["y"] for r in fx])
+    ref = np.linalg.solve(X.T @ X + 1e-3 * np.eye(5), X.T @ y)
+    assert np.allclose(w, ref, atol=1e-8)
