@@ -302,13 +302,21 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is identical.
 
 
-def neardup_clusters(docs: DataFrame, max_rounds: int = 6) -> DataFrame:
-    """(doc_id, cluster_id): connected components of the near-dup pair
-    graph; cluster_id = min doc_id in the component."""
-    edges = neardup_pairs(docs)
+def connected_components(edges: DataFrame, a: str = "doc_a", b: str = "doc_b",
+                         max_rounds: int = 64) -> DataFrame:
+    """(node, label): min-id connected components with POINTER DOUBLING.
+
+    Plain min-label propagation needs O(diameter) rounds — a chain of
+    gradually-mutated near-duplicates D hops long was silently left
+    UNCONVERGED by the old 6-round cap (wrong labels, no error).  Each
+    round here does (1) the neighbor-min step and (2) a shortcut step
+    ``label ← label(label)`` — the parallel pointer-jumping trick — so
+    convergence is O(log n) rounds regardless of chain shape; the loop
+    runs to an exact fixpoint (``max_rounds`` = 64 is a 2⁶⁴-node
+    backstop, not a tuning knob)."""
     sym = edges.select(
-        F.col("doc_a").alias("node"), F.col("doc_b").alias("peer")
-    ).unionByName(edges.select(F.col("doc_b").alias("node"), F.col("doc_a").alias("peer")))
+        F.col(a).alias("node"), F.col(b).alias("peer")
+    ).unionByName(edges.select(F.col(b).alias("node"), F.col(a).alias("peer")))
     sym = sym.localCheckpoint(eager=True)
     labels = sym.select("node").distinct().withColumn("label", F.col("node"))
     for _ in range(max_rounds):
@@ -316,21 +324,38 @@ def neardup_clusters(docs: DataFrame, max_rounds: int = 6) -> DataFrame:
             labels.select(F.col("node").alias("peer"), F.col("label").alias("peer_label")),
             "peer",
         ).select("node", F.col("peer_label").alias("label"))
-        new_labels = (
+        l1 = (
             labels.select("node", "label")
             .unionByName(peer_labels)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
+        )
+        # pointer doubling: follow the label's own label (labels are
+        # node ids, so the mapping join always hits)
+        hop = l1.select(F.col("node").alias("label"), F.col("label").alias("ll"))
+        l2 = (
+            l1.join(hop, "label", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("ll"), F.col("label"))).alias("label"),
+            )
             .localCheckpoint(eager=True)
         )
         changed = (
-            new_labels.join(labels.withColumnRenamed("label", "old"), "node")
+            l2.join(labels.withColumnRenamed("label", "old"), "node")
             .filter(F.col("label") != F.col("old"))
             .count()
         )
-        labels = new_labels
+        labels = l2
         if changed == 0:
             break
+    return labels
+
+
+def neardup_clusters(docs: DataFrame, max_rounds: int = 64) -> DataFrame:
+    """(doc_id, cluster_id): connected components of the near-dup pair
+    graph; cluster_id = min doc_id in the component."""
+    labels = connected_components(neardup_pairs(docs), max_rounds=max_rounds)
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

@@ -232,3 +232,24 @@ def test_ridge_classifier_beats_majority_baseline(spark, sf_dir):
     y = np.array([r["y"] for r in fx])
     ref = np.linalg.solve(X.T @ X + 1e-3 * np.eye(5), X.T @ y)
     assert np.allclose(w, ref, atol=1e-8)
+
+
+def test_connected_components_long_chain_converges(spark):
+    from dronedb_spark.text.dedup import connected_components
+
+    # 40-node path: O(diameter) propagation would need 40 rounds; the
+    # pointer-doubled loop must reach the exact fixpoint (all label 0)
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "doc_a long, doc_b long"
+    )
+    labels = connected_components(edges).collect()
+    assert len(labels) == 41
+    assert all(r["label"] == 0 for r in labels)
+    # two disjoint chains keep separate min labels
+    edges2 = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)] + [(100 + i, 101 + i) for i in range(10)],
+        "doc_a long, doc_b long",
+    )
+    got = {r["node"]: r["label"] for r in connected_components(edges2).collect()}
+    assert all(got[n] == 0 for n in range(11))
+    assert all(got[n] == 100 for n in range(100, 111))
