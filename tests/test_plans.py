@@ -402,3 +402,54 @@ def test_features_sink_reread_prunes_partitions(spark, tmp_path_factory):
 
     plan = formatted(q)
     assert "PartitionFilters" in plan and "layer" in plan.split("PartitionFilters")[1][:120]
+
+
+def test_packing_prefix_sum_is_two_phase(spark):
+    """The sequence-packing scan must never sort the corpus through a
+    single-partition window; only the P-row partition-totals window may
+    be unpartitioned."""
+    from dronedb_spark.tables import load
+    from dronedb_spark.text.packing import doc_spans
+
+    q = doc_spans(load(spark, "/root/testdata/sf0.001", "documents"))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # the data-sized running sum is partitioned by _pid
+    assert "partitionBy" not in plan  # formatting guard (never appears)
+    windows = [seg for seg in plan.split("Window ")[1:]]
+    datasized = [w for w in windows if "doc_id" in w.split("\n")[0]]
+    assert datasized, "expected the intra-partition window over doc_id"
+    assert all("_pid" in w.split("\n")[0] for w in datasized)
+    assert not has_cartesian(q)
+
+
+def test_lm_score_head_is_broadcast(spark):
+    from dronedb_spark.suite import load_all
+
+    reg = load_all()
+    q = reg["lm_doc_perplexity"].spark_fn(spark, "/root/testdata/sf0.001")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # the hot head never shuffles
+    # the 1-row corpus-totals broadcast cross join is deliberate; only a
+    # data-sized cartesian is forbidden
+    assert "CartesianProduct" not in plan
+
+
+def test_pca_moments_single_reduce(spark):
+    from dronedb_spark.suite import load_all
+
+    reg = load_all()
+    q = reg["embedding_covariance"].spark_fn(spark, "/root/testdata/sf0.001")
+    assert has_partial_aggregation(q)
+    # broadcast joins of the d-row sums / 1-row count are deliberate
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_tile_render_grid_broadcast(spark):
+    from dronedb_spark.suite import load_all
+
+    reg = load_all()
+    q = reg["raster_tile_render"].spark_fn(spark, "/root/testdata/sf0.001")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert not has_cartesian(q)
