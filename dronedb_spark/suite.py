@@ -33,8 +33,10 @@ def check(name: str, oracle: str | None = None):
 # Checks with no green driver CORRECTNESS row in rounds 1–3, ordered
 # first so the driver's ~50-check budget gates them this round: the two
 # r3 rows-only checks repaired with real oracles, everything NEW in
-# round 4, then a refresh band of checks whose code changed in r4 (so a
-# regression would surface at the driver, not just in pytest).
+# round 4 (codecs/containers, vector formats, catalog workflow, the
+# training-pipeline operators, render surfaces, geo-timezone), then a
+# short refresh band of r4-touched checks (a regression would surface
+# at the driver, not just in pytest).
 _ROUND4_PRIORITY = [
     # r3 red rows, repaired (real oracles since c16297d)
     "image_footprints", "media_features",
