@@ -308,3 +308,54 @@ def build_all(catalog, force: bool = False) -> dict[str, int]:
         if r["status"] in ("built", "pending_decoder"):
             counts[r["kind"]] = counts.get(r["kind"], 0) + 1
     return counts
+
+
+def cleanup(catalog) -> dict[str, int]:
+    """`ddb cleanup` (apps/cmd/cleanup.cpp): drop index entries whose
+    files no longer exist and delete ORPHANED build artifacts — hash
+    directories under the build tree whose content hash no longer
+    appears in the index (the file was removed or its content changed,
+    so the derivative can never be served again).
+
+    Relational shape: the vanished-entry drop reuses sync's left-semi
+    against the listing scan; orphan detection is an anti-join of the
+    on-disk artifact hash set (one name per directory — thousands, not
+    data) against the index's distinct hashes.  Only orphan NAMES reach
+    the driver; deletion is local fs work per orphan."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from dronedb_spark.sources.fs import list_files_df, scan_paths
+
+    spark, root = catalog.spark, catalog.root
+    # 1. entries whose file vanished (sync's delete branch, alone)
+    cur = catalog.entries()
+    from dronedb_spark.catalog.store import _PATH_SCHEMA
+
+    fs_paths = list_files_df(spark, root).select("path").unionByName(
+        spark.createDataFrame(
+            [(p,) for p, is_dir in scan_paths(root) if is_dir], schema=_PATH_SCHEMA
+        )
+    )
+    kept = cur.join(fs_paths, "path", "left_semi").localCheckpoint(eager=True)
+    removed_entries = cur.count() - kept.count()
+    catalog._entries.write(kept)
+
+    # 2. orphaned artifacts: on-disk hash dirs minus live hashes
+    build_root = os.path.join(root, ".ddb_spark", "build")
+    on_disk = []
+    if os.path.isdir(build_root):
+        on_disk = [h for h in os.listdir(build_root)
+                   if os.path.isdir(os.path.join(build_root, h))]
+    live = {
+        r["hash"]
+        for r in kept.select("hash").filter(F.col("hash") != "").distinct().collect()
+    }
+    removed_artifacts = 0
+    for h in on_disk:
+        if h not in live:
+            shutil.rmtree(os.path.join(build_root, h), ignore_errors=True)
+            removed_artifacts += 1
+    return {"removed_entries": removed_entries,
+            "removed_artifacts": removed_artifacts}

@@ -99,3 +99,30 @@ def test_build_one_relocks_and_shortcircuits(tmp_path):
     assert build_one(str(tmp_path), "a.splat", "h1", "gsplat", data) == "built"
     # complete artifact → the locked re-check short-circuits
     assert build_one(str(tmp_path), "a.splat", "h1", "gsplat", data) == "already_built"
+
+
+def test_cleanup_drops_vanished_entries_and_orphan_artifacts(spark, tmp_path):
+    import os
+
+    from dronedb_spark.catalog.build import build_all, cleanup
+    from dronedb_spark.catalog.store import DatasetCatalog
+    from dronedb_spark.sources.gsplat import _gs_spec, encode_splat_binary
+
+    (tmp_path / "a.splat").write_bytes(encode_splat_binary([_gs_spec(i) for i in range(4)]))
+    (tmp_path / "b.splat").write_bytes(encode_splat_binary([_gs_spec(i) for i in range(9)]))
+    cat = DatasetCatalog.init(spark, str(tmp_path))
+    cat.add()
+    assert build_all(cat) == {"gsplat": 2}
+    build_root = tmp_path / ".ddb_spark" / "build"
+    assert len(os.listdir(build_root)) == 2
+
+    # nothing to clean yet
+    assert cleanup(cat) == {"removed_entries": 0, "removed_artifacts": 0}
+
+    # delete one file → its entry AND its artifact are swept
+    os.remove(tmp_path / "b.splat")
+    out = cleanup(cat)
+    assert out == {"removed_entries": 1, "removed_artifacts": 1}
+    assert len(os.listdir(build_root)) == 1
+    paths = {r["path"] for r in cat.entries().collect()}
+    assert "b.splat" not in paths and "a.splat" in paths
