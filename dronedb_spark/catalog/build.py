@@ -44,20 +44,49 @@ def _is_complete(root: str, hash_: str, kind: str) -> bool:
     return os.path.exists(os.path.join(_artifact_dir(root, hash_, kind), "_SUCCESS"))
 
 
-def pending_builds(catalog) -> list[tuple[str, str, str]]:
-    """(path, hash, kind) for entries whose artifact is missing/incomplete."""
-    rows = (
+def _candidates_df(catalog):
+    """Every buildable entry as (path, hash, kind) — stays a DataFrame."""
+    kind_map = F.create_map(
+        *[lit for k, v in BUILD_KINDS.items() for lit in (F.lit(k), F.lit(v))]
+    )
+    return (
         catalog.entries()
         .filter(F.col("type").isin(list(BUILD_KINDS)))
-        .select("path", "hash", "type")
-        .collect()
+        .select("path", "hash", kind_map[F.col("type")].alias("kind"))
     )
-    out = []
-    for r in rows:
-        kind = BUILD_KINDS[r["type"]]
-        if not _is_complete(catalog.root, r["hash"], kind):
-            out.append((r["path"], r["hash"], kind))
-    return out
+
+
+def pending_builds_df(catalog):
+    """Entries whose artifact is missing/incomplete, as a DataFrame.
+
+    The completeness probe (a ``_SUCCESS`` stat per candidate,
+    build.cpp:161's isBuildComplete) is per-file filesystem work, so it
+    runs on the executors that own each candidate row — for a 10M-entry
+    catalog no candidate list ever materializes on the driver; only the
+    genuinely-pending rows flow downstream."""
+    import pandas as pd  # noqa: F401  (mapInPandas batches)
+
+    root = catalog.root
+
+    def probe(it):
+        for pdf in it:
+            mask = [
+                not _is_complete(root, h, k)
+                for h, k in zip(pdf["hash"], pdf["kind"])
+            ]
+            yield pdf[mask]
+
+    return _candidates_df(catalog).mapInPandas(
+        probe, schema="path string, hash string, kind string"
+    )
+
+
+def pending_builds(catalog) -> list[tuple[str, str, str]]:
+    """(path, hash, kind) for entries whose artifact is missing/incomplete.
+    Collect is bounded by the actual pending work, not the catalog size."""
+    return [
+        (r["path"], r["hash"], r["kind"]) for r in pending_builds_df(catalog).collect()
+    ]
 
 
 ARTIFACT_FILES = {
@@ -278,16 +307,8 @@ def build_all(catalog, force: bool = False) -> dict[str, int]:
     from dronedb_spark.sources.bridge import scan_binaries
 
     spark = catalog.spark
-    todo = (
-        [(r["path"], r["hash"], BUILD_KINDS[r["type"]]) for r in catalog.entries()
-         .filter(F.col("type").isin(list(BUILD_KINDS))).select("path", "hash", "type").collect()]
-        if force
-        else pending_builds(catalog)
-    )
-    if not todo:
-        return {}
     root = catalog.root
-    todo_df = spark.createDataFrame(todo, "path string, hash string, kind string")
+    todo_df = _candidates_df(catalog) if force else pending_builds_df(catalog)
     files = scan_binaries(spark, root, "*").withColumnRenamed("file_name", "path")
 
     def run(it):
@@ -318,10 +339,11 @@ def cleanup(catalog) -> dict[str, int]:
     so the derivative can never be served again).
 
     Relational shape: the vanished-entry drop reuses sync's left-semi
-    against the listing scan; orphan detection is an anti-join of the
-    on-disk artifact hash set (one name per directory — thousands, not
-    data) against the index's distinct hashes.  Only orphan NAMES reach
-    the driver; deletion is local fs work per orphan."""
+    against the listing scan; orphan detection broadcasts the on-disk
+    artifact name set (one name per directory — thousands, not data)
+    into a left-semi over the index hashes.  Only artifact-count-bounded
+    name sets ever reach the driver — never the index's hash column;
+    deletion is local fs work per orphan."""
     import shutil
 
     from pyspark.sql import functions as F
@@ -342,20 +364,30 @@ def cleanup(catalog) -> dict[str, int]:
     removed_entries = cur.count() - kept.count()
     catalog._entries.write(kept)
 
-    # 2. orphaned artifacts: on-disk hash dirs minus live hashes
+    # 2. orphaned artifacts: on-disk hash dirs minus live hashes.  The
+    # disk-name set (one name per artifact dir — thousands) broadcasts
+    # into a left-semi over the index hashes, so the collect is bounded
+    # by the artifact count, never the catalog: live∩disk comes back,
+    # orphans = on_disk − that set.
     build_root = os.path.join(root, ".ddb_spark", "build")
     on_disk = []
     if os.path.isdir(build_root):
         on_disk = [h for h in os.listdir(build_root)
                    if os.path.isdir(os.path.join(build_root, h))]
-    live = {
-        r["hash"]
-        for r in kept.select("hash").filter(F.col("hash") != "").distinct().collect()
-    }
     removed_artifacts = 0
-    for h in on_disk:
-        if h not in live:
-            shutil.rmtree(os.path.join(build_root, h), ignore_errors=True)
-            removed_artifacts += 1
+    if on_disk:
+        disk_df = spark.createDataFrame([(h,) for h in on_disk], "hash string")
+        present = {
+            r["hash"]
+            for r in kept.select("hash")
+            .filter(F.col("hash") != "")
+            .join(F.broadcast(disk_df), "hash", "left_semi")
+            .distinct()
+            .collect()
+        }
+        for h in on_disk:
+            if h not in present:
+                shutil.rmtree(os.path.join(build_root, h), ignore_errors=True)
+                removed_artifacts += 1
     return {"removed_entries": removed_entries,
             "removed_artifacts": removed_artifacts}

@@ -84,13 +84,23 @@ def zonal_volume(pixels: DataFrame, r0: int, r1: int, c0: int, c1: int, px_area:
 
 
 def elevation_profile(spark: SparkSession, pixels: DataFrame, n_samples: int = 64) -> DataFrame:
-    """A15/R4: nearest-pixel samples along the (10,10)→(120,120) segment."""
+    """A15/R4: nearest-pixel samples along the (10,10)→(120,120) segment.
+
+    Plan: Spark cannot build-left for a left-outer join, so a broadcast
+    hint on the samples side of ``samples LEFT JOIN pixels`` is IGNORED
+    and the whole pixel table would shuffle on (row,col) to answer a
+    ≤4096-row profile.  Instead: left-semi filter the pixels under a
+    broadcast of the sample grid (build-right, shuffle-free — the pixel
+    table streams through untouched), then left-outer join the ≤n_samples
+    hit rows back, broadcast (build-right is supported for left-outer).
+    Zero exchanges on the pixel side at any scale."""
     samples = spark.range(n_samples).select(
         F.col("id").cast("int").alias("i"),
         F.floor(10.0 + 110.0 * F.col("id") / (n_samples - 1) + 0.5).cast("int").alias("row"),
         F.floor(10.0 + 110.0 * F.col("id") / (n_samples - 1) + 0.5).cast("int").alias("col"),
     )
-    j = F.broadcast(samples).join(pixels, ["row", "col"], "left")
+    hits = pixels.join(F.broadcast(samples.select("row", "col")), ["row", "col"], "left_semi")
+    j = samples.join(F.broadcast(hits), ["row", "col"], "left")
     return j.select(
         "i",
         "row",
@@ -404,8 +414,37 @@ def _profile_distance_sql(dialect: str) -> str:
     (gt = [100000, 0.5, 0, 5000000, 0, -0.5] meters ≈ converted here to a
     small degree-scale transform so haversine operates in its domain).
     Trig matches cross-engine at ROUND 6 (same discipline as the
-    standalone haversine check)."""
+    standalone haversine check).
+
+    Spark-dialect plan uses the same left-semi-then-broadcast shape as
+    ``elevation_profile`` (a hinted build-left left-outer is ignored by
+    the planner); the DuckDB oracle keeps the plain LEFT JOIN — results
+    are identical."""
     n = 64
+    samples_src = (
+        f"range(0, {n}) AS t(i)" if dialect == "spark"
+        else f"(SELECT range AS i FROM range({n}))"
+    )
+    hint = "/*+ BROADCAST(p) */ " if dialect == "spark" else ""
+    select_body = f"""SELECT {hint}s.i, s.row, s.col,
+           CASE WHEN p.value = -9999.0 THEN NULL ELSE p.value END AS elev,
+           ROUND(2 * 6378137.0 * asin(sqrt(
+               sin(radians(s.lat - 46.0) / 2) * sin(radians(s.lat - 46.0) / 2)
+               + cos(radians(46.0)) * cos(radians(s.lat))
+                 * sin(radians(s.lon - 8.0) / 2) * sin(radians(s.lon - 8.0) / 2))), 2) AS dist_m"""
+    if dialect == "spark":
+        join_tail = f"""
+    , hits AS (
+        SELECT /*+ BROADCAST(s) */ p.row, p.col, p.value
+        FROM px p LEFT SEMI JOIN samples s ON p.row = s.row AND p.col = s.col)
+    {select_body}
+    FROM samples s LEFT JOIN hits p ON s.row = p.row AND s.col = p.col
+    ORDER BY s.i"""
+    else:
+        join_tail = f"""
+    {select_body}
+    FROM samples s LEFT JOIN px p ON s.row = p.row AND s.col = p.col
+    ORDER BY s.i"""
     return f"""
     WITH px AS ({dem_sql(dialect)}),
     samples AS (
@@ -414,16 +453,8 @@ def _profile_distance_sql(dialect: str) -> str:
                CAST(floor(10.0 + 110.0 * i / {n - 1} + 0.5) AS INT) AS col,
                8.0 + (CAST(i AS DOUBLE) / {n - 1}) * 0.01 AS lon,
                46.0 - (CAST(i AS DOUBLE) / {n - 1}) * 0.01 AS lat
-        FROM {"range(0, " + str(n) + ") AS t(i)" if dialect == "spark" else "(SELECT range AS i FROM range(" + str(n) + "))"}
-    )
-    SELECT s.i, s.row, s.col,
-           CASE WHEN p.value = -9999.0 THEN NULL ELSE p.value END AS elev,
-           ROUND(2 * 6378137.0 * asin(sqrt(
-               sin(radians(s.lat - 46.0) / 2) * sin(radians(s.lat - 46.0) / 2)
-               + cos(radians(46.0)) * cos(radians(s.lat))
-                 * sin(radians(s.lon - 8.0) / 2) * sin(radians(s.lon - 8.0) / 2))), 2) AS dist_m
-    FROM samples s LEFT JOIN px p ON s.row = p.row AND s.col = p.col
-    ORDER BY s.i"""
+        FROM {samples_src}
+    ){join_tail}"""
 
 
 @check("elevation_profile_dist", oracle=_profile_distance_sql("duckdb"))

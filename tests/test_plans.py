@@ -453,3 +453,21 @@ def test_tile_render_grid_broadcast(spark):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert not has_cartesian(q)
+
+
+def test_elevation_profile_never_shuffles_pixels(spark):
+    """r4 verdict #1: a broadcast hint on the LEFT of a left-outer join is
+    ignored (no build-left), so the old plan shuffled the whole pixel
+    table on (row,col) for a ≤4096-row profile.  The left-semi-then-
+    broadcast shape must keep the pixel side exchange-free — both the
+    DataFrame and the SQL variant."""
+    from dronedb_spark.suite import load_all
+
+    reg = load_all()
+    for name in ("elevation_profile", "elevation_profile_dist"):
+        q = reg[name].spark_fn(spark, "/root/testdata/sf0.001")
+        plan = physical_plan(q)
+        assert "SortMergeJoin" not in plan, name
+        assert "Exchange hashpartitioning" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
+        assert not has_cartesian(q), name
