@@ -1,0 +1,502 @@
+"""External golden-vector tests for the self-round-trip codec family.
+
+Every codec here was previously validated encoder-against-own-decoder; a
+shared wire-format deviation would pass that and fail on the first real
+file.  These tests pin the decoders against bytes our encoders NEVER
+produced:
+
+* a real libjpeg-written baseline JPEG (IPython's 2x2.jpg test fixture,
+  BSD; the expected pixels are hand-derived from the T.81 spec below),
+* real libpng-written PNGs (jQuery UI theme images shipped inside the
+  Hadoop client jar, MIT; ground-truth color and size are encoded in the
+  upstream filenames: ``ui-bg_flat_0_aaaaaa_40x100.png``),
+* the TIFF 6.0 §13 LZW worked example (spec-published code stream),
+* the ITU T.81 Annex K Huffman tables (spec-published canonical codes),
+* hand-assembled LAS 1.2 / 1.4 files laid out field-by-field from the
+  ASPRS spec (never through ``encode_las``).
+
+If any of these fail after a codec refactor, the WIRE FORMAT drifted —
+fix the codec, not the test.
+"""
+
+from __future__ import annotations
+
+import base64
+import struct
+
+import numpy as np
+import pytest
+
+# --------------------------------------------------------------------------
+# Real libjpeg output: IPython/core/tests/2x2.jpg (331 bytes, BSD-licensed
+# test data).  Baseline, grayscale, 2x2, single DC-only MCU.
+_REAL_JPEG = base64.b64decode(
+    "/9j/4AAQSkZJRgABAQAAAQABAAD/2wBDAAgGBgcGBQgHBwcJCQgKDBQNDAsLDBkSEw8UHRofHh0a"
+    "HBwgJC4nICIsIxwcKDcpLDAxNDQ0Hyc5PTgyPC4zNDL/wAALCAACAAIBAREA/8QAHwAAAQUBAQEB"
+    "AQEAAAAAAAAAAAECAwQFBgcICQoL/8QAtRAAAgEDAwIEAwUFBAQAAAF9AQIDAAQRBRIhMUEGE1Fh"
+    "ByJxFDKBkaEII0KxwRVS0fAkM2JyggkKFhcYGRolJicoKSo0NTY3ODk6Q0RFRkdISUpTVFVWV1hZ"
+    "WmNkZWZnaGlqc3R1dnd4eXqDhIWGh4iJipKTlJWWl5iZmqKjpKWmp6ipqrKztLW2t7i5usLDxMXG"
+    "x8jJytLT1NXW19jZ2uHi4+Tl5ufo6erx8vP09fb3+Pn6/9oACAEBAAA/ACv/2Q=="
+)
+
+# Real libpng output: jQuery UI 1.9.1 base theme (MIT), extracted from
+# pyspark's hadoop-client-api jar.  8-bit RGBA; the theme generator bakes
+# the flat color into every pixel and the name carries the ground truth.
+_REAL_PNG_AAAAAA = base64.b64decode(
+    "iVBORw0KGgoAAAANSUhEUgAAACgAAABkCAYAAAD0ZHJ6AAAAe0lEQVRoge3OMQHAIBAAMcC/kjdZ"
+    "JHTI0A4XBdkz86wfO18H3hRUBVVBVVAVVAVVQVVQFVQFVUFVUBVUBVVBVVAVVAVVQVVQFVQFVUFV"
+    "UBVUBVVBVVAVVAVVQVVQFVQFVUFVUBVUBVVBVVAVVAVVQVVQFVQFVUFVUBVUF8O8A8WdY6opAAAA"
+    "AElFTkSuQmCC"
+)
+_REAL_PNG_FFFFFF = base64.b64decode(
+    "iVBORw0KGgoAAAANSUhEUgAAACgAAABkCAYAAAD0ZHJ6AAAAeUlEQVRoge3OMQHAIBAAsVL/nh8J"
+    "DDfAkCjImpn5HvbfDpwIVoKVYCVYCVaClWAlWAlWgpVgJVgJVoKVYCVYCVaClWAlWAlWgpVgJVgJ"
+    "VoKVYCVYCVaClWAlWAlWgpVgJVgJVoKVYCVYCVaClWAlWAlWgpVgJVgJVhtqiwTEKTLXTgAAAABJ"
+    "RU5ErkJggg=="
+)
+
+
+def test_jpeg_decodes_real_libjpeg_stream():
+    """Hand-derivation of the expected pixels (T.81, no encoder involved):
+    the scan's entropy data is the single byte 0x2B = ``00101011``.  DC
+    luminance (Annex K Table K.3): ``00`` → category 0 → DIFF 0 → DC 0.
+    AC luminance (Table K.5): ``1010`` → EOB.  Remaining ``11`` is 1-fill
+    padding.  All 64 coefficients are zero, so the IDCT block is flat 0
+    and the level shift (+128) gives every sample exactly 128."""
+    from dronedb_spark.sources.jpeg import decode_jpeg, jpeg_info
+
+    h, w, ncomp = jpeg_info(_REAL_JPEG)
+    assert (h, w, ncomp) == (2, 2, 1)
+    arr = np.asarray(decode_jpeg(_REAL_JPEG))
+    assert arr.shape == (2, 2)
+    assert arr.dtype == np.uint8
+    assert np.all(arr == 128)
+
+
+def _parse_dht(data: bytes) -> dict[tuple[int, int], tuple[list[int], list[int]]]:
+    """Independent, struct-level walk of the JPEG's DHT segments →
+    {(class, id): (BITS[1..16], HUFFVAL)}.  Deliberately not the
+    production parser."""
+    tables = {}
+    pos = 2
+    while pos < len(data):
+        assert data[pos] == 0xFF
+        marker = data[pos + 1]
+        if marker in (0xD8, 0xD9):
+            pos += 2
+            continue
+        seg_len = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
+        if marker == 0xC4:
+            p, end = pos + 4, pos + 2 + seg_len
+            while p < end:
+                tc_th = data[p]
+                bits = list(data[p + 1 : p + 17])
+                nvals = sum(bits)
+                vals = list(data[p + 17 : p + 17 + nvals])
+                tables[(tc_th >> 4, tc_th & 0x0F)] = (bits, vals)
+                p += 17 + nvals
+        if marker == 0xDA:
+            break
+        pos += 2 + seg_len
+    return tables
+
+
+def test_real_jpeg_ships_annex_k_tables():
+    """libjpeg writes the T.81 Annex K example tables verbatim — the DC
+    luminance BITS/HUFFVAL in the real stream must equal the published
+    Table K.3 definition (so decoding this file genuinely exercises the
+    spec tables)."""
+    tables = _parse_dht(_REAL_JPEG)
+    bits_dc, vals_dc = tables[(0, 0)]
+    assert bits_dc == [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+    assert vals_dc == list(range(12))
+    bits_ac, vals_ac = tables[(1, 0)]
+    assert sum(bits_ac) == 162  # Annex K AC luminance has 162 symbols
+    assert bits_ac == [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+    assert vals_ac[:8] == [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12]
+
+
+def test_annex_k_canonical_code_assignment():
+    """T.81 Tables K.3/K.5 publish the canonical code for each symbol;
+    our table builder must reproduce them exactly (a +1/shift slip in
+    canonical code generation decodes garbage on every real file)."""
+    from dronedb_spark.sources.jpeg import _huff_canonical
+
+    tables = _parse_dht(_REAL_JPEG)
+
+    def build(tc_th):
+        bits, vals = tables[tc_th]
+        return _huff_canonical([0] + bits, vals)  # production indexes 1..16
+
+    dc = {v: (ln, code) for (ln, code), v in build((0, 0)).items()}
+    # Table K.3: category → (length, code)
+    expected_dc = {
+        0: (2, 0b00), 1: (3, 0b010), 2: (3, 0b011), 3: (3, 0b100),
+        4: (3, 0b101), 5: (3, 0b110), 6: (4, 0b1110), 7: (5, 0b11110),
+        8: (6, 0b111110), 9: (7, 0b1111110), 10: (8, 0b11111110),
+        11: (9, 0b111111110),
+    }
+    assert dc == expected_dc
+    ac = {v: (ln, code) for (ln, code), v in build((1, 0)).items()}
+    # Table K.5 spot checks: EOB, first AC categories, ZRL
+    assert ac[0x00] == (4, 0b1010)          # EOB
+    assert ac[0x01] == (2, 0b00)
+    assert ac[0x02] == (2, 0b01)
+    assert ac[0x03] == (3, 0b100)
+    assert ac[0x04] == (4, 0b1011)
+    assert ac[0x11] == (4, 0b1100)
+    assert ac[0xF0] == (11, 0b11111111001)  # ZRL
+
+
+def test_png_decodes_real_libpng_streams():
+    from dronedb_spark.sources.png import decode_png, png_info
+
+    for blob, rgb in ((_REAL_PNG_AAAAAA, 0xAA), (_REAL_PNG_FFFFFF, 0xFF)):
+        w, h, c = png_info(blob)
+        assert (w, h, c) == (40, 100, 4)
+        arr = np.asarray(decode_png(blob))
+        assert arr.shape == (100, 40, 4)
+        assert np.all(arr[..., 0] == rgb)
+        assert np.all(arr[..., 1] == rgb)
+        assert np.all(arr[..., 2] == rgb)
+        # flat theme images are fully opaque
+        assert np.all(arr[..., 3] == 255)
+
+
+# --------------------------------------------------------------------------
+# TIFF 6.0 §13 LZW worked example: input 7,7,7,8,8,7,7,6,6 encodes as the
+# code stream [ClearCode, 7, 258, 8, 8, 258, 6, 6, EOI] — 9-bit MSB-first
+# codes packed to bytes (hand-packed, published in the spec):
+_LZW_SPEC_INPUT = bytes([7, 7, 7, 8, 8, 7, 7, 6, 6])
+_LZW_SPEC_STREAM = bytes.fromhex("8001e0408044080c068080")
+
+
+def test_tiff_lzw_spec_example_decode():
+    from dronedb_spark.sources.tiff import _lzw_decode
+
+    assert _lzw_decode(_LZW_SPEC_STREAM) == _LZW_SPEC_INPUT
+
+
+def test_tiff_lzw_spec_example_encode():
+    """The spec publishes the exact code sequence for this input, so the
+    encoder is pinned to it byte-for-byte as well."""
+    from dronedb_spark.sources.tiff import _lzw_encode
+
+    assert _lzw_encode(_LZW_SPEC_INPUT) == _LZW_SPEC_STREAM
+
+
+def _lzw_decode_independent(data: bytes) -> bytes:
+    """Second, independently-written TIFF-LZW decoder, straight from the
+    §13 pseudocode (dict-of-tuples, bit cursor arithmetic) — structured
+    nothing like the production one.  Exists purely to cross-check the
+    EARLY-CHANGE code-width boundaries (511/1023/2047) that the tiny
+    spec example cannot reach."""
+    CLEAR, EOI = 256, 257
+    nbits = len(data) * 8
+
+    pos = 0
+    width = 9
+    table: dict[int, tuple[int, ...]] = {}
+    next_code = 258
+    out: list[int] = []
+    prev: tuple[int, ...] | None = None
+
+    def read_code() -> int:
+        nonlocal pos
+        if pos + width > nbits:
+            return EOI
+        v = 0
+        for _ in range(width):
+            v = (v << 1) | ((data[pos // 8] >> (7 - pos % 8)) & 1)
+            pos += 1
+        return v
+
+    while True:
+        code = read_code()
+        if code == EOI:
+            break
+        if code == CLEAR:
+            table = {i: (i,) for i in range(256)}
+            next_code = 258
+            width = 9
+            prev = None
+            continue
+        if prev is None:
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+            table[next_code] = prev + (entry[0],)
+            next_code += 1
+        else:  # KwKwK case
+            entry = prev + (prev[0],)
+            table[next_code] = entry
+            next_code += 1
+        out.extend(entry)
+        prev = entry
+        # TIFF early change, decoder side: the decoder's table lags the
+        # encoder's by one entry (the encoder adds BEFORE emitting the
+        # next code, the decoder adds AFTER reading it), so it widens at
+        # 2^w - 2 — one entry sooner than the encoder's 2^w - 1
+        if next_code == (1 << width) - 2 and width < 12:
+            width += 1
+    return bytes(out)
+
+
+def test_tiff_lzw_early_change_cross_impl():
+    """Drive >258 table entries so the 9→10 (and 10→11) bit switches
+    happen mid-stream, and require production decode == independent
+    decode == original on data our encoder compressed.  A shared
+    early-change off-by-one between the production encoder/decoder pair
+    would desynchronize the independent decoder immediately."""
+    from dronedb_spark.sources.tiff import _lzw_decode, _lzw_encode
+
+    rng = np.random.RandomState(42)
+    cases = [
+        bytes(rng.randint(0, 256, 5000, dtype=np.uint8).tobytes()),
+        bytes(rng.randint(0, 4, 8000, dtype=np.uint8).tobytes()),  # repetitive
+        bytes(range(256)) * 12,
+        b"\x00" * 4000,
+    ]
+    for raw in cases:
+        enc = _lzw_encode(raw)
+        assert _lzw_decode(enc) == raw
+        assert _lzw_decode_independent(enc) == raw
+
+
+def test_tiff_lzw_spec_stream_independent_decoder_agrees():
+    assert _lzw_decode_independent(_LZW_SPEC_STREAM) == _LZW_SPEC_INPUT
+
+
+# --------------------------------------------------------------------------
+# LAS: files assembled field-by-field from the ASPRS spec tables (LAS 1.2
+# §"Public Header Block" / LAS 1.4 R15), never via encode_las.
+
+
+def _las12_fixture() -> bytes:
+    """LAS 1.2, PDRF 1 (28-byte records), two points, header laid out at
+    the spec's published byte offsets."""
+    hdr = bytearray(227)
+    hdr[0:4] = b"LASF"
+    struct.pack_into("<H", hdr, 4, 0)        # file source id
+    struct.pack_into("<H", hdr, 6, 0)        # global encoding
+    hdr[24], hdr[25] = 1, 2                  # version 1.2
+    hdr[26:26 + 10] = b"golden-las"          # system identifier
+    hdr[58:58 + 9] = b"spec-hand"            # generating software
+    struct.pack_into("<HH", hdr, 90, 200, 2024)  # DoY, year
+    struct.pack_into("<H", hdr, 94, 227)     # header size
+    struct.pack_into("<I", hdr, 96, 227)     # offset to point data
+    struct.pack_into("<I", hdr, 100, 0)      # number of VLRs
+    hdr[104] = 1                             # point data format 1
+    struct.pack_into("<H", hdr, 105, 28)     # record length
+    struct.pack_into("<I", hdr, 107, 2)      # legacy point count
+    struct.pack_into("<5I", hdr, 111, 2, 0, 0, 0, 0)
+    struct.pack_into("<3d", hdr, 131, 0.01, 0.01, 0.001)   # scales
+    struct.pack_into("<3d", hdr, 155, 1000.0, 2000.0, 50.0)  # offsets
+    struct.pack_into("<6d", hdr, 179, 1001.5, 1000.25, 2003.0, 2000.5, 51.0, 50.125)
+
+    pts = b""
+    #               x       y      z    inten  flags cls  ang  usr  src   gps
+    for xi, yi, zi, inten, flags, cls, gps in (
+        (25, 50, 125, 777, 0b001, 2, 123456.5),
+        (150, 300, 1000, 12, 0b010, 6, 123457.25),
+    ):
+        pts += struct.pack("<iiiHBBbBHd", xi, yi, zi, inten, flags, cls, -5, 0, 1, gps)
+    return bytes(hdr) + pts
+
+
+def test_las12_spec_layout_decodes():
+    from dronedb_spark.sources.las import decode_las, las_info
+
+    blob = _las12_fixture()
+    info = las_info(blob)
+    assert info["point_format"] == 1
+    assert info["n_points"] == 2
+    assert not info["compressed"]
+    d = decode_las(blob)
+    np.testing.assert_allclose(d["x"], [1000.25, 1001.5])
+    np.testing.assert_allclose(d["y"], [2000.5, 2003.0])
+    np.testing.assert_allclose(d["z"], [50.125, 51.0])
+    assert d["intensity"].tolist() == [777, 12]
+    assert d["classification"].tolist() == [2, 6]
+    assert d["return_number"].tolist() == [1, 2]
+    np.testing.assert_allclose(d["gps_time"], [123456.5, 123457.25])
+
+
+def _las14_fixture() -> bytes:
+    """LAS 1.4, PDRF 6 (30-byte records), two points; 375-byte header
+    with the 1.4 tail (waveform/EVLR offsets + 64-bit counts)."""
+    hdr = bytearray(375)
+    hdr[0:4] = b"LASF"
+    hdr[24], hdr[25] = 1, 4
+    struct.pack_into("<HH", hdr, 90, 200, 2024)
+    struct.pack_into("<H", hdr, 94, 375)
+    struct.pack_into("<I", hdr, 96, 375)
+    struct.pack_into("<I", hdr, 100, 0)
+    hdr[104] = 6
+    struct.pack_into("<H", hdr, 105, 30)
+    struct.pack_into("<I", hdr, 107, 0)      # legacy count must be 0 for PDRF>=6
+    struct.pack_into("<3d", hdr, 131, 0.001, 0.001, 0.001)
+    struct.pack_into("<3d", hdr, 155, 0.0, 0.0, 0.0)
+    struct.pack_into("<6d", hdr, 179, 2.0, 1.0, 20.0, 10.0, 200.0, 100.0)
+    struct.pack_into("<Q", hdr, 227, 0)      # start of waveform
+    struct.pack_into("<Q", hdr, 235, 0)      # start of first EVLR
+    struct.pack_into("<I", hdr, 243, 0)      # number of EVLRs
+    struct.pack_into("<Q", hdr, 247, 2)      # number of point records
+    struct.pack_into("<15Q", hdr, 255, 2, *([0] * 14))
+
+    pts = b""
+    for xi, yi, zi, inten, rets, cls, ang, gps in (
+        (1000, 10000, 100000, 55, 0x21, 5, 1500, 5000.5),   # ret 1 of 2
+        (2000, 20000, 200000, 66, 0x22, 18, -1500, 5001.0),  # ret 2 of 2, cls>31
+    ):
+        pts += struct.pack(
+            "<iiiHBBBBhHd", xi, yi, zi, inten, rets, 0, cls, 0, ang, 7, gps
+        )
+    return bytes(hdr) + pts
+
+
+def test_las14_spec_layout_decodes():
+    from dronedb_spark.sources.las import decode_las, las_info
+
+    blob = _las14_fixture()
+    info = las_info(blob)
+    assert info["point_format"] == 6
+    assert info["n_points"] == 2
+    d = decode_las(blob)
+    np.testing.assert_allclose(d["x"], [1.0, 2.0])
+    np.testing.assert_allclose(d["y"], [10.0, 20.0])
+    np.testing.assert_allclose(d["z"], [100.0, 200.0])
+    assert d["intensity"].tolist() == [55, 66]
+    # PDRF6 widens classification to a full byte: 18 (ReservedHighVoltage)
+    # is representable — the 0-31 clamp of PDRF 0-5 must NOT apply
+    assert d["classification"].tolist() == [5, 18]
+    assert d["return_number"].tolist() == [1, 2]
+    np.testing.assert_allclose(d["gps_time"], [5000.5, 5001.0])
+
+
+# --------------------------------------------------------------------------
+# LASzip arithmetic coder (Said's FastAC scheme, as published in the
+# LASzip spec).  No external laszip binaries exist in this sandbox, so
+# the wire format is pinned three ways: hand-derived golden BYTES for the
+# primitive encoder paths (worked through the published algorithm on
+# paper — see each case's derivation), golden model-state constants from
+# the spec's init/update rules, and a carry-path coverage check whose
+# expectations are symbol identity, not bytes.
+
+
+def test_fastac_raw_bits_golden_bytes():
+    """write_bits(8, 0xAB) by hand: L = 0xFFFFFFFF >> 8 = 0x00FFFFFF,
+    base = 0xAB * 0x00FFFFFF = 0xAAFFFF55, renorm emits 0xAA and leaves
+    base 0xFFFF5500 / L 0xFFFFFF00.  done(): L > 2*2^24 so base +=
+    0x01000000 wraps the low bytes to 0x00FF5500 — the CARRY increments
+    the emitted 0xAA to 0xAB — then the final renorm emits 0x00."""
+    from dronedb_spark.sources.laz import ArithmeticDecoder, ArithmeticEncoder
+
+    e = ArithmeticEncoder()
+    e.write_bits(8, 0xAB)
+    assert e.done() == bytes.fromhex("ab00")
+    assert ArithmeticDecoder(bytes.fromhex("ab000000")).read_bits(8) == 0xAB
+
+
+def test_fastac_write_short_golden_bytes():
+    """write_short(0x1234) by hand: L = 0xFFFF, base = 0x1234 * 0xFFFF =
+    0x1233EDCC; two renorm bytes 0x12 0x33 leave base 0xEDCC0000,
+    L 0xFFFF0000; done() adds 0x01000000 → 0xEECC0000 and emits 0xEE."""
+    from dronedb_spark.sources.laz import ArithmeticDecoder, ArithmeticEncoder
+
+    e = ArithmeticEncoder()
+    e.write_short(0x1234)
+    assert e.done() == bytes.fromhex("1233ee")
+    assert ArithmeticDecoder(bytes.fromhex("1233ee00")).read_short() == 0x1234
+
+
+def test_fastac_adaptive_bit_golden_bytes():
+    """Fresh bit model: p0 = 2^12 (half of the 13-bit scale).  One bit:
+    x = 4096 * (0xFFFFFFFF >> 13) = 0x7FFFF000.
+    bit=1 → base 0x7FFFF000, done() flush emits exactly 0x80;
+    bit=0 → base 0, L 0x7FFFF000, flush emits exactly 0x01."""
+    from dronedb_spark.sources.laz import ArithmeticBitModel, ArithmeticEncoder
+
+    for seq, want in (([1], "80"), ([0], "01"), ([1, 0], "80")):
+        e = ArithmeticEncoder()
+        m = ArithmeticBitModel()
+        for b in seq:
+            e.encode_bit(m, b)
+        assert e.done() == bytes.fromhex(want), seq
+
+
+def test_fastac_model_init_state_constants():
+    """The spec's model-init arithmetic, worked by hand for 4 symbols:
+    scale = 2^31 // 4 = 0x20000000, dist[k] = scale*k >> (31-15) so the
+    distribution is [0, 0x2000, 0x4000, 0x6000]; first update cycle is
+    (n+6)>>1 = 5.  Bit model: p0 = 2^(13-1), update after 4 bits."""
+    from dronedb_spark.sources.laz import ArithmeticBitModel, ArithmeticModel
+
+    m = ArithmeticModel(4)
+    assert m.distribution == [0, 0x2000, 0x4000, 0x6000]
+    assert m.symbol_count == [1, 1, 1, 1]
+    assert m.symbols_until_update == 5
+    b = ArithmeticBitModel()
+    assert b.bit_0_prob == 1 << 12
+    assert (b.bit_0_count, b.bit_count, b.update_cycle) == (1, 2, 4)
+
+
+def test_fastac_carry_path_covered():
+    """Adversarial mixed stream (seeded) long enough that base overflow
+    fires _propagate_carry at least once; every symbol must decode back
+    exactly.  Covers the one code path the short hand vectors cannot
+    reach deterministically."""
+    from dronedb_spark.sources import laz as L
+
+    rng = np.random.RandomState(7)
+    e = L.ArithmeticEncoder()
+    carries = 0
+    orig = e._propagate_carry
+
+    def counting():
+        nonlocal carries
+        carries += 1
+        orig()
+
+    e._propagate_carry = counting
+    bm = L.ArithmeticBitModel()
+    sm = L.ArithmeticModel(33)
+    ops = []
+    for _ in range(4000):
+        k = rng.randint(4)
+        if k == 0:
+            v = int(rng.randint(2))
+            e.encode_bit(bm, v)
+        elif k == 1:
+            v = int(rng.randint(33))
+            e.encode_symbol(sm, v)
+        elif k == 2:
+            v = int(rng.randint(1 << 16))
+            e.write_short(v)
+        else:
+            w = int(rng.randint(1, 20))
+            v = int(rng.randint(1 << w))
+            e.write_bits(w, v)
+        ops.append((k, v))
+    blob = e.done()
+    assert carries > 0, "carry path never exercised — stream too short"
+
+    # replay the op widths with the same seeded rng stream
+    rng2 = np.random.RandomState(7)
+    d2 = L.ArithmeticDecoder(blob)
+    bm3, sm3 = L.ArithmeticBitModel(), L.ArithmeticModel(33)
+    for k, v in ops:
+        rng2.randint(4)  # consume the op-kind draw to stay in sync
+        if k == 0:
+            rng2.randint(2)
+            assert d2.decode_bit(bm3) == v
+        elif k == 1:
+            rng2.randint(33)
+            assert d2.decode_symbol(sm3) == v
+        elif k == 2:
+            rng2.randint(1 << 16)
+            assert d2.read_short() == v
+        else:
+            w = int(rng2.randint(1, 20))
+            rng2.randint(1 << w)
+            assert d2.read_bits(w) == v
