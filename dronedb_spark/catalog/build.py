@@ -95,7 +95,7 @@ ARTIFACT_FILES = {
     "thumb": "thumb.png",
     "vec": "features.parquet",
     "gsplat": "splats.parquet",
-    "3dtiles": "marker.json",
+    "3dtiles": "tileset.json",
 }
 
 THUMB_SIZE = 512  # thumbs.cpp default
@@ -272,12 +272,18 @@ def _build_one_locked(root: str, rel: str, hash_: str, kind: str,
             os.replace(rad_path + ".tmp", rad_path)
             open(os.path.join(target, "_SUCCESS"), "w").close()
             return "built"
-        else:  # 3dtiles: NXS/obj2tiles builds are out of scope (SURVEY §3.3)
-            with open(out_path + ".tmp", "w") as f:
-                f.write('{"status": "pending_decoder", "path": %r}' % rel)
-            os.replace(out_path + ".tmp", out_path)
+        else:  # 3dtiles: extract the .3tz archive (build.cpp:324-340); the
+            # artifact is the unpacked tile tree with tileset.json at its
+            # root — the same completeness marker the reference checks
+            # (build.cpp:171-172).  Mesh→tiles conversion (obj2tiles/NXS
+            # external binaries) stays out of scope (SURVEY §3.3).
+            from dronedb_spark.sources.tiles3d import extract_3tz
+
+            members = extract_3tz(data, target)
+            if "tileset.json" not in members:
+                raise ValueError("3tz archive has no root tileset.json")
             open(os.path.join(target, "_SUCCESS"), "w").close()
-            return "pending_decoder"
+            return "built"
         with open(out_path + ".tmp", "wb") as f:
             f.write(payload)
         os.replace(out_path + ".tmp", out_path)
@@ -295,7 +301,8 @@ def build_all(catalog, force: bool = False) -> dict[str, int]:
     PointCloud→`.copc.laz` (LASzip v3 octree container), GeoRaster→tiled
     deflate COG with overview IFDs, Image/GeoImage→PNG thumbnail,
     Vector→normalized features Parquet, GaussianSplat→splat-table
-    Parquet; 3D-Tiles stay a marker (NXS out of scope).
+    Parquet, Tiles3D→extracted tile tree (tileset.json at root); only
+    mesh→tiles conversion (obj2tiles/NXS binaries) stays out of scope.
 
     Fully distributed: the pending list joins the binaryFile content
     scan and each worker builds the artifacts of the files it owns —
@@ -326,7 +333,7 @@ def build_all(catalog, force: bool = False) -> dict[str, int]:
     )
     counts: dict[str, int] = {}
     for r in res:
-        if r["status"] in ("built", "pending_decoder"):
+        if r["status"] == "built":
             counts[r["kind"]] = counts.get(r["kind"], 0) + 1
     return counts
 

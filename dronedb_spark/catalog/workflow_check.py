@@ -228,6 +228,7 @@ _BD_DEM_H, _BD_DEM_W = 48, 36
     "build_derivatives_real",
     oracle=f"""
         SELECT kind, metric_a, metric_b FROM (VALUES
+            ('3dtiles', 9, 225),
             ('cog', {_BD_DEM_W}, CAST((SELECT SUM(CAST((r.r * {_BD_DEM_W} + c.c) % 89 AS BIGINT))
                   FROM (SELECT unnest(range(0, {_BD_DEM_H})) AS r) r,
                        (SELECT unnest(range(0, {_BD_DEM_W})) AS c) c) AS BIGINT)),
@@ -263,6 +264,13 @@ def q_build_derivatives_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dronedb_spark.sources.laz14 import decode_laz14
     from dronedb_spark.sources.png import encode_png, png_info
     from dronedb_spark.sources.tiff import encode_tiff
+    from dronedb_spark.sources.tiles3d import (
+        build_tileset,
+        decode_pnts,
+        encode_3tz,
+        encode_pnts,
+        tiles3d_info,
+    )
 
     root = tempfile.mkdtemp(prefix="bd_")
     try:
@@ -295,6 +303,14 @@ def q_build_derivatives_real(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "rgba": (i * 30 % 256, 0, 0, 128), "quat_wxyz": (0.0, 0.0, 0.0, -1.0)}
                 for i in range(7)
             ]),
+            "scene.3tz": encode_3tz(
+                build_tileset(region=(0.1, 0.2, 0.3, 0.4, 10.0, 90.0),
+                              geometric_error=450.0),
+                {"points.pnts": encode_pnts(
+                    np.arange(27, dtype=np.float32).reshape(9, 3),
+                    rgb=np.full((9, 3), 200, dtype=np.uint8),
+                )},
+            ),
         }
         for name, data in files.items():
             with open(os.path.join(root, name), "wb") as f:
@@ -303,7 +319,8 @@ def q_build_derivatives_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         cat = DatasetCatalog.init(spark, root)
         cat.add()
         counts = build_all(cat)
-        assert counts == {"copc": 1, "cog": 1, "thumb": 1, "vec": 1, "gsplat": 1}, counts
+        assert counts == {"copc": 1, "cog": 1, "thumb": 1, "vec": 1,
+                          "gsplat": 1, "3dtiles": 1}, counts
         hashes = {r["path"]: r["hash"] for r in cat.entries().collect()}
 
         def artifact(path, kind):
@@ -334,8 +351,104 @@ def q_build_derivatives_real(spark: SparkSession, sf_dir: str) -> DataFrame:
                          ARTIFACT_FILES["gsplat"])
         )
         rows.append(("gsplat", gs.num_rows, gs.num_rows))
+        # 3dtiles: the extracted tree must round-trip the tileset fields
+        # tiles3d.cpp reads (asset version, geometric error, region) and
+        # the real pnts payload
+        t3_dir = _artifact_dir(root, hashes["scene.3tz"], "3dtiles")
+        t3 = tiles3d_info(open(os.path.join(t3_dir, "tileset.json"), "rb").read())
+        assert t3["asset_version"] == "1.0"
+        assert t3["region_deg"] is not None
+        pnts = decode_pnts(open(os.path.join(t3_dir, "points.pnts"), "rb").read())
+        rows.append(("3dtiles", int(pnts["n_points"]), int(t3["geometric_error"])))
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(
         sorted(rows), "kind string, metric_a bigint, metric_b bigint"
     ).orderBy("kind")
+
+
+# ------------------------------------------------------------ W5 rescan
+
+_RS_ORIG = {
+    "doc.md": (b"# one\n", 1700000000),
+    "data.txt": (b"first\n", 1700000010),
+    "sub/x.txt": (b"xray\n", 1700000020),
+}
+# content rewritten IN PLACE with the original mtime restored — sync's
+# mtime short-circuit must skip these; only rescan re-parses them
+_RS_NEW = {
+    "doc.md": b"# one rewritten\n",
+    "data.txt": b"first rewritten\n",
+    "sub/x.txt": b"xray rewritten\n",
+}
+
+
+def _rescan_oracle() -> str:
+    rows = [
+        # phase 'typed': rescan(types=[Markdown]) — only doc.md fresh
+        ("typed", "doc.md", len(_RS_NEW["doc.md"]), _sha(_RS_NEW["doc.md"])),
+        ("typed", "data.txt", len(_RS_ORIG["data.txt"][0]), _sha(_RS_ORIG["data.txt"][0])),
+        ("typed", "sub", 0, ""),
+        ("typed", "sub/x.txt", len(_RS_ORIG["sub/x.txt"][0]), _sha(_RS_ORIG["sub/x.txt"][0])),
+        # phase 'all': rescan() — every non-Directory row fresh
+        ("all", "doc.md", len(_RS_NEW["doc.md"]), _sha(_RS_NEW["doc.md"])),
+        ("all", "data.txt", len(_RS_NEW["data.txt"]), _sha(_RS_NEW["data.txt"])),
+        ("all", "sub", 0, ""),
+        ("all", "sub/x.txt", len(_RS_NEW["sub/x.txt"]), _sha(_RS_NEW["sub/x.txt"])),
+    ]
+    values = ",\n            ".join(
+        f"('{ph}', '{p}', {s}, '{h}')" for ph, p, s, h in rows
+    )
+    return f"""
+        SELECT phase, path, CAST(size AS BIGINT) AS size, hash
+        FROM (VALUES
+            {values}) AS t(phase, path, size, hash)
+        ORDER BY phase, path"""
+
+
+@check("catalog_rescan_types", oracle=_rescan_oracle())
+def q_catalog_rescan_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 (rescanIndex, dbops.cpp:1034-1140): forced re-parse of selected
+    types.  The fixture rewrites every file's CONTENT while restoring the
+    original mtime, so sync's mtime short-circuit sees NotModified and
+    would skip them all — the only way the new hashes can appear is the
+    rescan re-parse.  Phase 'typed' rescans Markdown only (data.txt and
+    sub/x.txt must keep their STALE hashes); phase 'all' rescans every
+    type; the Directory row must never re-ingest in either phase."""
+    from dronedb_spark.catalog.store import DatasetCatalog
+
+    root = tempfile.mkdtemp(prefix="rs_")
+    try:
+        for rel, (data, mtime) in _RS_ORIG.items():
+            p = os.path.join(root, rel)
+            os.makedirs(os.path.dirname(p), exist_ok=True)
+            with open(p, "wb") as f:
+                f.write(data)
+            os.utime(p, (mtime, mtime))
+        os.utime(os.path.join(root, "sub"), (_DIR_MTIME, _DIR_MTIME))
+        cat = DatasetCatalog.init(spark, root)
+        cat.add()
+
+        for rel, data in _RS_NEW.items():
+            p = os.path.join(root, rel)
+            with open(p, "wb") as f:
+                f.write(data)
+            os.utime(p, (_RS_ORIG[rel][1], _RS_ORIG[rel][1]))
+        os.utime(os.path.join(root, "sub"), (_DIR_MTIME, _DIR_MTIME))
+
+        rows = []
+        cat.rescan(types=[_TYPE_MARKDOWN])
+        rows += [
+            ("typed", r["path"], int(r["size"]), r["hash"])
+            for r in cat.entries().collect()
+        ]
+        cat.rescan()
+        rows += [
+            ("all", r["path"], int(r["size"]), r["hash"])
+            for r in cat.entries().collect()
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "phase string, path string, size bigint, hash string"
+    ).orderBy("phase", "path")

@@ -75,9 +75,10 @@ def decode_media(content: bytes) -> np.ndarray:
 
     REAL formats handled pure-Python (public specs, stdlib zlib):
     PNG (sources/png.py), baseline JPEG (sources/jpeg.py — Huffman +
-    IDCT, gray/4:4:4/4:2:0), WAV PCM (sources/wav.py), and MJPEG-in-AVI
-    video (sources/avi.py — every frame is a full baseline JPEG, decoded
-    to an (n, h, w[, 3]) stack).  Inter-frame codecs (H.264/HEVC) still
+    IDCT, gray/4:4:4/4:2:0), GIF (sources/gif.py — first composited
+    frame as RGB), WAV PCM (sources/wav.py), and MJPEG-in-AVI video
+    (sources/avi.py — every frame is a full baseline JPEG, decoded to
+    an (n, h, w[, 3]) stack).  Inter-frame codecs (H.264/HEVC) still
     need ffmpeg — those raise ``NotImplementedError``; the deterministic
     FAKE container covers their plumbing tests.  Swap this single
     function for a Pillow/ffmpeg implementation — every downstream
@@ -92,6 +93,10 @@ def decode_media(content: bytes) -> np.ndarray:
         from dronedb_spark.sources.jpeg import decode_jpeg
 
         return decode_jpeg(content)
+    if magic == b"GIF8":
+        from dronedb_spark.sources.gif import decode_gif
+
+        return decode_gif(content)  # first composited frame, RGB
     if magic == b"RIFF" and content[8:12] == b"WAVE":
         from dronedb_spark.sources.wav import decode_wav
 

@@ -115,6 +115,85 @@ def q_png_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(stats, schema=schema).orderBy("media_id", "channel")
 
 
+# ---------------------------------------------------------------- GIF ---
+
+_GIF_N, _GIF_H, _GIF_W = 6, 24, 32
+
+
+@check(
+    "media_gif_channel_stats",
+    oracle=f"""
+        WITH px AS (
+            SELECT i.i AS media_id,
+                   CAST((i.i * 131 + j.j * 17) % 256 AS DOUBLE) AS v
+            FROM (SELECT unnest(range(0, {_GIF_N})) AS i) i,
+                 (SELECT unnest(range(0, {_GIF_H * _GIF_W})) AS j) j)
+        SELECT media_id, c.channel,
+               AVG(v) AS mean_val, CAST(MIN(v) AS DOUBLE) AS min_val,
+               CAST(MAX(v) AS DOUBLE) AS max_val, COUNT(*) AS n_px
+        FROM px, (SELECT CAST(unnest(range(0, 3)) AS INT) AS channel) c
+        GROUP BY media_id, c.channel
+        ORDER BY media_id, c.channel""",
+)
+def q_gif_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real GIF bytes (palette + LSB-first variable-width LZW with the
+    width-growth convention pinned against a real encoder stream in
+    test_golden_vectors) → decode_media first-frame RGB → per-channel
+    stats; gray palette makes all three channels share the closed form
+    the oracle evaluates relationally (reference types .gif as Image,
+    entry.cpp:1040)."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from dronedb_spark.sources.gif import encode_gif
+
+        for pdf in it:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                j = np.arange(_GIF_H * _GIF_W, dtype=np.int64)
+                v = ((i * 131 + j * 17) % 256).astype(np.uint8)
+                img = v.reshape(_GIF_H, _GIF_W, 1).repeat(3, axis=2)
+                rows.append({"media_id": i, "content": encode_gif([img])})
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = spread(spark.range(_GIF_N)).mapInPandas(gen, schema=_BIN_SCHEMA)
+
+    def stats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from dronedb_spark.multimodal.media import decode_media
+
+        for pdf in it:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                arr = decode_media(bytes(content)).astype(np.float64)
+                for ch in range(arr.shape[2]):
+                    band = arr[:, :, ch]
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "channel": ch,
+                            "mean_val": float(band.mean()),
+                            "min_val": float(band.min()),
+                            "max_val": float(band.max()),
+                            "n_px": int(band.size),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "channel", "mean_val", "min_val", "max_val", "n_px"]
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("channel", T.IntegerType()),
+            T.StructField("mean_val", T.DoubleType()),
+            T.StructField("min_val", T.DoubleType()),
+            T.StructField("max_val", T.DoubleType()),
+            T.StructField("n_px", T.LongType()),
+        ]
+    )
+    return media.mapInPandas(stats, schema=schema).orderBy("media_id", "channel")
+
+
 # ---------------------------------------------------------------- WAV ---
 
 _WAV_N, _WAV_LEN = 20, 800
@@ -922,30 +1001,36 @@ def _vid_dc(i: int, t: int) -> np.ndarray:
     "video_frame_decode",
     oracle=f"""
         WITH px AS (
-            SELECT i.i AS media_id, t.t AS frame_idx,
+            SELECT i.i AS media_id, ct.container, t.t AS frame_idx,
                    CAST(128 + 2 * ((i.i * 7 + t.t * 11 + r.r * 5 + c.c * 3) % 120 - 60)
                         AS DOUBLE) AS v
             FROM (SELECT unnest(range(0, {_VID_N})) AS i) i,
+                 (SELECT unnest(['avi', 'mov']) AS container) ct,
                  (SELECT unnest([0, {_VID_F // 2}, {_VID_F - 1}]) AS t) t,
                  (SELECT unnest(range(0, {_VID_BY})) AS r) r,
                  (SELECT unnest(range(0, {_VID_BX})) AS c) c)
-        SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        SELECT media_id, container, CAST(frame_idx AS BIGINT) AS frame_idx,
                AVG(v) AS mean_val, MIN(v) AS min_val, MAX(v) AS max_val,
                CAST({_VID_F} AS BIGINT) AS n_frames
-        FROM px GROUP BY media_id, frame_idx ORDER BY media_id, frame_idx""",
+        FROM px GROUP BY media_id, container, frame_idx
+        ORDER BY media_id, container, frame_idx""",
 )
 def q_video_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL MJPEG video: RIFF AVI containers whose '00dc' chunks are
-    baseline JPEGs (sources/avi.py + sources/jpeg.py) → per-file
-    first/middle/last frame sampling WITHOUT decoding the rest (the
-    idx1-style independent-frame contract) → per-frame stats.  DC-block
-    frames make the lossy codec integer-exact, so the oracle reproduces
-    the decoded pixels relationally — closes the K9 video-frame gap
-    (thumbs.cpp video path, entry.cpp:1086-1099)."""
+    """REAL MJPEG video in BOTH container families the reference's video
+    path serves: RIFF AVI ('00dc' chunks, sources/avi.py) and QuickTime
+    MOV (Photo-JPEG track with a full stsd/stts/stsc/stsz/stco sample
+    table, sources/mov.py) → per-file first/middle/last frame sampling
+    WITHOUT decoding the rest (the independent-frame contract; MOV frame
+    byte ranges resolve through the real sample table) → per-frame
+    stats.  DC-block frames make the lossy codec integer-exact, so the
+    oracle reproduces the decoded pixels relationally, and identical
+    values across containers pin that the container layer is lossless —
+    closes the K9 video gap (thumbs.cpp video path, entry.cpp:1086-1099)."""
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from dronedb_spark.sources.avi import encode_avi_mjpeg
         from dronedb_spark.sources.jpeg import encode_jpeg_dc_blocks
+        from dronedb_spark.sources.mov import encode_mov_mjpeg
 
         for pdf in it:
             rows = []
@@ -954,45 +1039,60 @@ def q_video_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 frames = [
                     encode_jpeg_dc_blocks(_vid_dc(i, t), q0=16) for t in range(_VID_F)
                 ]
-                rows.append(
-                    {
-                        "media_id": i,
-                        "content": encode_avi_mjpeg(frames, _VID_BX * 8, _VID_BY * 8),
-                    }
-                )
-            yield pd.DataFrame(rows, columns=["media_id", "content"])
+                for container, enc in (("avi", encode_avi_mjpeg), ("mov", encode_mov_mjpeg)):
+                    rows.append(
+                        {
+                            "media_id": i,
+                            "container": container,
+                            "content": enc(frames, _VID_BX * 8, _VID_BY * 8),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["media_id", "container", "content"])
 
-    media = spread(spark.range(_VID_N)).mapInPandas(gen, schema=_BIN_SCHEMA)
+    media = spread(spark.range(_VID_N)).mapInPandas(
+        gen,
+        schema="media_id long, container string, content binary",
+    )
 
     def stats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from dronedb_spark.sources.avi import avi_info, decode_avi_frames
+        from dronedb_spark.sources.mov import decode_mov_frames, mov_info
 
         sample = [0, _VID_F // 2, _VID_F - 1]
         for pdf in it:
             rows = []
-            for mid, content in zip(pdf["media_id"], pdf["content"]):
+            for mid, container, content in zip(
+                pdf["media_id"], pdf["container"], pdf["content"]
+            ):
                 data = bytes(content)
-                info = avi_info(data)
-                frames = decode_avi_frames(data, indices=sample).astype(np.float64)
+                if container == "avi":
+                    n_frames = avi_info(data)["n_frames"]
+                    frames = decode_avi_frames(data, indices=sample).astype(np.float64)
+                else:
+                    n_frames = mov_info(data)["n_frames"]
+                    frames = decode_mov_frames(data, indices=sample).astype(np.float64)
                 for t, fr in zip(sample, frames):
                     rows.append(
                         {
                             "media_id": int(mid),
+                            "container": container,
                             "frame_idx": t,
                             "mean_val": float(fr.mean()),
                             "min_val": float(fr.min()),
                             "max_val": float(fr.max()),
-                            "n_frames": int(info["n_frames"]),
+                            "n_frames": int(n_frames),
                         }
                     )
             yield pd.DataFrame(
                 rows,
-                columns=["media_id", "frame_idx", "mean_val", "min_val", "max_val", "n_frames"],
+                columns=["media_id", "container", "frame_idx",
+                         "mean_val", "min_val", "max_val", "n_frames"],
             )
 
     schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),
+            T.StructField("container", T.StringType()),
             T.StructField("frame_idx", T.LongType()),
             T.StructField("mean_val", T.DoubleType()),
             T.StructField("min_val", T.DoubleType()),
@@ -1000,4 +1100,6 @@ def q_video_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("n_frames", T.LongType()),
         ]
     )
-    return media.mapInPandas(stats, schema=schema).orderBy("media_id", "frame_idx")
+    return media.mapInPandas(stats, schema=schema).orderBy(
+        "media_id", "container", "frame_idx"
+    )

@@ -158,6 +158,7 @@ def decode_png(data: bytes) -> np.ndarray:
     bit_depth = color_type = interlace = None
     idat = bytearray()
     plte = None
+    trns = None
     while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         tag = data[pos + 4 : pos + 8]
@@ -169,6 +170,8 @@ def decode_png(data: bytes) -> np.ndarray:
             )
         elif tag == b"PLTE":
             plte = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"tRNS":
+            trns = np.frombuffer(payload, dtype=np.uint8)
         elif tag == b"IDAT":
             idat.extend(payload)
         elif tag == b"IEND":
@@ -180,10 +183,16 @@ def decode_png(data: bytes) -> np.ndarray:
             zlib.decompress(bytes(idat)), h, w, _CHANNELS[color_type], sample_bytes=2
         )
     if color_type == 3 and bit_depth == 8 and interlace == 0:
-        # palette: 1 index byte per pixel, expanded through PLTE to RGB
+        # palette: 1 index byte per pixel, expanded through PLTE to RGB;
+        # a tRNS chunk (per-entry alpha, short tables pad opaque) makes
+        # the result RGBA — real-world palettized icons carry it
         if plte is None:
             raise ValueError("palette PNG missing PLTE")
         idx = _unfilter(zlib.decompress(bytes(idat)), h, w, 1)
+        if trns is not None:
+            alpha = np.full(len(plte), 255, dtype=np.uint8)
+            alpha[: len(trns)] = trns[: len(plte)]
+            return np.dstack([plte[idx], alpha[idx]])
         return plte[idx]
     if bit_depth != 8 or color_type not in _CHANNELS or interlace != 0:
         raise NotImplementedError(
@@ -193,10 +202,24 @@ def decode_png(data: bytes) -> np.ndarray:
 
 
 def png_info(data: bytes) -> tuple[int, int, int]:
-    """(width, height, channels) from the IHDR alone — metadata-only sniff."""
+    """(width, height, channels) — IHDR plus, for palette images only, a
+    chunk-HEADER walk to spot a tRNS (which makes the decode RGBA).
+    Still metadata-only: payloads are skipped, never inflated."""
     if not data.startswith(_SIG) or data[12:16] != b"IHDR":
         raise ValueError("not a PNG")
     w, h, _depth, color_type = struct.unpack(">IIBB", data[16:26])
-    # palette images decode to RGB (3 channels); unknown types report 0
-    # and the parse stage omits the bands property
-    return w, h, 3 if color_type == 3 else _CHANNELS.get(color_type, 0)
+    if color_type != 3:
+        # unknown types report 0 and the parse stage omits the bands
+        return w, h, _CHANNELS.get(color_type, 0)
+    pos = len(_SIG)
+    channels = 3
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        if tag == b"tRNS":
+            channels = 4
+            break
+        if tag in (b"IDAT", b"IEND"):
+            break
+        pos += 12 + length
+    return w, h, channels

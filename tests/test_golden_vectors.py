@@ -500,3 +500,215 @@ def test_fastac_carry_path_covered():
             w = int(rng2.randint(1, 20))
             rng2.randint(1 << w)
             assert d2.read_bits(w) == v
+
+
+# --------------------------------------------------------------------------
+# Real-world GIF + palettized PNG (both from the Hadoop client jar's
+# bundled web assets — Apache-2.0 / MIT, external encoders).
+
+# webapps/static/busy.gif: GIF89a, 25x25, 8 frames, 128-entry global
+# color table, min LZW code size 7 — a real animated-GIF encoder's
+# variable-width LSB code stream (validates the width-growth convention
+# the spec leaves easy to get wrong).
+_REAL_GIF = base64.b64decode(
+    "R0lGODlhGQAZAPYAAP///96MAPjp0OWnPuGYHPfozvv06OShMN+QCvry5Pz48vv17PHRmuWmOt6M"
+    "AOWmPPHSnPDMkOu6aP37+PLUouu7au/KjOOgLuCUEt6OBuSkNum2XuSjNPz38Oq4ZOCTEPDPluix"
+    "VOKdJvv16vrw4Om1XOm0Wvnv3uiyVuOfLPXgvOOeKuWlOO3Ceu7FgPTdtvXhvuiwUuesSPDOlP39"
+    "/PPXqPv27vXfuuevTu3BeOaqRP38+uy+cOzAdu7Ggvns2O/Lju3EfvDNkvz59Pz69vLVpPLToOeu"
+    "TPTasPTctPHSnvrz5u7HhPrx4vfnzPflyOu8bPLWpumzWPbkxuq3YPnt2vbiwPfmyuq3YvHQmPPa"
+    "rvPYquarRuGXGuetSuy/cuOdKOapQuzAdOSiMvjq0uq5Zu7IhuaoQPTbsu/JiPXeuOKaIPbjxO/J"
+    "ivjr1AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAACH/"
+    "C05FVFNDQVBFMi4wAwEAAAAh/hpDcmVhdGVkIHdpdGggYWpheGxvYWQuaW5mbwAh+QQJBQAAACwA"
+    "AAAAGQAZAAAH/4AAgoOECi0VQSOEi4yENDgVEUIyHY2WgyohEj4QFhCXhBAhJioANRubEEYWAEIm"
+    "G1ONERciKQcwNg85PhRHJEwWRCMxV4sKAxgODhwxADc6JjJIQyVDgktYiwsNGcorMoITP9YnFdYA"
+    "QyiMEhoZHywzjSZOgj5RjBMbDw0tlk0hUEpEWGSAAQUFIxSBajLkBAgkggQcaNDgAQlQg6JIsQJC"
+    "CpEBB5RxKIERgA0pg7ZAIIBAGYIHJZ+wEtQhAkiRJkqeHKQFQoED+xqcKAmgCBUYEKRYSwCBQgcD"
+    "Ci+RIFIli5YdhCZ42OfCUgIUPEqAaFSh3bt4jDY8ERTkHqFt3VgcfBO04wcRAOXOpTM24IPIZjB0"
+    "lJCRREE1QQayLbJwoNYBFR0etPBRxJePGUQWSFnLCAQKEy9MoeKkhJUFEyWsEL2hiZMnoose8QAy"
+    "gxLsRTZ6VGixBFQgACH5BAkFAAAALAAAAAAZABkAAAf/gACCg4QKFRobI4SLjIQ0OCxgLGEdjZaD"
+    "Kg0ODghhEJeEECEmKgA1D5wYMhYAQigbU40RFyIpKTA2HCkYYxokTDhiPmdXiwoDGJsrMQA3A2ED"
+    "SENcZV8+IFiLCw0ZmwQyghM/QwAnR9ZCNSiMEhoZHxwzjVJmM1EVUYwTGw8NLZZNRsWIsMgAAwoK"
+    "RigC1WTICRBIBAk40KDBAxKgBkWJgSaCFCIDDmxiUSIjABsxlijYsQUCAQScugww+cTHSgAdIoRE"
+    "gIFLyYw2UEwQpAVCgQM6uDw4YRJAESowIEghlwAChQ4GFl4iQaRKFi07CE3w4EWGC0sJUPAoAaJR"
+    "BSwecFpgkcdoQwFBQfIRWsDFgzUG4ADs+EGkHI9BQ9YVktHCh5CNAGB4EYMjiYJsggxgJmShBISN"
+    "Kjp4IaFgiBQSPhgQWSDlSSMQUky8MIUw7BVWFkyUsNL0hoWwAJB8auoohJUhZI5UIk7IhhAlQpaA"
+    "CgQAIfkECQUAAAAsAAAAABkAGQAAB/+AAIKDhAoVGhsjhIuMhDQ4LGAsYR2NloMqDQ6bDRCXhBAh"
+    "JioANQ+bDg0WAEIhG1ONERciKSkwNhwiDgQHJEwHIgcpV4sKAxibKzEANwMPDUhDDRmbB1iLC9Ob"
+    "BDKCEz9DACeamyIojBIaGR8cM40o6hgHUYwTG84tlk0xzhGLBgwoKBih6FOTISdAIBEkQIMJKWdI"
+    "fBoUhcWGGFKIbOiBBYuYEhMB2NDBo6MHCxXM+PBhRkfIJx5W+gBSgUcRChSMgJxo40gNnD6EFAiT"
+    "ZYaMEyEBFIkBwQeKcAkgUOhgoOAlEkSqZNGyg9AEDxJKuLCUAEUFEyAaVYAhSIg7RhtnCggKQo/Q"
+    "AiqDaHgRtOMHEXE8Bg05V0jKIAUhAMA40iJGEgXXBBmITMhCGiIdPKjogCPcDikkfDAgskDKk0Yg"
+    "TJh4UUrLoCurLJgoYSXpDSGDkHhK6iiElSFkjlTiTciGECVClnwKBAAh+QQJBQAAACwAAAAAGQAZ"
+    "AAAH/4AAgoOEChUaGyOEi4yENDgsYCxhHY2WgyoDCA4ODRCXhBAoJioANTIYmw0WAEIhG1ONEVI+"
+    "Yg8wNiwPGGsHJEwHIgcpV4sKOFk+X2IxADdnYQ9IQw0ZnAdYiwsoFEI+QTKCEz9DACcNnA4iKIwS"
+    "WUUgZTONKBoZGAdRjBMbJTEtlprEeNAgwiIDDCgoGKEIVJMhJ0AgESQgjJYiMkiAGhQlxQMWUogA"
+    "WbJDgZMNGwHYeLCGEwsXagSVDLfxiY5UDlLoAGJA0AmUG20MOJCKRZACMtQkOXIiJYAiGmQMCFEu"
+    "AQQKHQw0vESCSJUsWnYQmuChAhUXlhKgwMEFRKMKMG4ECZnHqEQtKDL0EVpAZRANLzJ/EDFXwtsy"
+    "doWkDFIQAgCMI2JwJGFcxJuPbIsspCHSwYOKDjhsKEgQg4SPHDUY6HjSCIQJEy9MaQFQ8gYrC1JK"
+    "WHF6Q4jMGp+cOgphZQiZI5WEE7IhRImQJaACAQAh+QQJBQAAACwAAAAAGQAZAAAH/4AAgoOECj4V"
+    "XyOEi4yENDFmEV86HY2Wgyo5ED4SJRCXhBBSJioANRabEh4WAEIhG1ONES5ENiUwNjJFPmIPJEwa"
+    "IgcpV4sKUoMGIQA3MiY6SEMDGA4OB1iLC9iCHV6CEz9DACdnH9UiKIwVbIJCM41SAxkYB1GMExsV"
+    "VC2WTTEPDSIsMsCAgoIRikA1GXICBBJBAnS8QHOEBKhBUVI8YCGFCJAlgkhsuAjARoMu1Vi4UEPI"
+    "28UnD6o5SKEDiAFBCUZeNInSAYsgBWSoSXLkBEkARQ5sDCEuAQQKHQwkvESCSJUsWnYQmuBBnwtL"
+    "CVA8eACiUQUYgiy8Y2RCHj17hFkWUBnUTdCOH0TGlTuXrhAyQcoAwHCmI4mCadWuMbKQhkgHLCo6"
+    "cNnVowEJHyxEXEjxpBEIEyZemELFaRUACyFKWDl6QxMnT0cXPWoDRAyl2ItsuKjAA+SlQAAh+QQJ"
+    "BQAAACwAAAAAGQAZAAAH/4AAgoOECjNKQiOEi4yENCE3RE5HHY2WgypCgjs1EJeEEFImKgA1WgA7"
+    "CioWAEJSG1ONES5ENhswNjgdCgkhJExfNQxnV4sKUoMKIQA3R184SEMhRUI+LliLC9iCNF6CEz9D"
+    "ACcl1V9iKIwVbIJZM40mZmIVR1GMExsVVC2WTTE4OiIsMsCAgoIRij41GXICBBJBAnS8QHOExKdB"
+    "UTTIGCCFCJAlgqpsuAjAxoAxGBCwcKFmkwIZJJ/oSOkghQ4gBlIJGHnRxgMCDhywCFJABpIoXk6Q"
+    "BFDkwAMWIcQlgEChg4GEl0gQqZJFyw5CEzyUiOHCUgIUDx6AaFRhRpEsWHDeMZKiIQOGA/YILZhW"
+    "LQhMVD+IjGsQ1IGIdIVwZPFxLgYAGGHCDEiioEGGoAe2EbJQwoeYASo6sBiAQUQKEj44iLiQ4kkj"
+    "EChMvCglgyYLVhZClLCy9MYABEEbeFrq6AgLESzCVCJOyIYHDVJAXgoEACH5BAkFAAAALAAAAAAZ"
+    "ABkAAAf/gACCg4QKM0pCI4SLjIQ0ITdETkcdjZaDKkKDWhCXhBBSJioANVqDThYAQiYbU40RLkQ2"
+    "GzA2OEQANCYkTBFEIzFXiwpSgwohADdHOTFIQ1iDS9CEC9O5XoITP0MAJzyDQyiMFWyCWTONJW6C"
+    "PlGMExsSJS2WTSEVUhGLBgwUCiOKPDUZcgIEEkECBoAQIoOEp0FRjkAIIoUIDwoYjWx4CMDGkRoY"
+    "gwipYMaHDzNhOD7xYNIHkAolxGDBIqYERxs6oMz00KYAixImBpzgCKDIgw0xUHBLAIFCBwMBL5Eg"
+    "UiWLlh2EJngY8MCFpQQozihsVEFDhg8c0DGSYhbDAXfUZhpkcOCAgAxBO37gOtGArgMR4goN+EB3"
+    "RQwAMM48eJBEgVy6B6wNsnBARIoUKjpwAONgTQoSPjiIuJDiSSMQKEy8IPXAL4tUFkKUsEL0Rl+6"
+    "DToRdXSEhQgWYSrtJmTDgwYpSzwFAgAh+QQJBQAAACwAAAAAGQAZAAAH/4AAgoOECjNKQiOEi4yE"
+    "NCE3RE5HHY2WgyoWO4JaEJeEECgmKgA1FAqbThYAQiYbU40RUhBRRzA2RycKRCYkTBFEIzFXiwoy"
+    "LT5CUTEAN0dfMUhDWINL1IQLMh5fPgwyghM/QwAnPINDKIwSHmU5ZTONJW6CPlGMExtex5ZNIVAl"
+    "ERYZYHBqhKJPTYacAIFEkIADYbgMIPFpUBQpVkBIITLgAAIMXEpUBGADxQRBWyAQQOAAQZcBI5/4"
+    "QAWgQ4SODhywMDHSRowlqDoVOPCgQYMTIwEUkYJmhpRxCSBQ6GDg4CUSRKpk0bJp0AQPRV1YSoCi"
+    "RAwQjSpoyPCBAzxGJWp8zKhRxh62BhlyEvgGYMcPIuSeJauRrtCADzlXMIMRJsyZJAq4lOGW5Roh"
+    "CwdEpEihogOHCxg0aCDhI4QYH2GeNAIh6kWpBy0xyFhloayVpDca5EQQxlNSR0dYiGARptJvQjY8"
+    "aJCy5FMgADsAAAAAAAAAAAA="
+)
+
+# jQuery UI ui-icons_888888_256x240.png: color-type-3 (palette) with a
+# 79-entry uniform #888888 PLTE and a 78-entry tRNS — the icon shapes
+# live entirely in the alpha channel, so the filename pins every RGB.
+_REAL_PNG_PALETTE = base64.b64decode(
+    "iVBORw0KGgoAAAANSUhEUgAAAQAAAADwCAMAAADYSUr5AAAA7VBMVEWIiIiIiIiIiIiIiIiIiIiI"
+    "iIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiI"
+    "iIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiI"
+    "iIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiI"
+    "iIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIiIighcp7AAAA"
+    "TnRSTlMAGBAyBAhQv4OZLiJUcEBmYBoSzQwgPBZCSEoeWiYwUiyFNIeBw2rJz8c4RBy9uXyrtaWN"
+    "qa2zKP2fJO8KBgKPo2KVoa9s351GPm5+kWho0kj9AAAPhUlEQVR4nO1djWLbthEGyUiq5YSSLXtp"
+    "7FpLOmfzkmxr126tmi2p03RJ1/Xe/3EGgARxPyAgRbIk2/hkSz4CJO4+HsE7AJSVysjI2AMUUOxa"
+    "hZ2iANhzBtZWr4BoIRSYAVN5u4QwDwQDRbcwfUi5KS3wFuDmFnQLa4Dtb//cqktwD5QEFFwfUs7P"
+    "oCCA7y4bEJVFizcIob8KmhAplwwqVjt+9FBl3uINQniwEiryEyw9JHqGpQdEFNi+B4QQ7QOiHhys"
+    "IPoAxUqxvdvvA9K42bsAv4S2fxfYOe57IJSRkZGRkZGxx7jxSHDHcRBXQMTyIjInBgHwBJ/bEx8P"
+    "EANC+uhbpSSggCBAVODVabpI1S/k4WLZpTn6NpMhoX9Y40hxYERFpMcqUs4AloCtDQdID1YhnyXZ"
+    "2hLjAYWiO9Dy1PDB7tPhIqLx+uMB8grZaR+Qxl2/C2RkZGRkZGRk7A7rBf7J0DR5/LUTjzUPIPSP"
+    "GvQJiVJiB7kcQCiUOJrcFNtDZIf2xarQ3aGvLNxAVIFAabz90BFiBIlycTBhgWwOWCH0FLYHlPqw"
+    "HaCvcIn2ZbosCevfPTRiFFcgvHukCjWwrc3GrGh1fsAof8EaUReKXkCB4/MzFNo97qLpFiKFYv/k"
+    "NR5YQxQbQEofkZ2OuEOHqqT6gFTpru8CN7x/+jaZkZGRkZGRcV+x/rLUNcMMqUAscgnFocmpqkTz"
+    "qymwVAPxfJ5PnIUUQOUKT04tEdWZyv3JCQSn96WS4pD97QfyW25A7NhSAbyhmVj0FEltA4vdiygB"
+    "ibXhoUYgykCUP7HwPTDeEqAIcHVMkZg7Zx4k0uFANs63hPQXCoRLAwdgGsr9Az7Qv7sgQGgg1aPl"
+    "/BJLExBWgG4RFRLFImGmIquPC/klEGyCG0AuAXaJJC+B8FVe9NYQDEcXB8g6AQcjYJ1goJIggHWC"
+    "rFR0S6kRHN5+4BzFi8NaoN35NRxUvL+JJdZr7PV4wK6fj8nIyMjIyNhr3OxdXAYq7FHZwB6bDSzS"
+    "h4sF0utChqo0NAvaT1hLzXwFinmCzmeDucEQK18TTaQoFgP7bNC+RZ4OT4T6gQogDFYk+1QxQlj1"
+    "9QGSAWKiLYp8P0Ag1Gbz1ULfWHLg9iUnQNK5QQJcukm04blKLH2GgEJCY+HzXAZWCvHKco3Bp6MI"
+    "aCjSXXRJyOxeqhnzEaF93MfFGW/O16ZvDL5TM4MJIjujz/cHypkQuuzRwWJ93BKdIt+wCRAPl9kp"
+    "e2Ikkb2mFgGlxh/i40d3EHfdvoyMjIyMu43ylt/IAmGHnN5iIt7wKfbv01RAcJqFRl9lcjYQSnbQ"
+    "qKgC4fYOwSJt6N6trE0twZ9kN/PqNpTQeICvr4TLsDYC06U7BMjshS+v1/aT7IwQYD5LcgRQXMT2"
+    "FrBfBLjZ6151jDElk9tPFfpUgk2yregusX25BJbwAFEfM+YI6vGAti4bTtizB+TjfQCrERyhKb2X"
+    "8D6A9wX75P4t4neBYJeP6pdhg/gQl8MWvytzeSTjgOQBynQdh/iXKdxOrGJ/RkZGRsb9QmXihGr5"
+    "+g8GGg9uTh+KoVZuNIzV+CwRucFBEyr1mVjx4irOxwM1BhirB6Q+2eNQi4eqR+aF6mELtoMzCR7V"
+    "9RAFe/ZvQogNiyY8FPSUTFsLp8TeTmMui5mtw7bcaT0Yw2AA4wFRQIlkgq+1DQrNhkmoxS5Jq+u6"
+    "bMAIGRECEANgXHTgWzwgBOhDH2l0oTQ4D8D5NMktBgNywAEMjo8rwATMZrPY7JGxBoJCkIBDQiAY"
+    "09EGTUiBCWkUpISfGPR5AAwBfZiG2z7Ayc1yeKTxid39xBNwfHr4O0LA48ePFTvhYrF1r4tyAoz9"
+    "n2MCqEuBtp/6GDR0oAYfG/R6wJExHYZHfhygsv7fEWCOj4bYmsP5A+pL4MkTfAnMlD4F+r3bobKv"
+    "TyTA2P/w7PN+Agq2QW8piqMCpTBwenoKvX0AHGkGtP2YAPvTEWA7QUTAudn7/NxtOG46wWNmDtpB"
+    "EkBzN7rBEvAFHp+YTB/q97qPAN4gHFqgBi8uLsC7qPCA6mg41G/+ErByPwEXDdoNxRhOx+M5jPEz"
+    "QugS0ht+b1/Y3gEnYMAIAOIBE29/hIDucE8tmMsNOgK4B1RHFu4UCRlMHzv0xzcajcfdXWDs2h8T"
+    "ArBCkoDUJYDLmz6w7ip3BFS0ve5wTRwAn6keMA9I3QYbfSZ0DKbyt+7OXjGI1idPcfNyAyfAMlCr"
+    "zaGqphYrxHocLHRJVycnfGUcbtT+jIyMjIw9x7Nn8fJSzG0TmFtO8rZT+XT3S3ub+tKJbbLd5diT"
+    "Vp50+zahyeHSslJ/YPrU0fuazrZO2CZ92/ZCCVXlGRiZKPJyPPRxyIFWeXLQBXJBKiq/3divEAN6"
+    "ZwM200Qjm7EJBZeWm/PRWVCbYK7s7u2l4XaCz+lzgOfMfhMonXr7TWzeZb98dbgIzBT8Ub8eYYUq"
+    "fZ4rVJ/MDbIDgPqTulJ/xvntWAtjIisqnwxOkGz0n077FARoY79GdA6HPE4rOy196NiMWHTZlSSA"
+    "pcOgXpy/fHV2joaNKu3ffsAnRcBf4K/6NcIG6tIxk3HyoXPjASqfUgXbYN5PzpL2njkR9QMjeDTV"
+    "HDTCgRuxOegjoO0FvKzP/t/gmVdI24+G7NIe8JX6Wv3dDyldMA+4YB5wwTygtd+dwRqaTqrLb1l7"
+    "3zTSN52CNpnHuQOYPsDblybgxfkXh/oVtr+N1DEBJdhRJyd/Bd/q1z+cbNrD17iVKyajcnv9arhO"
+    "kRPgsruuD6DmNPwpDNrLw2CoTgHni4yALr0L29+tiKAEIPn868ejx//8rpWP3OEOl5On9OwpcQm0"
+    "MhafP/ey8f1uvDNIgGLQG8z4YO99ENgg95etwv4uYJYY8fUGHYH6j6fscHFZMftlAl9i+9XL73X3"
+    "N/n+ZStOzfVfRvYXhrbdKOpEgVQTg/wsDuDD3kwOfQNMTJ5y+/ltUDWLunyxnRF46IqlBzGMY4X7"
+    "inggREFioIyMjIyMHWCIB6ZNKAcXseo3vLTQTkVE7348dlwJJSz0+wLfmi8BhZqfw3D4ww/wHVLn"
+    "Ed5/fgYvXsDZ3MlsvYUbbnDjDZ3MN3TJG4+bxjAaDl8TBri9qxEw1ccao2wTNAMLHo2f+sjrXwb/"
+    "9qHoYqgPMBXJTVfOpmrZH23y6uvo0LHSyY6fHGwKfHJlAuMFvObjDYrIqxBgQi20h7Hd/nYVLmno"
+    "+eaNUm/eeH2GCuopntnhBJAlI2AHo9CCh1I1QxUdAbqqGY9BBLwyc3W4wYVhvY8A4BoIc1l5M7vn"
+    "PWphZW9/Ses3n37y9a0uGqFwFQZsQQbd386DogpgEk+dzynsAZMJXq8+ns9NeukJ0PYrNATGGefJ"
+    "QlhkLo7DTXr+y3bNiOsDvrXTz/C2q1DXZH84iRNwrP88Nj+u2DjYEE6RBxD9Knj16ujVHC67A742"
+    "2o02RwD3gB+t7EblWvu9geOFxSnd3ROmT+nJyQkhoPlsxVONc/3TEdBos+jtA+ZzcwHgTvD1cDja"
+    "YCcItA8w9i88A8b+mqSjc6Pvqd998QguEQPmQMeo23ODN86+p0/bn1buBkT6+oBhNZ/PYY4ZAHYb"
+    "3PRd4LkZmPX68NRtMZn4ASvdA+qf0jMA5MP9eeg28Nug9QiLnj5A33U1MAES6xHAUNpz/9zFAYE1"
+    "gqQDMT3G6xI9pwdw/aIgKoHCS1YGlRnSq9yCjdXjgN3j+N27YyROHxmuNAeNKPpYuXIyIyMjYy0M"
+    "8eros59MF/PT2c602T7eA7zvhJ9dr/vzDjXaLp4Yc5+0wllzxzHv3gdmMMM7/CcQzKgVBqYTmFn+"
+    "Z+mKm8J7k0A5F/jgCfjQ1WBhQyiOqD0lYuqBb+AyzMw9Ha2G3m6c8qQx+AlqnIceQp+Sb6i9UyQW"
+    "bhr54+AjnZ0VzW2TAN0DmBT6PWmc6jDBE2PK2u+nF43dyP7Q0t1pOcX2fdRvH0mF2Q4JqN35rnHj"
+    "VIeaXfIAVyUuw/aHCCiJy9iF5l1621zweI8KZrPZ9iJdb7DXJ3US0OSrtZ10imt7wHY7QesAzUMz"
+    "1oZ3noB3qFJ/H18j97FYuw8QDN4oeKf30osvcSW2ExLo+VcbuAuo/sUIm8fMG9xocO3Ea19J9gFY"
+    "ivnHJ2KnyfovZlgW3v6ySx32abQiIyMjIyPjhlFDTLxpwIgFMnTp6A3g4IDKNY+stkwAMAoIAbas"
+    "xBXqUWneSAWTMjt50lTqT29rFjvXohjsDNm2YPXDFlICmrJOZ3t6tHm8AiEAl0sCeLIIorIRt+cF"
+    "bew/QRsoAXb4o1XSfoywzm0FTMAoYBNvLyFu8v8HpLBtD1iKgC17wHb7AI6d9wFbvguAIGTHd4E9"
+    "wG7jgIyMjIyM+434c2R3HeV/Ffx6jtZu6ijl8h59T655jhR+rdHzDOP6beABCheb8O8/WFXeOyzg"
+    "f5oAhVYnKxP7CwaAf1afJu8bSrhS6tdaXeGnrRenOqOlz9d6QwYnA/3TLd+GE7qe3chA5YF5DfY0"
+    "vK3adfOX/gyNp2BW25MHdxAB9qvRiiP3/XpQQFGYDU4+Mi///XumXG8pjvaUAOsBGlf4jJt+YYEz"
+    "eEzAdw06F19R3juM7D1wita86GR0CKfDHgLuXCc4Bri6vMLdfjMc4VNSUNsdodo2xu/1+Xl/K5+a"
+    "z8jIyMhYG/z5gJTMF1GtKq/a3rpyCvz5gJTMl9GtKq/a3rpyCmfQ4WwZmS+kXFVetb115ST48wEf"
+    "/AGcfG1iw+tWbpbS2vJ3nQxcVr3lH3z5h972FUTLzYpOVk7l5hD+eYcYwDcAnewOotrZ4OtrPDuc"
+    "qi/LRX0/RR4qx7Nn4U8g+qjffvuN6Gf+nC85vwauHjaYyubqvWYKY4VEfSUMitdnBCT1Ue63R543"
+    "9m+OgCn6DroAAaHPVQxKth/wkJgHmG8bmQMsT0D6EjDfvhVRKO3ywOQUgRA7nmL1uawZmHf1k+DP"
+    "BwQ6NdcJ+k6Md1LA5f5ONdhJ8vZ5J0vLHT99srkGOjmJbd/G1r2Nriqnse1AZt1AalU5jW2HsuuG"
+    "0qvKGRkZGRkZGRG0gcONyXsP9v8D0/IdJADiBNiXl3327WRGgOL/9HC/0XwlIURkRhC4tz6Z/fu7"
+    "fUf2gHvfB9z3u0BGRkZGRkbGplHcnkgguQoSqtUXuhbs/wPtMwqV0HUJAvj5vk32b8IDuL23yn7q"
+    "AXZ5u32hbRX7d3o82Df1FZXvbh9QOfhyxldr/+3xgXU9oKmvsHyr7F/XA269/eveBXrsv7N9QALe"
+    "/tvjA0kPWAXGbvebkbHn+D/J5nMcHzx1UAAAAABJRU5ErkJggg=="
+)
+
+
+def test_gif_decodes_real_encoder_stream():
+    from dronedb_spark.sources.gif import decode_gif_frames, gif_info
+
+    info = gif_info(_REAL_GIF)
+    assert info == {"width": 25, "height": 25, "version": "89a", "n_frames": 8}
+    frames = decode_gif_frames(_REAL_GIF)
+    assert frames.shape == (8, 25, 25, 4)
+    # every frame fully materialized with valid palette colors; the
+    # spinner has both opaque and transparent pixels
+    for t in range(8):
+        a = frames[t, ..., 3]
+        assert set(np.unique(a)) == {0, 255}, t
+        assert 0 < (a == 255).sum() < a.size, t
+
+
+def test_gif_selective_frame_decode():
+    from dronedb_spark.sources.gif import decode_gif_frames
+
+    full = decode_gif_frames(_REAL_GIF)
+    sel = decode_gif_frames(_REAL_GIF, [2, 7])
+    assert np.array_equal(sel[0], full[2])
+    assert np.array_equal(sel[1], full[7])
+
+
+def test_gif_encoder_roundtrip_through_width_growth():
+    """A 256-color frame forces the LZW table past the 8->9->10 bit
+    boundaries; the encoder must agree with the decoder that real
+    streams validated."""
+    from dronedb_spark.sources.gif import decode_gif, decode_gif_frames, encode_gif
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (64, 64, 1)).repeat(3, axis=2).astype(np.uint8)
+    assert np.array_equal(decode_gif(encode_gif([img])), img)
+    frames = [((np.arange(20 * 20 * 3).reshape(20, 20, 3) + 13 * t) % 6 * 40)
+              .astype(np.uint8) for t in range(3)]
+    out = decode_gif_frames(encode_gif(frames))
+    for t in range(3):
+        assert np.array_equal(out[t][..., :3], frames[t])
+
+
+def test_png_palette_trns_real_libpng_stream():
+    """Palette expansion + tRNS alpha against real libpng bytes: every
+    RGB must be exactly #888888 (the PLTE is uniform — that is the
+    filename's ground truth) while the alpha channel carries the icon
+    shapes (79 distinct levels: 78 tRNS entries + opaque padding)."""
+    from dronedb_spark.sources.png import decode_png
+
+    arr = np.asarray(decode_png(_REAL_PNG_PALETTE))
+    assert arr.shape == (240, 256, 4)
+    assert np.all(arr[..., 0] == 0x88)
+    assert np.all(arr[..., 1] == 0x88)
+    assert np.all(arr[..., 2] == 0x88)
+    assert len(np.unique(arr[..., 3])) == 79
