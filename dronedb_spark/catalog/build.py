@@ -229,10 +229,16 @@ def _build_one_locked(root: str, rel: str, hash_: str, kind: str,
                 compression="deflate",
             )
         elif kind == "thumb":
+            from dronedb_spark.sources.gif import decode_gif
             from dronedb_spark.sources.jpeg import decode_jpeg
             from dronedb_spark.sources.png import decode_png, encode_png
 
-            arr = decode_png(data) if data[:4] == b"\x89PNG" else decode_jpeg(data)
+            if data[:4] == b"\x89PNG":
+                arr = decode_png(data)
+            elif data[:4] == b"GIF8":
+                arr = decode_gif(data)
+            else:
+                arr = decode_jpeg(data)
             payload = encode_png(_nearest_resize(np.asarray(arr), THUMB_SIZE))
         elif kind == "vec":
             import pyarrow as pa
