@@ -75,6 +75,12 @@ HEADLINE = [
     "pack_sequences_chunks",
     "render_index_region",
     "rad_coarse_splats",
+    # round-5 breadth: the 10x broadcast-inflated stress twins (linear-
+    # scaling evidence for the skew-split LM join and the distributed
+    # prefix-sum packer) and the dual-container MJPEG frame decode
+    "lm_doc_perplexity_10x",
+    "pack_sequences_10x",
+    "video_frame_decode",
 ]
 
 _SMALL_RESULT = {

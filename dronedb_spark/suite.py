@@ -30,49 +30,51 @@ def check(name: str, oracle: str | None = None):
     return deco
 
 
-# Checks with no green driver CORRECTNESS row in rounds 1–3, ordered
-# first so the driver's ~50-check budget gates them this round: the two
-# r3 rows-only checks repaired with real oracles, everything NEW in
-# round 4 (codecs/containers, vector formats, catalog workflow, the
-# training-pipeline operators, render surfaces, geo-timezone), then a
-# short refresh band of r4-touched checks (a regression would surface
-# at the driver, not just in pytest).
-_ROUND4_PRIORITY = [
-    # r3 red rows, repaired (real oracles since c16297d)
-    "image_footprints", "media_features",
-    # NEW in round 4 — codecs & containers
-    "pointcloud_laz14_stats", "copc_container_pages", "cog_roundtrip",
-    "video_frame_decode",
-    # NEW in round 4 — vector formats
-    "topojson_parse_features", "shz_parse_features",
-    # NEW in round 4 — STAC / sensor / ingest surface
-    "stac_collection_doc", "sensor_size_resolution", "fingerprint_types",
-    # NEW in round 4 — catalog write workflow + sinks
-    "catalog_workflow_lifecycle", "setexif_gps_roundtrip",
-    "meta_chattr_roundtrip", "passwords_verify",
-    "json_sink_roundtrip", "features_parquet_sink", "raster_export_parquet",
-    # NEW in round 4 — pipeline ops
+# Round-5 gating order: everything NEW or whose code was TOUCHED this
+# round re-gates first (the driver walks in order under a ~50-check
+# budget); checks green r1–r4 with unchanged code cede their slots.
+_ROUND5_PRIORITY = [
+    # NEW in round 5 — W5 rescan (the last §2 operator without a driver
+    # row) and the 10x scale-evidence variants of the pipeline ops
+    "catalog_rescan_types", "lm_doc_perplexity_10x", "pack_sequences_10x",
+    "media_gif_channel_stats",
+    # TOUCHED in round 5 — MJPEG-in-MOV container added to the video
+    # check; 3D-Tiles build became a real extracted artifact; the build
+    # work-list/cleanup probes were redistributed (store+build paths)
+    "video_frame_decode", "build_derivatives_real", "catalog_workflow_lifecycle",
+    # TOUCHED in round 5 — profile join plan rewritten (left-semi +
+    # broadcast; the r4 verdict's scale finding #1)
+    "elevation_profile", "elevation_profile_dist",
+    # RE-GATE after the golden-vector codec audit (decode paths the new
+    # external-byte tests exercise: JPEG/PNG/LAS/LAZ/LZW-TIFF/COG/COPC)
+    "media_jpeg_channel_stats", "media_png_channel_stats", "thumb_stats",
+    "pointcloud_laz_stats", "pointcloud_laz_rgb_stats", "pointcloud_laz14_stats",
+    "pointcloud_las_class_histogram", "cog_roundtrip", "copc_container_pages",
+    "raster_export_parquet",
+    # RE-MEASURE band (bench noise suspects from the r4 verdict — gate
+    # them too so a real regression would show as red, not just slow)
+    "mvt_tile_features", "q3_top_revenue_orders", "dedup_minhash_signatures",
+    "contour_segments", "thermal_point_query",
+    # refresh band: the r4-new surface that has exactly ONE green row —
+    # one more gating round before it cedes slots for good
     "stockpile_single", "stream_dedup_twin", "sq8_adc_top10", "lm_doc_perplexity",
     "pack_sequences_chunks", "semdedup_cell_prune", "raster_tile_render",
     "pointcloud_splat_tile", "splat_preview_render", "lm_bigram_interp",
     "bpe_first_merge", "geo_timezone_lookup", "stream_attribution_twin",
     "embedding_covariance", "quality_feature_gram",
     "gsplat_decode_table", "rad_coarse_splats", "render_index_region",
-    "capture_time_cascade", "ingest_xmp_pose",
-    "geovideo_xmp_ingest", "build_derivatives_real", "thermal_rjpeg_stats", "sensor_profile_presets",
-    # refresh band: touched in r4 (asof fix, exif GPS fallbacks + geo-TZ
-    # cascade, build lock wiring, region-blend NaN guard) — re-gate the
-    # most load-bearing of them against regressions; the rest were green
-    # r1-r3 and cede their slots to the new surface above
-    "asof_join_events", "ingest_exif_properties", "catalog_search_like",
-    "raster_area_stats", "build_derivatives_real",
+    "thermal_rjpeg_stats", "sensor_profile_presets", "fingerprint_types",
+    "stac_collection_doc", "topojson_parse_features", "shz_parse_features",
+    "setexif_gps_roundtrip", "meta_chattr_roundtrip", "passwords_verify",
+    "json_sink_roundtrip", "features_parquet_sink",
+    "capture_time_cascade", "ingest_xmp_pose", "geovideo_xmp_ingest",
 ]
 
 
 def load_all() -> dict[str, Check]:
     """Import every operator module so its checks register, then reorder
     the registry so the checks that still need a driver CORRECTNESS row
-    (``_ROUND4_PRIORITY``) come first — the driver walks in order under a
+    (``_ROUND5_PRIORITY``) come first — the driver walks in order under a
     ~50-check budget and the already-green families can cede their slots.
     """
     # --- never-gated in round 1: register first -------------------------
@@ -150,7 +152,7 @@ def load_all() -> dict[str, Check]:
     import dronedb_spark.text.segdedup  # noqa: F401
     import dronedb_spark.text.repetition  # noqa: F401
 
-    ordered = {n: REGISTRY[n] for n in _ROUND4_PRIORITY if n in REGISTRY}
+    ordered = {n: REGISTRY[n] for n in _ROUND5_PRIORITY if n in REGISTRY}
     ordered.update((n, c) for n, c in REGISTRY.items() if n not in ordered)
     REGISTRY.clear()
     REGISTRY.update(ordered)

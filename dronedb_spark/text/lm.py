@@ -279,3 +279,75 @@ def q_lm_bigram_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_pairs").cast("long").alias("n_pairs"),
         F.round("cross_entropy", 9).alias("cross_entropy"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------- 10x stress variant
+
+_LM10_COPIES = 10
+_LM10_STRIDE = 10000000
+
+_LM10_ORACLE = f"""
+    WITH train_toks AS (
+        SELECT unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE doc_id % 2 = 0
+    ),
+    lm AS (SELECT tok, COUNT(*) AS n FROM train_toks GROUP BY tok),
+    totals AS (SELECT SUM(n) AS n_total, COUNT(*) AS v_total FROM lm),
+    corpus AS (
+        SELECT doc_id + k.k * {_LM10_STRIDE} AS doc_id, k.k AS copy, text
+        FROM documents, (SELECT unnest(range(0, {_LM10_COPIES})) AS k) k
+    ),
+    score_toks AS (
+        SELECT doc_id, copy, unnest(string_split(text, ' ')) AS tok FROM corpus
+    ),
+    scored AS (
+        SELECT s.doc_id, s.copy,
+               COALESCE(p.logp,
+                        (SELECT ln(1.0 / (n_total + v_total + 1.0)) FROM totals)) AS lp,
+               CASE WHEN p.logp IS NULL THEN 1 ELSE 0 END AS oov
+        FROM score_toks s
+        LEFT JOIN (SELECT tok, ln((n + 1.0) / (n_total + v_total + 1.0)) AS logp
+                   FROM lm, totals) p ON s.tok = p.tok
+    ),
+    per_doc AS (
+        SELECT copy, doc_id, COUNT(*) AS n_tokens, SUM(oov) AS n_oov,
+               CAST(-SUM(CAST(lp AS DECIMAL(38,15))) AS DOUBLE) / COUNT(*) AS h
+        FROM scored GROUP BY copy, doc_id
+    )
+    SELECT CAST(copy AS BIGINT) AS copy,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_oov) AS BIGINT) AS n_oov,
+           ROUND(CAST(SUM(CAST(h AS DECIMAL(38,15))) AS DOUBLE) / COUNT(*), 9)
+               AS mean_cross_entropy
+    FROM per_doc GROUP BY copy ORDER BY copy"""
+
+
+@check("lm_doc_perplexity_10x", oracle=_LM10_ORACLE)
+def q_lm_doc_perplexity_10x(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The perplexity filter at 10× corpus mass (broadcast-inflated like
+    ``dedup_corpus_segments_10x``): the skew-split score join — hot-head
+    broadcast + cold-tail shuffle — must scale linearly in the token
+    count; per-copy aggregates keep the compared result compact while
+    every inflated token flows through the join."""
+    from dronedb_spark.text.segdedup import inflated_documents
+
+    docs = load(spark, sf_dir, "documents")
+    lm = train_unigram(docs.filter(F.col("doc_id") % 2 == 0))
+    big = inflated_documents(docs, copies=_LM10_COPIES)
+    per_doc = doc_cross_entropy(big, lm)
+    copy = (F.col("doc_id") / _LM10_STRIDE).cast("long")
+    return (
+        per_doc.groupBy(copy.alias("copy"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum("n_oov").cast("long").alias("n_oov"),
+            F.round(
+                F.sum(F.col("cross_entropy").cast("decimal(38,15)")).cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("mean_cross_entropy"),
+        )
+        .orderBy("copy")
+    )

@@ -141,3 +141,66 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "first_doc", "last_doc",
         F.col("n_tokens").cast("long").alias("n_tokens"),
     ).orderBy("chunk_id")
+
+
+# --------------------------------------------------- 10x stress variant
+
+_P10_COPIES = 10
+_P10_STRIDE = 10000000
+_P10_BUCKET = 100
+
+_PACK10_ORACLE = f"""
+    WITH corpus AS (
+        SELECT doc_id + k.k * {_P10_STRIDE} AS doc_id, text
+        FROM documents, (SELECT unnest(range(0, {_P10_COPIES})) AS k) k
+    ),
+    spans AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+               SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+                   OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS excl
+        FROM corpus
+    ),
+    s2 AS (
+        SELECT doc_id, n_tok, CAST(COALESCE(excl, 0) AS BIGINT) AS start FROM spans
+    ),
+    chunks AS (
+        SELECT doc_id, unnest(generate_series(start // {_SEQ_LEN},
+                                              (start + n_tok - 1) // {_SEQ_LEN})) AS chunk_id
+        FROM s2
+    ),
+    roster AS (
+        SELECT chunk_id, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+        FROM chunks GROUP BY chunk_id
+    )
+    SELECT CAST(chunk_id // {_P10_BUCKET} AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(MIN(first_doc) AS BIGINT) AS first_doc,
+           CAST(MAX(chunk_id) AS BIGINT) AS last_chunk
+    FROM roster GROUP BY 1 ORDER BY bucket"""
+
+
+@check("pack_sequences_10x", oracle=_PACK10_ORACLE)
+def q_pack_sequences_10x(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing at 10× corpus mass (broadcast-inflated): the
+    two-phase distributed prefix sum's only unpartitioned window stays
+    the P-row partition-totals table no matter the row count — this
+    check carries the measured evidence.  Bucketed roster aggregates
+    keep the compared result compact while every chunk assignment flows
+    through the scan."""
+    from dronedb_spark.text.segdedup import inflated_documents
+
+    big = inflated_documents(load(spark, sf_dir, "documents"), copies=_P10_COPIES)
+    roster = pack_sequences(big, _SEQ_LEN)
+    return (
+        roster.groupBy((F.col("chunk_id") / _P10_BUCKET).cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.min("first_doc").cast("long").alias("first_doc"),
+            F.max("chunk_id").cast("long").alias("last_chunk"),
+        )
+        .orderBy("bucket")
+    )
