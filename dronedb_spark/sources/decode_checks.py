@@ -1103,3 +1103,102 @@ def q_video_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(stats, schema=schema).orderBy(
         "media_id", "container", "frame_idx"
     )
+
+
+# ------------------------------------------------- LAS 1.4 waveform ---
+
+_WF_N, _WF_PTS = 4, 30
+
+
+@check(
+    "pointcloud_waveform_metrics",
+    oracle=f"""
+        WITH samp AS (
+            SELECT i.i AS file_id, j.j AS j, (j.j % 3) + 1 AS wpd_index,
+                   CAST((i.i * 37 + j.j * 11 + k.k * 3) % 4096 AS BIGINT) AS s
+            FROM (SELECT unnest(range(0, {_WF_N})) AS i) i,
+                 (SELECT unnest(range(0, {_WF_PTS})) AS j) j,
+                 (SELECT unnest(range(0, 40)) AS k) k
+            WHERE k.k < 24 + 8 * (j.j % 3)),
+        pts AS (
+            SELECT file_id, j, wpd_index,
+                   COUNT(*) AS n_samples, SUM(s) AS energy, MAX(s) AS peak
+            FROM samp GROUP BY file_id, j, wpd_index)
+        SELECT file_id, CAST(wpd_index AS BIGINT) AS wpd_index,
+               COUNT(*) AS n_points,
+               CAST(SUM(n_samples) AS BIGINT) AS total_samples,
+               CAST(SUM(energy) AS BIGINT) AS total_energy,
+               CAST(MAX(peak) AS BIGINT) AS max_peak
+        FROM pts GROUP BY file_id, wpd_index
+        ORDER BY file_id, wpd_index""",
+)
+def q_waveform_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAS 1.4 PDRF 9 full-waveform files (sources/waveform.py — wave
+    packet descriptor VLRs + internal waveform EVLR, the last LAS point
+    format family): real bytes encode → decode → per-descriptor waveform
+    reductions (packet count, sample count, energy, peak).  The 60 GB-
+    tile scale story: waveform payloads reduce to scalars INSIDE the
+    per-file task; only the aggregates cross the engine."""
+
+    def gen_and_stats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from dronedb_spark.sources.waveform import (
+            encode_las14_waveform,
+            waveform_metrics,
+        )
+
+        for pdf in it:
+            out = []
+            for i in pdf["id"]:
+                i = int(i)
+                j = np.arange(_WF_PTS, dtype=np.int64)
+                waves = [
+                    ((i * 37 + jj * 11 + np.arange(24 + 8 * (jj % 3)) * 3) % 4096)
+                    .astype(np.uint16)
+                    for jj in j
+                ]
+                blob = encode_las14_waveform(
+                    x=j * 0.5, y=j * 0.25, z=(j % 7).astype(float),
+                    waveforms=waves,
+                    descriptor_index=(j % 3 + 1).astype(np.uint8),
+                    gps_time=1000.0 + j,
+                )
+                m = waveform_metrics(blob)
+                pdf2 = pd.DataFrame(
+                    {"wpd_index": m["wpd_index"], "n_samples": m["n_samples"],
+                     "energy": m["energy"], "peak": m["peak"]}
+                )
+                g = pdf2.groupby("wpd_index").agg(
+                    n_points=("energy", "size"), total_samples=("n_samples", "sum"),
+                    total_energy=("energy", "sum"), max_peak=("peak", "max"),
+                )
+                for wi, r in g.iterrows():
+                    out.append(
+                        {
+                            "file_id": i, "wpd_index": int(wi),
+                            "n_points": int(r["n_points"]),
+                            "total_samples": int(r["total_samples"]),
+                            "total_energy": int(r["total_energy"]),
+                            "max_peak": int(r["max_peak"]),
+                        }
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=["file_id", "wpd_index", "n_points", "total_samples",
+                         "total_energy", "max_peak"],
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("file_id", T.LongType()),
+            T.StructField("wpd_index", T.LongType()),
+            T.StructField("n_points", T.LongType()),
+            T.StructField("total_samples", T.LongType()),
+            T.StructField("total_energy", T.LongType()),
+            T.StructField("max_peak", T.LongType()),
+        ]
+    )
+    return (
+        spread(spark.range(_WF_N))
+        .mapInPandas(gen_and_stats, schema=schema)
+        .orderBy("file_id", "wpd_index")
+    )

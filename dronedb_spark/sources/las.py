@@ -131,7 +131,7 @@ def decode_las(data: bytes) -> dict[str, np.ndarray]:
         from dronedb_spark.sources.laz import decode_laz
 
         return decode_laz(data)
-    if fmt in (6, 7, 8):
+    if fmt in (6, 7, 8, 9, 10):
         return _decode_las14(data, info)
     if fmt not in _PT_LEN:
         raise NotImplementedError(f"LAS point format {fmt}")
@@ -170,20 +170,35 @@ def decode_las(data: bytes) -> dict[str, np.ndarray]:
 
 
 def _decode_las14(data: bytes, info: dict) -> dict[str, np.ndarray]:
-    """Uncompressed LAS 1.4 PDRF 6/7/8 records (sources/laz14.py writes
-    them; the compressed path lives there too)."""
+    """Uncompressed LAS 1.4 PDRF 6-10 records (sources/laz14.py writes
+    6-8, sources/waveform.py writes the waveform formats 9/10; the
+    compressed path for 6-8 lives in laz14.py)."""
     fmt, n = info["point_format"], info["n_points"]
+    has_rgb = fmt in (7, 8, 10)
+    has_nir = fmt in (8, 10)
+    has_wave = fmt in (9, 10)
     base = [
         ("x", "<i4"), ("y", "<i4"), ("z", "<i4"), ("intensity", "<u2"),
         ("returns", "u1"), ("flags", "u1"), ("classification", "u1"),
         ("user_data", "u1"), ("scan_angle", "<i2"), ("point_source", "<u2"),
         ("gps_time", "<f8"),
     ]
-    if fmt >= 7:
+    if has_rgb:
         base += [("red", "<u2"), ("green", "<u2"), ("blue", "<u2")]
-    if fmt == 8:
+    if has_nir:
         base.append(("nir", "<u2"))
+    if has_wave:
+        base += [
+            ("wpd_index", "u1"), ("wf_offset", "<u8"), ("wf_size", "<u4"),
+            ("wf_return_point", "<f4"),
+            ("wf_dx", "<f4"), ("wf_dy", "<f4"), ("wf_dz", "<f4"),
+        ]
     dt = np.dtype(base)
+    if info["record_length"] < dt.itemsize:
+        raise ValueError(
+            f"record length {info['record_length']} smaller than PDRF {fmt}'s "
+            f"base {dt.itemsize} — corrupt header"
+        )
     if info["record_length"] > dt.itemsize:
         dt = np.dtype(base + [("_extra", f"V{info['record_length'] - dt.itemsize}")])
     rec = np.frombuffer(data, dtype=dt, count=n, offset=info["point_data_offset"])
@@ -202,10 +217,18 @@ def _decode_las14(data: bytes, info: dict) -> dict[str, np.ndarray]:
         "point_source": rec["point_source"].astype(np.int64),
         "gps_time": rec["gps_time"].astype(np.float64),
     }
-    if fmt >= 7:
+    if has_rgb:
         out["red"] = rec["red"].astype(np.int64)
         out["green"] = rec["green"].astype(np.int64)
         out["blue"] = rec["blue"].astype(np.int64)
-    if fmt == 8:
+    if has_nir:
         out["nir"] = rec["nir"].astype(np.int64)
+    if has_wave:
+        out["wpd_index"] = rec["wpd_index"].astype(np.int64)
+        out["wf_offset"] = rec["wf_offset"].astype(np.int64)
+        out["wf_size"] = rec["wf_size"].astype(np.int64)
+        out["wf_return_point"] = rec["wf_return_point"].astype(np.float64)
+        out["wf_dx"] = rec["wf_dx"].astype(np.float64)
+        out["wf_dy"] = rec["wf_dy"].astype(np.float64)
+        out["wf_dz"] = rec["wf_dz"].astype(np.float64)
     return out

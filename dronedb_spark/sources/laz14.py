@@ -70,7 +70,7 @@ _ITEM_BYTE14 = 14
 # PDRF 6 record: X Y Z intensity returns flags classification user_data
 # scan_angle(i16) point_source gps_time(f8)
 _P14 = struct.Struct("<iiiHBBBBhHd")
-_PT14_LEN = {6: 30, 7: 36, 8: 38}
+_PT14_LEN = {6: 30, 7: 36, 8: 38, 9: 59, 10: 67}  # 9/10 add the 29-byte wave tail
 
 
 # ------------------------------------------------------------ las 1.4 raw

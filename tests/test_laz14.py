@@ -116,6 +116,15 @@ def test_header_legacy_count_zero():
 
 def test_unknown_point_format_raises():
     data = bytearray(encode_las14(**_fields(10)))
-    data[104] = 9  # PDRF 9 (waveform) unsupported
+    data[104] = 11  # PDRF 11 does not exist in the spec
     with pytest.raises(NotImplementedError):
+        decode_las(bytes(data))
+
+
+def test_truncated_waveform_format_raises():
+    """A PDRF-9 flag on 30-byte records is corrupt (the wave tail needs
+    59) — must raise cleanly, not underflow numpy's buffer math."""
+    data = bytearray(encode_las14(**_fields(10)))
+    data[104] = 9
+    with pytest.raises(ValueError, match="record length"):
         decode_las(bytes(data))
