@@ -261,3 +261,151 @@ def status_classify(index: DataFrame, fs: DataFrame) -> DataFrame:
 )
 def q_status_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return status_classify(entries_df(spark, sf_dir, "a"), entries_df(spark, sf_dir, "c"))
+
+
+# ------------------------------------------------------- pull planning
+
+
+def pull_plan(remote: DataFrame, local: DataFrame, base: DataFrame) -> DataFrame:
+    """The non-network core of `ddb pull` (registry.cpp:537-589): plan
+    what a sync from a remote stamp must do, given the LOCAL working
+    index and the BASE (last-pulled) stamp.  Transport (HTTP download /
+    upload) stays out of scope; everything the reference computes
+    before and after the wire is here:
+
+      * adds   — remote (path, hash) pairs absent from base
+                 (delta.cpp's add set against the last stamp)
+      * per-add action:
+          present    — local already has this exact content at the path
+                       (applyDelta's skip)
+          conflict   — BothModified (registry.cpp:445): local changed
+                       vs base AND disagrees with the remote
+          local_copy — computeDeltaLocals: some local file already has
+                       the remote HASH → hard-copy from src_path, no
+                       download
+          download   — content exists nowhere locally
+      * removes — base paths the remote no longer has
+
+    Scale shape: the delta is change-sized, the local index is
+    corpus-sized — so the plan BROADCASTS the adds into left-semi
+    filters over the local/base tables (shuffle-free probes of the big
+    side, the elevation-profile discipline), then joins the tiny hit
+    sets back broadcast.  The content-address lookup groups the hash
+    hits to one source path before the join, so duplicate local content
+    cannot fan out the plan."""
+    r = remote.select("path", F.col("hash").alias("r_hash"))
+    base_ph = base.select("path", "hash")
+    adds = (
+        remote.select("path", "hash")
+        .join(base_ph, ["path", "hash"], "left_anti")
+        .withColumnRenamed("hash", "r_hash")
+    )
+    adds_paths = F.broadcast(adds.select("path"))
+    loc_hits = (
+        local.select("path", F.col("hash").alias("l_hash"))
+        .join(adds_paths, "path", "left_semi")
+    )
+    base_hits = (
+        base.select("path", F.col("hash").alias("b_hash"))
+        .join(adds_paths, "path", "left_semi")
+    )
+    content_hits = (
+        local.select(F.col("hash").alias("r_hash"), F.col("path").alias("src_path"))
+        .join(F.broadcast(adds.select("r_hash")), "r_hash", "left_semi")
+        .groupBy("r_hash")
+        .agg(F.min("src_path").alias("src_path"))
+    )
+    j = (
+        adds.join(F.broadcast(loc_hits), "path", "left")
+        .join(F.broadcast(base_hits), "path", "left")
+        .join(F.broadcast(content_hits), "r_hash", "left")
+    )
+    action = (
+        F.when(F.col("l_hash") == F.col("r_hash"), F.lit("present"))
+        .when(
+            F.col("l_hash").isNotNull()
+            & (F.col("l_hash") != F.coalesce(F.col("b_hash"), F.lit("")))
+            & (F.col("l_hash") != F.col("r_hash")),
+            F.lit("conflict"),
+        )
+        .when(F.col("src_path").isNotNull(), F.lit("local_copy"))
+        .otherwise(F.lit("download"))
+    )
+    plan_adds = j.select(
+        "path",
+        action.alias("action"),
+        F.when(action == "local_copy", F.col("src_path")).otherwise(F.lit("")).alias("src_path"),
+    )
+    removes = (
+        base_ph.join(remote.select("path"), "path", "left_anti")
+        .select("path", F.lit("remove").alias("action"), F.lit("").alias("src_path"))
+    )
+    return plan_adds.unionByName(removes)
+
+
+def _pull_fixture_sql(dialect: str) -> dict[str, str]:
+    """Three synthetic catalogs from the same closed form in both
+    dialects: base = last-pulled stamp, local = working tree with some
+    local edits (i%7==0), remote = upstream with its own edits (i%5==0),
+    two deletions (28, 29), five new files (30-34, one of which reuses
+    local content h3), and one identical-both-sides edit (21)."""
+    rng = (
+        "SELECT CAST(id AS INT) AS i FROM range(0, 35)"
+        if dialect == "spark"
+        else "SELECT CAST(range AS INT) AS i FROM range(0, 35)"
+    )
+    c = "||" if dialect == "duckdb" else "||"
+    return {
+        "base": f"""SELECT 'f' {c} i AS path, 'h' {c} i AS hash
+                    FROM ({rng}) t WHERE i < 30""",
+        "local": f"""SELECT 'f' {c} i AS path,
+                        CASE WHEN i % 7 = 0 THEN 'l' {c} i ELSE 'h' {c} i END AS hash
+                     FROM ({rng}) t WHERE i < 30""",
+        "remote": f"""SELECT 'f' {c} i AS path,
+                        CASE WHEN i = 30 THEN 'h3'
+                             WHEN i = 21 THEN 'l21'
+                             WHEN i >= 31 THEN 'r' {c} i
+                             WHEN i % 5 = 0 THEN 'r' {c} i
+                             ELSE 'h' {c} i END AS hash
+                      FROM ({rng}) t WHERE i NOT IN (28, 29)""",
+    }
+
+
+def _pull_plan_oracle() -> str:
+    t = _pull_fixture_sql("duckdb")
+    return f"""
+        WITH base AS ({t["base"]}), local AS ({t["local"]}), remote AS ({t["remote"]}),
+        adds AS (
+            SELECT r.path, r.hash AS r_hash FROM remote r
+            LEFT JOIN base b ON r.path = b.path AND r.hash = b.hash
+            WHERE b.path IS NULL),
+        content AS (
+            SELECT l.hash AS r_hash, MIN(l.path) AS src_path FROM local l
+            WHERE l.hash IN (SELECT r_hash FROM adds) GROUP BY l.hash),
+        planned AS (
+            SELECT a.path,
+                   CASE WHEN l.hash = a.r_hash THEN 'present'
+                        WHEN l.hash IS NOT NULL AND l.hash <> COALESCE(b.hash, '')
+                             AND l.hash <> a.r_hash THEN 'conflict'
+                        WHEN c.src_path IS NOT NULL THEN 'local_copy'
+                        ELSE 'download' END AS action,
+                   c.src_path
+            FROM adds a
+            LEFT JOIN local l ON a.path = l.path
+            LEFT JOIN base b ON a.path = b.path
+            LEFT JOIN content c ON a.r_hash = c.r_hash)
+        SELECT path, action,
+               CASE WHEN action = 'local_copy' THEN src_path ELSE '' END AS src_path
+        FROM planned
+        UNION ALL
+        SELECT b.path, 'remove' AS action, '' AS src_path FROM base b
+        LEFT JOIN remote r ON b.path = r.path WHERE r.path IS NULL
+        ORDER BY path, action"""
+
+
+@check("pull_delta_plan", oracle=_pull_plan_oracle())
+def q_pull_delta_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _pull_fixture_sql("spark")
+    return pull_plan(
+        spark.sql(t["remote"]), spark.sql(t["local"]), spark.sql(t["base"])
+    ).orderBy("path", "action")

@@ -471,3 +471,18 @@ def test_elevation_profile_never_shuffles_pixels(spark):
         assert "Exchange hashpartitioning" not in plan, name
         assert "BroadcastHashJoin" in plan, name
         assert not has_cartesian(q), name
+
+
+def test_pull_plan_broadcasts_delta_side(spark):
+    """pull_plan probes the corpus-sized local/base tables with
+    broadcast left-semi joins of the change-sized delta; no sort-merge
+    join may appear (the only exchange is the hash-group of the tiny
+    content-hit set)."""
+    from dronedb_spark.suite import load_all
+
+    reg = load_all()
+    q = reg["pull_delta_plan"].spark_fn(spark, "/root/testdata/sf0.001")
+    plan = physical_plan(q)
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert not has_cartesian(q)
