@@ -41,7 +41,15 @@ def _artifact_dir(root: str, hash_: str, kind: str) -> str:
 
 
 def _is_complete(root: str, hash_: str, kind: str) -> bool:
-    return os.path.exists(os.path.join(_artifact_dir(root, hash_, kind), "_SUCCESS"))
+    """Complete = _SUCCESS marker AND the artifact's primary file both
+    exist (build.cpp:171's fileExistsAndNonEmpty).  Checking the file
+    too means an artifact-contract change (e.g. 3dtiles' marker.json →
+    extracted tileset.json) invalidates stale directories instead of
+    skipping them forever behind an old _SUCCESS."""
+    d = _artifact_dir(root, hash_, kind)
+    return os.path.exists(os.path.join(d, "_SUCCESS")) and os.path.exists(
+        os.path.join(d, ARTIFACT_FILES[kind])
+    )
 
 
 def _candidates_df(catalog):
@@ -322,7 +330,30 @@ def build_all(catalog, force: bool = False) -> dict[str, int]:
     spark = catalog.spark
     root = catalog.root
     todo_df = _candidates_df(catalog) if force else pending_builds_df(catalog)
-    files = scan_binaries(spark, root, "*").withColumnRenamed("file_name", "path")
+    # the pending set is work-sized (usually tiny); checkpoint it so the
+    # emptiness guard and the join share one probe pass — an idempotent
+    # re-run with nothing pending must NOT launch the binaryFile content
+    # scan of the whole tree just to inner-join with zero rows
+    todo_df = todo_df.localCheckpoint(eager=True)
+    n_pending = todo_df.count()
+    if n_pending == 0:
+        return {}
+    # incremental builds are the common case: when the pending set is
+    # small, read EXACTLY those files instead of scanning the whole
+    # tree's bytes and throwing away the join misses (binaryFile has no
+    # join-key pushdown).  The path collect is the work list itself —
+    # work-sized by definition.  Large pending sets (initial build)
+    # keep the one-pass recursive scan.
+    if n_pending <= 10_000:
+        sep = root.rstrip("/") + "/"
+        paths = [sep + r["path"] for r in todo_df.select("path").collect()]
+        files = (
+            spark.read.format("binaryFile")
+            .load(paths)
+            .select(F.substring_index("path", sep, -1).alias("path"), "content")
+        )
+    else:
+        files = scan_binaries(spark, root, "*").withColumnRenamed("file_name", "path")
 
     def run(it):
         for pdf in it:

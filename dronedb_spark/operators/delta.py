@@ -293,7 +293,6 @@ def pull_plan(remote: DataFrame, local: DataFrame, base: DataFrame) -> DataFrame
     sets back broadcast.  The content-address lookup groups the hash
     hits to one source path before the join, so duplicate local content
     cannot fan out the plan."""
-    r = remote.select("path", F.col("hash").alias("r_hash"))
     base_ph = base.select("path", "hash")
     adds = (
         remote.select("path", "hash")
@@ -354,19 +353,18 @@ def _pull_fixture_sql(dialect: str) -> dict[str, str]:
         if dialect == "spark"
         else "SELECT CAST(range AS INT) AS i FROM range(0, 35)"
     )
-    c = "||" if dialect == "duckdb" else "||"
     return {
-        "base": f"""SELECT 'f' {c} i AS path, 'h' {c} i AS hash
+        "base": f"""SELECT 'f' || i AS path, 'h' || i AS hash
                     FROM ({rng}) t WHERE i < 30""",
-        "local": f"""SELECT 'f' {c} i AS path,
-                        CASE WHEN i % 7 = 0 THEN 'l' {c} i ELSE 'h' {c} i END AS hash
+        "local": f"""SELECT 'f' || i AS path,
+                        CASE WHEN i % 7 = 0 THEN 'l' || i ELSE 'h' || i END AS hash
                      FROM ({rng}) t WHERE i < 30""",
-        "remote": f"""SELECT 'f' {c} i AS path,
+        "remote": f"""SELECT 'f' || i AS path,
                         CASE WHEN i = 30 THEN 'h3'
                              WHEN i = 21 THEN 'l21'
-                             WHEN i >= 31 THEN 'r' {c} i
-                             WHEN i % 5 = 0 THEN 'r' {c} i
-                             ELSE 'h' {c} i END AS hash
+                             WHEN i >= 31 THEN 'r' || i
+                             WHEN i % 5 = 0 THEN 'r' || i
+                             ELSE 'h' || i END AS hash
                       FROM ({rng}) t WHERE i NOT IN (28, 29)""",
     }
 

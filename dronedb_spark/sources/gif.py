@@ -135,26 +135,36 @@ def _deinterlace(rows: np.ndarray) -> np.ndarray:
 def _sub_blocks(data: bytes, pos: int) -> tuple[bytes, int]:
     chunks = []
     while True:
+        if pos >= len(data):
+            raise ValueError("truncated GIF (sub-block length past end)")
         n = data[pos]
         pos += 1
         if n == 0:
             break
+        if pos + n > len(data):
+            raise ValueError("truncated GIF (sub-block payload past end)")
         chunks.append(data[pos : pos + n])
         pos += n
     return b"".join(chunks), pos
 
 
-def parse_gif(data: bytes) -> dict:
+def parse_gif(data: bytes, max_frames: int | None = None) -> dict:
     """Full structural parse → {width, height, version, bg_index,
     gct (Nx3|None), frames: [{left, top, width, height, indices(np 2-D),
-    palette, transparent, disposal, delay_cs}]}."""
+    palette, transparent, disposal, delay_cs}]}.  ``max_frames`` stops
+    the walk (and its LZW work) after that many image blocks — the lazy
+    path for first-frame thumbnails of long animations."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
+    if len(data) < 13:
+        raise ValueError("truncated GIF (no logical screen descriptor)")
     w, h, packed, bg, _aspect = struct.unpack_from("<HHBBB", data, 6)
     pos = 13
     gct = None
     if packed & 0x80:
         n = 2 << (packed & 0x07)
+        if pos + n * 3 > len(data):
+            raise ValueError("truncated GIF (global color table past end)")
         gct = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
         pos += n * 3
 
@@ -163,11 +173,15 @@ def parse_gif(data: bytes) -> dict:
     disposal = 0
     delay_cs = 0
     while pos < len(data):
+        if max_frames is not None and len(frames) >= max_frames:
+            break
         b = data[pos]
         pos += 1
         if b == 0x3B:  # trailer
             break
         if b == 0x21:  # extension
+            if pos >= len(data):
+                raise ValueError("truncated GIF (extension label past end)")
             label = data[pos]
             pos += 1
             payload, pos = _sub_blocks(data, pos)
@@ -177,11 +191,15 @@ def parse_gif(data: bytes) -> dict:
                 transparent = tidx if flags & 1 else None
             continue
         if b == 0x2C:  # image descriptor
+            if pos + 10 > len(data):
+                raise ValueError("truncated GIF (image descriptor past end)")
             left, top, fw, fh, fpacked = struct.unpack_from("<HHHHB", data, pos)
             pos += 9
             pal = gct
             if fpacked & 0x80:
                 n = 2 << (fpacked & 0x07)
+                if pos + n * 3 > len(data):
+                    raise ValueError("truncated GIF (local color table past end)")
                 pal = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
                 pos += n * 3
             min_code = data[pos]
@@ -225,21 +243,31 @@ def decode_gif_frames(data: bytes, indices: list[int] | None = None) -> np.ndarr
     """Composited RGBA frames (n, h, w, 4).  Disposal semantics per the
     89a spec: 0/1 leave the canvas, 2 restores the frame region to
     transparent background, 3 restores the previous canvas.  Compositing
-    is sequential from frame 0 (GIF frames are deltas), but only the
-    requested frames are MATERIALIZED."""
-    g = parse_gif(data)
-    want = set(range(len(g["frames"]))) if indices is None else set(indices)
+    is sequential from frame 0 (GIF frames are deltas), but parsing and
+    LZW work STOP after the highest requested frame — first-frame
+    thumbnails of a long animation decode exactly one frame."""
+    if indices is None:
+        g = parse_gif(data)
+        want = set(range(len(g["frames"])))
+    else:
+        want = set(indices)
+        g = parse_gif(data, max_frames=(max(want) + 1) if want else 0)
     canvas = np.zeros((g["height"], g["width"], 4), dtype=np.uint8)
     out: dict[int, np.ndarray] = {}
     for fi, fr in enumerate(g["frames"]):
         if fr["disposal"] == 3:
             saved = canvas.copy()
-        sl = np.s_[fr["top"] : fr["top"] + fr["height"],
-                   fr["left"] : fr["left"] + fr["width"]]
-        idx = fr["indices"]
+        # clip the frame rectangle to the logical screen (malformed
+        # encoders may overhang; browsers clip, so do we)
+        ch = max(0, min(fr["height"], g["height"] - fr["top"]))
+        cw = max(0, min(fr["width"], g["width"] - fr["left"]))
+        sl = np.s_[fr["top"] : fr["top"] + ch, fr["left"] : fr["left"] + cw]
+        idx = fr["indices"][:ch, :cw]
         pal = fr["palette"]
         if pal is None:
             raise ValueError("GIF frame has no color table")
+        if idx.size and int(idx.max()) >= len(pal):
+            raise ValueError("corrupt GIF: palette index out of range")
         rgb = pal[idx]
         alpha = np.full(idx.shape, 255, dtype=np.uint8)
         if fr["transparent"] is not None:

@@ -83,9 +83,15 @@ def encode_mov_mjpeg(frames: list[bytes], width: int, height: int, fps: int = 10
     hdlr = _box(b"hdlr", struct.pack(">Bxxx", 0) + b"mhlr" + b"vide" + b"\x00" * 12 + b"\x00")
     mdia = _box(b"mdia", mdhd + hdlr + minf)
 
+    # tkhd v0 (84-byte body): version u8 + flags u24 (0x7 = enabled |
+    # in-movie | in-preview), creation/modification u32, track id u32,
+    # reserved u32, duration u32, reserved u64, layer/alt-group/volume
+    # i16 + reserved i16, 3x3 fixed matrix, width/height 16.16
     tkhd = _box(
         b"tkhd",
-        struct.pack(">BxxxIIIII4x", 7, 0, 0, 1, 0, duration)
+        struct.pack(">B", 0) + b"\x00\x00\x07"
+        + struct.pack(">IIIII", 0, 0, 1, 0, duration)
+        + b"\x00" * 8
         + struct.pack(">hhhh", 0, 0, 0, 0)
         + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
         + struct.pack(">II", width << 16, height << 16),

@@ -204,7 +204,14 @@ def decode_png(data: bytes) -> np.ndarray:
 def png_info(data: bytes) -> tuple[int, int, int]:
     """(width, height, channels) — IHDR plus, for palette images only, a
     chunk-HEADER walk to spot a tRNS (which makes the decode RGBA).
-    Still metadata-only: payloads are skipped, never inflated."""
+    Still metadata-only: payloads are skipped, never inflated.
+
+    Prefix caveat: on a stream PREFIX (the ingest sniffer's header
+    window) the walk ends at the first chunk header past the available
+    bytes; a tRNS hiding behind a large earlier chunk (e.g. an iCCP
+    profile) then under-reports channels as 3 while a full decode
+    returns RGBA — inherent to prefix sniffing, callers needing the
+    exact band count must decode."""
     if not data.startswith(_SIG) or data[12:16] != b"IHDR":
         raise ValueError("not a PNG")
     w, h, _depth, color_type = struct.unpack(">IIBB", data[16:26])

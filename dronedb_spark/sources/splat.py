@@ -16,9 +16,7 @@ from __future__ import annotations
 
 import gzip
 import io
-import json
 import struct
-import zipfile
 
 _SPZ_MAGIC = 0x5053474E
 
@@ -65,7 +63,11 @@ def spz_info(data: bytes) -> dict:
 
 
 def encode_3tz(geometric_error: float, n_children: int, version: str = "1.1") -> bytes:
-    """Minimal OGC 3D Tiles archive: zip with a tileset.json."""
+    """Minimal OGC 3D Tiles archive for probe fixtures: a box-volume
+    tileset with n_children b3dm stubs, zipped via the shared writer in
+    sources/tiles3d.py."""
+    from dronedb_spark.sources.tiles3d import encode_3tz as _zip_tileset
+
     tileset = {
         "asset": {"version": version},
         "geometricError": geometric_error,
@@ -82,32 +84,19 @@ def encode_3tz(geometric_error: float, n_children: int, version: str = "1.1") ->
             ],
         },
     }
-    buf = io.BytesIO()
-    with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
-        info = zipfile.ZipInfo("tileset.json", date_time=(2024, 1, 1, 0, 0, 0))
-        zf.writestr(info, json.dumps(tileset, sort_keys=True))
-    return buf.getvalue()
+    return _zip_tileset(tileset)
 
 
 def tz3_info(data: bytes) -> dict:
-    """{tilesetVersion, geometricError, nChildren} from tileset.json.
-    Full archives go through zipfile; stream PREFIXES (no central
-    directory in the ingest parser's 4 KiB window) fall back to walking
-    local file headers — the 3D Tiles archive spec puts tileset.json
-    first precisely to allow this streaming read."""
+    """{tilesetVersion, geometricError, nChildren} from tileset.json —
+    full archives AND stream prefixes, via the shared loader in
+    sources/tiles3d.py (the probe's key contract is kept for the ingest
+    parser)."""
     if data[:2] != b"PK":
         raise ValueError("not a zip (not .3tz)")
-    doc = None
-    try:
-        with zipfile.ZipFile(io.BytesIO(data)) as zf:
-            names = [n for n in zf.namelist() if n.lower().endswith("tileset.json")]
-            if not names:
-                raise ValueError("3tz without tileset.json")
-            doc = json.loads(zf.read(sorted(names, key=len)[0]))
-    except (zipfile.BadZipFile, ValueError):
-        doc = _tz3_stream_tileset(data)
-    if doc is None:
-        raise ValueError("3tz without tileset.json")
+    from dronedb_spark.sources.tiles3d import load_tileset
+
+    doc = load_tileset(data)
     return {
         "tilesetVersion": doc.get("asset", {}).get("version"),
         "geometricError": doc.get("geometricError"),
@@ -115,23 +104,3 @@ def tz3_info(data: bytes) -> dict:
     }
 
 
-def _tz3_stream_tileset(data: bytes) -> dict | None:
-    """Walk zip LOCAL file headers from the stream start (PK\\x03\\x04
-    magic, name/extra lengths, stored or deflate payload) until
-    tileset.json is found within the available prefix."""
-    import zlib
-
-    pos = 0
-    while pos + 30 <= len(data) and data[pos : pos + 4] == b"PK\x03\x04":
-        method, = struct.unpack_from("<H", data, pos + 8)
-        csize, = struct.unpack_from("<I", data, pos + 18)
-        nlen, elen = struct.unpack_from("<HH", data, pos + 26)
-        name = data[pos + 30 : pos + 30 + nlen].decode("utf-8", errors="replace")
-        body_start = pos + 30 + nlen + elen
-        body = data[body_start : body_start + csize]
-        if name.lower().endswith("tileset.json"):
-            if method == 8:
-                body = zlib.decompressobj(wbits=-15).decompress(body)
-            return json.loads(body)
-        pos = body_start + csize
-    return None

@@ -46,14 +46,56 @@ def build_tileset(
     }
 
 
+def load_tileset(data: bytes) -> dict:
+    """tileset document from raw JSON bytes or a .3tz archive — the ONE
+    shared loader (splat.py's probe delegates here).  Full archives go
+    through zipfile; stream PREFIXES (no central directory inside the
+    ingest parser's header window) fall back to walking zip LOCAL file
+    headers, which the 3D Tiles archive spec supports by putting
+    tileset.json first."""
+    if data[:2] != b"PK":
+        return json.loads(data)
+    doc = None
+    try:
+        with zipfile.ZipFile(io.BytesIO(data)) as z:
+            names = [n for n in z.namelist() if n.lower().endswith("tileset.json")]
+            if not names:
+                raise ValueError("3tz without tileset.json")
+            doc = json.loads(z.read(sorted(names, key=len)[0]))
+    except (zipfile.BadZipFile, ValueError):
+        doc = _stream_tileset(data)
+    if doc is None:
+        raise ValueError("3tz without tileset.json")
+    return doc
+
+
+def _stream_tileset(data: bytes) -> dict | None:
+    """Walk zip LOCAL file headers from the stream start (PK\\x03\\x04
+    magic, name/extra lengths, stored or deflate payload) until
+    tileset.json is found within the available prefix."""
+    import zlib
+
+    pos = 0
+    while pos + 30 <= len(data) and data[pos : pos + 4] == b"PK\x03\x04":
+        (method,) = struct.unpack_from("<H", data, pos + 8)
+        (csize,) = struct.unpack_from("<I", data, pos + 18)
+        nlen, elen = struct.unpack_from("<HH", data, pos + 26)
+        name = data[pos + 30 : pos + 30 + nlen].decode("utf-8", errors="replace")
+        body_start = pos + 30 + nlen + elen
+        body = data[body_start : body_start + csize]
+        if name.lower().endswith("tileset.json"):
+            if method == 8:
+                body = zlib.decompressobj(wbits=-15).decompress(body)
+            return json.loads(body)
+        pos = body_start + csize
+    return None
+
+
 def tiles3d_info(data: bytes) -> dict:
     """{asset_version, geometric_error, region_deg} from a tileset.json
     byte blob or a .3tz archive — the same fields tiles3d.cpp extracts
     for the entry footprint (region radians → degrees)."""
-    if data[:2] == b"PK":
-        with zipfile.ZipFile(io.BytesIO(data)) as z:
-            data = z.read("tileset.json")
-    doc = json.loads(data)
+    doc = load_tileset(data)
     root = doc.get("root") or {}
     bv = (root.get("boundingVolume") or {}).get("region")
     region_deg = None

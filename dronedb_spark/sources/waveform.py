@@ -70,9 +70,6 @@ def pack_descriptor(bits: int, n_samples: int, temporal_ps: int,
 def parse_descriptors(data: bytes) -> dict[int, dict]:
     """Walk the VLR block → {descriptor_index: fields} (record IDs
     100-354 map to wave packet descriptors 1-255)."""
-    from dronedb_spark.sources.las import las_info
-
-    info = las_info(data)
     (n_vlrs,) = struct.unpack_from("<I", data, 100)
     (header_size,) = struct.unpack_from("<H", data, 94)
     pos = header_size
@@ -93,7 +90,11 @@ def parse_descriptors(data: bytes) -> dict[int, dict]:
 
 
 def _find_waveform_evlr(data: bytes) -> tuple[int, int]:
-    """(payload_start, payload_len) of the LASF_Spec/65535 EVLR."""
+    """(record_start, payload_len) of the LASF_Spec/65535 EVLR.  Note:
+    record_start is the EVLR HEADER position — per LAS 1.4 R15 a point's
+    packet lives at header-field-227 + wf_offset, and both field 227 and
+    the per-point offsets are relative to the record (header included),
+    so the first packet's wf_offset is 60, never 0."""
     (evlr_off,) = struct.unpack_from("<Q", data, 235)
     (n_evlrs,) = struct.unpack_from("<I", data, 243)
     pos = evlr_off
@@ -101,7 +102,7 @@ def _find_waveform_evlr(data: bytes) -> tuple[int, int]:
         user = data[pos + 2 : pos + 18].rstrip(b"\x00")
         rec_id, length = struct.unpack_from("<HQ", data, pos + 18)
         if user == b"LASF_Spec" and rec_id == 65535:
-            return pos + _EVLR_HDR, int(length)
+            return pos, int(length)
         pos += _EVLR_HDR + length
     raise ValueError("no waveform data EVLR")
 
@@ -155,7 +156,11 @@ def encode_las14_waveform(
     packets = []
     offsets = np.zeros(n, dtype=np.uint64)
     sizes = np.zeros(n, dtype=np.uint32)
-    pos = 0
+    # per-point offsets are relative to the Waveform Data Packet RECORD
+    # (the EVLR including its 60-byte header) — a conformant reader
+    # resolves header-field-227 + wf_offset, so the first packet sits at
+    # wf_offset = 60
+    pos = _EVLR_HDR
     for i, w in enumerate(waveforms):
         blob = np.ascontiguousarray(w, dtype=sample_dtype).tobytes()
         offsets[i] = pos

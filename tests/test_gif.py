@@ -72,3 +72,57 @@ def test_gif_palette_cap():
     img = rng.randint(0, 256, (20, 20, 3), dtype=np.uint8)  # ~400 colors
     with pytest.raises(ValueError, match="exceed"):
         encode_gif([img])
+
+
+_DESC = b"\x2c\x00\x00\x00\x00\x08\x00\x08\x00\x00"  # descriptor @ (0,0) 8x8
+
+
+def _nth_descriptor(blob: bytes, n: int) -> int:
+    pos = -1
+    for _ in range(n):
+        pos = blob.index(_DESC, pos + 1)
+    return pos
+
+
+def test_truncated_gif_raises_value_error():
+    from dronedb_spark.sources.gif import parse_gif
+
+    img = np.full((8, 8, 3), 9, dtype=np.uint8)
+    blob = encode_gif([img])
+    desc = _nth_descriptor(blob, 1)
+    # header cut, LSD cut, GCT cut, mid-LZW-sub-block cut
+    for cut in (5, 12, 20, desc + 14):
+        with pytest.raises(ValueError):
+            parse_gif(blob[:cut])
+
+
+def test_first_frame_decode_is_lazy():
+    """decode_gif must not LZW-decode later frames: corrupt frame 2's
+    data and frame 0 still decodes cleanly."""
+    from dronedb_spark.sources.gif import decode_gif, decode_gif_frames
+
+    frames = [np.full((8, 8, 3), v, dtype=np.uint8) for v in (10, 20, 30)]
+    blob = bytearray(encode_gif(frames))
+    # find the THIRD image descriptor and wreck its LZW payload
+    pos = _nth_descriptor(bytes(blob), 3)
+    blob[pos + 11 : pos + 18] = b"\xff" * 7
+    assert np.all(decode_gif(bytes(blob)) == 10)  # lazy: frame 2 untouched
+    with pytest.raises(ValueError):
+        decode_gif_frames(bytes(blob), [2])
+
+
+def test_overhanging_frame_clips_to_canvas():
+    """A frame rectangle past the logical screen clips (browser
+    behavior) instead of raising a numpy broadcast error."""
+    from dronedb_spark.sources.gif import decode_gif_frames, encode_gif
+    import struct
+
+    img = np.full((8, 8, 3), 50, dtype=np.uint8)
+    blob = bytearray(encode_gif([img]))
+    i = blob.index(0x2C)
+    # move the frame 3px right/down without shrinking it
+    struct.pack_into("<HH", blob, i + 1, 3, 3)
+    out = decode_gif_frames(bytes(blob))
+    assert out.shape == (1, 8, 8, 4)
+    assert np.all(out[0, 3:, 3:, :3] == 50)
+    assert np.all(out[0, :3, :, 3] == 0)  # untouched canvas is transparent

@@ -81,6 +81,22 @@ def test_waveform_metrics_reductions():
     assert m["peak"].tolist() == [int(w.max()) for w in waves]
 
 
+def test_offsets_relative_to_evlr_record_start():
+    """LAS 1.4 R15: a packet's absolute position is header-field-227 +
+    wf_offset, where 227 points at the EVLR HEADER — so the first
+    packet's wf_offset must be 60 (the EVLR header length), never 0, or
+    conformant readers (PDAL/laspy) locate every packet 60 bytes early."""
+    import struct
+
+    blob, waves = _fixture()
+    d = decode_las(blob)
+    assert int(d["wf_offset"][0]) == 60
+    (start_227,) = struct.unpack_from("<Q", blob, 227)
+    # resolving the spec way lands exactly on the first packet's bytes
+    first = blob[start_227 + int(d["wf_offset"][0]):][: int(d["wf_size"][0])]
+    assert first == waves[0].tobytes()
+
+
 def test_global_encoding_marks_internal_waveforms():
     import struct
 
