@@ -81,6 +81,7 @@ HEADLINE = [
     "lm_doc_perplexity_10x",
     "pack_sequences_10x",
     "video_frame_decode",
+    "incremental_dedup_probe",
 ]
 
 _SMALL_RESULT = {

@@ -38,6 +38,7 @@ _ROUND5_PRIORITY = [
     # row) and the 10x scale-evidence variants of the pipeline ops
     "catalog_rescan_types", "lm_doc_perplexity_10x", "pack_sequences_10x",
     "media_gif_channel_stats", "pointcloud_waveform_metrics", "pull_delta_plan",
+    "incremental_dedup_probe",
     # TOUCHED in round 5 — MJPEG-in-MOV container added to the video
     # check; 3D-Tiles build became a real extracted artifact; the build
     # work-list/cleanup probes were redistributed (store+build paths)

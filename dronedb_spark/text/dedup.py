@@ -378,3 +378,123 @@ def neardup_clusters(docs: DataFrame, max_rounds: int = 64) -> DataFrame:
 )
 def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_clusters(load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+# ------------------------------------------------- incremental dedup --
+
+
+def band_store(docs: DataFrame) -> DataFrame:
+    """The persisted corpus signature store: (doc_id, band_id, bk) rows
+    — what a production pipeline writes once per ingested batch and
+    keeps bucketed by ``bk`` on disk, so tomorrow's probe join needs no
+    corpus-side shuffle (and never recomputes corpus signatures)."""
+    sig = minhash_signatures(docs)
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("bk"))
+                    for b in range(BANDS)
+                ]
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.band_id").alias("band_id"), F.col("s.bk").alias("bk"))
+
+
+def incremental_neardup(batch: DataFrame, store: DataFrame) -> DataFrame:
+    """Incremental near-dup: flag NEW documents that collide with the
+    EXISTING corpus — the operation an ingestion pipeline actually runs
+    daily (dedup 10M new docs against 10B indexed ones without touching
+    the 10B).
+
+    Scale shape: only the batch's signatures are computed; the store is
+    probed with a band-bucket equi-join — batch-sized on one side,
+    pre-bucketed corpus on the other, so the only data moved is the
+    batch's band keys (broadcastable when the batch is small).  Returns
+    one row per batch doc: hit count, distinct colliding bands, and the
+    smallest colliding corpus doc as the canonical duplicate target."""
+    probe = band_store(batch).withColumnRenamed("doc_id", "batch_doc")
+    hits = probe.join(store, ["band_id", "bk"])
+    per_doc = hits.groupBy("batch_doc").agg(
+        F.countDistinct("doc_id").alias("n_corpus_hits"),
+        F.countDistinct("band_id").alias("n_hit_bands"),
+        F.min("doc_id").alias("dup_of"),
+    )
+    ids = batch.select(F.col("doc_id").alias("batch_doc")).distinct()
+    return ids.join(per_doc, "batch_doc", "left").select(
+        F.col("batch_doc").alias("doc_id"),
+        F.col("n_corpus_hits").isNotNull().alias("is_corpus_dup"),
+        F.coalesce("n_corpus_hits", F.lit(0)).alias("n_corpus_hits"),
+        F.coalesce("n_hit_bands", F.lit(0)).alias("n_hit_bands"),
+        F.coalesce("dup_of", F.lit(-1)).alias("dup_of"),
+    )
+
+
+_INC_OFFSET = 5000000
+
+
+def _duck_sig_bands_for(src: str) -> str:
+    """_DUCK_SIG_BANDS with the word source re-pointed at ``src``."""
+    words = f"SELECT doc_id, string_split(text, ' ') AS w FROM {src}"
+    sig = f"""
+        SELECT doc_id, {", ".join(_duck_mh(j) for j in range(N_HASHES))}
+        FROM (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM ({words}) words) t
+        WHERE len(sh) > 0"""
+    return f"""
+        SELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5,
+               md5(mh0 || mh1 || mh2) AS band0, md5(mh3 || mh4 || mh5) AS band1
+        FROM ({sig}) s"""
+
+
+def _inc_oracle() -> str:
+    return f"""
+        WITH corpus AS (SELECT doc_id, text FROM documents),
+        store_docs AS (SELECT doc_id, text FROM corpus WHERE doc_id % 3 <> 0),
+        store_sig AS ({_duck_sig_bands_for("store_docs")}),
+        batch_docs AS (
+            SELECT doc_id, text FROM corpus WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT doc_id + {_INC_OFFSET} AS doc_id, text FROM corpus
+            WHERE doc_id % 3 <> 0 AND doc_id % 11 = 1
+        ),
+        batch_sig AS ({_duck_sig_bands_for("batch_docs")}),
+        store AS (
+            SELECT doc_id, 0 AS band_id, band0 AS bk FROM store_sig
+            UNION ALL SELECT doc_id, 1, band1 FROM store_sig),
+        probe AS (
+            SELECT doc_id AS batch_doc, 0 AS band_id, band0 AS bk FROM batch_sig
+            UNION ALL SELECT doc_id, 1, band1 FROM batch_sig),
+        hits AS (
+            SELECT p.batch_doc, s.doc_id, p.band_id FROM probe p
+            JOIN store s ON p.band_id = s.band_id AND p.bk = s.bk),
+        per_doc AS (
+            SELECT batch_doc, COUNT(DISTINCT doc_id) AS n_corpus_hits,
+                   COUNT(DISTINCT band_id) AS n_hit_bands, MIN(doc_id) AS dup_of
+            FROM hits GROUP BY batch_doc)
+        SELECT b.doc_id,
+               p.batch_doc IS NOT NULL AS is_corpus_dup,
+               CAST(COALESCE(p.n_corpus_hits, 0) AS BIGINT) AS n_corpus_hits,
+               CAST(COALESCE(p.n_hit_bands, 0) AS BIGINT) AS n_hit_bands,
+               CAST(COALESCE(p.dup_of, -1) AS BIGINT) AS dup_of
+        FROM (SELECT DISTINCT doc_id FROM batch_docs) b
+        LEFT JOIN per_doc p ON b.doc_id = p.batch_doc
+        ORDER BY b.doc_id"""
+
+
+@check("incremental_dedup_probe", oracle=_inc_oracle())
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Store = corpus docs with doc_id % 3 != 0; batch = the rest PLUS
+    re-keyed copies of some store docs (doc_id % 11 == 1) so genuine
+    corpus collisions exist — every copy must flag is_corpus_dup with
+    its original as dup_of; the genuinely-new docs must not."""
+    from dronedb_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    store_docs = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0).unionByName(
+        store_docs.filter(F.col("doc_id") % 11 == 1).select(
+            (F.col("doc_id") + _INC_OFFSET).alias("doc_id"), "text"
+        )
+    )
+    return incremental_neardup(batch, band_store(store_docs)).orderBy("doc_id")

@@ -486,3 +486,15 @@ def test_pull_plan_broadcasts_delta_side(spark):
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
     assert not has_cartesian(q)
+
+
+def test_incremental_dedup_probe_shape(spark):
+    """The corpus-store probe is a bucket equi-join plus one grouped
+    aggregation of the hit set — no cartesian anywhere, and the
+    aggregation must partial-aggregate before its shuffle."""
+    from dronedb_spark.suite import load_all
+
+    reg = load_all()
+    q = reg["incremental_dedup_probe"].spark_fn(spark, "/root/testdata/sf0.001")
+    assert not has_cartesian(q)
+    assert has_partial_aggregation(q)
