@@ -40,6 +40,16 @@ def _artifact_dir(root: str, hash_: str, kind: str) -> str:
     return os.path.join(root, ".ddb_spark", "build", hash_, kind)
 
 
+def _escape_hadoop_glob(path: str) -> str:
+    """Neutralize Hadoop glob metacharacters in a literal path with the
+    backslash escape GlobPattern defines (``a*b`` → ``a\\*b``) — class
+    wrapping ``[*]`` is NOT safe there because ``[`` itself then has no
+    in-class escape re2j accepts."""
+    import re
+
+    return re.sub(r"([*?{}\[\]\\])", r"\\\1", path)
+
+
 def _is_complete(root: str, hash_: str, kind: str) -> bool:
     """Complete = _SUCCESS marker AND the artifact's primary file both
     exist (build.cpp:171's fileExistsAndNonEmpty).  Checking the file
@@ -216,9 +226,9 @@ def _build_one_locked(root: str, rel: str, hash_: str, kind: str,
         if kind == "copc":
             from dronedb_spark.sources.copc import encode_copc
             from dronedb_spark.sources.las import decode_las
-            from dronedb_spark.sources.laz import decode_laz
+            from dronedb_spark.sources.laz import decode_laz, is_laz
 
-            d = decode_laz(data) if data[:4] == b"LASF" and data.find(b"laszip encoded", 0, 4096) > 0 else decode_las(data)
+            d = decode_laz(data) if is_laz(data) else decode_las(data)
             payload = encode_copc(
                 d["x"], d["y"], d["z"],
                 classification=d.get("classification"),
@@ -346,7 +356,18 @@ def build_all(catalog, force: bool = False) -> dict[str, int]:
     # keep the one-pass recursive scan.
     if n_pending <= 10_000:
         sep = root.rstrip("/") + "/"
-        paths = [sep + r["path"] for r in todo_df.select("path").collect()]
+        # binaryFile.load() glob-expands every path and aborts the whole
+        # job with PATH_NOT_FOUND on the first miss — a stale index row
+        # (file deleted since the last sync) or a filename containing
+        # glob metacharacters must degrade to "skipped", matching the
+        # full-scan branch which simply never joins such rows
+        paths = [
+            _escape_hadoop_glob(sep + r["path"])
+            for r in todo_df.select("path").collect()
+            if os.path.exists(sep + r["path"])
+        ]
+        if not paths:
+            return {}
         files = (
             spark.read.format("binaryFile")
             .load(paths)

@@ -407,3 +407,134 @@ def q_pull_delta_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pull_plan(
         spark.sql(t["remote"]), spark.sql(t["local"]), spark.sql(t["base"])
     ).orderBy("path", "action")
+
+
+# ------------------------------------------------------- push planning
+
+
+class PullRequiredError(RuntimeError):
+    """The remote stamp moved since the client's last pull — pushing
+    would overwrite someone else's changes (pushmanager.cpp init:
+    ``pullRequired`` → PullRequiredException)."""
+
+
+def push_plan(
+    client: DataFrame,
+    server: DataFrame,
+    client_meta: DataFrame | None = None,
+    server_meta: DataFrame | None = None,
+) -> DataFrame:
+    """Server-side core of `ddb push` init (pushmanager.h:20-47,
+    registry.cpp:679-742): given the CLIENT's stamp and the SERVER's
+    index, compute what must cross the wire —
+
+      * neededFiles — client entries whose content the server does not
+        already store under ANY path (content-addressed, so a renamed
+        or duplicated file never re-uploads).  One representative (min)
+        path per missing hash: the object store keys by content, so a
+        hash shared by several new client paths uploads once and the
+        commit materializes every path from the stamp.
+      * neededMeta  — stamp meta ids absent server-side.
+
+    Mirror of ``pull_plan`` (the client half); together they close the
+    sync compute core with transport out of scope.
+
+    Scale shape: both stamps are corpus-sized — the hash de-dup is a
+    map-side partial aggregate, the anti-join shuffles only the two
+    DISTINCT hash sets on hash, and nothing is collected or broadcast
+    at corpus size."""
+    c_hashes = client.select("path", "hash").where(F.col("hash") != "")
+    missing = (
+        c_hashes.groupBy("hash")
+        .agg(F.min("path").alias("item"))
+        .join(
+            server.select("hash").where(F.col("hash") != "").distinct(),
+            "hash",
+            "left_anti",
+        )
+        .select("item", F.lit("file").alias("kind"))
+    )
+    if client_meta is None:
+        return missing
+    needed_meta = (
+        client_meta.select(F.col("id").alias("item"))
+        .join(server_meta.select(F.col("id").alias("item")), "item", "left_anti")
+        .select("item", F.lit("meta").alias("kind"))
+    )
+    return missing.unionByName(needed_meta)
+
+
+def push_init(
+    client: DataFrame,
+    server: DataFrame,
+    client_meta: DataFrame | None = None,
+    server_meta: DataFrame | None = None,
+    *,
+    base_checksum: str = "",
+    server_checksum: str = "",
+) -> DataFrame:
+    """push/init with the stale-base gate (pushmanager.cpp:34-36): the
+    client sends the checksum of the LAST stamp it pulled; if the
+    server's current stamp checksum differs, someone pushed in between
+    and the client must pull first."""
+    if base_checksum != server_checksum:
+        raise PullRequiredError(
+            "The remote has new changes. Pull the latest changes before pushing."
+        )
+    return push_plan(client, server, client_meta, server_meta)
+
+
+def _push_fixture_sql(dialect: str) -> dict[str, str]:
+    """Client/server stamps from one closed form in both dialects:
+    server holds f0-f29 at h_i; the client modified every 6th file
+    (c_i), added f30-f34 where f31 REUSES existing server content h7
+    (content-address: no upload) and f33/f34 share one new hash cdup
+    (one upload, min path); client carries meta m0-m9, server m0-m5."""
+    rng = (
+        "SELECT CAST(id AS INT) AS i FROM range(0, 35)"
+        if dialect == "spark"
+        else "SELECT CAST(range AS INT) AS i FROM range(0, 35)"
+    )
+    return {
+        "server": f"""SELECT 'f' || i AS path, 'h' || i AS hash
+                      FROM ({rng}) t WHERE i < 30""",
+        "client": f"""SELECT 'f' || i AS path,
+                        CASE WHEN i = 31 THEN 'h7'
+                             WHEN i IN (33, 34) THEN 'cdup'
+                             WHEN i >= 30 THEN 'n' || i
+                             WHEN i % 6 = 0 THEN 'c' || i
+                             ELSE 'h' || i END AS hash
+                      FROM ({rng}) t""",
+        "cmeta": f"SELECT 'm' || i AS id FROM ({rng}) t WHERE i < 10",
+        "smeta": f"SELECT 'm' || i AS id FROM ({rng}) t WHERE i < 6",
+    }
+
+
+def _push_plan_oracle() -> str:
+    t = _push_fixture_sql("duckdb")
+    return f"""
+        WITH server AS ({t["server"]}), client AS ({t["client"]}),
+        cmeta AS ({t["cmeta"]}), smeta AS ({t["smeta"]}),
+        missing AS (
+            SELECT MIN(path) AS item FROM client
+            WHERE hash <> ''
+              AND hash NOT IN (SELECT hash FROM server WHERE hash <> '')
+            GROUP BY hash),
+        needed_meta AS (
+            SELECT id AS item FROM cmeta
+            WHERE id NOT IN (SELECT id FROM smeta))
+        SELECT item, 'file' AS kind FROM missing
+        UNION ALL
+        SELECT item, 'meta' AS kind FROM needed_meta
+        ORDER BY kind, item"""
+
+
+@check("push_needed_files", oracle=_push_plan_oracle())
+def q_push_needed_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _push_fixture_sql("spark")
+    return push_plan(
+        spark.sql(t["client"]),
+        spark.sql(t["server"]),
+        spark.sql(t["cmeta"]),
+        spark.sql(t["smeta"]),
+    ).orderBy("kind", "item")

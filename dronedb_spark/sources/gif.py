@@ -49,6 +49,8 @@ def _lzw_decode_gif(data: bytes, min_code_size: int) -> list[int]:
         if code == eoi:
             break
         if prev is None:
+            if code >= len(table):
+                raise ValueError("corrupt GIF LZW stream")
             entry = table[code]
         elif code < len(table):
             entry = table[code]

@@ -856,6 +856,31 @@ def _parse_laszip_vlr(data: bytes, header_size: int, n_vlrs: int) -> dict:
     raise ValueError("no LASzip VLR found")
 
 
+def is_laz(data: bytes) -> bool:
+    """True when a LAS container carries a laszip-encoded VLR.
+
+    Walks the VLR headers from the LAS header's recorded header_size /
+    n_vlrs instead of byte-sniffing a fixed window: a file whose laszip
+    VLR sits behind large preceding VLRs (e.g. a full set of waveform
+    descriptor records) has the magic string past any fixed offset, and
+    a byte scan would silently route it to the uncompressed decoder."""
+    if len(data) < 104 or data[:4] != b"LASF":
+        return False
+    (header_size,) = struct.unpack_from("<H", data, 94)
+    (n_vlrs,) = struct.unpack_from("<I", data, 100)
+    pos = header_size
+    for _ in range(n_vlrs):
+        if pos + 54 > len(data):
+            return False
+        user_id = data[pos + 2 : pos + 18].rstrip(b"\x00")
+        (record_id,) = struct.unpack_from("<H", data, pos + 18)
+        (rec_len,) = struct.unpack_from("<H", data, pos + 20)
+        if user_id == b"laszip encoded" and record_id == _LASZIP_RECORD_ID:
+            return True
+        pos += 54 + rec_len
+    return False
+
+
 def encode_laz(
     x: np.ndarray,
     y: np.ndarray,

@@ -129,7 +129,16 @@ def mov_sample_table(data: bytes) -> dict:
     for btype, body, bend in _iter_boxes(data, *moov):
         if btype != b"trak":
             continue
-        stbl = _find_box(data, body, bend, [b"mdia", b"minf", b"stbl"])
+        mdia = _find_box(data, body, bend, [b"mdia"])
+        if mdia is None:
+            continue
+        # only video tracks: a file whose audio trak precedes the video
+        # trak must not resolve the audio sample description (QTFF
+        # "Handler Reference Atoms" — component subtype at payload+8)
+        hdlr = _find_box(data, *mdia, [b"hdlr"])
+        if hdlr is not None and data[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+            continue
+        stbl = _find_box(data, *mdia, [b"minf", b"stbl"])
         if stbl is None:
             continue
         boxes = {t: (b, e) for t, b, e in _iter_boxes(data, *stbl)}

@@ -170,3 +170,70 @@ def test_geoproject_oblique_has_nodata_outside():
     out, _ = geoproject(img, fp, gsd=1.0)
     assert (out == -9999.0).any()  # corners outside the trapezoid
     assert (out == 1.0).any()
+
+
+def _inflate_vlrs(data: bytes, pad: int) -> bytes:
+    """Insert one large padding VLR BEFORE the existing VLRs of a LAS
+    1.2 container, fixing n_vlrs, offset_to_point_data, and (for LAZ)
+    the absolute chunk-table offset stored at the point-data start —
+    models a file whose laszip VLR sits behind big descriptor sets."""
+    import struct
+
+    (hdr_size,) = struct.unpack_from("<H", data, 94)
+    (pdo,) = struct.unpack_from("<I", data, 96)
+    (n_vlrs,) = struct.unpack_from("<I", data, 100)
+    vlr = struct.pack("<H16sHH32s", 0, b"test_padding", 7, pad, b"") + b"\x00" * pad
+    out = bytearray(data[:hdr_size] + vlr + data[hdr_size:])
+    shift = len(vlr)
+    struct.pack_into("<I", out, 96, pdo + shift)
+    struct.pack_into("<I", out, 100, n_vlrs + 1)
+    (tbl,) = struct.unpack_from("<q", out, pdo + shift)
+    struct.pack_into("<q", out, pdo + shift, tbl + shift)
+    return bytes(out)
+
+
+def test_build_copc_from_many_vlr_laz(tmp_path):
+    """A LAZ whose laszip VLR sits past 4 KiB of preceding VLRs must
+    still route through the LAZ decoder in the build path (the old
+    fixed-window byte sniff silently took the uncompressed branch)."""
+    import os
+
+    from dronedb_spark.catalog.build import ARTIFACT_FILES, _artifact_dir, build_one
+    from dronedb_spark.sources.las import las_info
+    from dronedb_spark.sources.laz import decode_laz, encode_laz, is_laz
+
+    xs = np.arange(150, dtype=float) * 0.25
+    laz = _inflate_vlrs(encode_laz(xs, xs * 3.0, xs % 5.0), pad=5000)
+    assert laz.find(b"laszip encoded", 0, 4096) == -1  # sniff window miss
+    assert is_laz(laz)
+    d = decode_laz(laz)  # VLR walk still finds the laszip record
+    assert np.allclose(d["x"], xs)
+
+    assert build_one(str(tmp_path), "deep.laz", "hv1", "copc", laz) == "built"
+    art = os.path.join(_artifact_dir(str(tmp_path), "hv1", "copc"), ARTIFACT_FILES["copc"])
+    copc = open(art, "rb").read()
+    assert las_info(copc)["n_points"] == 150
+
+
+def test_incremental_build_tolerates_stale_and_glob_paths(spark, tmp_path):
+    """build_all's incremental path loads exactly the pending files; a
+    stale index row (file deleted since sync) or a filename containing
+    glob metacharacters must be skipped, not abort the whole build."""
+    from dronedb_spark.catalog.build import build_all
+    from dronedb_spark.sources.gsplat import _gs_spec, encode_splat_binary
+
+    (tmp_path / "a.splat").write_bytes(encode_splat_binary([_gs_spec(i) for i in range(4)]))
+    (tmp_path / "b[1] *x.splat").write_bytes(
+        encode_splat_binary([_gs_spec(i) for i in range(6)])
+    )
+    (tmp_path / "gone.splat").write_bytes(encode_splat_binary([_gs_spec(9)]))
+    cat = DatasetCatalog.init(spark, str(tmp_path))
+    cat.add()
+    (tmp_path / "gone.splat").unlink()  # now stale in the index
+    assert build_all(cat) == {"gsplat": 2}
+
+    # nothing on disk for a pending set that is entirely stale → no-op
+    (tmp_path / "c.splat").write_bytes(encode_splat_binary([_gs_spec(2)]))
+    cat.add()
+    (tmp_path / "c.splat").unlink()
+    assert build_all(cat) == {}

@@ -126,3 +126,12 @@ def test_overhanging_frame_clips_to_canvas():
     assert out.shape == (1, 8, 8, 4)
     assert np.all(out[0, 3:, 3:, :3] == 50)
     assert np.all(out[0, :3, :, 3] == 0)  # untouched canvas is transparent
+
+
+def test_lzw_first_code_out_of_range_raises_value_error():
+    """A corrupt stream whose FIRST code after a clear is beyond the
+    table must raise the module's ValueError contract, not IndexError."""
+    # min_code_size=2 → clear=4, eoi=5, table len 6; code 7 is invalid
+    # as the first code.  3-bit LSB-first packing: first code = 7.
+    with pytest.raises(ValueError, match="corrupt GIF LZW"):
+        _lzw_decode_gif(bytes([0b00000111]), 2)

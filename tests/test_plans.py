@@ -498,3 +498,30 @@ def test_incremental_dedup_probe_shape(spark):
     q = reg["incremental_dedup_probe"].spark_fn(spark, "/root/testdata/sf0.001")
     assert not has_cartesian(q)
     assert has_partial_aggregation(q)
+
+
+def test_push_plan_no_broadcast_no_cartesian(spark):
+    """push_plan anti-joins the two DISTINCT hash sets — both stamps are
+    corpus-sized so NOTHING may be broadcast or crossed; the hash de-dup
+    must partial-aggregate map-side before its shuffle."""
+    from dronedb_spark.suite import load_all
+
+    reg = load_all()
+    q = reg["push_needed_files"].spark_fn(spark, "/root/testdata/sf0.001")
+    assert not has_cartesian(q)
+    assert has_partial_aggregation(q)
+    assert "BroadcastNestedLoopJoin" not in physical_plan(q)
+
+
+def test_push_init_stale_base_refuses(spark):
+    """Pushing on a stale base stamp must raise PullRequiredError before
+    planning anything (pushmanager.cpp:34-36)."""
+    import pytest as _pytest
+
+    from dronedb_spark.operators.delta import PullRequiredError, push_init
+
+    df = spark.range(1).selectExpr("'a' AS path", "'h' AS hash")
+    with _pytest.raises(PullRequiredError):
+        push_init(df, df, base_checksum="old", server_checksum="new")
+    # matching checksums → plan proceeds (identical stamps: nothing needed)
+    assert push_init(df, df, base_checksum="s", server_checksum="s").count() == 0
