@@ -82,6 +82,11 @@ HEADLINE = [
     "pack_sequences_10x",
     "video_frame_decode",
     "incremental_dedup_probe",
+    # round-6 breadth: the catalog-side 10x stress twin (anti-join path
+    # shuffle at 10x entry mass, pairs with the 1x delta_adds row) and
+    # the server-side push planning core
+    "delta_adds_10x",
+    "push_needed_files",
 ]
 
 _SMALL_RESULT = {

@@ -538,3 +538,52 @@ def q_push_needed_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sql(t["cmeta"]),
         spark.sql(t["smeta"]),
     ).orderBy("kind", "item")
+
+
+# ---------------------------------------------- catalog-scale twin ----
+
+
+_CAT_INFLATE = 10
+
+
+def inflated_entries(spark: SparkSession, sf_dir: str, variant: str,
+                     copies: int = _CAT_INFLATE) -> DataFrame:
+    """The catalog × ``copies`` with re-prefixed paths — the stress twin
+    shape for the delta/status shuffles at 10× the entry mass (the
+    text ops carry 10× evidence via ``inflated_documents``; this is the
+    catalog-side equivalent).  The copy dimension broadcasts, so the
+    inflation itself adds no shuffle — only the anti-join's path
+    shuffle grows, which is exactly what the twin measures."""
+    ks = F.broadcast(spark.range(copies).select(F.col("id").cast("int").alias("k")))
+    e = entries_df(spark, sf_dir, variant)
+    return (
+        e.crossJoin(ks)
+        .withColumn(
+            "path",
+            F.concat_ws("", F.lit("c"), F.col("k").cast("string"), F.lit("/"), F.col("path")),
+        )
+        .drop("k")
+    )
+
+
+@check(
+    "delta_adds_10x",
+    oracle=with_catalog(
+        f"""WITH ks AS (SELECT CAST(range AS INT) AS k FROM range(0, {_CAT_INFLATE})),
+            ia AS (SELECT 'c' || k || '/' || path AS path, hash, type, size
+                   FROM entries, ks),
+            ib AS (SELECT 'c' || k || '/' || path AS path, hash FROM entries_b, ks)
+            SELECT a.path, a.hash, a.type, a.size FROM ia a
+            WHERE NOT EXISTS (
+                SELECT 1 FROM ib b WHERE b.path = a.path AND b.hash = a.hash)
+            ORDER BY path""",
+        variants=("a", "b"),
+    ),
+)
+def q_delta_adds_10x(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10× stress twin of ``delta_adds``: the anti-join shuffles both
+    inflated catalogs on path; scaling vs the 1× bench row is the
+    linearity evidence for the sync delta at catalog scale."""
+    a = inflated_entries(spark, sf_dir, "a")
+    b = inflated_entries(spark, sf_dir, "b")
+    return delta_adds(a, b).select("path", "hash", "type", "size")

@@ -30,52 +30,45 @@ def check(name: str, oracle: str | None = None):
     return deco
 
 
-# Round-5 gating order: everything NEW or whose code was TOUCHED this
+# Round-6 gating order: everything NEW or whose code was TOUCHED this
 # round re-gates first (the driver walks in order under a ~50-check
-# budget); checks green r1–r4 with unchanged code cede their slots.
-_ROUND5_PRIORITY = [
-    # NEW in round 5 — W5 rescan (the last §2 operator without a driver
-    # row) and the 10x scale-evidence variants of the pipeline ops
-    "catalog_rescan_types", "lm_doc_perplexity_10x", "pack_sequences_10x",
-    "media_gif_channel_stats", "pointcloud_waveform_metrics", "pull_delta_plan",
-    "incremental_dedup_probe",
-    # TOUCHED in round 5 — MJPEG-in-MOV container added to the video
-    # check; 3D-Tiles build became a real extracted artifact; the build
-    # work-list/cleanup probes were redistributed (store+build paths)
-    "video_frame_decode", "build_derivatives_real", "catalog_workflow_lifecycle",
-    # TOUCHED in round 5 — profile join plan rewritten (left-semi +
-    # broadcast; the r4 verdict's scale finding #1)
-    "elevation_profile", "elevation_profile_dist",
-    # RE-GATE after the golden-vector codec audit (decode paths the new
-    # external-byte tests exercise: JPEG/PNG/LAS/LAZ/LZW-TIFF/COG/COPC)
-    "media_jpeg_channel_stats", "media_png_channel_stats", "thumb_stats",
+# budget); checks green twice with unchanged code cede their slots.
+_ROUND6_PRIORITY = [
+    # NEW in round 6 — the server-side push planning core (mirror of
+    # pull_delta_plan) and the catalog-side 10x stress twin
+    "push_needed_files", "delta_adds_10x",
+    # TOUCHED in round 6 — MOV reader now skips non-video traks; GIF LZW
+    # corrupt-stream guard; LAZ routing in the build path switched to a
+    # VLR-header walk (is_laz); incremental build path robustness
+    "video_frame_decode", "media_gif_channel_stats",
+    "build_derivatives_real", "catalog_workflow_lifecycle",
     "pointcloud_laz_stats", "pointcloud_laz_rgb_stats", "pointcloud_laz14_stats",
-    "pointcloud_las_class_histogram", "cog_roundtrip", "copc_container_pages",
-    "raster_export_parquet",
-    # RE-MEASURE band (bench noise suspects from the r4 verdict — gate
-    # them too so a real regression would show as red, not just slow)
-    "mvt_tile_features", "q3_top_revenue_orders", "dedup_minhash_signatures",
-    "contour_segments", "thermal_point_query",
-    # refresh band: the r4-new surface that has exactly ONE green row —
-    # one more gating round before it cedes slots for good
-    "stockpile_single", "stream_dedup_twin", "sq8_adc_top10", "lm_doc_perplexity",
-    "pack_sequences_chunks", "semdedup_cell_prune", "raster_tile_render",
-    "pointcloud_splat_tile", "splat_preview_render", "lm_bigram_interp",
-    "bpe_first_merge", "geo_timezone_lookup", "stream_attribution_twin",
-    "embedding_covariance", "quality_feature_gram",
-    "gsplat_decode_table", "rad_coarse_splats", "render_index_region",
+    "pointcloud_waveform_metrics", "copc_container_pages",
+    # refresh band: the r5-new surface with exactly ONE green row — one
+    # more gating round before it cedes slots for good
+    "catalog_rescan_types", "lm_doc_perplexity_10x", "pack_sequences_10x",
+    "pull_delta_plan", "incremental_dedup_probe",
+    "stockpile_single", "stamp_checksum", "stamp_tree_digest",
+    "elevation_profile", "elevation_profile_dist",
+    "media_jpeg_channel_stats", "media_png_channel_stats", "thumb_stats",
+    "pointcloud_las_class_histogram", "cog_roundtrip", "raster_export_parquet",
     "thermal_rjpeg_stats", "sensor_profile_presets", "fingerprint_types",
-    "stac_collection_doc", "topojson_parse_features", "shz_parse_features",
     "setexif_gps_roundtrip", "meta_chattr_roundtrip", "passwords_verify",
-    "json_sink_roundtrip", "features_parquet_sink",
+    "json_sink_roundtrip", "features_parquet_sink", "geo_timezone_lookup",
     "capture_time_cascade", "ingest_xmp_pose", "geovideo_xmp_ingest",
+    "stream_dedup_twin", "stream_attribution_twin", "sq8_adc_top10",
+    "lm_doc_perplexity", "pack_sequences_chunks", "semdedup_cell_prune",
+    "raster_tile_render", "pointcloud_splat_tile", "splat_preview_render",
+    "lm_bigram_interp", "bpe_first_merge", "embedding_covariance",
+    "quality_feature_gram", "gsplat_decode_table", "rad_coarse_splats",
+    "render_index_region", "stac_collection_doc", "mvt_pbf_roundtrip",
 ]
 
 
 def load_all() -> dict[str, Check]:
     """Import every operator module so its checks register, then reorder
     the registry so the checks that still need a driver CORRECTNESS row
-    (``_ROUND5_PRIORITY``) come first — the driver walks in order under a
+    (``_ROUND6_PRIORITY``) come first — the driver walks in order under a
     ~50-check budget and the already-green families can cede their slots.
     """
     # --- never-gated in round 1: register first -------------------------
@@ -153,7 +146,7 @@ def load_all() -> dict[str, Check]:
     import dronedb_spark.text.segdedup  # noqa: F401
     import dronedb_spark.text.repetition  # noqa: F401
 
-    ordered = {n: REGISTRY[n] for n in _ROUND5_PRIORITY if n in REGISTRY}
+    ordered = {n: REGISTRY[n] for n in _ROUND6_PRIORITY if n in REGISTRY}
     ordered.update((n, c) for n, c in REGISTRY.items() if n not in ordered)
     REGISTRY.clear()
     REGISTRY.update(ordered)

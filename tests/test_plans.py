@@ -525,3 +525,50 @@ def test_push_init_stale_base_refuses(spark):
         push_init(df, df, base_checksum="old", server_checksum="new")
     # matching checksums → plan proceeds (identical stamps: nothing needed)
     assert push_init(df, df, base_checksum="s", server_checksum="s").count() == 0
+
+
+def test_band_store_bucketed_probe_shuffle_free_on_store_side(spark, tmp_path):
+    """SCALE.md claims the persisted signature store, bucketed on the
+    band keys on disk, makes the daily probe shuffle-free on the corpus
+    side.  Pin it: write band_store with bucketBy(band_id, bk), join a
+    probe batch, and assert the store scan is bucketed with the plan's
+    ONLY hash exchange on the probe side — with the store bucketed, the
+    10B-doc side moves zero bytes."""
+    from dronedb_spark.plans.inspect import formatted
+    from dronedb_spark.text.dedup import band_store, incremental_neardup
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents").select("doc_id", "text")
+    store_docs = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    spark.sql("DROP TABLE IF EXISTS sig_store_pin")
+    (
+        band_store(store_docs)
+        .write.bucketBy(8, "band_id", "bk")
+        .sortBy("band_id", "bk")
+        .option("path", str(tmp_path / "sig_store"))
+        .saveAsTable("sig_store_pin")
+    )
+    try:
+        store = spark.table("sig_store_pin")
+        probe = band_store(batch).withColumnRenamed("doc_id", "batch_doc")
+        joined = probe.join(store, ["band_id", "bk"])
+        prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            plan = physical_plan(joined)
+            fmt = formatted(joined)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+            spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        assert "SortMergeJoin" in plan
+        assert plan.count("Exchange hashpartitioning") == 1  # probe side only
+        assert "Bucketed: true" in fmt
+        # bucketed store must return the same probe result as an
+        # in-memory store (bucket pruning/layout is layout-only)
+        a = incremental_neardup(batch, store).orderBy("doc_id").collect()
+        b = incremental_neardup(batch, band_store(store_docs)).orderBy("doc_id").collect()
+        assert a == b and len(a) > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS sig_store_pin")
