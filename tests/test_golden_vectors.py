@@ -712,3 +712,360 @@ def test_png_palette_trns_real_libpng_stream():
     assert np.all(arr[..., 1] == 0x88)
     assert np.all(arr[..., 2] == 0x88)
     assert len(np.unique(arr[..., 3])) == 79
+
+
+# --------------------------------------------------------------------------
+# LASzip POINT10 v2: a COMPLETE compressed chunk worked through the
+# published algorithm (Isenburg, "LASzip: lossless compression of LiDAR
+# data", PE&RS 2013; Said's FastAC coder) independently of
+# sources/laz.py — chunk table, first-point raw encoding, and context-
+# model-compressed follow points.  _MiniAC/_mini_point10_chunk below are
+# a from-scratch functional restatement of the spec (no laz.py classes);
+# their output bytes and the per-operation (base, length) interval trace
+# are FROZEN as literals, so structural drift in EITHER implementation
+# fails here.  This closes the one seam the fastac primitive vectors
+# left open: no complete LASzip chunk produced outside sources/laz.py
+# had ever been decoded (the reference consumes LAZ via PDAL,
+# pointcloud.cpp:661 — no laszip binary exists in this sandbox).
+#
+# Hand-worked opening of the stream (fixture points P1..P3 below; all
+# models fresh, all intervals exact u32 arithmetic):
+#   op1  changed(P2)=0 on a fresh 64-symbol model: dist[k] = 512k
+#        (scale = 2^31//64 = 0x2000000, dist = scale*k >> 16), so
+#        x = 0, length = (512-0) * (0xFFFFFFFF>>15 = 0x1FFFF)
+#        = 0x3FFFE00; base 0.
+#   op2  dx k=0 on a fresh 33-symbol model: dist[1] = (2^31//33)>>16
+#        = 992, length = 992 * (0x3FFFE00>>15 = 0x7FF) = 0x1EFC20
+#        < 2^24 → renorm emits 0x00, length 0x1EFC2000.
+#   op3  corrector bit 1, fresh bit model p0 = 2^12:
+#        x = 4096 * (0x1EFC2000>>13 = 0xF7E1) = 0x0F7E1000;
+#        base = x, length = 0x1EFC2000 - x = 0x0F7E1000.
+# The frozen trace pins every op after these the same way.
+# --------------------------------------------------------------------------
+
+_AC_MIN = 1 << 24
+
+
+class _MiniAC:
+    """Said's FastAC encoder re-derived: u32 (base, length); renorm
+    emits the top base byte while length < 2^24; a carry ripples through
+    trailing 0xFF output bytes."""
+
+    def __init__(self):
+        self.b: list[int] = []
+        self.base = 0
+        self.len = 0xFFFFFFFF
+        self.trace: list[tuple] = []
+
+    def _add(self, x):
+        nb = (self.base + x) & 0xFFFFFFFF
+        if nb < self.base:
+            i = len(self.b) - 1
+            while self.b[i] == 0xFF:
+                self.b[i] = 0
+                i -= 1
+            self.b[i] += 1
+        self.base = nb
+
+    def _renorm(self):
+        while self.len < _AC_MIN:
+            self.b.append(self.base >> 24)
+            self.base = (self.base << 8) & 0xFFFFFFFF
+            self.len = (self.len << 8) & 0xFFFFFFFF
+
+    def mark(self, op):
+        self.trace.append((op, self.base, self.len, len(self.b)))
+
+    def flush(self):
+        if self.len > 2 * _AC_MIN:
+            self._add(_AC_MIN)
+            self.len = _AC_MIN >> 1
+        else:
+            self._add(_AC_MIN >> 1)
+            self.len = _AC_MIN >> 9
+        self._renorm()
+        return bytes(self.b)
+
+
+def _gm(n):
+    """Adaptive n-symbol model: unit counts, 15-bit scaled cumulative
+    distribution, first update after (n+6)>>1 symbols."""
+    m = {"n": n, "cnt": [1] * n, "total": 0, "cycle": n, "dist": [0] * n}
+    _gm_update(m)
+    m["cycle"] = m["until"] = (n + 6) >> 1
+    return m
+
+
+def _gm_update(m):
+    m["total"] += m["cycle"]
+    if m["total"] > (1 << 13):
+        m["total"] = 0
+        for k in range(m["n"]):
+            m["cnt"][k] = (m["cnt"][k] + 1) >> 1
+            m["total"] += m["cnt"][k]
+    scale = 0x80000000 // m["total"]
+    s = 0
+    for k in range(m["n"]):
+        m["dist"][k] = (scale * s) >> 16
+        s += m["cnt"][k]
+    m["cycle"] = min((5 * m["cycle"]) >> 2, (m["n"] + 6) << 3)
+    m["until"] = m["cycle"]
+
+
+def _gm_encode(ac, m, s):
+    if s == m["n"] - 1:
+        x = m["dist"][s] * (ac.len >> 15)
+        ac._add(x)
+        ac.len -= x
+    else:
+        lsh = ac.len >> 15
+        x = m["dist"][s] * lsh
+        ac._add(x)
+        ac.len = (m["dist"][s + 1] - m["dist"][s]) * lsh
+    ac._renorm()
+    m["cnt"][s] += 1
+    m["until"] -= 1
+    if m["until"] == 0:
+        _gm_update(m)
+
+
+def _bm():
+    return {"c0": 1, "ct": 2, "p0": 1 << 12, "cycle": 4, "until": 4}
+
+
+def _bm_update(m):
+    m["ct"] += m["cycle"]
+    if m["ct"] > (1 << 13):
+        m["ct"] = (m["ct"] + 1) >> 1
+        m["c0"] = (m["c0"] + 1) >> 1
+        if m["c0"] == m["ct"]:
+            m["ct"] += 1
+    m["p0"] = (m["c0"] * (0x80000000 // m["ct"])) >> (31 - 13)
+    m["cycle"] = min((5 * m["cycle"]) >> 2, 64)
+    m["until"] = m["cycle"]
+
+
+def _bm_encode(ac, m, bit):
+    x = m["p0"] * (ac.len >> 13)
+    if bit == 0:
+        ac.len = x
+        m["c0"] += 1
+    else:
+        ac._add(x)
+        ac.len -= x
+    ac._renorm()
+    m["until"] -= 1
+    if m["until"] == 0:
+        _bm_update(m)
+
+
+def _mini_ic(contexts):
+    """32-bit integer compressor: 33-symbol k selector per context, a
+    shared corrector-0 bit model, per-k corrector models (low bits raw
+    above 8)."""
+    return {"mbits": [_gm(33) for _ in range(contexts)], "corr0": _bm(), "mcorr": {}, "k": 0}
+
+
+def _mini_ic_compress(ac, ics, pred, real, ctx):
+    c = ((real - pred) + (1 << 31)) % (1 << 32) - (1 << 31)
+    k = (c - 1 if c > 0 else -c).bit_length()
+    ics["k"] = k
+    _gm_encode(ac, ics["mbits"][ctx], k)
+    if k == 0:
+        _bm_encode(ac, ics["corr0"], c)
+    else:
+        assert k < 32
+        c = c - 1 if c >= 0 else c + (1 << k) - 1
+        if k <= 8:
+            _gm_encode(ac, ics["mcorr"].setdefault(k, _gm(1 << k)), c)
+        else:
+            m = ics["mcorr"].setdefault(k, _gm(256))
+            k1 = k - 8
+            _gm_encode(ac, m, c >> k1)
+            ac.len >>= k1
+            ac._add((c & ((1 << k1) - 1)) * ac.len)
+            ac._renorm()
+
+
+_MINI_P10 = struct.Struct("<iiiHBBBBH")
+
+
+def _mini_point10_chunk(points):
+    """One LASzip chunk: first point raw, follow points through the
+    POINT10 v2 context machine.  Fixture constraints keep every branch
+    hand-checkable: flags = 0b001001 for all points (single first
+    return → return-map context m=0, elevation level 0, dx context 1),
+    only the classification ever changes between points, and the
+    coordinate deltas are small non-negative ints so the all-zero-
+    seeded streaming median stays 0 throughout (at most two adds touch
+    only its upper slots)."""
+    first = points[0]
+    ac = _MiniAC()
+    m_changed = _gm(64)
+    m_cls: dict = {}
+    ic_dx, ic_dy, ic_z = _mini_ic(2), _mini_ic(22), _mini_ic(20)
+    last = list(first)
+    last_height = 0
+    n_adds = 0
+    for cur in points[1:]:
+        assert cur[4] == 0b001001 == last[4]
+        assert cur[3] == 0 and cur[6] == cur[7] == cur[8] == 0
+        changed = 8 if cur[5] != last[5] else 0
+        _gm_encode(ac, m_changed, changed)
+        ac.mark("changed")
+        if changed:
+            _gm_encode(ac, m_cls.setdefault(last[5], _gm(256)), cur[5])
+            ac.mark("cls")
+        assert n_adds <= 2
+        dx, dy = cur[0] - last[0], cur[1] - last[1]
+        assert dx >= 0 and dy >= 0
+        _mini_ic_compress(ac, ic_dx, 0, dx, 1)
+        ac.mark("dx")
+        kx = ic_dx["k"]
+        _mini_ic_compress(ac, ic_dy, 0, dy, 1 + ((kx & ~1) if kx < 20 else 20))
+        ac.mark("dy")
+        kb = (kx + ic_dy["k"]) // 2
+        _mini_ic_compress(ac, ic_z, last_height, cur[2], 1 + ((kb & ~1) if kb < 18 else 18))
+        ac.mark("z")
+        last_height = cur[2]
+        n_adds += 1
+        last = list(cur)
+    return _MINI_P10.pack(*first) + ac.flush(), ac.trace
+
+
+_GOLDEN_PTS = [
+    # x    y    z  int  flags      cls ang usr psid
+    (100, 200, 30, 0, 0b001001, 2, 0, 0, 0),
+    (101, 200, 30, 0, 0b001001, 2, 0, 0, 0),
+    (103, 201, 30, 0, 0b001001, 5, 0, 0, 0),
+]
+_GOLDEN_CHUNK = bytes.fromhex(
+    "64000000c80000001e0000000000090200000000000f88cfc4e597e0"
+)
+_GOLDEN_TABLE = bytes.fromhex("00000000010000002d54")
+_GOLDEN_TRACE = [
+    ("changed", 0x00000000, 0x03FFFE00, 0),
+    ("dx", 0x0F7E1000, 0x0F7E1000, 1),
+    ("dy", 0x7E100000, 0x3C084000, 2),
+    ("z", 0xCDF24000, 0x0E8C0000, 3),
+    ("changed", 0xC3C00000, 0x3A300000, 4),
+    ("cls", 0xE2F00000, 0x3A300000, 5),
+    ("dx", 0x94740000, 0xE1E86000, 6),
+    ("dy", 0x97DF6000, 0x036B6600, 6),
+    ("z", 0xDF600000, 0x0D3EA000, 7),
+]
+
+
+def _mini_laz_container(chunk: bytes, table: bytes, n: int) -> bytes:
+    """LAS 1.2 header at the ASPRS spec's byte offsets + the LASzip VLR
+    (compressor 2 pointwise-chunked, one POINT10 v2 item) + the chunked
+    body: i64 absolute chunk-table offset, chunk bytes, chunk table."""
+    hdr = bytearray(227)
+    hdr[0:4] = b"LASF"
+    hdr[24], hdr[25] = 1, 2
+    hdr[26:26 + 11] = b"golden-chnk"
+    hdr[58:58 + 9] = b"spec-hand"
+    struct.pack_into("<HH", hdr, 90, 200, 2024)
+    struct.pack_into("<H", hdr, 94, 227)
+    struct.pack_into("<I", hdr, 96, 227 + 54 + 40)
+    struct.pack_into("<I", hdr, 100, 1)
+    hdr[104] = 0 | 0x80  # PDRF 0, high bit = LASzip-compressed
+    struct.pack_into("<H", hdr, 105, 20)
+    struct.pack_into("<I", hdr, 107, n)
+    struct.pack_into("<5I", hdr, 111, n, 0, 0, 0, 0)
+    struct.pack_into("<3d", hdr, 131, 0.001, 0.001, 0.001)
+    struct.pack_into("<3d", hdr, 155, 0.0, 0.0, 0.0)
+    struct.pack_into("<6d", hdr, 179, 0.103, 0.100, 0.201, 0.200, 0.030, 0.030)
+    payload = struct.pack("<HHBBHIIqqH", 2, 0, 2, 4, 3, 0, 50000, 0, 0, 1)
+    payload += struct.pack("<HHH", 6, 20, 2)  # item: POINT10, 20 bytes, v2
+    vlr = struct.pack(
+        "<H16sHH32s", 0xAABB, b"laszip encoded", 22204, len(payload), b"golden"
+    ) + payload
+    point_start = 227 + len(vlr)
+    table_offset = point_start + 8 + len(chunk)
+    return bytes(hdr) + vlr + struct.pack("<q", table_offset) + chunk + table
+
+
+def test_laszip_mini_encoder_matches_frozen_bytes():
+    """The independent from-spec encoder must reproduce the frozen chunk
+    bytes, the frozen per-op interval trace, and the frozen chunk table
+    (one size through the 32-bit integer compressor, context 1)."""
+    chunk, trace = _mini_point10_chunk(_GOLDEN_PTS)
+    assert chunk == _GOLDEN_CHUNK
+    assert trace == _GOLDEN_TRACE
+    tac = _MiniAC()
+    _mini_ic_compress(tac, _mini_ic(2), 0, len(chunk), 1)
+    assert struct.pack("<II", 0, 1) + tac.flush() == _GOLDEN_TABLE
+
+
+def test_laszip_golden_chunk_decodes():
+    """DECODE-ONLY golden: sources/laz.py must decode the hand-assembled
+    container around the frozen chunk — any drift in its chunk-table
+    walk, VLR parse, first-point handling, or POINT10 context models
+    fails against bytes it did not produce."""
+    from dronedb_spark.sources.laz import decode_laz, is_laz
+
+    blob = _mini_laz_container(_GOLDEN_CHUNK, _GOLDEN_TABLE, 3)
+    assert is_laz(blob)
+    d = decode_laz(blob)
+    np.testing.assert_allclose(d["x"], [0.100, 0.101, 0.103])
+    np.testing.assert_allclose(d["y"], [0.200, 0.200, 0.201])
+    np.testing.assert_allclose(d["z"], [0.030, 0.030, 0.030])
+    assert d["classification"].tolist() == [2, 2, 5]
+    assert d["intensity"].tolist() == [0, 0, 0]
+    assert d["return_number"].tolist() == [1, 1, 1]
+
+
+def test_laszip_encoder_emits_frozen_stream():
+    """encode_laz's wire bytes for the same points must equal the
+    independently derived stream — pins the ENCODER's chunk framing and
+    model usage to the spec derivation, not just to its own decoder."""
+    from dronedb_spark.sources.laz import encode_laz
+
+    blob = encode_laz(
+        np.array([0.100, 0.101, 0.103]),
+        np.array([0.200, 0.200, 0.201]),
+        np.array([0.030, 0.030, 0.030]),
+        classification=np.array([2, 2, 5], dtype=np.uint8),
+    )
+    (pdo,) = struct.unpack_from("<I", blob, 96)
+    (tbl,) = struct.unpack_from("<q", blob, pdo)
+    assert blob[pdo + 8 : tbl] == _GOLDEN_CHUNK
+    assert blob[tbl:] == _GOLDEN_TABLE
+
+
+def test_laszip_two_chunk_table_prev_prediction():
+    """A two-chunk stream: the chunk table codes the SECOND size against
+    the first (predecessor prediction in the 32-bit integer compressor).
+    Both implementations must agree byte-for-byte and decode_laz must
+    reassemble the points across the chunk boundary."""
+    from dronedb_spark.sources.laz import decode_laz, encode_laz
+
+    pts = [
+        (100, 200, 30, 0, 0b001001, 2, 0, 0, 0),
+        (101, 200, 30, 0, 0b001001, 2, 0, 0, 0),
+        (500, 900, 70, 0, 0b001001, 4, 0, 0, 0),
+        (503, 901, 70, 0, 0b001001, 4, 0, 0, 0),
+    ]
+    c1, _ = _mini_point10_chunk(pts[:2])
+    c2, _ = _mini_point10_chunk(pts[2:])
+    tac = _MiniAC()
+    tic = _mini_ic(2)
+    _mini_ic_compress(tac, tic, 0, len(c1), 1)
+    _mini_ic_compress(tac, tic, len(c1), len(c2), 1)
+    table = struct.pack("<II", 0, 2) + tac.flush()
+
+    blob = encode_laz(
+        np.array([0.100, 0.101, 0.500, 0.503]),
+        np.array([0.200, 0.200, 0.900, 0.901]),
+        np.array([0.030, 0.030, 0.070, 0.070]),
+        classification=np.array([2, 2, 4, 4], dtype=np.uint8),
+        chunk_size=2,
+    )
+    (pdo,) = struct.unpack_from("<I", blob, 96)
+    (tbl,) = struct.unpack_from("<q", blob, pdo)
+    assert blob[pdo + 8 : tbl] == c1 + c2
+    assert blob[tbl:] == table
+    d = decode_laz(blob)
+    np.testing.assert_allclose(d["x"], [0.100, 0.101, 0.500, 0.503])
+    assert d["classification"].tolist() == [2, 2, 4, 4]
