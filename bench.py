@@ -83,10 +83,13 @@ HEADLINE = [
     "video_frame_decode",
     "incremental_dedup_probe",
     # round-6 breadth: the catalog-side 10x stress twin (anti-join path
-    # shuffle at 10x entry mass, pairs with the 1x delta_adds row) and
-    # the server-side push planning core
+    # shuffle at 10x entry mass, pairs with the 1x delta_adds row), the
+    # server-side push planning core, winnowing passage-reuse pairs and
+    # the HLL register sketch
     "delta_adds_10x",
     "push_needed_files",
+    "winnow_overlap_pairs",
+    "hll_token_registers",
 ]
 
 _SMALL_RESULT = {

@@ -35,8 +35,10 @@ def check(name: str, oracle: str | None = None):
 # budget); checks green twice with unchanged code cede their slots.
 _ROUND6_PRIORITY = [
     # NEW in round 6 — the server-side push planning core (mirror of
-    # pull_delta_plan) and the catalog-side 10x stress twin
-    "push_needed_files", "delta_adds_10x",
+    # pull_delta_plan), the catalog-side 10x stress twin, winnowing
+    # passage-reuse fingerprints, and the HLL register sketch
+    "push_needed_files", "delta_adds_10x", "winnow_overlap_pairs",
+    "hll_token_registers",
     # TOUCHED in round 6 — MOV reader now skips non-video traks; GIF LZW
     # corrupt-stream guard; LAZ routing in the build path switched to a
     # VLR-header walk (is_laz); incremental build path robustness
@@ -131,6 +133,8 @@ def load_all() -> dict[str, Check]:
     import dronedb_spark.raster.preview  # noqa: F401  (splat thumbnails, new in r4)
     import dronedb_spark.sources.zonedetect  # noqa: F401  (geo→timezone, new in r4)
     import dronedb_spark.operators.tpch_ext  # noqa: F401  (Q8-Q21, new in r2)
+    import dronedb_spark.text.winnow  # noqa: F401  (MOSS fingerprints, new in r6)
+    import dronedb_spark.text.sketch  # noqa: F401  (HLL registers, new in r6)
     # --- green rows in CORRECTNESS_r01: register after ------------------
     import dronedb_spark.operators.search  # noqa: F401
     import dronedb_spark.operators.stats  # noqa: F401

@@ -1,0 +1,158 @@
+"""Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD
+2003 — the MOSS algorithm): hash every word k-gram, slide a w-window
+over the hash sequence, keep each window's minimum, dedupe.  Guarantee:
+any shared passage of at least w + k - 1 words yields at least one
+SHARED fingerprint regardless of where it sits in either document — the
+position-robust complement to MinHash (whole-doc similarity) and
+segment dedup (aligned 8-grams).
+
+Beyond the reference (it has no text pipeline); part of the
+training-data operator set.  Scale design:
+
+  * fingerprints are per-row array expressions (k-gram hashes via four
+    shifted ``slice``s + ``zip_with`` minima — the dedup.py idiom that
+    keeps Catalyst's projection collapse from re-hashing per element);
+    no shuffle until the overlap join.
+  * overlap candidates come from an equi-self-join on the fingerprint
+    value — only documents sharing a fingerprint are compared, never
+    O(n²).  Ubiquitous fingerprints (boilerplate phrases) are dropped by
+    a document-frequency cap BEFORE the join, the standard winnowing
+    practice that also bounds join fan-out at corpus scale (a
+    fingerprint shared by f docs contributes f² pair candidates).
+  * portable hashing: md5 of the k-gram, minima lexicographic —
+    identical in any engine with md5, so the DuckDB oracle verifies
+    exact fingerprint values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dronedb_spark.suite import check
+from dronedb_spark.tables import load
+
+K = 3  # word k-gram size (shares dedup.py's 3-gram builder)
+W = 4  # winnowing window: guarantee threshold = W + K - 1 = 6 words
+MAX_DF = 10  # fingerprints in more docs than this are boilerplate: drop
+
+
+def winnow_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp) — each document's distinct winnowing fingerprint set.
+
+    Documents with fewer than W k-grams (but at least one) contribute
+    their single overall minimum (one degenerate window); empty ones
+    contribute nothing.
+    """
+    from dronedb_spark.text.dedup import _shingle_df
+
+    hs_df = _shingle_df(docs).select(
+        "doc_id", F.expr("transform(sh, s -> md5(s))").alias("hs")
+    )
+    # barrier: ``hs`` feeds four shifted slices below — persist so
+    # projection collapse cannot re-inline the per-gram md5 into each
+    # slice (see dedup.py:minhash_signatures for the measured cost)
+    hs_df = hs_df.persist()
+    wins = F.expr(
+        f"""CASE
+              WHEN size(hs) >= {W} THEN
+                zip_with(
+                  zip_with(
+                    zip_with(slice(hs, 1, size(hs) - {W - 1}),
+                             slice(hs, 2, size(hs) - {W - 1}), (a, b) -> least(a, b)),
+                    slice(hs, 3, size(hs) - {W - 1}), (a, b) -> least(a, b)),
+                  slice(hs, 4, size(hs) - {W - 1}), (a, b) -> least(a, b))
+              WHEN size(hs) > 0 THEN array(array_min(hs))
+              ELSE array()
+            END"""
+    )
+    return hs_df.select(
+        "doc_id", F.explode(F.array_distinct(wins)).alias("fp")
+    )
+
+
+def winnow_overlap(docs: DataFrame, max_df: int = MAX_DF) -> DataFrame:
+    """(doc_a, doc_b, n_shared) for document pairs sharing at least one
+    non-boilerplate fingerprint — the passage-reuse candidates."""
+    fps = winnow_fingerprints(docs)
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("fp")
+    )
+    kept = fps.join(rare, "fp", "left_semi")
+    a = kept.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = kept.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+# ----------------------------------------------------------- checks --
+
+# The synthetic corpus has no repeated passages, so the check derives a
+# non-vacuous input: every 7th document gets a re-keyed copy with a
+# 3-word prefix spliced on — the copy's k-gram POSITIONS all shift by 3,
+# which defeats any position-aligned scheme but not winnowing (the
+# shared window minima are position-independent).
+_WIN_OFFSET = 7000000
+
+_DUCK_WINNOW = f"""
+    corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + {_WIN_OFFSET} AS doc_id, 'xx yy zz ' || text AS text
+        FROM documents WHERE doc_id % 7 = 0),
+    words AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+    hs AS (
+        SELECT doc_id,
+               list_transform(
+                   list_transform(range(1, greatest(len(w) - 1, 1)),
+                                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]),
+                   s -> md5(s)) AS hs
+        FROM words),
+    wins AS (
+        SELECT doc_id,
+               CASE WHEN len(hs) >= {W}
+                    THEN list_transform(range(1, len(hs) - {W - 2}),
+                                        i -> list_min(hs[i:i+{W - 1}]))
+                    WHEN len(hs) > 0 THEN [list_min(hs)]
+                    ELSE [] END AS wins
+        FROM hs),
+    fps AS (SELECT DISTINCT doc_id, unnest(wins) AS fp FROM wins),
+    rare AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(DISTINCT doc_id) <= {MAX_DF}),
+    kept AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare r ON f.fp = r.fp)
+"""
+
+
+@check(
+    "winnow_overlap_pairs",
+    oracle=f"""
+        WITH {_DUCK_WINNOW}
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(1) AS BIGINT) AS n_shared
+        FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING COUNT(1) >= 3
+        ORDER BY doc_a, doc_b""",
+)
+def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs sharing >= 3 fingerprints — each spliced copy must pair
+    with its original (positions shifted by the prefix), single-
+    fingerprint coincidences filtered out."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + _WIN_OFFSET).alias("doc_id"),
+            F.concat(F.lit("xx yy zz "), F.col("text")).alias("text"),
+        )
+    )
+    return (
+        winnow_overlap(corpus)
+        .filter(F.col("n_shared") >= 3)
+        .orderBy("doc_a", "doc_b")
+    )

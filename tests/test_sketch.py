@@ -1,0 +1,44 @@
+"""HLL sketch (text/sketch.py): estimate accuracy vs the exact distinct
+count, register mergeability, and the map-side-combine plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dronedb_spark.tables import load
+from dronedb_spark.text.sketch import M, hll_estimate, hll_token_registers
+
+
+def test_hll_estimate_within_error_bound(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    exact = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter("tok <> ''")
+        .agg(F.countDistinct("tok"))
+        .collect()[0][0]
+    )
+    est = hll_estimate(hll_token_registers(docs))
+    # sigma = 1.04/sqrt(256) = 6.5%; allow 3 sigma
+    assert abs(est - exact) / exact < 0.20, (est, exact)
+
+
+def test_hll_registers_merge_by_max(spark, sf_dir):
+    """Sketching two halves and max-merging the registers must equal
+    sketching the union — the mergeability contract."""
+    docs = load(spark, sf_dir, "documents")
+    a = hll_token_registers(docs.filter(F.col("doc_id") % 2 == 0))
+    b = hll_token_registers(docs.filter(F.col("doc_id") % 2 == 1))
+    merged = (
+        a.unionByName(b).groupBy("bucket").agg(F.max("max_rho").alias("max_rho"))
+    )
+    whole = hll_token_registers(docs)
+    got = {(r["bucket"], r["max_rho"]) for r in merged.collect()}
+    want = {(r["bucket"], r["max_rho"]) for r in whole.collect()}
+    assert got == want
+
+
+def test_hll_register_plan_partial_aggregates(spark, sf_dir):
+    from dronedb_spark.plans.inspect import has_partial_aggregation
+
+    q = hll_token_registers(load(spark, sf_dir, "documents"))
+    assert has_partial_aggregation(q)
