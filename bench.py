@@ -90,6 +90,7 @@ HEADLINE = [
     "push_needed_files",
     "winnow_overlap_pairs",
     "hll_token_registers",
+    "cms_heavy_hitters",
 ]
 
 _SMALL_RESULT = {

@@ -93,3 +93,127 @@ def q_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return regs.select("bucket", F.col("max_rho").cast("int").alias("max_rho")).orderBy(
         "bucket"
     )
+
+
+# ----------------------------------------------- count-min sketch ----
+
+CMS_D = 4      # hash rows
+CMS_W = 256    # counters per row
+
+
+def cms_token_sketch(docs: DataFrame) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) of the corpus
+    token stream: (row, col, cnt) for d=4 portable hash rows of w=256
+    counters — fixed O(d*w) state however large the corpus, mergeable by
+    element-wise sum, point estimate = min over rows (never an
+    undercount).  col_j(tok) = 8 bits of md5(j || ':' || tok), the same
+    salted-md5 family the MinHash signatures use.
+
+    Scale: one groupBy((row, col)) with map-side partial sums — at most
+    d*w rows leave each partition, the same O(state) shuffle bound as
+    the HLL registers."""
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    rows = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row"),
+                        F.expr(
+                            f"CAST(conv(substr(md5('{j}:' || tok), 1, 2), 16, 10) AS INT)"
+                        ).alias("col"),
+                    )
+                    for j in range(CMS_D)
+                ]
+            )
+        ).alias("s")
+    ).select("s.row", "s.col")
+    return rows.groupBy("row", "col").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_point_estimates(docs: DataFrame, queries: DataFrame) -> DataFrame:
+    """(tok, est) — count-min frequency estimate for each query token:
+    min over the d rows of the queried counters.  The sketch side is
+    O(d*w) and BROADCAST into the join; estimates are exact integer
+    arithmetic, hence oracle-checkable end to end (including the
+    guaranteed est >= true property)."""
+    sketch = cms_token_sketch(docs)
+    probes = queries.select(
+        "tok",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row"),
+                        F.expr(
+                            f"CAST(conv(substr(md5('{j}:' || tok), 1, 2), 16, 10) AS INT)"
+                        ).alias("col"),
+                    )
+                    for j in range(CMS_D)
+                ]
+            )
+        ).alias("s"),
+    ).select("tok", "s.row", "s.col")
+    return (
+        probes.join(F.broadcast(sketch), ["row", "col"])
+        .groupBy("tok")
+        .agg(F.min("cnt").alias("est"))
+    )
+
+
+_DUCK_CMS = f"""
+    toks AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+    cms AS (
+        SELECT j AS row,
+               CAST('0x' || substr(md5(j || ':' || tok), 1, 2) AS INT) AS col,
+               COUNT(1) AS cnt
+        FROM (SELECT tok FROM toks WHERE tok <> '') t,
+             (SELECT unnest(range(0, {CMS_D})) AS j) js
+        GROUP BY row, col)
+"""
+
+
+@check(
+    "cms_heavy_hitters",
+    oracle=f"""
+        WITH {_DUCK_CMS},
+        queries AS (
+            SELECT tok, COUNT(1) AS true_cnt
+            FROM (SELECT tok FROM toks WHERE tok <> '') t
+            GROUP BY tok ORDER BY COUNT(1) DESC, tok LIMIT 20),
+        est AS (
+            SELECT q.tok,
+                   MIN(c.cnt) AS est
+            FROM queries q
+            JOIN cms c
+              ON c.row BETWEEN 0 AND {CMS_D - 1}
+             AND c.col = CAST('0x' || substr(md5(c.row || ':' || q.tok), 1, 2) AS INT)
+            GROUP BY q.tok)
+        SELECT q.tok, CAST(q.true_cnt AS BIGINT) AS true_cnt,
+               CAST(e.est AS BIGINT) AS est
+        FROM queries q JOIN est e ON q.tok = e.tok
+        ORDER BY true_cnt DESC, q.tok""",
+)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 true heavy hitters with their count-min estimates — the
+    oracle verifies the exact sketch state AND that est carries the
+    one-sided error (est >= true always holds by construction)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), "tok")
+        .limit(20)
+    )
+    est = cms_point_estimates(docs, top.select("tok"))
+    return (
+        top.join(est, "tok")
+        .select("tok", "true_cnt", "est")
+        .orderBy(F.desc("true_cnt"), "tok")
+    )

@@ -294,3 +294,62 @@ def _d_update_sql(assign_rel: str) -> str:
 )
 def q_ivf_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_kmeans_cells(load(spark, sf_dir, "embeddings"))
+
+
+# ------------------------------------------------- persisted index ----
+
+
+def write_ivf_store(embeddings: DataFrame, path: str) -> None:
+    """Persist the IVF index PARTITIONED BY cell — the production shape:
+    assignment is the ingest-time cost, paid once; the on-disk layout
+    puts each cell in its own directory so a probe's `cell IN (...)`
+    predicate prunes at the PARTITION level and only NPROBE/N_CENTROIDS
+    of the bytes are ever read (the band_store discipline applied to
+    ANN; see text/dedup.py:band_store)."""
+    (
+        ivf_assign(embeddings)
+        .join(embeddings.select("vec_id", "embedding"), "vec_id")
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def ivf_probe_store(
+    spark: SparkSession, path: str, embeddings: DataFrame, query_vec_id: int, k: int = 5
+) -> DataFrame:
+    """Top-k cosine against the persisted index: rank centroids against
+    the query (a NPROBE-row driver scalar — the index's tiny model
+    state), read ONLY those cells' partitions, score exactly.  Must
+    return exactly what ``ivf_search`` returns on the same corpus."""
+    cents = _centroids(embeddings)
+    q = embeddings.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_emb")
+    )
+    probe_cells = [
+        r["cid"]
+        for r in cents.join(F.broadcast(q))
+        .select(
+            "cid",
+            _packed(
+                _dot("c_emb", "q_emb") / (_norm("c_emb") * _norm("q_emb")),
+                F.col("cid"),
+            ).alias("packed"),
+        )
+        .orderBy("packed")
+        .limit(NPROBE)
+        .collect()
+    ]
+    store = spark.read.parquet(path).filter(F.col("cell").isin(probe_cells))
+    cand = store.filter(F.col("vec_id") != query_vec_id).join(F.broadcast(q))
+    return (
+        cand.select(
+            "vec_id",
+            "label",
+            F.round(
+                _dot("embedding", "q_emb") / (_norm("embedding") * _norm("q_emb")), 6
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(k)
+    )

@@ -572,3 +572,23 @@ def test_band_store_bucketed_probe_shuffle_free_on_store_side(spark, tmp_path):
         assert a == b and len(a) > 0
     finally:
         spark.sql("DROP TABLE IF EXISTS sig_store_pin")
+
+
+def test_ivf_store_probe_prunes_partitions(spark, tmp_path):
+    """The persisted IVF index is partitioned by cell; a probe must show
+    the cell predicate as a PARTITION filter on the scan (directory-
+    level pruning — only NPROBE of N_CENTROIDS cells are ever read) and
+    return exactly what the non-store search returns."""
+    from dronedb_spark.plans.inspect import formatted
+    from dronedb_spark.vectors.ivf import NPROBE, ivf_probe_store, ivf_search, write_ivf_store
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "ivf_store")
+    write_ivf_store(emb, path)
+    q = ivf_probe_store(spark, path, emb, query_vec_id=0, k=5)
+    fmt = formatted(q)
+    scan = fmt[fmt.index("PartitionFilters"):]
+    assert "cell" in scan.split("\n")[0]  # pruning predicate on the scan
+    got = [tuple(r) for r in q.collect()]
+    want = [tuple(r) for r in ivf_search(emb, query_vec_id=0, k=5).collect()]
+    assert got == want and len(got) == 5
