@@ -105,14 +105,41 @@ def avi_info(data: bytes) -> dict:
     return out
 
 
+def _video_stream_no(data: bytes) -> int:
+    """Index of the first 'vids' stream among the strl headers — AVI
+    frame chunks are named '<NN>dc' by STREAM ORDER, so a file whose
+    audio strl precedes the video one carries its frames as '01dc'."""
+    idx = 0
+    for ckid, body, bend in _iter_riff(data, 12, len(data)):
+        if ckid == b"LIST" and data[body : body + 4] == b"hdrl":
+            for hid, hbody, hend in _iter_riff(data, body + 4, bend):
+                if hid == b"LIST" and data[hbody : hbody + 4] == b"strl":
+                    for sid, sbody, _send in _iter_riff(data, hbody + 4, hend):
+                        if sid == b"strh":
+                            if data[sbody : sbody + 4] == b"vids":
+                                return idx
+                            idx += 1
+    return 0
+
+
 def avi_frame_chunks(data: bytes) -> list[bytes]:
-    """Raw per-frame payloads ('00dc'/'00db' chunks inside 'movi')."""
+    """Raw per-frame payloads of the VIDEO stream ('<NN>dc'/'<NN>db'
+    chunks inside 'movi'), descending into 'rec ' grouping LISTs — the
+    interleaved layout other muxers emit — and skipping other streams'
+    chunks (audio '<NN>wb', a second stream's 'dc')."""
+    want = b"%02d" % _video_stream_no(data)
     frames: list[bytes] = []
+
+    def walk(start: int, end: int) -> None:
+        for fid, fbody, fend in _iter_riff(data, start, end):
+            if fid == b"LIST" and data[fbody : fbody + 4] == b"rec ":
+                walk(fbody + 4, fend)
+            elif fid[:2] == want and fid[2:4] in (b"dc", b"db"):
+                frames.append(data[fbody:fend])
+
     for ckid, body, bend in _iter_riff(data, 12, len(data)):
         if ckid == b"LIST" and data[body : body + 4] == b"movi":
-            for fid, fbody, fend in _iter_riff(data, body + 4, bend):
-                if fid[2:4] in (b"dc", b"db"):
-                    frames.append(data[fbody:fend])
+            walk(body + 4, bend)
     return frames
 
 

@@ -1,5 +1,7 @@
 """MJPEG-in-AVI container round-trips (sources/avi.py)."""
 
+import struct
+
 import numpy as np
 import pytest
 
@@ -61,3 +63,56 @@ def test_non_mjpeg_codec_raises():
     avi = avi.replace(b"vidsMJPG", b"vidsH264")
     with pytest.raises(NotImplementedError):
         decode_avi_frames(avi)
+
+
+# ---------------------------------------------------------------------------
+# Foreign-muxer fixture: interleaved RIFF layout encode_avi_mjpeg never
+# produces — audio strl FIRST in hdrl (video frames are therefore
+# '01dc', not '00dc'), frames wrapped in 'rec ' grouping LISTs and
+# interleaved with '00wb' audio chunks.
+# ---------------------------------------------------------------------------
+
+
+def _foreign_muxer_avi(frames: list[bytes], width: int, height: int) -> bytes:
+    from dronedb_spark.sources.avi import _chunk, _list
+
+    n = len(frames)
+    avih = struct.pack("<14I", 100000, 0, 0, 0x10, n, 0, 2, 0, width, height, 0, 0, 0, 0)
+    a_strh = b"auds" + b"\x00" * 4 + struct.pack(
+        "<IHHIIIIIIII4H", 0, 0, 0, 0, 1, 8000, 0, 64, 0, 2, 0, 0, 0, 0, 0
+    )
+    a_strf = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)  # WAVEFORMATEX-ish
+    v_strh = b"vids" + b"MJPG" + struct.pack(
+        "<IHHIIIIIIII4H", 0, 0, 0, 0, 1, 10, 0, n, 0, 10000, 0, 0, 0, 0, 0
+    )
+    v_strf = struct.pack(
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG", width * height * 3, 0, 0, 0, 0
+    )
+    hdrl = _list(
+        b"hdrl",
+        _chunk(b"avih", avih)
+        + _list(b"strl", _chunk(b"strh", a_strh) + _chunk(b"strf", a_strf))
+        + _list(b"strl", _chunk(b"strh", v_strh) + _chunk(b"strf", v_strf)),
+    )
+    audio = bytes(range(32))
+    movi = b"movi"
+    for f in frames:
+        movi += _list(b"rec ", _chunk(b"01dc", f) + _chunk(b"00wb", audio))
+    return b"RIFF" + struct.pack("<I", 4 + len(hdrl) + 8 + len(movi)) + b"AVI " + hdrl + _chunk(
+        b"LIST", movi
+    )
+
+
+def test_avi_foreign_muxer_interleaved_rec_lists():
+    from dronedb_spark.sources.avi import avi_frame_chunks, avi_info, decode_avi_frames
+
+    frames = [encode_jpeg_dc_blocks(np.full((2, 3), t * 4 - 8), q0=16) for t in range(5)]
+    avi = _foreign_muxer_avi(frames, 24, 16)
+    info = avi_info(avi)
+    assert info["handler"] == "MJPG" and info["n_frames"] == 5
+    assert avi_frame_chunks(avi) == frames  # 01dc found, 00wb audio skipped
+    arr = decode_avi_frames(avi, [0, 4])
+    full = decode_avi_frames(avi)
+    for t in range(5):
+        assert np.all(full[t] == 128 + 2 * (t * 4 - 8))
+    assert np.array_equal(arr[1], full[4])
