@@ -587,3 +587,27 @@ def q_delta_adds_10x(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = inflated_entries(spark, sf_dir, "a")
     b = inflated_entries(spark, sf_dir, "b")
     return delta_adds(a, b).select("path", "hash", "type", "size")
+
+
+def clone_plan(remote: DataFrame) -> DataFrame:
+    """`ddb clone` compute core (clone.cpp → registry pull into a fresh
+    directory): pull planning with an EMPTY local tree and no base stamp
+    — every remote file classifies as a download, nothing conflicts,
+    nothing is removed.  Thin degenerate case of ``pull_plan`` kept as a
+    named operator so the sync command family (clone/pull/push) each
+    has its own entry point."""
+    spark = remote.sparkSession
+    empty = spark.createDataFrame([], "path string, hash string")
+    return pull_plan(remote, empty, empty)
+
+
+@check(
+    "clone_plan_downloads",
+    oracle=f"""
+        WITH remote AS ({_pull_fixture_sql("duckdb")["remote"]})
+        SELECT path, 'download' AS action, '' AS src_path
+        FROM remote ORDER BY path""",
+)
+def q_clone_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _pull_fixture_sql("spark")
+    return clone_plan(spark.sql(t["remote"])).orderBy("path")

@@ -71,3 +71,19 @@ def _register_check() -> None:
 
 
 _register_check()
+
+
+def stream_hll_registers(docs_stream: DataFrame) -> DataFrame:
+    """Streaming HLL: the register table as a continuous aggregate.
+
+    Because registers fold by MAX, the streaming state is exactly the
+    m-register table — bounded forever without a watermark, and the
+    complete-mode output after any prefix of the stream equals the
+    batch sketch of that prefix (tests/test_streaming.py pins
+    stream == batch twin; the batch twin is the `hll_token_registers`
+    driver check).  This is the daily-rollup story live: the same
+    groupBy(bucket).max(rho) merges yesterday's persisted registers
+    with today's stream."""
+    from dronedb_spark.text.sketch import hll_token_registers
+
+    return hll_token_registers(docs_stream)

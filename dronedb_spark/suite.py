@@ -38,7 +38,7 @@ _ROUND6_PRIORITY = [
     # pull_delta_plan), the catalog-side 10x stress twin, winnowing
     # passage-reuse fingerprints, and the HLL register sketch
     "push_needed_files", "delta_adds_10x", "winnow_overlap_pairs",
-    "hll_token_registers", "cms_heavy_hitters",
+    "hll_token_registers", "cms_heavy_hitters", "clone_plan_downloads",
     # TOUCHED in round 6 — MOV reader now skips non-video traks; GIF LZW
     # corrupt-stream guard; LAZ routing in the build path switched to a
     # VLR-header walk (is_laz); incremental build path robustness

@@ -160,3 +160,35 @@ def test_stream_stream_attribution_matches_batch(spark, sf_dir, tmp_path):
         for r in attribution_batch(events).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stream_hll_registers_match_batch(spark, sf_dir, tmp_path):
+    """The streaming HLL aggregate in complete mode must equal the batch
+    sketch over the same data — max-fold state is order-insensitive."""
+    from dronedb_spark.streaming.dedup import stream_hll_registers
+    from dronedb_spark.tables import load
+    from dronedb_spark.text.sketch import hll_token_registers
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "docs_src")
+    # two files → at least two arrival chunks
+    docs.repartition(2).write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    out = stream_hll_registers(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hll_regs")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["bucket"], r["max_rho"])
+        for r in spark.sql("SELECT * FROM hll_regs").collect()
+    }
+    want = {
+        (r["bucket"], r["max_rho"])
+        for r in hll_token_registers(docs).collect()
+    }
+    assert got == want and len(want) > 20
