@@ -1302,3 +1302,157 @@ def test_laszip_v3_variable_chunk_table_pairs():
     blob2 = _mini_laz14_container([c1, c2], table, 4, 0xFFFFFFFF)
     d2 = decode_laz14(blob2)
     np.testing.assert_allclose(d2["y"], [0.200, 0.200, 0.900, 0.901])
+
+
+# --------------------------------------------------------------------------
+# LASzip v2, point format 3 (POINT10 + GPSTIME11 + RGB12 in ONE shared
+# coder stream): extends the fmt-0 golden to the remaining v2 items.
+# The fixture keeps each item's state machine on a hand-checkable arm:
+# GPS times exercise the zero-last-diff transitions (unchanged → 6-symbol
+# model sym 0; first change → sym 1 + a 32-bit corrector against
+# prediction 0), RGB stays gray (r=g=b → the colors-differ bit 6 clear,
+# so only the red-low delta is coded and the decoder mirrors g=b=r).
+# --------------------------------------------------------------------------
+
+
+def _mini_fmt3_chunk(points, gps_bits, rgbs):
+    first = points[0]
+    ac = _MiniAC()
+    m_changed = _gm(64)
+    m_cls: dict = {}
+    ic_dx, ic_dy, ic_z = _mini_ic(2), _mini_ic(22), _mini_ic(20)
+    m_0diff = _gm(6)      # GPSTIME11 zero-last-diff transition model
+    gps_ic = _mini_ic(9)  # its 32-bit corrector (9 contexts)
+    m_byte_used = _gm(128)
+    m_diff0 = _gm(256)
+    last = list(first)
+    last_height = 0
+    last_gps, last_gps_diff = gps_bits[0], 0
+    last_rgb = rgbs[0]
+    n_adds = 0
+    for cur, gb, rgb in zip(points[1:], gps_bits[1:], rgbs[1:]):
+        # POINT10 — identical derivation to the fmt-0 golden
+        assert cur[4] == 0b001001 == last[4]
+        changed = 8 if cur[5] != last[5] else 0
+        _gm_encode(ac, m_changed, changed)
+        if changed:
+            _gm_encode(ac, m_cls.setdefault(last[5], _gm(256)), cur[5])
+        assert n_adds <= 2
+        _mini_ic_compress(ac, ic_dx, 0, cur[0] - last[0], 1)
+        kx = ic_dx["k"]
+        _mini_ic_compress(ac, ic_dy, 0, cur[1] - last[1], 1 + ((kx & ~1) if kx < 20 else 20))
+        kb = (kx + ic_dy["k"]) // 2
+        _mini_ic_compress(ac, ic_z, last_height, cur[2], 1 + ((kb & ~1) if kb < 18 else 18))
+        last_height = cur[2]
+        # GPSTIME11 — zero-last-diff arm only
+        assert last_gps_diff == 0
+        if gb == last_gps:
+            _gm_encode(ac, m_0diff, 0)
+        else:
+            diff = gb - last_gps
+            assert -(2**31) <= diff < 2**31  # fits i32 → sym 1 path
+            _gm_encode(ac, m_0diff, 1)
+            _mini_ic_compress(ac, gps_ic, 0, diff, 0)
+            last_gps, last_gps_diff = gb, diff
+        # RGB12 — gray arm: bit 6 clear, only red-low deltas code
+        r, g, b = rgb
+        lr, lg, lb = last_rgb
+        assert r == g == b and lr == lg == lb and (r >> 8) == (lr >> 8) == 0
+        sym = (
+            (((lr & 255) != (r & 255)) << 0)
+            | (((lg & 255) != (g & 255)) << 2)
+            | (((lb & 255) != (b & 255)) << 4)
+        )
+        _gm_encode(ac, m_byte_used, sym)
+        if sym & 1:
+            _gm_encode(ac, m_diff0, (r - lr) & 0xFF)
+        last_rgb = rgb
+        n_adds += 1
+        last = list(cur)
+    seed = (
+        _MINI_P10.pack(*first)
+        + struct.pack("<Q", gps_bits[0])
+        + struct.pack("<3H", *rgbs[0])
+    )
+    return seed + ac.flush()
+
+
+_B100 = struct.unpack("<Q", struct.pack("<d", 100.0))[0]
+_T3 = struct.unpack("<d", struct.pack("<Q", _B100 + 1000))[0]
+_FMT3_GPS = [_B100, _B100, _B100 + 1000]
+_FMT3_RGB = [(10, 10, 10), (10, 10, 10), (13, 13, 13)]
+_FMT3_GOLDEN_CHUNK = bytes.fromhex(
+    "64000000c80000001e000000000009020000000000000000000059"
+    "400a000a000a00000f88cdf2db81d6a22a65ace8"
+)
+_FMT3_GOLDEN_TABLE = bytes.fromhex("0000000001000000341d")
+
+
+def _mini_laz_fmt3_container(chunk: bytes, table: bytes) -> bytes:
+    """Like _mini_laz_container but PDRF 3 (34-byte records) with the
+    three v2 items in the laszip VLR."""
+    hdr = bytearray(227)
+    hdr[0:4] = b"LASF"
+    hdr[24], hdr[25] = 1, 2
+    hdr[26:26 + 11] = b"golden-chnk"
+    hdr[58:58 + 9] = b"spec-hand"
+    struct.pack_into("<HH", hdr, 90, 200, 2024)
+    struct.pack_into("<H", hdr, 94, 227)
+    struct.pack_into("<I", hdr, 96, 227 + 54 + 52)
+    struct.pack_into("<I", hdr, 100, 1)
+    hdr[104] = 3 | 0x80
+    struct.pack_into("<H", hdr, 105, 34)
+    struct.pack_into("<I", hdr, 107, 3)
+    struct.pack_into("<5I", hdr, 111, 3, 0, 0, 0, 0)
+    struct.pack_into("<3d", hdr, 131, 0.001, 0.001, 0.001)
+    struct.pack_into("<3d", hdr, 155, 0.0, 0.0, 0.0)
+    struct.pack_into("<6d", hdr, 179, 0.103, 0.100, 0.201, 0.200, 0.030, 0.030)
+    payload = struct.pack("<HHBBHIIqqH", 2, 0, 2, 4, 3, 0, 50000, 0, 0, 3)
+    payload += struct.pack("<HHH", 6, 20, 2)  # POINT10 v2
+    payload += struct.pack("<HHH", 7, 8, 2)   # GPSTIME11 v2
+    payload += struct.pack("<HHH", 8, 6, 2)   # RGB12 v2
+    vlr = struct.pack(
+        "<H16sHH32s", 0xAABB, b"laszip encoded", 22204, len(payload), b"golden"
+    ) + payload
+    point_start = 227 + len(vlr)
+    table_offset = point_start + 8 + len(chunk)
+    return bytes(hdr) + vlr + struct.pack("<q", table_offset) + chunk + table
+
+
+def test_laszip_fmt3_mini_encoder_matches_frozen_bytes():
+    chunk = _mini_fmt3_chunk(_GOLDEN_PTS, _FMT3_GPS, _FMT3_RGB)
+    assert chunk == _FMT3_GOLDEN_CHUNK
+    tac = _MiniAC()
+    _mini_ic_compress(tac, _mini_ic(2), 0, len(chunk), 1)
+    assert struct.pack("<II", 0, 1) + tac.flush() == _FMT3_GOLDEN_TABLE
+
+
+def test_laszip_fmt3_golden_chunk_decodes():
+    from dronedb_spark.sources.laz import decode_laz
+
+    blob = _mini_laz_fmt3_container(_FMT3_GOLDEN_CHUNK, _FMT3_GOLDEN_TABLE)
+    d = decode_laz(blob)
+    np.testing.assert_allclose(d["x"], [0.100, 0.101, 0.103])
+    assert d["classification"].tolist() == [2, 2, 5]
+    np.testing.assert_allclose(d["gps_time"], [100.0, 100.0, _T3])
+    assert d["gps_time"][2] != 100.0  # the +1000-ulp step survived exactly
+    assert d["red"].tolist() == [10, 10, 13]
+    assert d["green"].tolist() == [10, 10, 13]  # gray arm: g=b=r
+    assert d["blue"].tolist() == [10, 10, 13]
+
+
+def test_laszip_fmt3_encoder_emits_frozen_stream():
+    from dronedb_spark.sources.laz import encode_laz
+
+    blob = encode_laz(
+        np.array([0.100, 0.101, 0.103]),
+        np.array([0.200, 0.200, 0.201]),
+        np.array([0.030, 0.030, 0.030]),
+        classification=np.array([2, 2, 5], dtype=np.uint8),
+        gps_time=np.array([100.0, 100.0, _T3]),
+        rgb=np.array(_FMT3_RGB, dtype=np.uint16),
+    )
+    (pdo,) = struct.unpack_from("<I", blob, 96)
+    (tbl,) = struct.unpack_from("<q", blob, pdo)
+    assert blob[pdo + 8 : tbl] == _FMT3_GOLDEN_CHUNK
+    assert blob[tbl:] == _FMT3_GOLDEN_TABLE
