@@ -1456,3 +1456,80 @@ def test_laszip_fmt3_encoder_emits_frozen_stream():
     (tbl,) = struct.unpack_from("<q", blob, pdo)
     assert blob[pdo + 8 : tbl] == _FMT3_GOLDEN_CHUNK
     assert blob[tbl:] == _FMT3_GOLDEN_TABLE
+
+
+# --------------------------------------------------------------------------
+# LASzip v2 BYTE item (extra per-point attribute bytes): the last v2
+# item family.  Per follow point the shared stream carries the POINT10
+# ops then one delta symbol per extra byte (independent 256-models).
+# --------------------------------------------------------------------------
+
+
+_EXTRA = [(7, 200), (7, 205), (9, 205)]
+_EXTRA_GOLDEN_CHUNK = bytes.fromhex(
+    "64000000c80000001e000000000009020000000007c8000f88cdf28a8ea597df7a7e"
+)
+_EXTRA_GOLDEN_TABLE = bytes.fromhex("0000000001000000328a")
+
+
+def _mini_fmt0_extra_chunk(points, extras):
+    first = points[0]
+    ac = _MiniAC()
+    m_changed = _gm(64)
+    m_cls: dict = {}
+    ic_dx, ic_dy, ic_z = _mini_ic(2), _mini_ic(22), _mini_ic(20)
+    n_extra = len(extras[0])
+    m_bytes = [_gm(256) for _ in range(n_extra)]
+    last = list(first)
+    last_height = 0
+    last_extra = list(extras[0])
+    n_adds = 0
+    for cur, ex in zip(points[1:], extras[1:]):
+        assert cur[4] == 0b001001 == last[4]
+        changed = 8 if cur[5] != last[5] else 0
+        _gm_encode(ac, m_changed, changed)
+        if changed:
+            _gm_encode(ac, m_cls.setdefault(last[5], _gm(256)), cur[5])
+        assert n_adds <= 2
+        _mini_ic_compress(ac, ic_dx, 0, cur[0] - last[0], 1)
+        kx = ic_dx["k"]
+        _mini_ic_compress(ac, ic_dy, 0, cur[1] - last[1], 1 + ((kx & ~1) if kx < 20 else 20))
+        kb = (kx + ic_dy["k"]) // 2
+        _mini_ic_compress(ac, ic_z, last_height, cur[2], 1 + ((kb & ~1) if kb < 18 else 18))
+        last_height = cur[2]
+        for i in range(n_extra):
+            _gm_encode(ac, m_bytes[i], (ex[i] - last_extra[i]) & 0xFF)
+        last_extra = list(ex)
+        n_adds += 1
+        last = list(cur)
+    return _MINI_P10.pack(*first) + bytes(extras[0]) + ac.flush()
+
+
+def test_laszip_extra_bytes_mini_encoder_matches_frozen():
+    chunk = _mini_fmt0_extra_chunk(_GOLDEN_PTS, _EXTRA)
+    assert chunk == _EXTRA_GOLDEN_CHUNK
+    tac = _MiniAC()
+    _mini_ic_compress(tac, _mini_ic(2), 0, len(chunk), 1)
+    assert struct.pack("<II", 0, 1) + tac.flush() == _EXTRA_GOLDEN_TABLE
+
+
+def test_laszip_extra_bytes_encoder_and_decode():
+    """encode_laz's stream for the same extra bytes must equal the
+    frozen derivation, and decode_laz must round the extras back —
+    covers every v2 item family (POINT10/GPSTIME11/RGB12/BYTE) with
+    externally derived bytes."""
+    from dronedb_spark.sources.laz import decode_laz, encode_laz
+
+    blob = encode_laz(
+        np.array([0.100, 0.101, 0.103]),
+        np.array([0.200, 0.200, 0.201]),
+        np.array([0.030, 0.030, 0.030]),
+        classification=np.array([2, 2, 5], dtype=np.uint8),
+        extra=np.array(_EXTRA, dtype=np.uint8),
+    )
+    (pdo,) = struct.unpack_from("<I", blob, 96)
+    (tbl,) = struct.unpack_from("<q", blob, pdo)
+    assert blob[pdo + 8 : tbl] == _EXTRA_GOLDEN_CHUNK
+    assert blob[tbl:] == _EXTRA_GOLDEN_TABLE
+    d = decode_laz(blob)
+    assert d["extra_bytes"].tolist() == [list(e) for e in _EXTRA]
