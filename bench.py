@@ -91,6 +91,7 @@ HEADLINE = [
     "winnow_overlap_pairs",
     "hll_token_registers",
     "cms_heavy_hitters",
+    "bm25_query_scores",
 ]
 
 _SMALL_RESULT = {

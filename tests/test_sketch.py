@@ -42,3 +42,33 @@ def test_hll_register_plan_partial_aggregates(spark, sf_dir):
 
     q = hll_token_registers(load(spark, sf_dir, "documents"))
     assert has_partial_aggregation(q)
+
+
+def test_bm25_plan_prunes_tokens_before_aggregation(spark, sf_dir):
+    """The query-term join must broadcast (term-count-sized) and the tf
+    aggregation must partial-aggregate; no cartesian beyond the 1-row
+    scalar attaches."""
+    from dronedb_spark.plans.inspect import has_partial_aggregation, physical_plan
+    from dronedb_spark.tables import load
+    from dronedb_spark.text.bm25 import bm25_scores
+
+    q = bm25_scores(load(spark, sf_dir, "documents"), ["join", "hash"])
+    plan = physical_plan(q)
+    assert "BroadcastHashJoin" in plan
+    assert has_partial_aggregation(q)
+
+
+def test_bm25_scores_rank_relevant_docs(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "join hash join shuffle join"),
+            (2, "join only once here today"),
+            (3, "nothing relevant at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["score"] for r in
+            __import__("dronedb_spark.text.bm25", fromlist=["bm25_scores"])
+            .bm25_scores(docs, ["join", "hash", "shuffle"]).collect()}
+    assert 3 not in rows          # no matching terms → no row
+    assert rows[1] > rows[2] > 0  # more matched terms/tf → higher score
