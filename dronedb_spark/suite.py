@@ -39,7 +39,7 @@ _ROUND6_PRIORITY = [
     # passage-reuse fingerprints, and the HLL register sketch
     "push_needed_files", "delta_adds_10x", "winnow_overlap_pairs",
     "hll_token_registers", "cms_heavy_hitters", "clone_plan_downloads",
-    "bm25_query_scores",
+    "bm25_query_scores", "image_dhash_neardup",
     # TOUCHED in round 6 — MOV reader now skips non-video traks; GIF LZW
     # corrupt-stream guard; LAZ routing in the build path switched to a
     # VLR-header walk (is_laz); incremental build path robustness
@@ -137,6 +137,7 @@ def load_all() -> dict[str, Check]:
     import dronedb_spark.text.winnow  # noqa: F401  (MOSS fingerprints, new in r6)
     import dronedb_spark.text.sketch  # noqa: F401  (HLL + CMS sketches, new in r6)
     import dronedb_spark.text.bm25  # noqa: F401  (BM25 relevance, new in r6)
+    import dronedb_spark.multimodal.phash  # noqa: F401  (image dHash near-dup, new in r6)
     # --- green rows in CORRECTNESS_r01: register after ------------------
     import dronedb_spark.operators.search  # noqa: F401
     import dronedb_spark.operators.stats  # noqa: F401
