@@ -92,6 +92,15 @@ HEADLINE = [
     "hll_token_registers",
     "cms_heavy_hitters",
     "bm25_query_scores",
+    # round-7 breadth: the STAC projection extension, BPE corpus encode
+    # (+10x twin: encode work is vocabulary-bounded, the corpus pass is
+    # not), PQ ADC search (literal-folded LUT, map-only), and the
+    # multimodal 10x decode+join stress twin
+    "stac_item_proj_fields",
+    "bpe_encode_corpus",
+    "bpe_encode_corpus_10x",
+    "pq_adc_top10",
+    "image_dhash_neardup_10x",
 ]
 
 _SMALL_RESULT = {
@@ -106,6 +115,7 @@ _SMALL_RESULT = {
     "stac_collection_doc",
     "stream_dedup_twin",
     "sq8_adc_top10",
+    "pq_adc_top10",
 }
 
 

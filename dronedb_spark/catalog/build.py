@@ -354,26 +354,41 @@ def build_all(catalog, force: bool = False) -> dict[str, int]:
     # join-key pushdown).  The path collect is the work list itself —
     # work-sized by definition.  Large pending sets (initial build)
     # keep the one-pass recursive scan.
+    files = None
     if n_pending <= 10_000:
         sep = root.rstrip("/") + "/"
         # binaryFile.load() glob-expands every path and aborts the whole
         # job with PATH_NOT_FOUND on the first miss — a stale index row
         # (file deleted since the last sync) or a filename containing
         # glob metacharacters must degrade to "skipped", matching the
-        # full-scan branch which simply never joins such rows
-        paths = [
-            _escape_hadoop_glob(sep + r["path"])
-            for r in todo_df.select("path").collect()
-            if os.path.exists(sep + r["path"])
-        ]
-        if not paths:
-            return {}
-        files = (
-            spark.read.format("binaryFile")
-            .load(paths)
-            .select(F.substring_index("path", sep, -1).alias("path"), "content")
-        )
-    else:
+        # full-scan branch which simply never joins such rows.  The
+        # os.path.exists pre-filter is only meaningful when the root is a
+        # driver-visible local path; for any scheme'd root (hdfs://,
+        # s3a://, ...) it would discard EVERY path and silently no-op the
+        # build, so there we keep all paths and rely on the load-time
+        # fallback below.  ignoreMissingFiles closes the remaining TOCTOU
+        # window (a file deleted between listing and read).
+        rows = [r["path"] for r in todo_df.select("path").collect()]
+        if "://" not in root:
+            rows = [p for p in rows if os.path.exists(sep + p)]
+            if not rows:
+                return {}
+        if rows:
+            try:
+                files = (
+                    spark.read.format("binaryFile")
+                    .option("ignoreMissingFiles", "true")
+                    .load([_escape_hadoop_glob(sep + p) for p in rows])
+                    .select(
+                        F.substring_index("path", sep, -1).alias("path"), "content"
+                    )
+                )
+            except Exception:
+                # PATH_NOT_FOUND at resolution time (stale rows on a
+                # non-local root): degrade to the full scan, whose inner
+                # join simply never matches the stale entries
+                files = None
+    if files is None:
         files = scan_binaries(spark, root, "*").withColumnRenamed("file_name", "path")
 
     def run(it):

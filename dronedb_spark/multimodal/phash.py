@@ -10,10 +10,14 @@ design, mirroring the SimHash text path (`text/simhash.py`):
 
   * hashing is a one-pass Arrow ``mapInPandas`` over the binary cells —
     decode where the bytes live, emit two 32-bit halves per image
-    (numpy box means, no Python per-pixel work);
-  * near-dup candidates come from an equi-self-join on 16-bit hash
-    BANDS (any image pair within hamming distance 3 shares at least
-    one of the 4 bands by pigeonhole) — never an all-pairs scan;
+    (numpy box means, no Python per-pixel work); undecodable images are
+    skipped per-file, like the rest of the media pipeline;
+  * near-dup candidates come from an equi-self-join on 8-bit hash
+    BANDS — any image pair within hamming distance 7 flips bits in at
+    most 7 of the 8 bands, so by pigeonhole it shares at least one band
+    key; the guarantee covers the default ``max_hamming=6`` with margin
+    (16-bit banding only guaranteed ≤ 3 and silently lost recall at
+    4-6).  Never an all-pairs scan.
   * the exact hamming refine is JVM-side ``bit_count(xor)`` on the
     candidate set only.
 """
@@ -32,18 +36,36 @@ from dronedb_spark.suite import check
 from dronedb_spark.tables import spread
 
 GRID_H, GRID_W = 8, 9  # box grid; 8 x 8 gradient bits
+N_BANDS = 8  # 8 bands x 8 bits: pigeonhole guarantees recall to hamming 7
+
+
+def _box_means(g: np.ndarray) -> np.ndarray:
+    """(GRID_H, GRID_W) area means of an arbitrary (h, w) float array.
+
+    Integral-image sums over the integer box boundaries y_i = i*h//8,
+    x_j = j*w//9 — exactly the reshape-mean when 8 | h and 9 | w (so the
+    closed-form oracle still reproduces the fixture hashes), and a
+    graceful area-resample for any other dimensions, so real-world
+    images can never fail the pass on shape (they used to assert)."""
+    h, w = g.shape
+    if h < GRID_H or w < GRID_W:
+        raise ValueError(f"image {h}x{w} smaller than the {GRID_H}x{GRID_W} grid")
+    ys = (np.arange(GRID_H + 1) * h) // GRID_H
+    xs = (np.arange(GRID_W + 1) * w) // GRID_W
+    integral = np.zeros((h + 1, w + 1))
+    integral[1:, 1:] = g.cumsum(axis=0).cumsum(axis=1)
+    corner = integral[ys][:, xs]
+    sums = corner[1:, 1:] - corner[:-1, 1:] - corner[1:, :-1] + corner[:-1, :-1]
+    areas = np.outer(np.diff(ys), np.diff(xs))
+    return sums / areas
 
 
 def dhash_array(arr: np.ndarray) -> tuple[int, int]:
-    """dHash of an (h, w, c) uint8 array → two unsigned 32-bit halves
+    """dHash of an (h, w[, c]) uint8 array → two unsigned 32-bit halves
     (little bit order: bit index by*8+bx, left-to-right gradients).
-    Requires h % 8 == 0 and w % 9 == 0 (integer box means keep the
-    closed form oracle-reproducible; a production variant would
-    bilinear-resample first)."""
+    Any h >= 8, w >= 9 is accepted (integral-image box means)."""
     g = arr.astype(np.float64).mean(axis=2) if arr.ndim == 3 else arr.astype(np.float64)
-    h, w = g.shape
-    assert h % GRID_H == 0 and w % GRID_W == 0, (h, w)
-    boxes = g.reshape(GRID_H, h // GRID_H, GRID_W, w // GRID_W).mean(axis=(1, 3))
+    boxes = _box_means(g)
     bits = (boxes[:, :-1] < boxes[:, 1:]).astype(np.int64).ravel()
     h1 = int(sum(int(bits[i]) << i for i in range(32)))
     h2 = int(sum(int(bits[32 + i]) << i for i in range(32)))
@@ -61,7 +83,9 @@ _HASH_SCHEMA = T.StructType(
 
 def dhash_images(media: DataFrame) -> DataFrame:
     """(media_id, h1, h2) from (media_id, content) image bytes — decode
-    + hash inside one Arrow pass, one file per task row."""
+    + hash inside one Arrow pass, one file per task row.  A file that
+    fails to decode (or is smaller than the box grid) is skipped, not
+    fatal — same per-file degrade as the media channel-stats kernel."""
 
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from dronedb_spark.multimodal.media import decode_media
@@ -69,7 +93,10 @@ def dhash_images(media: DataFrame) -> DataFrame:
         for pdf in it:
             rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                h1, h2 = dhash_array(decode_media(bytes(content)))
+                try:
+                    h1, h2 = dhash_array(decode_media(bytes(content)))
+                except Exception:
+                    continue
                 rows.append({"media_id": int(mid), "h1": h1, "h2": h2})
             yield pd.DataFrame(rows, columns=["media_id", "h1", "h2"])
 
@@ -77,20 +104,29 @@ def dhash_images(media: DataFrame) -> DataFrame:
 
 
 def dhash_neardup(hashes: DataFrame, max_hamming: int = 6) -> DataFrame:
-    """(img_a, img_b, hamming) pairs within ``max_hamming`` bits,
-    candidates from the 4×16-bit band equi-join."""
-    bands = hashes.select(
-        "media_id",
-        "h1",
-        "h2",
-        F.explode(
-            F.array(
-                F.struct(F.lit(0).alias("band"), (F.col("h1") % 65536).alias("bv")),
-                F.struct(F.lit(1).alias("band"), (F.col("h1") / 65536).cast("bigint").alias("bv")),
-                F.struct(F.lit(2).alias("band"), (F.col("h2") % 65536).alias("bv")),
-                F.struct(F.lit(3).alias("band"), (F.col("h2") / 65536).cast("bigint").alias("bv")),
+    """(img_a, img_b, hamming) pairs within ``max_hamming`` bits.
+
+    Candidates from an 8×8-bit band equi-join: a pair at hamming d
+    differs in at most d bands, so for d <= 7 at least one of the 8
+    band keys matches (pigeonhole) — full recall at any
+    ``max_hamming`` <= 7, which covers the default of 6."""
+    if max_hamming > N_BANDS - 1:
+        raise ValueError(
+            f"banded candidate generation guarantees recall only to "
+            f"hamming {N_BANDS - 1}; got max_hamming={max_hamming}"
+        )
+    band_structs = []
+    for i in range(N_BANDS):
+        half = F.col("h1") if i < 4 else F.col("h2")
+        shift = (i % 4) * 8
+        band_structs.append(
+            F.struct(
+                F.lit(i).alias("band"),
+                ((half / (1 << shift)).cast("bigint") % 256).alias("bv"),
             )
-        ).alias("s"),
+        )
+    bands = hashes.select(
+        "media_id", "h1", "h2", F.explode(F.array(*band_structs)).alias("s")
     ).select("media_id", "h1", "h2", "s.band", "s.bv")
     a = bands.select(
         F.col("media_id").alias("img_a"), F.col("h1").alias("h1a"),
@@ -127,14 +163,13 @@ def _ph_pixels(i: int) -> np.ndarray:
     return np.repeat(v.astype(np.uint8)[:, :, None], 3, axis=2)
 
 
-@check(
-    "image_dhash_neardup",
-    oracle=f"""
+def _ph_oracle(n_images: int) -> str:
+    return f"""
         WITH px AS (
             SELECT i.i AS img, y.y AS y, x.x AS x,
                    CAST((i.i // 2 * 37 + y.y * 5 + x.x * 11) % 200
                         + (i.i % 2) * 3 AS DOUBLE) AS v
-            FROM (SELECT unnest(range(0, {2 * _PH_N_PAIR})) AS i) i,
+            FROM (SELECT unnest(range(0, {n_images})) AS i) i,
                  (SELECT unnest(range(0, {_PH_H})) AS y) y,
                  (SELECT unnest(range(0, {_PH_W})) AS x) x),
         boxes AS (
@@ -155,11 +190,9 @@ def _ph_pixels(i: int) -> np.ndarray:
             FROM bits GROUP BY img),
         bands AS (
             SELECT img, h1, h2, band,
-                   CASE band WHEN 0 THEN h1 % 65536
-                             WHEN 1 THEN CAST(h1 // 65536 AS BIGINT)
-                             WHEN 2 THEN h2 % 65536
-                             ELSE CAST(h2 // 65536 AS BIGINT) END AS bv
-            FROM hs, (SELECT unnest(range(0, 4)) AS band) bs),
+                   CAST((CASE WHEN band < 4 THEN h1 ELSE h2 END
+                         // (1::BIGINT << ((band % 4) * 8))) AS BIGINT) % 256 AS bv
+            FROM hs, (SELECT unnest(range(0, {N_BANDS})) AS band) bs),
         cand AS (
             SELECT DISTINCT a.img AS img_a, b.img AS img_b,
                    a.h1 AS h1a, a.h2 AS h2a, b.h1 AS h1b, b.h2 AS h2b
@@ -169,8 +202,10 @@ def _ph_pixels(i: int) -> np.ndarray:
                CAST(bit_count(xor(h1a, h1b)) + bit_count(xor(h2a, h2b)) AS INT) AS hamming
         FROM cand
         WHERE bit_count(xor(h1a, h1b)) + bit_count(xor(h2a, h2b)) <= 6
-        ORDER BY img_a, img_b""",
-)
+        ORDER BY img_a, img_b"""
+
+
+@check("image_dhash_neardup", oracle=_ph_oracle(2 * _PH_N_PAIR))
 def q_image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real PNG bytes through decode → dHash → banded hamming pairs.
     Mates (2k, 2k+1) differ by a constant +3 brightness shift, which
@@ -190,6 +225,102 @@ def _gen_ph_png(ids: DataFrame) -> DataFrame:
         for pdf in it:
             rows = [
                 {"media_id": int(i), "content": encode_png(_ph_pixels(int(i)))}
+                for i in pdf["id"]
+            ]
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    return ids.mapInPandas(
+        gen,
+        schema=T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("content", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+# ------------------------------------------------- 10x stress twin --
+
+_PH_COPIES = 10
+
+
+@check(
+    "image_dhash_neardup_10x",
+    oracle=f"""
+        WITH px AS (
+            SELECT i.i AS img, y.y AS y, x.x AS x,
+                   CAST(((i.i % {2 * _PH_N_PAIR}) // 2 * 37 + y.y * 5 + x.x * 11) % 200
+                        + ((i.i % {2 * _PH_N_PAIR}) % 2) * 3 AS DOUBLE) AS v
+            FROM (SELECT unnest(range(0, {2 * _PH_N_PAIR * _PH_COPIES})) AS i) i,
+                 (SELECT unnest(range(0, {_PH_H})) AS y) y,
+                 (SELECT unnest(range(0, {_PH_W})) AS x) x),
+        boxes AS (
+            SELECT img, y // 4 AS by, x // 4 AS bx, AVG(v) AS bv
+            FROM px GROUP BY img, y // 4, x // 4),
+        bits AS (
+            SELECT a.img, a.by * 8 + a.bx AS idx,
+                   CASE WHEN a.bv < b.bv THEN 1 ELSE 0 END AS bit
+            FROM boxes a
+            JOIN boxes b ON a.img = b.img AND a.by = b.by AND b.bx = a.bx + 1
+            WHERE a.bx < 8),
+        hs AS (
+            SELECT img,
+                   CAST(SUM(CASE WHEN idx < 32
+                                 THEN bit * (1::BIGINT << idx) ELSE 0 END) AS BIGINT) AS h1,
+                   CAST(SUM(CASE WHEN idx >= 32
+                                 THEN bit * (1::BIGINT << (idx - 32)) ELSE 0 END) AS BIGINT) AS h2
+            FROM bits GROUP BY img),
+        bands AS (
+            SELECT img, h1, h2, band,
+                   CAST((CASE WHEN band < 4 THEN h1 ELSE h2 END
+                         // (1::BIGINT << ((band % 4) * 8))) AS BIGINT) % 256 AS bv
+            FROM hs, (SELECT unnest(range(0, {N_BANDS})) AS band) bs),
+        cand AS (
+            SELECT DISTINCT a.img AS img_a, b.img AS img_b,
+                   a.h1 AS h1a, a.h2 AS h2a, b.h1 AS h1b, b.h2 AS h2b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bv = b.bv AND a.img < b.img),
+        pairs AS (
+            SELECT img_a, img_b,
+                   bit_count(xor(h1a, h1b)) + bit_count(xor(h2a, h2b)) AS hamming
+            FROM cand
+            WHERE bit_count(xor(h1a, h1b)) + bit_count(xor(h2a, h2b)) <= 6)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(CASE WHEN hamming = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+               CAST(COUNT(DISTINCT img_a) AS BIGINT) AS n_lhs
+        FROM pairs""",
+)
+def q_image_dhash_neardup_10x(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dHash pipeline at 10× media mass (the multimodal sibling of
+    ``delta_adds_10x``/``lm_doc_perplexity_10x``): 160 PNGs — 10 re-keyed
+    copies of each fixture image — through decode, hashing, and the
+    banded join.  Decode work is 10× (linear, one file per task); every
+    copy group collapses to hamming-0 pairs, so the candidate join is
+    also stress-tested with genuinely hot buckets.  Output is the pair
+    accounting (full pair list is copies²-sized by construction)."""
+    n = 2 * _PH_N_PAIR * _PH_COPIES
+    ids = spread(spark.range(n))
+    media = _gen_ph_png_mod(ids)
+    pairs = dhash_neardup(dhash_images(media), max_hamming=6)
+    return pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.when(F.col("hamming") == 0, 1).otherwise(0)).cast("bigint").alias("n_exact"),
+        F.countDistinct("img_a").cast("bigint").alias("n_lhs"),
+    )
+
+
+def _gen_ph_png_mod(ids: DataFrame) -> DataFrame:
+    """PNG bytes for media_id i rendering fixture image i % 16."""
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from dronedb_spark.sources.png import encode_png
+
+        for pdf in it:
+            rows = [
+                {
+                    "media_id": int(i),
+                    "content": encode_png(_ph_pixels(int(i) % (2 * _PH_N_PAIR))),
+                }
                 for i in pdf["id"]
             ]
             yield pd.DataFrame(rows, columns=["media_id", "content"])

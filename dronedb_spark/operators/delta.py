@@ -456,12 +456,16 @@ def push_plan(
     )
     if client_meta is None:
         return missing
-    needed_meta = (
-        client_meta.select(F.col("id").alias("item"))
-        .join(server_meta.select(F.col("id").alias("item")), "item", "left_anti")
-        .select("item", F.lit("meta").alias("kind"))
+    needed_meta = client_meta.select(F.col("id").alias("item"))
+    if server_meta is not None:
+        # server_meta=None ≡ a server with no meta at all: every client
+        # meta id is needed (the two sides are independently optional)
+        needed_meta = needed_meta.join(
+            server_meta.select(F.col("id").alias("item")), "item", "left_anti"
+        )
+    return missing.unionByName(
+        needed_meta.select("item", F.lit("meta").alias("kind"))
     )
-    return missing.unionByName(needed_meta)
 
 
 def push_init(

@@ -418,3 +418,190 @@ def q_stac_collection_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(iso % "t_start_s").alias("t_start_iso"),
         F.expr(iso % "t_end_s").alias("t_end_iso"),
     )
+
+
+# ------------------------------------------ Projection STAC extension
+
+PROJ_EXT_URL = "https://stac-extensions.github.io/projection/v2.0.0/schema.json"
+_EPSG_RE = r'AUTHORITY\["EPSG","([0-9]+)"\]'
+
+# from_json schema for the property keys the extension consumes
+_PROJ_PROPS_SCHEMA = (
+    "geotransform array<double>, projection string, width int, height int"
+)
+
+
+def stac_item_proj(props: DataFrame, props_col: str = "properties") -> DataFrame:
+    """Projection STAC extension fields for item assembly
+    (buildStacItem, stac.cpp:384-417; extractEpsgFromWkt stac.cpp:174-197).
+
+    Input: (path, <props_col> JSON string) entry rows.  Rows carrying
+    BOTH ``geotransform`` and ``projection`` properties (GeoRaster
+    ingests, entry.cpp:305-317) emit one row each with
+
+      * ``stac_extension``  — the projection v2.0.0 schema URL the item's
+        ``stac_extensions`` array gains;
+      * ``gt0..gt5``        — ``proj:transform`` (the geotransform,
+        verbatim, stac.cpp:395);
+      * ``shape_h, shape_w``— ``proj:shape`` = [height, width] (rows,
+        cols) when both present, else -1 sentinels (stac.cpp:398-405);
+      * ``proj_wkt2``       — the stored WKT (stac.cpp:407-409);
+      * ``proj_code``       — ``EPSG:<n>`` from the LAST
+        ``AUTHORITY["EPSG","n"]`` marker in the WKT (``rfind`` in the
+        reference — the outermost authority of a compound PROJCS), ''
+        when the WKT names no EPSG authority (local/engineering CRS:
+        v2.0.0 emits no proj:code, stac.cpp:412-416).
+
+    All pure column work — JSON field extraction + a regexp over an
+    already-ingested property string; no shuffle, fully codegen'd."""
+    p = F.from_json(F.col(props_col), _PROJ_PROPS_SCHEMA)
+    df = props.withColumn("_p", p).filter(
+        F.col("_p.geotransform").isNotNull() & F.col("_p.projection").isNotNull()
+    )
+    epsg = F.try_element_at(
+        F.regexp_extract_all(F.col("_p.projection"), F.lit(_EPSG_RE), F.lit(1)),
+        F.lit(-1),
+    )
+    has_shape = F.col("_p.width").isNotNull() & F.col("_p.height").isNotNull()
+    return df.select(
+        "path",
+        F.lit(PROJ_EXT_URL).alias("stac_extension"),
+        *[F.col("_p.geotransform")[i].alias(f"gt{i}") for i in range(6)],
+        F.when(has_shape, F.col("_p.height")).otherwise(F.lit(-1)).alias("shape_h"),
+        F.when(has_shape, F.col("_p.width")).otherwise(F.lit(-1)).alias("shape_w"),
+        F.col("_p.projection").alias("proj_wkt2"),
+        F.when(
+            epsg.cast("int") > 0, F.concat(F.lit("EPSG:"), epsg)
+        ).otherwise(F.lit("")).alias("proj_code"),
+    )
+
+
+def stac_item_props_rewrite(props: DataFrame, props_col: str = "properties") -> DataFrame:
+    """The in-place property REWRITE buildStacItem performs: for rows
+    with both geotransform+projection, the source keys (geotransform,
+    projection, and width/height when proj:shape is emitted) are ERASED
+    and replaced by their proj:* forms; other rows pass through
+    untouched.  Returns (path, properties) with the rewritten JSON."""
+    p = F.from_json(F.col(props_col), _PROJ_PROPS_SCHEMA)
+    has = p["geotransform"].isNotNull() & p["projection"].isNotNull()
+    has_shape = has & p["width"].isNotNull() & p["height"].isNotNull()
+    epsg = F.try_element_at(
+        F.regexp_extract_all(p["projection"], F.lit(_EPSG_RE), F.lit(1)), F.lit(-1)
+    )
+    gt_json = F.concat(
+        F.lit('"proj:transform":['),
+        F.concat_ws(",", *[p["geotransform"][i].cast("string") for i in range(6)]),
+        F.lit("]"),
+    )
+    shape_json = F.concat(
+        F.lit(',"proj:shape":['),
+        p["height"].cast("string"), F.lit(","), p["width"].cast("string"),
+        F.lit("]"),
+    )
+    # JSON string-escape the WKT (backslash first, then quote — the only
+    # JSON-special characters a WKT can carry)
+    wkt_escaped = F.replace(
+        F.replace(p["projection"], F.lit("\\"), F.lit("\\\\")),
+        F.lit('"'),
+        F.lit('\\"'),
+    )
+    wkt_json = F.concat(F.lit(',"proj:wkt2":"'), wkt_escaped, F.lit('"'))
+    code_json = F.when(
+        epsg.cast("int") > 0,
+        F.concat(F.lit(',"proj:code":"EPSG:'), epsg, F.lit('"')),
+    ).otherwise(F.lit(""))
+    rewritten = F.concat(
+        F.lit("{"),
+        gt_json,
+        F.when(has_shape, shape_json).otherwise(F.lit("")),
+        wkt_json,
+        code_json,
+        F.lit("}"),
+    )
+    return props.select(
+        "path",
+        F.when(has, rewritten).otherwise(F.col(props_col)).alias("properties"),
+    )
+
+
+# Deterministic GeoRaster property source for the parity check: the
+# doc_id%7==3 rows ARE the catalog's GeoRaster entries (type 4 in
+# _files_cte); this fragment runs VERBATIM in Spark SQL and DuckDB so
+# both sides derive identical scalars, and only the Spark side
+# round-trips them through a real properties JSON string.
+_GEORASTER_PROPS_SQL = """
+    SELECT
+        CASE WHEN doc_id % 9 = 0 THEN source || '/sub_' || CAST(doc_id % 7 AS STRING)
+             || '/doc_' || LPAD(CAST(doc_id AS STRING), 6, '0') || '.txt'
+             ELSE source || '/doc_' || LPAD(CAST(doc_id AS STRING), 6, '0') || '.txt' END AS path,
+        CAST(500000 + (doc_id % 100) * 10 AS DOUBLE) AS gt0,
+        CAST((1 + doc_id % 4) * 0.25 AS DOUBLE) AS gt1,
+        CAST(0 AS DOUBLE) AS gt2,
+        CAST(6000000 - (doc_id % 50) * 10 AS DOUBLE) AS gt3,
+        CAST(0 AS DOUBLE) AS gt4,
+        CAST(-((1 + doc_id % 4) * 0.25) AS DOUBLE) AS gt5,
+        CASE WHEN doc_id % 13 = 0 THEN CAST(NULL AS INT)
+             ELSE CAST(512 + (doc_id % 4) * 256 AS INT) END AS width,
+        CASE WHEN doc_id % 13 = 0 THEN CAST(NULL AS INT)
+             ELSE CAST(384 + (doc_id % 3) * 128 AS INT) END AS height,
+        CASE WHEN doc_id % 11 = 0
+             THEN 'LOCAL_CS["Engineering CRS",LOCAL_DATUM["Local",0],UNIT["metre",1]]'
+             ELSE 'PROJCS["WGS 84 / UTM zone ' || CAST(1 + doc_id % 60 AS STRING)
+                  || 'N",GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",6378137,'
+                  || '298.257223563,AUTHORITY["EPSG","7030"]],AUTHORITY["EPSG","6326"]],'
+                  || 'AUTHORITY["EPSG","4326"]],PROJECTION["Transverse_Mercator"],'
+                  || 'AUTHORITY["EPSG","' || CAST(32600 + 1 + doc_id % 60 AS STRING)
+                  || '"]]'
+        END AS projection
+    FROM documents WHERE doc_id % 7 = 3
+"""
+
+
+@check(
+    "stac_item_proj_fields",
+    oracle=f"""
+        WITH gr AS ({_GEORASTER_PROPS_SQL})
+        SELECT path,
+               '{PROJ_EXT_URL}' AS stac_extension,
+               gt0, gt1, gt2, gt3, gt4, gt5,
+               COALESCE(height, -1) AS shape_h,
+               COALESCE(width, -1) AS shape_w,
+               projection AS proj_wkt2,
+               COALESCE('EPSG:' ||
+                   (regexp_extract_all(projection,
+                       'AUTHORITY\\["EPSG","([0-9]+)"\\]', 1))[-1], '') AS proj_code
+        FROM gr
+        ORDER BY path""",
+)
+def q_stac_item_proj_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoRaster entries → real properties JSON → projection-extension
+    fields.  The Spark side assembles each entry's properties STRING
+    (to_json: geotransform array, WKT, width/height — width/height
+    absent for the doc_id%13 rows, engineering-CRS WKT without an EPSG
+    authority for the doc_id%11 rows) and extracts through the JSON
+    path the item assembler uses; non-georeferenced Image rows are fed
+    in too and must be filtered out (no geotransform ⇒ no extension).
+    The oracle computes the same fields from the shared scalars."""
+    from dronedb_spark.tables import register_views
+
+    register_views(spark, sf_dir, ["documents"])
+    gr = spark.sql(_GEORASTER_PROPS_SQL)
+    props = gr.select(
+        "path",
+        F.to_json(
+            F.struct(
+                F.array(*[F.col(f"gt{i}") for i in range(6)]).alias("geotransform"),
+                F.col("projection"),
+                F.col("width"),
+                F.col("height"),
+            )
+        ).alias("properties"),
+    )
+    # plain Image entries: properties with neither geotransform nor
+    # projection — the extension must skip them (stac.cpp:386-388)
+    plain = spark.sql(
+        "SELECT source || '/img_' || LPAD(CAST(doc_id AS STRING), 6, '0')"
+        " || '.jpg' AS path, '{\"width\": 640, \"height\": 480}' AS properties"
+        " FROM documents WHERE doc_id % 7 = 2"
+    )
+    return stac_item_proj(props.unionByName(plain)).orderBy("path")

@@ -87,3 +87,18 @@ def stream_hll_registers(docs_stream: DataFrame) -> DataFrame:
     from dronedb_spark.text.sketch import hll_token_registers
 
     return hll_token_registers(docs_stream)
+
+
+def stream_cms_sketch(docs_stream: DataFrame) -> DataFrame:
+    """Streaming count-min sketch: the (row, col, cnt) counter table as
+    a continuous aggregate.  Counters fold by SUM, so the streaming
+    state is exactly the d×w counter table — bounded forever without a
+    watermark — and the complete-mode output after any stream prefix
+    equals the batch sketch of that prefix (tests/test_streaming.py
+    pins stream == batch; the batch sketch is the `cms_heavy_hitters`
+    driver check's state).  Daily rollup = element-wise SUM of
+    yesterday's persisted counters with today's — the merge law
+    tests/test_sketch.py pins."""
+    from dronedb_spark.text.sketch import cms_token_sketch
+
+    return cms_token_sketch(docs_stream)

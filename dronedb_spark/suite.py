@@ -30,48 +30,47 @@ def check(name: str, oracle: str | None = None):
     return deco
 
 
-# Round-6 gating order: everything NEW or whose code was TOUCHED this
+# Round-7 gating order: everything NEW or whose code was TOUCHED this
 # round re-gates first (the driver walks in order under a ~50-check
 # budget); checks green twice with unchanged code cede their slots.
-_ROUND6_PRIORITY = [
-    # NEW in round 6 — the server-side push planning core (mirror of
-    # pull_delta_plan), the catalog-side 10x stress twin, winnowing
-    # passage-reuse fingerprints, and the HLL register sketch
-    "push_needed_files", "delta_adds_10x", "winnow_overlap_pairs",
-    "hll_token_registers", "cms_heavy_hitters", "clone_plan_downloads",
-    "bm25_query_scores", "image_dhash_neardup",
-    # TOUCHED in round 6 — MOV reader now skips non-video traks; GIF LZW
-    # corrupt-stream guard; LAZ routing in the build path switched to a
-    # VLR-header walk (is_laz); incremental build path robustness
+_ROUND7_PRIORITY = [
+    # NEW in round 7 — the STAC projection extension (the last §2 parity
+    # gap), BPE corpus encode (+10x twin), PQ ADC search, and the
+    # multimodal 10x stress twin
+    "stac_item_proj_fields", "bpe_encode_corpus", "bpe_encode_corpus_10x",
+    "pq_adc_top10", "image_dhash_neardup_10x",
+    # TOUCHED in round 7 — dHash rebanded 8x8-bit + arbitrary-dimension
+    # box means; dedup/winnow persist -> localCheckpoint; push_plan
+    # meta-side guard; incremental build path root gating
+    "image_dhash_neardup", "winnow_overlap_pairs",
+    "dedup_minhash_signatures", "dedup_neardup_pairs",
+    "incremental_dedup_probe", "dedup_cluster_ids", "dedup_jaccard_pairs",
+    "push_needed_files", "build_derivatives_real",
+    # r6-new checks taking their second green
+    "delta_adds_10x", "hll_token_registers", "cms_heavy_hitters",
+    "clone_plan_downloads", "bm25_query_scores",
+    # refresh band: once-green surface touched by shared modules (stac,
+    # sketch, bpe families) or carrying exactly one green row
+    "stac_items_page", "stac_items_keyset", "stac_number_matched",
+    "stac_datetime_iso", "stac_collection_doc", "bpe_first_merge",
     "video_frame_decode", "media_gif_channel_stats",
-    "build_derivatives_real", "catalog_workflow_lifecycle",
-    "pointcloud_laz_stats", "pointcloud_laz_rgb_stats", "pointcloud_laz14_stats",
+    "catalog_workflow_lifecycle", "catalog_rescan_types",
+    "pointcloud_laz_stats", "pointcloud_laz14_stats",
     "pointcloud_waveform_metrics", "copc_container_pages",
-    # refresh band: the r5-new surface with exactly ONE green row — one
-    # more gating round before it cedes slots for good
-    "catalog_rescan_types", "lm_doc_perplexity_10x", "pack_sequences_10x",
-    "pull_delta_plan", "incremental_dedup_probe",
+    "lm_doc_perplexity_10x", "pack_sequences_10x", "pull_delta_plan",
     "stockpile_single", "stamp_checksum", "stamp_tree_digest",
-    "elevation_profile", "elevation_profile_dist",
-    "media_jpeg_channel_stats", "media_png_channel_stats", "thumb_stats",
-    "pointcloud_las_class_histogram", "cog_roundtrip", "raster_export_parquet",
-    "thermal_rjpeg_stats", "sensor_profile_presets", "fingerprint_types",
-    "setexif_gps_roundtrip", "meta_chattr_roundtrip", "passwords_verify",
-    "json_sink_roundtrip", "features_parquet_sink", "geo_timezone_lookup",
-    "capture_time_cascade", "ingest_xmp_pose", "geovideo_xmp_ingest",
-    "stream_dedup_twin", "stream_attribution_twin", "sq8_adc_top10",
-    "lm_doc_perplexity", "pack_sequences_chunks", "semdedup_cell_prune",
-    "raster_tile_render", "pointcloud_splat_tile", "splat_preview_render",
-    "lm_bigram_interp", "bpe_first_merge", "embedding_covariance",
-    "quality_feature_gram", "gsplat_decode_table", "rad_coarse_splats",
-    "render_index_region", "stac_collection_doc", "mvt_pbf_roundtrip",
+    "elevation_profile", "media_jpeg_channel_stats", "thumb_stats",
+    "cog_roundtrip", "raster_export_parquet", "thermal_rjpeg_stats",
+    "sensor_profile_presets", "fingerprint_types", "setexif_gps_roundtrip",
+    "meta_chattr_roundtrip", "passwords_verify", "json_sink_roundtrip",
+    "geo_timezone_lookup", "stream_dedup_twin", "sq8_adc_top10",
 ]
 
 
 def load_all() -> dict[str, Check]:
     """Import every operator module so its checks register, then reorder
     the registry so the checks that still need a driver CORRECTNESS row
-    (``_ROUND6_PRIORITY``) come first — the driver walks in order under a
+    (``_ROUND7_PRIORITY``) come first — the driver walks in order under a
     ~50-check budget and the already-green families can cede their slots.
     """
     # --- never-gated in round 1: register first -------------------------
@@ -138,6 +137,7 @@ def load_all() -> dict[str, Check]:
     import dronedb_spark.text.sketch  # noqa: F401  (HLL + CMS sketches, new in r6)
     import dronedb_spark.text.bm25  # noqa: F401  (BM25 relevance, new in r6)
     import dronedb_spark.multimodal.phash  # noqa: F401  (image dHash near-dup, new in r6)
+    import dronedb_spark.vectors.pq  # noqa: F401  (product-quantization ADC, new in r7)
     # --- green rows in CORRECTNESS_r01: register after ------------------
     import dronedb_spark.operators.search  # noqa: F401
     import dronedb_spark.operators.stats  # noqa: F401
@@ -153,7 +153,7 @@ def load_all() -> dict[str, Check]:
     import dronedb_spark.text.segdedup  # noqa: F401
     import dronedb_spark.text.repetition  # noqa: F401
 
-    ordered = {n: REGISTRY[n] for n in _ROUND6_PRIORITY if n in REGISTRY}
+    ordered = {n: REGISTRY[n] for n in _ROUND7_PRIORITY if n in REGISTRY}
     ordered.update((n, c) for n, c in REGISTRY.items() if n not in ordered)
     REGISTRY.clear()
     REGISTRY.update(ordered)

@@ -224,3 +224,100 @@ def q_bpe_first_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("word")
     )
+
+
+# ------------------------------------------------- corpus encode check
+
+# Pinned merge table: learn_bpe(documents @ sf0.01, 12) — frozen so the
+# DuckDB oracle can state the exact same ranks as literals.  Induction
+# itself is gated separately (bpe_first_merge); THIS row gates apply —
+# the operation a training pipeline runs on every document.
+BPE_MERGES: list[tuple[str, str]] = [
+    ("e", "r"), ("e", "</w>"), ("n", "</w>"), ("er", "</w>"),
+    ("o", "w"), ("ow", "</w>"), ("o", "r"), ("s", "t"),
+    ("h", "</w>"), ("a", "t"), ("l", "u"), ("i", "n"),
+]
+
+
+def _fold_sql(list_expr: str, a: str, b: str) -> str:
+    """One merge rank as a DuckDB string fold with EXACTLY the greedy-left
+    semantics of ``_merge_expr``: acc's last symbol == a and next == b ⇒
+    append b without a separator (the merged symbol), else append ' '+s.
+    The '' prepend seeds the accumulator (DuckDB 1.0 list_reduce has no
+    initial-value form)."""
+    return (
+        f"list_reduce(list_prepend('', {list_expr}), (acc, s) -> "
+        f"CASE WHEN ends_with(acc, ' {a}') AND s = '{b}' "
+        f"THEN acc || s ELSE acc || ' ' || s END)"
+    )
+
+
+def _encode_sql(word_col: str) -> str:
+    """The full pinned-rank encode of one word column, rank folds chained
+    in merge order (sequential full passes == greedy lowest-rank-first;
+    a merge can only create pairs over later-learned symbols)."""
+    expr = f"list_append(string_split_regex({word_col}, ''), '{END}')"
+    for a, b in BPE_MERGES:
+        expr = f"string_split(trim({_fold_sql(expr, a, b)}), ' ')"
+    return expr
+
+
+_BPE_ENC_ORACLE = f"""
+    WITH words AS (
+        SELECT word, COUNT(*) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE word <> '' GROUP BY word),
+    enc AS (SELECT word, freq, {_encode_sql('word')} AS toks FROM words)
+    SELECT word, CAST(freq AS BIGINT) AS freq,
+           CAST(len(toks) AS INT) AS n_tokens,
+           array_to_string(toks, ' ') AS token_str
+    FROM enc ORDER BY word"""
+
+
+@check("bpe_encode_corpus", oracle=_BPE_ENC_ORACLE)
+def q_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tokenization under the pinned merges: one corpus pass to
+    the distinct-word table (the 100-TB trick — encode cost is bounded
+    by VOCABULARY size, not corpus size), then the rank-chained JVM fold
+    per word.  The oracle restates every fold in SQL."""
+    docs = load(spark, sf_dir, "documents")
+    enc = encode_words(word_freqs(docs), BPE_MERGES)
+    return enc.select(
+        "word",
+        F.col("freq").cast("bigint").alias("freq"),
+        F.size("tokens").cast("int").alias("n_tokens"),
+        F.array_join("tokens", " ").alias("token_str"),
+    ).orderBy("word")
+
+
+@check(
+    "bpe_encode_corpus_10x",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT doc_id + k.k * 100000000 AS doc_id, text
+        FROM documents, (SELECT unnest(range(0, 10)) AS k) k),
+    words AS (
+        SELECT word, COUNT(*) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM corpus)
+        WHERE word <> '' GROUP BY word),
+    enc AS (SELECT word, freq, {_encode_sql('word')} AS toks FROM words)
+    SELECT CAST(SUM(freq) AS BIGINT) AS total_words,
+           CAST(SUM(freq * len(toks)) AS BIGINT) AS total_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab_words
+    FROM enc""",
+)
+def q_bpe_encode_corpus_10x(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize at 10× corpus mass (broadcast-inflated): the corpus pass
+    sees 10× rows but the encode still runs once per DISTINCT word —
+    wall-clock must scale with the word-count aggregation, not with
+    10× encode work.  Output is the corpus token accounting (the number
+    a training run budgets by)."""
+    from dronedb_spark.text.segdedup import inflated_documents
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    enc = encode_words(word_freqs(inflated_documents(docs, copies=10)), BPE_MERGES)
+    return enc.agg(
+        F.sum("freq").cast("bigint").alias("total_words"),
+        F.sum(F.col("freq") * F.size("tokens")).cast("bigint").alias("total_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab_words"),
+    )

@@ -74,22 +74,23 @@ def _shingle_df(docs: DataFrame) -> DataFrame:
 def minhash_signatures(docs: DataFrame) -> DataFrame:
     """Per-doc MinHash signature + LSH band keys.
 
-    The shingle array is PERSISTED before the k per-hash-function minima
-    are taken.  Without the persist barrier Catalyst's projection collapse
+    The shingle array is MATERIALIZED before the k per-hash-function
+    minima are taken.  Without the barrier Catalyst's projection collapse
     re-inlines the shingle-building expression into every one of the k
     ``array_min(transform(...))`` columns (higher-order lambdas are outside
     common-subexpression elimination), re-tokenizing each document k×3
     times — measured 20-30× slower.  With it, each signature is one fast
-    vectorized pass over a materialized array; storage is
-    MEMORY_AND_DISK so an out-of-core corpus spills instead of OOMing, and
-    the cache also serves both sides of the LSH self-join downstream."""
-    from pyspark import StorageLevel
+    vectorized pass over a materialized array; blocks spill
+    MEMORY_AND_DISK so an out-of-core corpus never OOMs, and the same
+    columnar cache serves both sides of the LSH self-join downstream.
+    ``barrier_persist`` (tables.py) instead of a bare ``persist``: the
+    same InMemoryRelation, but held in a bounded keyed LRU whose
+    eviction unpersists — repeated calls in a long-running service
+    cannot accumulate executor storage, and identical re-runs reuse
+    the cache instead of re-shingling."""
+    from dronedb_spark.tables import barrier_persist, spread
 
-    from dronedb_spark.tables import spread
-
-    sh_df = spread(_shingle_df(docs).filter(F.size("sh") > 0)).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    sh_df = barrier_persist(spread(_shingle_df(docs).filter(F.size("sh") > 0)))
 
     def hasher(j: int):
         # NB: a single-parameter lambda — PySpark passes (element, index) to

@@ -47,7 +47,6 @@ def hll_token_registers(docs: DataFrame) -> DataFrame:
     toks = docs.select(F.explode(F.split("text", " ")).alias("tok")).filter(
         F.col("tok") != ""
     )
-    h = F.md5("tok")
     bucket = F.expr("CAST(conv(substr(md5(tok), 1, 2), 16, 10) AS BIGINT)")
     v = F.expr("CAST(conv(substr(md5(tok), 3, 15), 16, 10) AS BIGINT)")
     rho = F.when(v == 0, F.lit(61)).otherwise(61 - F.length(F.expr("bin(CAST(conv(substr(md5(tok), 3, 15), 16, 10) AS BIGINT))")))

@@ -49,10 +49,14 @@ def winnow_fingerprints(docs: DataFrame) -> DataFrame:
     hs_df = _shingle_df(docs).select(
         "doc_id", F.expr("transform(sh, s -> md5(s))").alias("hs")
     )
-    # barrier: ``hs`` feeds four shifted slices below — persist so
+    # barrier: ``hs`` feeds four shifted slices below — materialize so
     # projection collapse cannot re-inline the per-gram md5 into each
-    # slice (see dedup.py:minhash_signatures for the measured cost)
-    hs_df = hs_df.persist()
+    # slice (see dedup.py:minhash_signatures for the measured cost).
+    # ``barrier_persist``: columnar cache in a bounded keyed LRU whose
+    # eviction unpersists — no storage leak in a long-running service.
+    from dronedb_spark.tables import barrier_persist
+
+    hs_df = barrier_persist(hs_df)
     wins = F.expr(
         f"""CASE
               WHEN size(hs) >= {W} THEN

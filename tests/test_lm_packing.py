@@ -253,3 +253,22 @@ def test_connected_components_long_chain_converges(spark):
     got = {r["node"]: r["label"] for r in connected_components(edges2).collect()}
     assert all(got[n] == 0 for n in range(11))
     assert all(got[n] == 100 for n in range(100, 111))
+
+
+def test_bpe_encode_corpus_paths_agree(spark, sf_dir):
+    """The expr-chain fold and the Arrow greedy-lowest-rank pass must
+    tokenize the real corpus vocabulary identically (sequential rank
+    passes == greedy: a merge only creates pairs over later-learned
+    symbols) — the driver row exercises only the expr path."""
+    from dronedb_spark.tables import load
+    from dronedb_spark.text.bpe import BPE_MERGES, encode_words, word_freqs
+
+    words = word_freqs(load(spark, sf_dir, "documents"))
+    a = {r["word"]: list(r["tokens"])
+         for r in encode_words(words, BPE_MERGES).collect()}
+    b = {r["word"]: list(r["tokens"])
+         for r in encode_words(words, BPE_MERGES, expr_max=0).collect()}
+    assert a == b and len(a) > 0
+    # every word reassembles from its tokens
+    for w, toks in a.items():
+        assert "".join(toks) == w + "</w>"

@@ -527,6 +527,23 @@ def test_push_init_stale_base_refuses(spark):
     assert push_init(df, df, base_checksum="s", server_checksum="s").count() == 0
 
 
+def test_push_plan_meta_sides_independently_optional(spark):
+    """client_meta without server_meta means a server with no meta at
+    all: every client meta id crosses the wire (used to AttributeError
+    on server_meta.select)."""
+    from dronedb_spark.operators.delta import push_plan
+
+    df = spark.range(1).selectExpr("'a' AS path", "'h' AS hash")
+    meta = spark.range(3).selectExpr("concat('m', id) AS id")
+    got = sorted(
+        r["item"]
+        for r in push_plan(df, df, client_meta=meta, server_meta=None)
+        .filter("kind = 'meta'")
+        .collect()
+    )
+    assert got == ["m0", "m1", "m2"]
+
+
 def test_band_store_bucketed_probe_shuffle_free_on_store_side(spark, tmp_path):
     """SCALE.md claims the persisted signature store, bucketed on the
     band keys on disk, makes the daily probe shuffle-free on the corpus
@@ -592,3 +609,26 @@ def test_ivf_store_probe_prunes_partitions(spark, tmp_path):
     got = [tuple(r) for r in q.collect()]
     want = [tuple(r) for r in ivf_search(emb, query_vec_id=0, k=5).collect()]
     assert got == want and len(got) == 5
+
+
+def test_no_unbounded_persists():
+    """Cache-hygiene guard (r7): every ``.persist(`` site in the package
+    must be BOUNDED — unpersisted deterministically in the same
+    function (bpe's try/finally iteration ladder), held in a keyed
+    at-most-one-per-(app, sf) session cache (derive's check-shared
+    derivations), or issued through ``tables.barrier_persist`` (a keyed
+    LRU capped at _BARRIER_MAX entries whose eviction unpersists).  A
+    new bare persist anywhere else is a storage leak in a long-running
+    service and fails here."""
+    import pathlib
+
+    pkg = pathlib.Path(__file__).resolve().parent.parent / "dronedb_spark"
+    allowed = {"text/bpe.py", "catalog/derive.py", "tables.py"}
+    offenders = []
+    for py in pkg.rglob("*.py"):
+        rel = str(py.relative_to(pkg))
+        for i, line in enumerate(py.read_text().splitlines(), 1):
+            code = line.split("#", 1)[0]
+            if ".persist(" in code and rel not in allowed:
+                offenders.append(f"{rel}:{i}")
+    assert offenders == [], offenders

@@ -1,0 +1,70 @@
+"""Product-quantization ADC: recall sanity vs exact search + the
+zero-shuffle encode/search plan pin."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dronedb_spark.plans.inspect import has_cartesian, physical_plan
+from dronedb_spark.tables import load
+from dronedb_spark.vectors.knn import knn_cosine
+from dronedb_spark.vectors.pq import M, pq_adc_search, pq_encode, pq_train
+
+
+def test_pq_adc_recall_vs_exact(spark, sf_dir):
+    """ADC is approximate, but on the fixture it must agree with exact
+    search where it counts: decent overlap of the top-10 sets and a
+    top-1 whose exact rank is near the top (compression 64 floats → 4
+    codes; perfect ranking is not expected, gross misranking is a bug)."""
+    emb = load(spark, sf_dir, "embeddings")
+    adc = [r["vec_id"] for r in pq_adc_search(emb, query_vec_id=0, k=10).collect()]
+    # exact EUCLIDEAN top-10 — ADC approximates L2, not cosine
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    from dronedb_spark.vectors.knn import _dot
+
+    d2 = (
+        _dot("embedding", "embedding")
+        - F.lit(2.0) * _dot("embedding", "q_emb")
+        + _dot("q_emb", "q_emb")
+    )
+    exact = [
+        r["vec_id"]
+        for r in emb.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q))
+        .select("vec_id", d2.alias("d2"))
+        .orderBy("d2", "vec_id")
+        .limit(50)
+        .collect()
+    ]
+    assert len(adc) == 10
+    # every ADC hit sits in the exact top-50 (500 vectors: the coarse
+    # 4x8 codebook must not surface genuinely-far vectors)
+    assert sum(1 for v in adc if v in exact) >= 7
+    assert adc[0] in exact[:10]
+
+
+def test_pq_search_plan_no_shuffle_no_cartesian(spark, sf_dir):
+    """The model state (codebook + query LUT) is folded into the plan as
+    literals: encode+score is a map-only pass and the ONLY ordering
+    operator is the final top-k — no Exchange other than the top-k's
+    own singlePartition collect, and no cartesian."""
+    emb = load(spark, sf_dir, "embeddings")
+    cb = pq_train(emb)
+    q = pq_adc_search(emb, query_vec_id=0, k=10, codebook=cb)
+    plan = physical_plan(q)
+    assert not has_cartesian(q)
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_pq_encode_deterministic_and_bounded(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    cb = pq_train(emb)
+    codes = pq_encode(emb, cb).collect()
+    assert len(codes) == emb.count()
+    for r in codes:
+        for m in range(M):
+            assert 0 <= r[f"code_{m}"] <= 7
+    # training is deterministic: a second run yields the same codebook
+    assert pq_train(emb) == cb

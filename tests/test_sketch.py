@@ -72,3 +72,21 @@ def test_bm25_scores_rank_relevant_docs(spark):
             .bm25_scores(docs, ["join", "hash", "shuffle"]).collect()}
     assert 3 not in rows          # no matching terms → no row
     assert rows[1] > rows[2] > 0  # more matched terms/tf → higher score
+
+
+def test_cms_counters_merge_by_sum(spark, sf_dir):
+    """Sketching two corpus halves and element-wise SUM-merging the
+    counters must equal sketching the union — the CMS mergeability
+    contract (the HLL twin of test_hll_registers_merge_by_max)."""
+    from dronedb_spark.text.sketch import cms_token_sketch
+
+    docs = load(spark, sf_dir, "documents")
+    a = cms_token_sketch(docs.filter(F.col("doc_id") % 2 == 0))
+    b = cms_token_sketch(docs.filter(F.col("doc_id") % 2 == 1))
+    merged = (
+        a.unionByName(b).groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = cms_token_sketch(docs)
+    got = {(r["row"], r["col"], r["cnt"]) for r in merged.collect()}
+    want = {(r["row"], r["col"], r["cnt"]) for r in whole.collect()}
+    assert got == want and len(want) > 100

@@ -60,3 +60,38 @@ def test_collection_doc_no_static_links(spark, sf_dir):
         stac_collection_doc(entries, "ds").collect()[0]["doc"]
     )
     assert all(link["rel"] == "item" for link in doc["links"])
+
+
+def test_stac_item_proj_rewrite_erases_sources(spark):
+    """buildStacItem REWRITES properties in place (stac.cpp:394-416):
+    geotransform/projection (and width/height when proj:shape is
+    emitted) are erased, proj:* keys added; rows without both source
+    keys pass through untouched."""
+    import json
+
+    from dronedb_spark.operators.stac import stac_item_props_rewrite
+
+    wkt = ('PROJCS["UTM",GEOGCS["WGS 84",AUTHORITY["EPSG","4326"]],'
+           'AUTHORITY["EPSG","32633"]]')
+    rows = [
+        ("a", json.dumps({"geotransform": [1.0, 0.5, 0.0, 2.0, 0.0, -0.5],
+                          "projection": wkt, "width": 100, "height": 80})),
+        ("b", json.dumps({"geotransform": [1.0, 1.0, 0.0, 2.0, 0.0, -1.0],
+                          "projection": 'LOCAL_CS["eng"]'})),
+        ("c", json.dumps({"width": 640})),
+    ]
+    df = spark.createDataFrame(rows, "path string, properties string")
+    got = {r["path"]: json.loads(r["properties"])
+           for r in stac_item_props_rewrite(df).collect()}
+    # a: full extension; LAST EPSG authority wins (rfind semantics)
+    assert got["a"]["proj:transform"] == [1.0, 0.5, 0.0, 2.0, 0.0, -0.5]
+    assert got["a"]["proj:shape"] == [80, 100]
+    assert got["a"]["proj:wkt2"] == wkt
+    assert got["a"]["proj:code"] == "EPSG:32633"
+    for k in ("geotransform", "projection", "width", "height"):
+        assert k not in got["a"]
+    # b: no shape (no width/height), no code (no EPSG authority)
+    assert "proj:shape" not in got["b"] and "proj:code" not in got["b"]
+    assert got["b"]["proj:wkt2"] == 'LOCAL_CS["eng"]'
+    # c: untouched passthrough
+    assert got["c"] == {"width": 640}

@@ -192,3 +192,35 @@ def test_stream_hll_registers_match_batch(spark, sf_dir, tmp_path):
         for r in hll_token_registers(docs).collect()
     }
     assert got == want and len(want) > 20
+
+
+def test_stream_cms_sketch_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming CMS aggregate in complete mode must equal the
+    batch sketch over the same data — sum-fold state is
+    order-insensitive."""
+    from dronedb_spark.streaming.dedup import stream_cms_sketch
+    from dronedb_spark.tables import load
+    from dronedb_spark.text.sketch import cms_token_sketch
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "docs_cms_src")
+    docs.repartition(2).write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    out = stream_cms_sketch(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cms_counters")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["row"], r["col"], r["cnt"])
+        for r in spark.sql("SELECT * FROM cms_counters").collect()
+    }
+    want = {
+        (r["row"], r["col"], r["cnt"])
+        for r in cms_token_sketch(docs).collect()
+    }
+    assert got == want and len(want) > 100
