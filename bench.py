@@ -101,6 +101,13 @@ HEADLINE = [
     "bpe_encode_corpus_10x",
     "pq_adc_top10",
     "image_dhash_neardup_10x",
+    # round-7 late breadth: the combined IVF-PQ index (cell-pruned probe
+    # + compressed ADC rescoring), audio energy-gradient fingerprint
+    # near-dup, and the RAG sliding-window chunk table
+    "ivfpq_adc_top10",
+    "audio_fp_neardup",
+    "doc_chunks_overlap",
+    "video_scene_cuts",
 ]
 
 _SMALL_RESULT = {
@@ -116,6 +123,8 @@ _SMALL_RESULT = {
     "stream_dedup_twin",
     "sq8_adc_top10",
     "pq_adc_top10",
+    "ivfpq_adc_top10",
+    "audio_fp_neardup",
 }
 
 

@@ -38,7 +38,8 @@ _ROUND7_PRIORITY = [
     # gap), BPE corpus encode (+10x twin), PQ ADC search, and the
     # multimodal 10x stress twin
     "stac_item_proj_fields", "bpe_encode_corpus", "bpe_encode_corpus_10x",
-    "pq_adc_top10", "image_dhash_neardup_10x",
+    "pq_adc_top10", "image_dhash_neardup_10x", "ivfpq_adc_top10",
+    "audio_fp_neardup", "doc_chunks_overlap", "video_scene_cuts",
     # TOUCHED in round 7 — dHash rebanded 8x8-bit + arbitrary-dimension
     # box means; dedup/winnow persist -> localCheckpoint; push_plan
     # meta-side guard; incremental build path root gating
@@ -138,6 +139,10 @@ def load_all() -> dict[str, Check]:
     import dronedb_spark.text.bm25  # noqa: F401  (BM25 relevance, new in r6)
     import dronedb_spark.multimodal.phash  # noqa: F401  (image dHash near-dup, new in r6)
     import dronedb_spark.vectors.pq  # noqa: F401  (product-quantization ADC, new in r7)
+    import dronedb_spark.vectors.ivfpq  # noqa: F401  (combined IVF-PQ index, new in r7)
+    import dronedb_spark.multimodal.audiofp  # noqa: F401  (audio fingerprint near-dup, new in r7)
+    import dronedb_spark.text.chunking  # noqa: F401  (overlapping RAG chunking, new in r7)
+    import dronedb_spark.multimodal.scenes  # noqa: F401  (scene-cut detection, new in r7)
     # --- green rows in CORRECTNESS_r01: register after ------------------
     import dronedb_spark.operators.search  # noqa: F401
     import dronedb_spark.operators.stats  # noqa: F401

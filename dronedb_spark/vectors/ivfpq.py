@@ -1,0 +1,182 @@
+"""IVF-PQ — the combined production ANN index (FAISS ``IVFx,PQy``;
+Jégou et al. TPAMI 2011 §V): an IVF coarse quantizer prunes the search
+to NPROBE cells, and PQ codes rescore ONLY those candidates with the
+query's ADC lookup table.  At 100 TB this composes the two scale wins
+already pinned separately — partition-level pruning (the cell is the
+physical partitioning column, ``ivf.py:write_ivf_store``) and 16-64×
+compressed scoring (``pq.py``: literal-folded codebook, integer LUT) —
+so a query reads NPROBE/N_CENTROIDS of the bytes and scores them
+without touching raw floats.
+
+The codebook is trained on the FULL corpus (the standard recipe: one
+global PQ codebook, per-cell candidate lists); the oracle restates the
+complete composition — IVF assignment, centroid probe ranking, PQ
+training, candidate codes, the query LUT, and the integer top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dronedb_spark.suite import check
+from dronedb_spark.tables import load
+from dronedb_spark.vectors.ivf import (
+    _D_ASSIGN,
+    _D_DOT,
+    _D_NORM,
+    NPROBE,
+    _centroids,
+    _d_packed,
+    _packed,
+    ivf_assign,
+)
+from dronedb_spark.vectors.knn import _dot, _norm
+from dronedb_spark.vectors.pq import (
+    _D_SUBS,
+    _PQ_ORACLE,
+    K,
+    _code_from_dots,
+    _d_assign,
+    _d_update,
+    _dot_stage,
+    _fold_dot,
+    _micro_half_up,
+    M,
+    SUBDIM,
+    codebook_for,
+    pq_train,
+)
+
+
+def probe_cells_for(emb: DataFrame, query_vec_id: int) -> list[int]:
+    """The NPROBE cell ids nearest the query — the probe's tiny model
+    state (NPROBE scalars through the driver, same budget as
+    ``ivf_probe_store``)."""
+    q = emb.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_emb")
+    )
+    return [
+        r["cid"]
+        for r in _centroids(emb)
+        .join(F.broadcast(q))
+        .select(
+            "cid",
+            _packed(
+                _dot("c_emb", "q_emb") / (_norm("c_emb") * _norm("q_emb")),
+                F.col("cid"),
+            ).alias("packed"),
+        )
+        .orderBy("packed")
+        .limit(NPROBE)
+        .collect()
+    ]
+
+
+def ivfpq_adc_search(
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    codebook: dict[tuple[int, int], list[float]] | None = None,
+) -> DataFrame:
+    """Top-k by PQ ADC distance over ONLY the NPROBE probed cells.
+
+    Plan shape: cell filter FIRST (at 100 TB: partition pruning on the
+    persisted index), then the two-stage literal-folded dot/code
+    projections and the integer LUT sum — candidates outside the probed
+    cells never reach the dot stage."""
+    if codebook is None:
+        codebook = pq_train(emb)
+    cells = probe_cells_for(emb, query_vec_id)
+    q = emb.filter(F.col("vec_id") == query_vec_id).select("embedding").collect()
+    q_emb = [float(v) for v in q[0]["embedding"]]
+    cand = (
+        ivf_assign(emb)
+        .filter(F.col("cell").isin(cells) & (F.col("vec_id") != query_vec_id))
+        .select("vec_id", "label", "cell")
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+    )
+    s1 = _dot_stage(cand, codebook, ["vec_id", "label", "cell"])
+    terms = []
+    for m in range(M):
+        qs = q_emb[m * SUBDIM : (m + 1) * SUBDIM]
+        lut = []
+        for j in range(K):
+            c = codebook.get((m, j))
+            if c is None:
+                lut.append(None)
+                continue
+            d2 = _fold_dot(qs, qs) - 2.0 * _fold_dot(qs, c) + _fold_dot(c, c)
+            lut.append(_micro_half_up(d2))
+        arr = F.array(
+            *[F.lit(v) if v is not None else F.lit(None).cast("bigint") for v in lut]
+        )
+        terms.append(F.element_at(arr, _code_from_dots(m, codebook) + 1))
+    score = terms[0]
+    for t in terms[1:]:
+        score = score + t
+    return (
+        s1.select("vec_id", "label", "cell", score.cast("bigint").alias("adc_micro"))
+        .orderBy("adc_micro", "vec_id")
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------- check
+
+_IVFPQ_ORACLE = f"""
+    WITH {_D_ASSIGN},
+    q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+    probe AS (
+        SELECT c.cid AS cell
+        FROM c CROSS JOIN q
+        ORDER BY {_d_packed(_D_DOT.format(a='c.c_emb', b='q.q_emb')
+                            + ' / (' + _D_NORM.format(v='c.c_emb')
+                            + ' * ' + _D_NORM.format(v='q.q_emb') + ')', 'c.cid')}
+        LIMIT {NPROBE}),
+    subs AS ({_D_SUBS}),
+    pc0 AS (SELECT m, CAST(vec_id AS INT) AS j, sub AS c_sub
+            FROM subs WHERE vec_id < {K}),
+    pa1 AS ({_d_assign('pc0')}),
+    pc1 AS ({_d_update('pa1')}),
+    pa2 AS ({_d_assign('pc1')}),
+    pc2 AS ({_d_update('pa2')}),
+    pa3 AS ({_d_assign('pc2')}),
+    lut AS (
+        SELECT s.m, cb.j,
+               CAST(ROUND((list_dot_product(s.sub, s.sub)
+                           - 2.0 * list_dot_product(s.sub, cb.c_sub)
+                           + list_dot_product(cb.c_sub, cb.c_sub)) * 1000000.0)
+                    AS BIGINT) AS micro
+        FROM subs s JOIN pc2 cb ON cb.m = s.m
+        WHERE s.vec_id = 0),
+    scores AS (
+        SELECT a.vec_id, SUM(l.micro) AS adc_micro
+        FROM pa3 a JOIN lut l ON l.m = a.m AND l.j = a.code
+        GROUP BY a.vec_id)
+    SELECT s.vec_id, e.label, asg.cell, CAST(s.adc_micro AS BIGINT) AS adc_micro
+    FROM scores s
+    JOIN assign asg ON asg.vec_id = s.vec_id
+    JOIN embeddings e ON e.vec_id = s.vec_id
+    WHERE asg.cell IN (SELECT cell FROM probe) AND s.vec_id <> 0
+    ORDER BY s.adc_micro, s.vec_id LIMIT 10
+"""
+
+_Q_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+@check("ivfpq_adc_top10", oracle=_IVFPQ_ORACLE)
+def q_ivfpq_adc_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed index end-to-end: IVF probe prunes to NPROBE cells,
+    PQ ADC rescores only those candidates; the oracle restates the whole
+    composition.  Plan cached per (session, dataset) like the PQ row —
+    a service plans the query template once."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _Q_CACHE.get(key)
+    if df is None:
+        emb = load(spark, sf_dir, "embeddings")
+        df = ivfpq_adc_search(
+            emb, query_vec_id=0, k=10, codebook=codebook_for(spark, sf_dir)
+        )
+        _Q_CACHE[key] = df
+    return df

@@ -272,3 +272,47 @@ def test_bpe_encode_corpus_paths_agree(spark, sf_dir):
     # every word reassembles from its tokens
     for w, toks in a.items():
         assert "".join(toks) == w + "</w>"
+
+
+def test_chunking_invariants(spark, sf_dir):
+    """Coverage + overlap invariants of the sliding-window chunker:
+    every token index covered, consecutive chunks overlap by exactly
+    OVERLAP tokens, short docs yield one chunk, reconstruction of the
+    document from stride-prefixes is exact."""
+    from dronedb_spark.tables import load
+    from dronedb_spark.text.chunking import CHUNK, OVERLAP, STRIDE, chunk_documents
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = {r["doc_id"]: r["text"].split(" ") for r in docs.collect()}
+    rows = chunk_documents(docs).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {d for d, t in toks.items() if t}
+    for d, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_no"])
+        n = len(toks[d])
+        assert [c["chunk_no"] for c in chunks] == list(range(len(chunks)))
+        covered = set()
+        for c in chunks:
+            words = c["chunk_text"].split(" ")
+            assert c["n_tokens"] == len(words) <= CHUNK
+            start = c["chunk_no"] * STRIDE
+            assert words == toks[d][start : start + CHUNK]
+            covered.update(range(start, start + len(words)))
+        assert covered == set(range(n))
+        if n <= CHUNK:
+            assert len(chunks) == 1
+        for a, b in zip(chunks, chunks[1:]):
+            ov = a["chunk_text"].split(" ")[STRIDE:]
+            assert b["chunk_text"].split(" ")[: len(ov)] == ov
+            assert len(ov) == OVERLAP or b is chunks[-1]
+
+
+def test_chunking_guard():
+    import pytest as _pytest
+
+    from dronedb_spark.text.chunking import chunk_documents
+
+    with _pytest.raises(ValueError):
+        chunk_documents(None, chunk=4, overlap=4)

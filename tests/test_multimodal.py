@@ -54,3 +54,18 @@ def test_resize(spark, sf_dir):
     thumbs = resize_images(media, 4, 3).collect()
     assert all(len(bytes(r["thumb"])) == 4 * 3 * 3 for r in thumbs)
     assert {r["media_id"] for r in thumbs} == {i for i in range(10) if i % 3 != 2}
+
+
+def test_scene_spans_partition_frames(spark):
+    """Cuts partition boundaries into scenes: the fixture's 3 scenes of
+    5 frames give scene_no 0/1/2 with the expected boundary ranges."""
+    from dronedb_spark.multimodal.scenes import frame_diffs, scene_spans
+    from dronedb_spark.suite import load_all
+
+    reg = load_all()
+    diffs = reg["video_scene_cuts"].spark_fn(spark, "/root/testdata/sf0.001")
+    spans = scene_spans(diffs).filter("media_id = 0").collect()
+    got = [(r["scene_no"], r["first_boundary"], r["last_boundary"]) for r in spans]
+    # boundaries 1-4 pre-cut (scene 0), 5-9 (scene 1 starts at cut 5),
+    # 10-14 (scene 2 starts at cut 10)
+    assert got == [(0, 1, 4), (1, 5, 9), (2, 10, 14)]

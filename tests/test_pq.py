@@ -68,3 +68,41 @@ def test_pq_encode_deterministic_and_bounded(spark, sf_dir):
             assert 0 <= r[f"code_{m}"] <= 7
     # training is deterministic: a second run yields the same codebook
     assert pq_train(emb) == cb
+
+
+def test_ivfpq_consistent_with_pq_on_probed_cells(spark, sf_dir):
+    """IVF-PQ = PQ ADC restricted to the probed cells: every hit's cell
+    is probed, and its ADC score equals the full-corpus PQ score for
+    the same vector (one global codebook — pruning must not change
+    scores)."""
+    from dronedb_spark.tables import load
+    from dronedb_spark.vectors.ivfpq import ivfpq_adc_search, probe_cells_for
+    from dronedb_spark.vectors.pq import pq_adc_search, pq_train
+
+    emb = load(spark, sf_dir, "embeddings")
+    cb = pq_train(emb)
+    cells = set(probe_cells_for(emb, 0))
+    hits = ivfpq_adc_search(emb, 0, 10, codebook=cb).collect()
+    assert len(hits) == 10
+    assert all(r["cell"] in cells for r in hits)
+    full = {
+        r["vec_id"]: r["adc_micro"]
+        for r in pq_adc_search(emb, 0, 500, codebook=cb).collect()
+    }
+    for r in hits:
+        assert full[r["vec_id"]] == r["adc_micro"]
+
+
+def test_ivfpq_plan_filters_cells_before_dot_stage(spark, sf_dir):
+    from dronedb_spark.plans.inspect import has_cartesian, physical_plan
+    from dronedb_spark.tables import load
+    from dronedb_spark.vectors.ivfpq import ivfpq_adc_search
+    from dronedb_spark.vectors.pq import pq_train
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = ivfpq_adc_search(emb, 0, 10, codebook=pq_train(emb))
+    plan = physical_plan(q)
+    assert not has_cartesian(q)
+    assert "TakeOrderedAndProject" in plan
+    # the cell membership filter exists (candidate pruning before ADC)
+    assert "cell" in plan and ("IN (" in plan or "isin" in plan.lower() or "cell#" in plan)
