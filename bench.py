@@ -108,6 +108,11 @@ HEADLINE = [
     "audio_fp_neardup",
     "doc_chunks_overlap",
     "video_scene_cuts",
+    # (ivfpq_store_probe is driver-gated but not benched: a scratch-dir
+    # store WRITE per run, like the other build/workflow checks)
+    "shard_shuffle_assign",
+    "aspect_bucket_batches",
+    "compact_plan_groups",
 ]
 
 _SMALL_RESULT = {

@@ -40,6 +40,8 @@ _ROUND7_PRIORITY = [
     "stac_item_proj_fields", "bpe_encode_corpus", "bpe_encode_corpus_10x",
     "pq_adc_top10", "image_dhash_neardup_10x", "ivfpq_adc_top10",
     "audio_fp_neardup", "doc_chunks_overlap", "video_scene_cuts",
+    "ivfpq_store_probe", "shard_shuffle_assign", "aspect_bucket_batches",
+    "compact_plan_groups",
     # TOUCHED in round 7 — dHash rebanded 8x8-bit + arbitrary-dimension
     # box means; dedup/winnow persist -> localCheckpoint; push_plan
     # meta-side guard; incremental build path root gating
@@ -143,6 +145,9 @@ def load_all() -> dict[str, Check]:
     import dronedb_spark.multimodal.audiofp  # noqa: F401  (audio fingerprint near-dup, new in r7)
     import dronedb_spark.text.chunking  # noqa: F401  (overlapping RAG chunking, new in r7)
     import dronedb_spark.multimodal.scenes  # noqa: F401  (scene-cut detection, new in r7)
+    import dronedb_spark.text.sharding  # noqa: F401  (deterministic shard shuffle, new in r7)
+    import dronedb_spark.multimodal.bucketing  # noqa: F401  (aspect-bucket batches, new in r7)
+    import dronedb_spark.catalog.compact  # noqa: F401  (small-file compaction plan, new in r7)
     # --- green rows in CORRECTNESS_r01: register after ------------------
     import dronedb_spark.operators.search  # noqa: F401
     import dronedb_spark.operators.stats  # noqa: F401

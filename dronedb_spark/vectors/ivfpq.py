@@ -180,3 +180,114 @@ def q_ivfpq_adc_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _Q_CACHE[key] = df
     return df
+
+
+# ------------------------------------------------- persisted store --
+
+
+def write_ivfpq_store(
+    emb: DataFrame, path: str,
+    codebook: dict[tuple[int, int], list[float]] | None = None,
+) -> dict[tuple[int, int], list[float]]:
+    """Persist the COMPLETE serving index: (vec_id, label, code_0..3)
+    partitioned by IVF cell.  This is the production 100 TB layout —
+    the raw embeddings are NOT stored (16× smaller: 4 int codes per
+    vector), the cell directory is the partition-pruning key, and the
+    codebook (the only float state, M*K rows) returns to the caller to
+    live beside the index.  Ingest cost is one assignment pass + one
+    encode pass, both map-only after the broadcast argmin."""
+    if codebook is None:
+        codebook = pq_train(emb)
+    from dronedb_spark.vectors.pq import pq_encode
+
+    codes = pq_encode(emb, codebook)
+    (
+        ivf_assign(emb)
+        .join(codes, "vec_id")
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    return codebook
+
+
+def ivfpq_probe_store(
+    spark: SparkSession,
+    path: str,
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    codebook: dict[tuple[int, int], list[float]] | None = None,
+) -> DataFrame:
+    """Top-k ADC against the persisted index: rank centroids against the
+    query (NPROBE scalars), read ONLY those cells' partitions, score the
+    STORED CODES with the query LUT — no embedding floats are read at
+    all (the store has none).  Must return exactly what the in-memory
+    ``ivfpq_adc_search`` returns on the same corpus + codebook
+    (tests/test_plans.py pins result equality AND the PartitionFilters
+    pruning predicate)."""
+    if codebook is None:
+        codebook = pq_train(emb)
+    cells = probe_cells_for(emb, query_vec_id)
+    q = emb.filter(F.col("vec_id") == query_vec_id).select("embedding").collect()
+    q_emb = [float(v) for v in q[0]["embedding"]]
+    store = spark.read.parquet(path).filter(
+        F.col("cell").isin(cells) & (F.col("vec_id") != query_vec_id)
+    )
+    terms = []
+    for m in range(M):
+        qs = q_emb[m * SUBDIM : (m + 1) * SUBDIM]
+        lut = []
+        for j in range(K):
+            c = codebook.get((m, j))
+            if c is None:
+                lut.append(None)
+                continue
+            d2 = _fold_dot(qs, qs) - 2.0 * _fold_dot(qs, c) + _fold_dot(c, c)
+            lut.append(_micro_half_up(d2))
+        arr = F.array(
+            *[F.lit(v) if v is not None else F.lit(None).cast("bigint") for v in lut]
+        )
+        terms.append(F.element_at(arr, F.col(f"code_{m}") + 1))
+    score = terms[0]
+    for t in terms[1:]:
+        score = score + t
+    return (
+        store.select(
+            "vec_id", "label", F.col("cell").cast("int").alias("cell"),
+            score.cast("bigint").alias("adc_micro"),
+        )
+        .orderBy("adc_micro", "vec_id")
+        .limit(k)
+    )
+
+
+@check("ivfpq_store_probe", oracle=_IVFPQ_ORACLE)
+def q_ivfpq_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVING path against the persisted index: write the
+    cell-partitioned code store to a scratch dir, probe it (partition
+    pruning + stored-code ADC, no embedding floats read), and return
+    the collected top-10 — which must hash-match the same oracle as the
+    in-memory search (the store is a layout, not a semantic change).
+    Scratch-dir discipline: collect INSIDE the check, return plain
+    rows."""
+    import shutil
+    import tempfile
+
+    emb = load(spark, sf_dir, "embeddings")
+    cb = codebook_for(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="ivfpq_store_")
+    try:
+        path = tmp + "/store"
+        write_ivfpq_store(emb, path, codebook=cb)
+        rows = [
+            (int(r["vec_id"]), int(r["label"]), int(r["cell"]), int(r["adc_micro"]))
+            for r in ivfpq_probe_store(
+                spark, path, emb, query_vec_id=0, k=10, codebook=cb
+            ).collect()
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "vec_id bigint, label int, cell int, adc_micro bigint"
+    )

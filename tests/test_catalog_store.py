@@ -276,3 +276,28 @@ def test_nested_dataset_dir_typed_dronedb(spark, tmp_path):
     assert types["plain"] == ENTRY_TYPES["Directory"]
     assert types["ours"] == ENTRY_TYPES["DroneDB"]
     assert types["theirs"] == ENTRY_TYPES["DroneDB"]
+
+
+def test_compact_plan_invariants(spark):
+    """Groups are path-contiguous within a folder, never split a file,
+    and only the file that CROSSES the target boundary can push a
+    group past target bytes (the FilePartition-packing contract)."""
+    from dronedb_spark.catalog.compact import TARGET_BYTES, compact_plan
+    from dronedb_spark.catalog.derive import entries_df
+
+    rows = compact_plan(entries_df(spark, "/root/testdata/sf0.001")).collect()
+    by_folder: dict[str, list] = {}
+    for r in rows:
+        by_folder.setdefault(r["folder"], []).append(r)
+    assert by_folder
+    for folder, fr in by_folder.items():
+        fr.sort(key=lambda r: r["path"])
+        groups = [r["group_no"] for r in fr]
+        assert groups == sorted(groups)  # contiguous in path order
+        acc: dict[int, int] = {}
+        for r in fr:
+            acc[r["group_no"]] = acc.get(r["group_no"], 0) + r["size"]
+        for g, total in acc.items():
+            members = [r for r in fr if r["group_no"] == g]
+            # removing the last member must bring the group under target
+            assert total - members[-1]["size"] < TARGET_BYTES

@@ -316,3 +316,23 @@ def test_chunking_guard():
 
     with _pytest.raises(ValueError):
         chunk_documents(None, chunk=4, overlap=4)
+
+
+def test_shard_shuffle_balanced_and_deterministic(spark, sf_dir):
+    from dronedb_spark.tables import load
+    from dronedb_spark.text.sharding import N_SHARDS, shard_shuffle
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    a = {(r["doc_id"], r["shard"], r["pos"]) for r in shard_shuffle(docs).collect()}
+    b = {(r["doc_id"], r["shard"], r["pos"]) for r in shard_shuffle(docs).collect()}
+    assert a == b and len(a) == docs.count()
+    sizes = {}
+    for _, s, _ in a:
+        sizes[s] = sizes.get(s, 0) + 1
+    n = len(a)
+    # balanced in expectation: no shard more than 2x the fair share
+    assert max(sizes.values()) <= 2 * (n // N_SHARDS) + 1
+    # a different seed permutes differently
+    c = {(r["doc_id"], r["shard"], r["pos"])
+         for r in shard_shuffle(docs, seed="other").collect()}
+    assert c != a

@@ -69,3 +69,33 @@ def test_scene_spans_partition_frames(spark):
     # boundaries 1-4 pre-cut (scene 0), 5-9 (scene 1 starts at cut 5),
     # 10-14 (scene 2 starts at cut 10)
     assert got == [(0, 1, 4), (1, 5, 9), (2, 10, 14)]
+
+
+def test_aspect_buckets_nearest_and_batches_full(spark, sf_dir):
+    from dronedb_spark.multimodal.bucketing import (
+        BATCH,
+        BUCKET_ASPECTS,
+        bucket_batches,
+    )
+    from dronedb_spark.tables import register_views
+
+    register_views(spark, sf_dir, ["documents"])
+    dims = spark.sql(
+        "SELECT doc_id, CAST(512 + (doc_id * 7) % 1537 AS BIGINT) AS w,"
+        " CAST(512 + (doc_id * 13) % 1025 AS BIGINT) AS h"
+        " FROM documents WHERE doc_id % 3 = 0"
+    )
+    rows = bucket_batches(dims).collect()
+    wh = {r["doc_id"]: (r["w"], r["h"]) for r in dims.collect()}
+    per_batch: dict[tuple, int] = {}
+    for r in rows:
+        w, h = wh[r["doc_id"]]
+        # assigned bucket minimizes the exact integer aspect distance
+        dists = [abs(1000 * w - h * a) for a in BUCKET_ASPECTS]
+        assert dists[r["bucket"]] == min(dists)
+        if r["in_full_batch"]:
+            per_batch[(r["bucket"], r["batch_no"])] = (
+                per_batch.get((r["bucket"], r["batch_no"]), 0) + 1
+            )
+    # every kept batch is exactly full
+    assert per_batch and all(v == BATCH for v in per_batch.values())

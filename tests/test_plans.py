@@ -632,3 +632,32 @@ def test_no_unbounded_persists():
             if ".persist(" in code and rel not in allowed:
                 offenders.append(f"{rel}:{i}")
     assert offenders == [], offenders
+
+
+def test_ivfpq_store_probe_prunes_and_matches(spark, tmp_path):
+    """The persisted IVF-PQ store is cell-partitioned CODES (no raw
+    embeddings on disk — 16x smaller); a probe must (a) show the cell
+    predicate in PartitionFilters (directory-level pruning), (b) read
+    no embedding column at all, and (c) return exactly what the
+    in-memory search returns with the same codebook."""
+    from dronedb_spark.plans.inspect import formatted
+    from dronedb_spark.vectors.ivfpq import (
+        ivfpq_adc_search,
+        ivfpq_probe_store,
+        write_ivfpq_store,
+    )
+    from dronedb_spark.vectors.pq import pq_train
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    cb = pq_train(emb)
+    path = str(tmp_path / "ivfpq_store")
+    write_ivfpq_store(emb, path, codebook=cb)
+    q = ivfpq_probe_store(spark, path, emb, query_vec_id=0, k=10, codebook=cb)
+    fmt = formatted(q)
+    scan = fmt[fmt.index("PartitionFilters"):]
+    assert "cell" in scan.split("\n")[0]
+    read_schema = [ln for ln in fmt.split("\n") if "ReadSchema" in ln and "code_0" in ln]
+    assert read_schema and all("embedding" not in ln for ln in read_schema)
+    got = [tuple(r) for r in q.collect()]
+    want = [tuple(r) for r in ivfpq_adc_search(emb, 0, 10, codebook=cb).collect()]
+    assert got == want and len(got) == 10
