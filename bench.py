@@ -113,6 +113,7 @@ HEADLINE = [
     "shard_shuffle_assign",
     "aspect_bucket_batches",
     "compact_plan_groups",
+    "hard_negative_mining",
 ]
 
 _SMALL_RESULT = {

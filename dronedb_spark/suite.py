@@ -41,10 +41,11 @@ _ROUND7_PRIORITY = [
     "pq_adc_top10", "image_dhash_neardup_10x", "ivfpq_adc_top10",
     "audio_fp_neardup", "doc_chunks_overlap", "video_scene_cuts",
     "ivfpq_store_probe", "shard_shuffle_assign", "aspect_bucket_batches",
-    "compact_plan_groups",
+    "compact_plan_groups", "hard_negative_mining",
     # TOUCHED in round 7 — dHash rebanded 8x8-bit + arbitrary-dimension
-    # box means; dedup/winnow persist -> localCheckpoint; push_plan
-    # meta-side guard; incremental build path root gating
+    # box means; dedup/winnow CSE barriers moved to the bounded
+    # barrier_persist LRU; push_plan meta-side guard; incremental build
+    # path root gating
     "image_dhash_neardup", "winnow_overlap_pairs",
     "dedup_minhash_signatures", "dedup_neardup_pairs",
     "incremental_dedup_probe", "dedup_cluster_ids", "dedup_jaccard_pairs",
@@ -148,6 +149,7 @@ def load_all() -> dict[str, Check]:
     import dronedb_spark.text.sharding  # noqa: F401  (deterministic shard shuffle, new in r7)
     import dronedb_spark.multimodal.bucketing  # noqa: F401  (aspect-bucket batches, new in r7)
     import dronedb_spark.catalog.compact  # noqa: F401  (small-file compaction plan, new in r7)
+    import dronedb_spark.vectors.negatives  # noqa: F401  (hard-negative mining, new in r7)
     # --- green rows in CORRECTNESS_r01: register after ------------------
     import dronedb_spark.operators.search  # noqa: F401
     import dronedb_spark.operators.stats  # noqa: F401

@@ -1,0 +1,159 @@
+"""Hard-negative mining — the contrastive-training data op (beyond the
+reference; the standard recipe for training embedding models, e.g.
+DPR/SimCSE curricula): for every anchor vector, find the most similar
+vector with a DIFFERENT label — the "hard" negative whose gradient
+signal dominates random negatives.
+
+Exact mining is all-pairs; the scale path is ANN-confined: candidates
+come from the anchor's IVF cell only (the SemDeDup join shape —
+within-cell equi-self-join, one shuffle on cell, never O(n²)), so an
+anchor whose cell holds no different-label vector yields no row (the
+approximation a production miner accepts; raise NPROBE-style recall by
+coarser cells, not by widening the join).
+
+The per-anchor argmax is the packed-MIN discipline
+(``ivf.py:_packed``): ``<micro(1-cos)><candidate-id>`` strings fold
+map-side, so mining is one aggregate — no window, no per-anchor
+top-k sort."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dronedb_spark.suite import check
+from dronedb_spark.tables import load
+from dronedb_spark.vectors.ivf import _D_ASSIGN, _D_DOT, _D_NORM, ivf_assign
+
+
+DIM = 64
+
+
+def hard_negatives(emb: DataFrame) -> DataFrame:
+    """(vec_id, label, neg_id, neg_label, cos_sim): each anchor's most
+    similar different-label vector within its IVF cell (ties broken by
+    the smaller candidate id).
+
+    The within-cell scoring is ONE Arrow kernel per cell
+    (``applyInPandas``): each vector ships to its cell's task exactly
+    once, and the kernel accumulates the full pairwise dot matrix
+    DIMENSION-SEQUENTIALLY — each element's arithmetic is the exact
+    left-to-right fold (v0 + v1 + ...), bit-identical to DuckDB's
+    ``list_dot_product``, because numpy elementwise float64 ops are
+    scalar IEEE ops.  (np.dot/matmul would pairwise-sum and drift in
+    the last bits; a Catalyst fold or expression chain is
+    CodegenFallback-interpreted / JIT-overflowed — measured 8-10s for
+    the 450k-pair join form at sf0.1, vs well under a second here.)
+    Cells are FEW×LARGE groups — the applyInPandas sweet spot, not the
+    tiny-group trap (verify SKILL gotcha)."""
+    import pandas as pd
+
+    assign = ivf_assign(emb).join(emb.select("vec_id", "embedding"), "vec_id")
+
+    def mine(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        v = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["embedding"]])
+        ids = pdf["vec_id"].values.astype(np.int64)
+        labels = pdf["label"].values
+        n = v.shape[0]
+        dot = v[:, 0][:, None] * v[:, 0][None, :]
+        for i in range(1, v.shape[1]):
+            dot = dot + v[:, i][:, None] * v[:, i][None, :]
+        norms = np.sqrt(np.diag(dot))
+        cos = dot / (norms[:, None] * norms[None, :])
+        micro = np.floor((1.0 - cos) * 1000000.0 + 0.5).astype(np.int64)
+        key = micro * 1000000 + ids[None, :]
+        invalid = labels[:, None] == labels[None, :]  # same label (incl. self)
+        key = np.where(invalid, np.iinfo(np.int64).max, key)
+        best = key.argmin(axis=1)
+        has = ~invalid.all(axis=1)
+        return pd.DataFrame(
+            {
+                "a_id": ids[has],
+                "label": labels[has],
+                "neg_id": ids[best[has]],
+            }
+        )
+
+    best = assign.groupBy("cell").applyInPandas(
+        mine, schema="a_id bigint, label int, neg_id bigint"
+    )
+    neg = emb.select(
+        F.col("vec_id").alias("neg_id"), F.col("label").alias("neg_label"),
+        F.col("embedding").alias("n_emb"),
+    )
+    anchor = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"))
+
+    def final_cos(it):
+        import numpy as np
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            av = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["a_emb"]])
+            nv = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["n_emb"]])
+            dot = av[:, 0] * nv[:, 0]
+            ss_a = av[:, 0] * av[:, 0]
+            ss_n = nv[:, 0] * nv[:, 0]
+            for i in range(1, av.shape[1]):
+                dot = dot + av[:, i] * nv[:, i]
+                ss_a = ss_a + av[:, i] * av[:, i]
+                ss_n = ss_n + nv[:, i] * nv[:, i]
+            cos = dot / (np.sqrt(ss_a) * np.sqrt(ss_n))
+            out = pdf[["vec_id", "label", "neg_id", "neg_label"]].copy()
+            out["cos_sim"] = np.floor(cos * 1e6 + 0.5) / 1e6
+            yield out
+
+    joined = (
+        best.join(neg, "neg_id")
+        .join(anchor, "a_id")
+        .select(
+            F.col("a_id").alias("vec_id"), "label", "neg_id", "neg_label",
+            "a_emb", "n_emb",
+        )
+    )
+    return joined.mapInPandas(
+        final_cos,
+        schema="vec_id bigint, label int, neg_id bigint, neg_label int, cos_sim double",
+    )
+
+
+@check(
+    "hard_negative_mining",
+    oracle=f"""
+        WITH {_D_ASSIGN},
+        joined AS (
+            SELECT aa.vec_id AS a_id, aa.label AS a_label,
+                   bb.vec_id AS b_id,
+                   {_D_DOT.format(a='ea.embedding', b='eb.embedding')}
+                   / ({_D_NORM.format(v='ea.embedding')}
+                      * {_D_NORM.format(v='eb.embedding')}) AS cos
+            FROM assign aa
+            JOIN assign bb ON bb.cell = aa.cell
+              AND bb.vec_id <> aa.vec_id AND bb.label <> aa.label
+            JOIN embeddings ea ON ea.vec_id = aa.vec_id
+            JOIN embeddings eb ON eb.vec_id = bb.vec_id),
+        best AS (
+            SELECT a_id, MIN(a_label) AS label,
+                   CAST(substr(MIN(
+                       lpad(CAST(CAST(ROUND((1.0 - cos) * 1000000.0) AS BIGINT)
+                                 AS VARCHAR), 9, '0')
+                       || lpad(CAST(b_id AS VARCHAR), 6, '0')), 10, 6) AS BIGINT)
+                       AS neg_id
+            FROM joined GROUP BY a_id)
+        SELECT b.a_id AS vec_id, b.label, b.neg_id, en.label AS neg_label,
+               ROUND({_D_DOT.format(a='ea.embedding', b='en.embedding')}
+                     / ({_D_NORM.format(v='ea.embedding')}
+                        * {_D_NORM.format(v='en.embedding')}), 6) AS cos_sim
+        FROM best b
+        JOIN embeddings ea ON ea.vec_id = b.a_id
+        JOIN embeddings en ON en.vec_id = b.neg_id
+        ORDER BY vec_id""",
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every anchor's hardest in-cell different-label negative, value-
+    checked (id, label, and exact rounded cosine) for the full corpus.
+    The ivf_assign's label is a per-vec_id scalar (MIN in the oracle's
+    assign CTE matches first() on the single value)."""
+    return hard_negatives(load(spark, sf_dir, "embeddings")).orderBy("vec_id")

@@ -106,3 +106,40 @@ def test_ivfpq_plan_filters_cells_before_dot_stage(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     # the cell membership filter exists (candidate pruning before ADC)
     assert "cell" in plan and ("IN (" in plan or "isin" in plan.lower() or "cell#" in plan)
+
+
+def test_hard_negatives_plan_and_semantics(spark, sf_dir):
+    """Mining is the per-cell Arrow kernel shape: no cartesian, no
+    pair-row join (one FlatMapGroupsInPandas over cells), and each
+    mined negative really is the highest-cosine different-label vector
+    in the anchor's cell (spot-checked against a driver-side
+    recompute)."""
+    import numpy as np
+
+    from dronedb_spark.plans.inspect import has_cartesian, physical_plan
+    from dronedb_spark.tables import load
+    from dronedb_spark.vectors.ivf import ivf_assign
+    from dronedb_spark.vectors.negatives import hard_negatives
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = hard_negatives(emb)
+    assert not has_cartesian(q)
+    assert "FlatMapGroupsInPandas" in physical_plan(q)
+    got = {r["vec_id"]: r for r in q.collect()}
+    cells = {r["vec_id"]: (r["label"], r["cell"]) for r in ivf_assign(emb).collect()}
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    # spot-check 5 anchors
+    for a_id in list(got)[:5]:
+        lbl, cell = cells[a_id]
+        best, best_cos = None, None
+        for b_id, (b_lbl, b_cell) in cells.items():
+            if b_cell != cell or b_id == a_id or b_lbl == lbl:
+                continue
+            va, vb = vecs[a_id], vecs[b_id]
+            c = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+            micro = round((1.0 - c) * 1e6)
+            key = (micro, b_id)
+            if best is None or key < best:
+                best, best_cos = key, b_id
+        assert got[a_id]["neg_id"] == best_cos
