@@ -114,6 +114,9 @@ HEADLINE = [
     "aspect_bucket_batches",
     "compact_plan_groups",
     "hard_negative_mining",
+    "embedding_eval_decontam",
+    "temperature_mixture_budgets",
+    "push_bloom_classify",
 ]
 
 _SMALL_RESULT = {
@@ -131,6 +134,9 @@ _SMALL_RESULT = {
     "pq_adc_top10",
     "ivfpq_adc_top10",
     "audio_fp_neardup",
+    "embedding_eval_decontam",
+    "temperature_mixture_budgets",
+    "push_bloom_classify",
 }
 
 

@@ -336,3 +336,35 @@ def test_shard_shuffle_balanced_and_deterministic(spark, sf_dir):
     c = {(r["doc_id"], r["shard"], r["pos"])
          for r in shard_shuffle(docs, seed="other").collect()}
     assert c != a
+
+
+def test_temperature_budgets_conserve_and_flatten(spark, sf_dir):
+    """Budgets sum exactly to the total (largest-remainder conservation)
+    and flatten the distribution: every source's budget share sits
+    between its raw share and the uniform share."""
+    from dronedb_spark.tables import load
+    from dronedb_spark.text.mixture import TOTAL_BUDGET, temperature_budgets
+
+    docs = load(spark, sf_dir, "documents").select("source")
+    rows = temperature_budgets(docs).collect()
+    assert sum(r["budget"] for r in rows) == TOTAL_BUDGET
+    n_total = sum(r["n_docs"] for r in rows)
+    k = len(rows)
+    for r in rows:
+        raw = r["n_docs"] / n_total
+        share = r["budget"] / TOTAL_BUDGET
+        lo, hi = sorted((raw, 1.0 / k))
+        assert lo - 0.01 <= share <= hi + 0.01, (r["source"], raw, share)
+
+
+def test_eval_decontam_flags_only_planted(spark, sf_dir):
+    from dronedb_spark.tables import load
+    from dronedb_spark.vectors.evalfilter import eval_contaminated
+    from pyspark.sql import functions as F
+
+    emb = load(spark, sf_dir, "embeddings")
+    ev = emb.filter(F.col("vec_id") % 17 == 0)
+    got = {r["vec_id"]: r["max_cos_micro"] for r in eval_contaminated(emb, ev).collect()}
+    planted = {r["vec_id"] for r in ev.collect()}
+    assert set(got) == planted
+    assert all(v == 1000000 for v in got.values())

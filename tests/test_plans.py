@@ -661,3 +661,31 @@ def test_ivfpq_store_probe_prunes_and_matches(spark, tmp_path):
     got = [tuple(r) for r in q.collect()]
     want = [tuple(r) for r in ivfpq_adc_search(emb, 0, 10, codebook=cb).collect()]
     assert got == want and len(got) == 10
+
+
+def test_bloom_screen_laws(spark):
+    """Bloom sync screen: (a) NO false negatives — every hash actually
+    on the server classifies 'check'; (b) the prefiltered push plan
+    returns EXACTLY the unscreened plan's neededFiles; (c) the bit
+    table never exceeds m rows."""
+    from dronedb_spark.operators.bloom import (
+        M_BITS,
+        bloom_bits,
+        bloom_classify,
+        push_plan_prefiltered,
+    )
+    from dronedb_spark.operators.delta import _push_fixture_sql, push_plan
+
+    t = _push_fixture_sql("spark")
+    server = spark.sql(t["server"])
+    client = spark.sql(t["client"])
+    bits = bloom_bits(server)
+    assert bits.count() <= M_BITS
+    cls = {r["hash"]: r["cls"] for r in bloom_classify(client, bits).collect()}
+    on_server = {r["hash"] for r in server.collect()}
+    for h, c in cls.items():
+        if h in on_server:
+            assert c == "check", h
+    got = sorted(r["item"] for r in push_plan_prefiltered(client, server, bits).collect())
+    want = sorted(r["item"] for r in push_plan(client, server).collect())
+    assert got == want and len(want) > 0
