@@ -235,17 +235,22 @@ def _build_one_locked(root: str, rel: str, hash_: str, kind: str,
                 intensity=d.get("intensity"),
             )
         elif kind == "cog":
-            from dronedb_spark.sources.cog import encode_cog
+            from dronedb_spark.sources.cog import encode_cog, is_optimized_cog
             from dronedb_spark.sources.tiff import decode_tiff
 
-            arr, geo = decode_tiff(data)
-            payload = encode_cog(
-                arr,
-                pixel_scale=geo.get("pixel_scale"),
-                tiepoint=geo.get("tiepoint"),
-                nodata=geo.get("nodata"),
-                compression="deflate",
-            )
+            if is_optimized_cog(data):
+                # already an optimized COG: copy, never re-encode
+                # (cog.cpp:81-95 via isOptimizedCog, cog_utils.cpp:11)
+                payload = data
+            else:
+                arr, geo = decode_tiff(data)
+                payload = encode_cog(
+                    arr,
+                    pixel_scale=geo.get("pixel_scale"),
+                    tiepoint=geo.get("tiepoint"),
+                    nodata=geo.get("nodata"),
+                    compression="deflate",
+                )
         elif kind == "thumb":
             from dronedb_spark.sources.gif import decode_gif
             from dronedb_spark.sources.jpeg import decode_jpeg

@@ -240,6 +240,35 @@ def cog_info(data: bytes) -> dict:
     return {"levels": levels, "geo": geo, "n_levels": len(levels)}
 
 
+def is_optimized_cog(data: bytes) -> bool:
+    """Header-only COG-ness check — the build-skip gate (reference:
+    ``isOptimizedCog``, cog_utils.cpp:11-79, applied at cog.cpp:81-95:
+    an input that already satisfies the COG layout is COPIED, never
+    re-encoded).  Structural criteria on THIS engine's container:
+    little-endian tiled TIFF, square power-of-2 tiles of 256 or 512,
+    georeferencing present (pixel scale + tiepoint — the role of the
+    reference's projection check), and at least one overview IFD when
+    the base level exceeds one tile (the reference's overview
+    requirement).  Any parse failure means "not optimized" — the build
+    then rebuilds, it never errors."""
+    try:
+        info = cog_info(data)
+    except Exception:
+        return False
+    levels = info["levels"]
+    base = levels[0]
+    t = base["tile"]
+    if t not in (256, 512):
+        return False
+    geo = info["geo"]
+    if geo["pixel_scale"] is None or geo["tiepoint"] is None:
+        return False
+    needs_overviews = base["width"] > t or base["height"] > t
+    if needs_overviews and len(levels) < 2:
+        return False
+    return True
+
+
 def read_cog_tile(data: bytes, level: int, ti: int, tj: int) -> np.ndarray:
     """Decode ONE tile — the COG contract: cost of a window read is the
     tiles it covers, not the raster."""

@@ -100,3 +100,39 @@ def test_bad_tile_index():
     data = encode_cog(_arr(), tile=32)
     with pytest.raises(IndexError):
         read_cog_tile(data, 0, 9, 0)
+
+
+def test_is_optimized_cog_detection(spark):
+    """The build-skip gate (isOptimizedCog parity, cog_utils.cpp:11):
+    our own COG output detects as optimized; a strip TIFF, a tiled COG
+    without georeferencing, and junk do not."""
+    import numpy as np
+
+    from dronedb_spark.sources.cog import encode_cog, is_optimized_cog
+    from dronedb_spark.sources.tiff import encode_tiff
+
+    arr = (np.arange(300 * 300, dtype=np.int64) % 251).astype(np.uint8).reshape(300, 300)
+    cog = encode_cog(arr, pixel_scale=(0.5, 0.5), tiepoint=(1000.0, 2000.0))
+    assert is_optimized_cog(cog)
+    # no georeferencing -> needs rebuild
+    assert not is_optimized_cog(encode_cog(arr))
+    # plain strip TIFF -> not tiled
+    assert not is_optimized_cog(encode_tiff(arr))
+    assert not is_optimized_cog(b"not a tiff at all")
+
+
+def test_build_copies_optimized_cog_verbatim(spark, tmp_path):
+    """A GeoRaster input that is ALREADY an optimized COG must be copied
+    byte-identically by the build, not re-encoded (cog.cpp:81-95)."""
+    import numpy as np
+
+    from dronedb_spark.catalog.build import build_one
+    from dronedb_spark.sources.cog import encode_cog
+
+    arr = (np.arange(280 * 260, dtype=np.int64) % 251).astype(np.uint8).reshape(280, 260)
+    cog = encode_cog(arr, pixel_scale=(1.0, 1.0), tiepoint=(0.0, 0.0))
+    root = str(tmp_path)
+    status = build_one(root, "ortho.tif", "h1", "cog", cog)
+    assert status == "built"
+    out = (tmp_path / ".ddb_spark" / "build" / "h1" / "cog" / "data.tif").read_bytes()
+    assert out == cog
