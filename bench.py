@@ -117,6 +117,7 @@ HEADLINE = [
     "embedding_eval_decontam",
     "temperature_mixture_budgets",
     "push_bloom_classify",
+    "doc_chunks_overlap_10x",
 ]
 
 _SMALL_RESULT = {

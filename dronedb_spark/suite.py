@@ -43,7 +43,7 @@ _ROUND7_PRIORITY = [
     "ivfpq_store_probe", "shard_shuffle_assign", "aspect_bucket_batches",
     "compact_plan_groups", "hard_negative_mining",
     "embedding_eval_decontam", "temperature_mixture_budgets",
-    "push_bloom_classify",
+    "push_bloom_classify", "doc_chunks_overlap_10x",
     # TOUCHED in round 7 — dHash rebanded 8x8-bit + arbitrary-dimension
     # box means; dedup/winnow CSE barriers moved to the bounded
     # barrier_persist LRU; push_plan meta-side guard; incremental build

@@ -87,3 +87,38 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk (text, count, and ordinal) against the window closed form."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     return chunk_documents(docs).orderBy("doc_id", "chunk_no")
+
+
+@check(
+    "doc_chunks_overlap_10x",
+    oracle=f"""
+        WITH corpus AS (
+            SELECT doc_id + k.k * 100000000 AS doc_id, text
+            FROM documents, (SELECT unnest(range(0, 10)) AS k) k),
+        d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+        nz AS (SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0),
+        idx AS (
+            SELECT doc_id, toks,
+                   unnest(range(0, GREATEST(1,
+                       CAST(CEIL((n - {OVERLAP}) / {STRIDE}.0) AS BIGINT)))) AS c
+            FROM nz)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(len(toks[c * {STRIDE} + 1 : c * {STRIDE} + {CHUNK}]))
+                    AS BIGINT) AS total_tokens,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM idx""",
+)
+def q_doc_chunks_10x(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunking at 10× corpus mass (broadcast-inflated) — the pipeline
+    is a narrow shuffle-free fan-out, so wall-clock must scale with the
+    row mass and nothing else.  Output is the chunk-table accounting an
+    embedding stage budgets by."""
+    from dronedb_spark.text.segdedup import inflated_documents
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = chunk_documents(inflated_documents(docs, copies=10))
+    return chunks.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+    )
