@@ -689,3 +689,51 @@ def test_bloom_screen_laws(spark):
     got = sorted(r["item"] for r in push_plan_prefiltered(client, server, bits).collect())
     want = sorted(r["item"] for r in push_plan(client, server).collect())
     assert got == want and len(want) > 0
+
+
+def test_r7_operator_plan_shapes(spark, sf_dir):
+    """One pin per round-7 operator family — the physical property each
+    one's SCALE.md claim rests on."""
+    from dronedb_spark.plans.inspect import has_cartesian, physical_plan
+    from dronedb_spark.tables import load, register_views
+
+    # chunking: NO exchange anywhere — a narrow fan-out
+    from dronedb_spark.text.chunking import chunk_documents
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    p = physical_plan(chunk_documents(docs))
+    assert "Exchange" not in p, p
+
+    # shard shuffle: exactly one hash exchange (the shard partition)
+    from dronedb_spark.text.sharding import shard_shuffle
+
+    p = physical_plan(shard_shuffle(docs.select("doc_id")))
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+    # compaction plan: one hash exchange (the per-folder window)
+    from dronedb_spark.catalog.compact import compact_plan
+    from dronedb_spark.catalog.derive import entries_df
+
+    p = physical_plan(compact_plan(entries_df(spark, sf_dir)))
+    # one exchange in the operator itself (the cached entries derivation
+    # prints its own subtree below the InMemoryTableScan — exclude it)
+    own = p.split("InMemoryTableScan", 1)[0]
+    assert own.count("Exchange hashpartitioning") == 1, p
+
+    # bloom classify: the bit table broadcasts; no cartesian
+    from dronedb_spark.operators.bloom import bloom_bits, bloom_classify
+    from dronedb_spark.operators.delta import _push_fixture_sql
+
+    t = _push_fixture_sql("spark")
+    q = bloom_classify(spark.sql(t["client"]), bloom_bits(spark.sql(t["server"])))
+    p = physical_plan(q)
+    assert "BroadcastHashJoin" in p and not has_cartesian(q)
+
+    # eval decontam: map-only over the corpus (no exchange, no join)
+    from dronedb_spark.vectors.evalfilter import eval_contaminated
+    from pyspark.sql import functions as F
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = eval_contaminated(emb, emb.filter(F.col("vec_id") % 17 == 0))
+    p = physical_plan(q)
+    assert "Exchange" not in p and "Join" not in p, p
