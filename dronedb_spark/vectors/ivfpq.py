@@ -34,7 +34,6 @@ from dronedb_spark.vectors.ivf import (
 from dronedb_spark.vectors.knn import _dot, _norm
 from dronedb_spark.vectors.pq import (
     _D_SUBS,
-    _PQ_ORACLE,
     K,
     _code_from_dots,
     _d_assign,

@@ -26,8 +26,6 @@ from dronedb_spark.tables import load
 from dronedb_spark.vectors.ivf import _D_ASSIGN, _D_DOT, _D_NORM, ivf_assign
 
 
-DIM = 64
-
 
 def hard_negatives(emb: DataFrame) -> DataFrame:
     """(vec_id, label, neg_id, neg_label, cos_sim): each anchor's most
