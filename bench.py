@@ -118,6 +118,7 @@ HEADLINE = [
     "temperature_mixture_budgets",
     "push_bloom_classify",
     "doc_chunks_overlap_10x",
+    "flight_session_rollup",
 ]
 
 _SMALL_RESULT = {

@@ -43,7 +43,7 @@ _ROUND7_PRIORITY = [
     "ivfpq_store_probe", "shard_shuffle_assign", "aspect_bucket_batches",
     "compact_plan_groups", "hard_negative_mining",
     "embedding_eval_decontam", "temperature_mixture_budgets",
-    "push_bloom_classify", "doc_chunks_overlap_10x",
+    "push_bloom_classify", "doc_chunks_overlap_10x", "flight_session_rollup",
     # TOUCHED in round 7 — dHash rebanded 8x8-bit + arbitrary-dimension
     # box means; dedup/winnow CSE barriers moved to the bounded
     # barrier_persist LRU; push_plan meta-side guard; incremental build
@@ -155,6 +155,7 @@ def load_all() -> dict[str, Check]:
     import dronedb_spark.vectors.evalfilter  # noqa: F401  (embedding eval decontam, new in r7)
     import dronedb_spark.text.mixture  # noqa: F401  (temperature mixture budgets, new in r7)
     import dronedb_spark.operators.bloom  # noqa: F401  (Bloom sync pre-screen, new in r7)
+    import dronedb_spark.operators.sessions  # noqa: F401  (flight sessions, new in r7)
     # --- green rows in CORRECTNESS_r01: register after ------------------
     import dronedb_spark.operators.search  # noqa: F401
     import dronedb_spark.operators.stats  # noqa: F401

@@ -68,3 +68,30 @@ def test_asof_null_in_latest_snapshot_is_row_wise(spark):
     [row] = asof_join(events, snaps, "user_id", "t", "t", ["status", "ver"]).collect()
     assert row["ver"] == 2
     assert row["status"] is None  # from the t=200 snapshot, NOT "old"
+
+
+def test_photo_sessions_invariants(spark, sf_dir):
+    """Session numbers are contiguous from 1 per folder; a session
+    boundary exists exactly where the time gap or the distance gate
+    trips; within-session steps respect both gates."""
+    from dronedb_spark.catalog.derive import entries_df
+    from dronedb_spark.operators.sessions import photo_sessions
+
+    gap_ms, dist_m = 1000 * 1000, 14000000.0
+    rows = photo_sessions(entries_df(spark, sf_dir), gap_ms, dist_m).collect()
+    by_folder: dict[str, list] = {}
+    for r in rows:
+        by_folder.setdefault(r["folder"], []).append(r)
+    assert by_folder
+    for folder, fr in by_folder.items():
+        fr.sort(key=lambda r: (r["capture_ms"], r["path"]))
+        assert fr[0]["session_no"] == 1
+        prev = None
+        for r in fr:
+            if prev is not None:
+                gap = r["capture_ms"] - prev["capture_ms"]
+                new = r["session_no"] != prev["session_no"]
+                should = gap > gap_ms or r["step_m"] > dist_m
+                assert new == should, (folder, r["path"], gap, r["step_m"])
+                assert r["session_no"] - prev["session_no"] in (0, 1)
+            prev = r
