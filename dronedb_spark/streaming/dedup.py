@@ -102,3 +102,36 @@ def stream_cms_sketch(docs_stream: DataFrame) -> DataFrame:
     from dronedb_spark.text.sketch import cms_token_sketch
 
     return cms_token_sketch(docs_stream)
+
+
+def stream_incremental_probe(batch_stream: DataFrame, store: DataFrame) -> DataFrame:
+    """The daily-ingest dedup RUNTIME as Structured Streaming: new
+    documents arrive as a stream, their signatures/bands compute per
+    microbatch (streaming-safe path — no persist barrier), and the
+    band probe is a STREAM-STATIC inner join against the persisted
+    corpus store (`text/dedup.py:band_store`) — the corpus side never
+    recomputes and never shuffles per trigger when the store is
+    bucketed on bk.  Output is the DEDUPLICATED collision triple table
+    (batch_doc, corpus doc_id, band_id) — streaming aggregations cannot
+    COUNT(DISTINCT), so per-doc rollups (and the left-fill of hit-less
+    docs) happen downstream, exactly where the batch twin
+    `incremental_neardup` computes them.  tests/test_streaming.py pins
+    the stream triples rolled up == the batch twin's hit rows."""
+    from dronedb_spark.text.dedup import BANDS, minhash_signatures
+
+    sig = minhash_signatures(batch_stream, streaming=True)
+    probe = sig.select(
+        F.col("doc_id").alias("batch_doc"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("bk"))
+                    for b in range(BANDS)
+                ]
+            )
+        ).alias("s"),
+    ).select("batch_doc", F.col("s.band_id").alias("band_id"), F.col("s.bk").alias("bk"))
+    hits = probe.join(store, ["band_id", "bk"])
+    return hits.select("batch_doc", "doc_id", "band_id").dropDuplicates(
+        ["batch_doc", "doc_id", "band_id"]
+    )

@@ -71,7 +71,7 @@ def _shingle_df(docs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_signatures(docs: DataFrame) -> DataFrame:
+def minhash_signatures(docs: DataFrame, *, streaming: bool = False) -> DataFrame:
     """Per-doc MinHash signature + LSH band keys.
 
     The shingle array is MATERIALIZED before the k per-hash-function
@@ -90,7 +90,14 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     the cache instead of re-shingling."""
     from dronedb_spark.tables import barrier_persist, spread
 
-    sh_df = barrier_persist(spread(_shingle_df(docs).filter(F.size("sh") > 0)))
+    sh = _shingle_df(docs).filter(F.size("sh") > 0)
+    if streaming:
+        # streaming frames admit neither persist nor .rdd-based width
+        # probes; microbatches are small enough that the HOF-recompute
+        # the barrier exists to prevent stays tolerable per trigger
+        sh_df = sh
+    else:
+        sh_df = barrier_persist(spread(sh))
 
     def hasher(j: int):
         # NB: a single-parameter lambda — PySpark passes (element, index) to

@@ -224,3 +224,50 @@ def test_stream_cms_sketch_matches_batch(spark, sf_dir, tmp_path):
         for r in cms_token_sketch(docs).collect()
     }
     assert got == want and len(want) > 100
+
+
+def test_stream_incremental_probe_matches_batch(spark, sf_dir, tmp_path):
+    """The stream-static band probe in complete mode must equal the
+    batch probe's hit rows on the same inputs (stream arrives in two
+    chunks; the store is static)."""
+    from pyspark.sql import functions as F
+
+    from dronedb_spark.streaming.dedup import stream_incremental_probe
+    from dronedb_spark.tables import load
+    from dronedb_spark.text.dedup import band_store, incremental_neardup
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    store_docs = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0).unionByName(
+        store_docs.filter(F.col("doc_id") % 11 == 1).select(
+            (F.col("doc_id") + 5000000).alias("doc_id"), "text"
+        )
+    )
+    store = band_store(store_docs)
+    src = str(tmp_path / "inc_batch_src")
+    batch.repartition(2).write.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (
+        stream_incremental_probe(stream, store)
+        .writeStream.format("memory")
+        .queryName("inc_probe")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    triples = spark.sql("SELECT * FROM inc_probe").collect()
+    per_doc: dict[int, dict] = {}
+    for r in triples:
+        d = per_doc.setdefault(r["batch_doc"], {"docs": set(), "bands": set()})
+        d["docs"].add(r["doc_id"])
+        d["bands"].add(r["band_id"])
+    got = {
+        (bd, len(v["docs"]), len(v["bands"]), min(v["docs"]))
+        for bd, v in per_doc.items()
+    }
+    want = {
+        (r["doc_id"], r["n_corpus_hits"], r["n_hit_bands"], r["dup_of"])
+        for r in incremental_neardup(batch, store).filter("is_corpus_dup").collect()
+    }
+    assert got == want and len(want) > 0
