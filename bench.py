@@ -119,6 +119,7 @@ HEADLINE = [
     "push_bloom_classify",
     "doc_chunks_overlap_10x",
     "flight_session_rollup",
+    "audio_fp_neardup_10x",
 ]
 
 _SMALL_RESULT = {

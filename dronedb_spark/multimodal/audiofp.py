@@ -197,3 +197,84 @@ def q_audio_fp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "aud_a", "aud_b", F.col("hamming").cast("int").alias("hamming")
     ).orderBy("aud_a", "aud_b")
+
+
+# ------------------------------------------------- 10x stress twin --
+
+_AFP_COPIES = 10
+
+
+@check(
+    "audio_fp_neardup_10x",
+    oracle=f"""
+        WITH s AS (
+            SELECT i.i AS aud, t.t // {_AFP_LEN // N_WIN} AS w,
+                   CAST(((t.t * (13 + 2 * ((i.i % {2 * _AFP_N_PAIR}) // 2)))
+                         % 3001 - 1500)
+                        * (1 + (i.i % {2 * _AFP_N_PAIR}) % 2) AS BIGINT) AS v
+            FROM (SELECT unnest(range(0, {2 * _AFP_N_PAIR * _AFP_COPIES})) AS i) i,
+                 (SELECT unnest(range(0, {_AFP_LEN})) AS t) t),
+        en AS (SELECT aud, w, SUM(v * v) AS e FROM s GROUP BY aud, w),
+        bits AS (
+            SELECT a.aud, a.w AS idx,
+                   CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+            FROM en a JOIN en b ON b.aud = a.aud AND b.w = a.w + 1),
+        fps AS (
+            SELECT aud,
+                   CAST(SUM(bit * (1::BIGINT << CAST(idx AS INT))) AS BIGINT) AS fp
+            FROM bits GROUP BY aud),
+        bands AS (
+            SELECT aud, fp, band,
+                   CAST(fp // (1::BIGINT << (band * {BAND_BITS})) AS BIGINT)
+                       % {1 << BAND_BITS} AS bv
+            FROM fps, (SELECT unnest(range(0, {N_BANDS})) AS band) bs),
+        cand AS (
+            SELECT DISTINCT a.aud AS aud_a, b.aud AS aud_b,
+                   a.fp AS fpa, b.fp AS fpb
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bv = b.bv AND a.aud < b.aud),
+        pairs AS (
+            SELECT aud_a, aud_b, bit_count(xor(fpa, fpb)) AS hamming
+            FROM cand WHERE bit_count(xor(fpa, fpb)) <= 2)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(CASE WHEN hamming = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+               CAST(COUNT(DISTINCT aud_a) AS BIGINT) AS n_lhs
+        FROM pairs""",
+)
+def q_audio_fp_neardup_10x(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio fingerprint pipeline at 10× media mass — 200 WAV clips
+    (10 re-keyed copies per fixture clip) through decode + the banded
+    join: decode is linear (one file per task), and every copy group
+    collapses to hamming-0 pairs, stress-testing genuinely hot band
+    buckets (the ``image_dhash_neardup_10x`` pattern for audio)."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from dronedb_spark.sources.wav import encode_wav
+
+        for pdf in it:
+            rows = [
+                {
+                    "media_id": int(i),
+                    "content": encode_wav(
+                        _afp_samples(int(i) % (2 * _AFP_N_PAIR)), 16000
+                    ),
+                }
+                for i in pdf["id"]
+            ]
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = spread(spark.range(2 * _AFP_N_PAIR * _AFP_COPIES)).mapInPandas(
+        gen,
+        schema=T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("content", T.BinaryType()),
+            ]
+        ),
+    )
+    pairs = audio_neardup(audio_fingerprints(media), max_hamming=2)
+    return pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.when(F.col("hamming") == 0, 1).otherwise(0)).cast("bigint").alias("n_exact"),
+        F.countDistinct("aud_a").cast("bigint").alias("n_lhs"),
+    )

@@ -44,6 +44,7 @@ _ROUND7_PRIORITY = [
     "compact_plan_groups", "hard_negative_mining",
     "embedding_eval_decontam", "temperature_mixture_budgets",
     "push_bloom_classify", "doc_chunks_overlap_10x", "flight_session_rollup",
+    "audio_fp_neardup_10x",
     # TOUCHED in round 7 — dHash rebanded 8x8-bit + arbitrary-dimension
     # box means; dedup/winnow CSE barriers moved to the bounded
     # barrier_persist LRU; push_plan meta-side guard; incremental build
