@@ -1,22 +1,47 @@
 """Audio fingerprint near-dup — the audio member of the perceptual
 dedup family (images: ``multimodal/phash.py`` dHash; text: MinHash /
 SimHash).  Byte-identical audio is caught by the content hash;
-re-encoded or gain-adjusted copies need a perceptual key.
+re-encoded, gain-adjusted, or TRIMMED copies need a perceptual key.
 
-Fingerprint = energy-gradient signs (a Haitsma-Kalker-style robust
-hash, "A Highly Robust Audio Fingerprint System", ISMIR 2002, reduced
-to the time-energy axis): the PCM stream splits into ``N_WIN`` fixed
-windows, each window's INTEGER energy Σv² is exact, and bit w is
-``energy[w+1] > energy[w]``.  Constant gain scales every energy by the
-same factor, preserving all gradient signs — a louder copy maps to the
-same fingerprint, which no content hash can see.
+Scheme: per-frame SUBFINGERPRINTS as actually published (Haitsma &
+Kalker, "A Highly Robust Audio Fingerprint System", ISMIR 2002) —
+overlapping frames (stride ≪ frame length), per-frame band energies,
+and bit (n, m) = sign of the energy difference across time AND
+frequency:
 
-Scale design mirrors dHash exactly:
+    bit(n, m) = 1  iff  (E[n,m] − E[n,m+1]) − (E[n−1,m] − E[n−1,m+1]) > 0
+
+with 33 band energies → one 32-bit subfingerprint per frame.  Two clips
+match when ANY subfingerprint pair is within hamming ``h`` (the
+published match criterion).  Because every frame fingerprints
+independently, a copy trimmed/offset by k·STRIDE samples shares all its
+interior subfingerprints with the original — the shift invariance the
+whole-clip window scheme this module used to carry provably lacked.
+
+The "frequency bands" are sequency-ordered WALSH-HADAMARD components:
+E[n,m] = c²(n,m) where c(n,m) = Σ_j v[j]·(−1)^popcount(nat(m) & j) over
+the frame, nat(m) the natural Hadamard index of sequency m.  The WHT is
+an octave-style integer filter bank (sequency = sign-change count ≈
+frequency): EXACT int64 arithmetic end-to-end — no FFT floats, no
+engine drift — computed with log2(FRAME) vectorized butterfly passes,
+and restated closed-form in the DuckDB oracle as a signed sum.  A
+constant gain g scales every E by g², preserving every difference sign
+— a louder copy maps to identical subfingerprints, invisible to any
+content hash.
+
+Scale design (the dHash/winnow discipline, all three defenses):
 
   * decode + fingerprint is one Arrow ``mapInPandas`` pass over the
-    binary cells (numpy int64 energy sums, per-file catch-and-skip);
-  * near-dup candidates come from a 3×5-bit band equi-self-join —
-    pigeonhole guarantees full recall to hamming 2 — never all-pairs;
+    binary cells (per-file catch-and-skip); bytes never leave the task;
+  * candidates come from a 4×8-bit band equi-self-join over DISTINCT
+    (clip, subfingerprint) rows — pigeonhole guarantees full recall to
+    hamming 3 ≥ the default ``max_hamming=2`` — never all-pairs;
+  * a HOT-BUCKET document-frequency cap (``winnow.py:MAX_DF``
+    discipline) drops band keys present in more than ``max_df`` clips
+    BEFORE the join: ubiquitous band values (silence, room tone) are
+    exactly the boilerplate-phrase problem, and a bucket of f clips
+    contributes f² candidate pairs without the cap.  Pairs surviving
+    in ANY uncapped bucket keep the pigeonhole guarantee;
   * the exact hamming refine is JVM ``bit_count(xor)`` on candidates.
 """
 
@@ -33,158 +58,285 @@ from pyspark.sql import types as T
 from dronedb_spark.suite import check
 from dronedb_spark.tables import spread
 
-N_WIN = 16            # energy windows → N_WIN - 1 gradient bits
-FP_BITS = N_WIN - 1
-N_BANDS = 3           # 3 × 5-bit bands: recall guaranteed to hamming 2
-BAND_BITS = 5
+FRAME = 64            # samples per analysis frame
+STRIDE = 16           # frame hop — stride ≪ frame (4× overlap)
+N_EBANDS = 33         # sequency band energies per frame → 32 bits
+SUB_BITS = N_EBANDS - 1
+N_BANDS = 4           # 4 × 8-bit bands: recall guaranteed to hamming 3
+BAND_BITS = 8
+MAX_DF = 1000         # default hot-bucket cap (clips per band bucket)
 
 
-def audio_fingerprint(samples: np.ndarray) -> int:
-    """15-bit energy-gradient fingerprint of a PCM int16 stream."""
-    n = (samples.size // N_WIN) * N_WIN
-    if n < N_WIN:
-        raise ValueError(f"need at least {N_WIN} samples, got {samples.size}")
-    v = samples[:n].astype(np.int64)
-    energies = (v * v).reshape(N_WIN, n // N_WIN).sum(axis=1)
-    bits = (energies[1:] > energies[:-1]).astype(np.int64)
-    return int(sum(int(b) << w for w, b in enumerate(bits)))
+def _gray(n: int) -> int:
+    return n ^ (n >> 1)
 
 
-_FP_SCHEMA = T.StructType(
+def _bitrev(n: int, bits: int) -> int:
+    r = 0
+    for _ in range(bits):
+        r = (r << 1) | (n & 1)
+        n >>= 1
+    return r
+
+
+# natural Hadamard index of each sequency-ordered Walsh function
+# (sequency s = number of sign changes; nat = bit_reverse(gray(s)))
+SEQ2NAT: tuple[int, ...] = tuple(
+    _bitrev(_gray(s), FRAME.bit_length() - 1) for s in range(FRAME)
+)
+
+
+def _wht(frames: np.ndarray) -> np.ndarray:
+    """Exact int64 Walsh-Hadamard transform of (n, FRAME) frames —
+    log2(FRAME) vectorized butterfly passes, natural Hadamard order:
+    c[m] = Σ_j v[j] · (−1)^popcount(m & j)."""
+    a = frames.copy()
+    h = 1
+    while h < FRAME:
+        a = a.reshape(a.shape[0], -1, 2, h)
+        x, y = a[:, :, 0, :].copy(), a[:, :, 1, :].copy()
+        a[:, :, 0, :], a[:, :, 1, :] = x + y, x - y
+        a = a.reshape(a.shape[0], FRAME)
+        h *= 2
+    return a
+
+
+def audio_subfingerprints_np(samples: np.ndarray) -> list[int]:
+    """32-bit subfingerprints of a PCM int16 stream, one per frame pair:
+    subfingerprint n (n ≥ 1) holds the time-and-frequency energy
+    difference signs between frames n−1 and n.  Needs at least two
+    frames (FRAME + STRIDE samples)."""
+    v = samples.astype(np.int64)
+    if v.size < FRAME + STRIDE:
+        raise ValueError(
+            f"need at least {FRAME + STRIDE} samples, got {samples.size}"
+        )
+    n_fr = (v.size - FRAME) // STRIDE + 1
+    idx = np.arange(FRAME)[None, :] + STRIDE * np.arange(n_fr)[:, None]
+    c = _wht(v[idx])
+    e = c[:, [SEQ2NAT[s] for s in range(1, N_EBANDS + 1)]] ** 2
+    d = e[:, :-1] - e[:, 1:]
+    bits = d[1:] - d[:-1] > 0
+    weights = 1 << np.arange(SUB_BITS, dtype=np.int64)
+    return [int(x) for x in (bits.astype(np.int64) * weights).sum(axis=1)]
+
+
+_SUB_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
-        T.StructField("fp", T.LongType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("sub", T.LongType()),
     ]
 )
 
 
-def audio_fingerprints(media: DataFrame) -> DataFrame:
-    """(media_id, fp) from (media_id, content) WAV bytes — decode +
-    fingerprint in one Arrow pass; undecodable/too-short files skip."""
+def audio_subfingerprints(media: DataFrame) -> DataFrame:
+    """(media_id, frame_no, sub) from (media_id, content) WAV bytes —
+    decode + per-frame subfingerprints in one Arrow pass;
+    undecodable/too-short files skip per-file."""
 
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from dronedb_spark.sources.wav import decode_wav
 
         for pdf in it:
-            rows = []
+            out_mid: list[int] = []
+            out_no: list[int] = []
+            out_sub: list[int] = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 try:
                     _sr, samples = decode_wav(bytes(content))
-                    fp = audio_fingerprint(samples)
+                    subs = audio_subfingerprints_np(samples)
                 except Exception:
                     continue
-                rows.append({"media_id": int(mid), "fp": fp})
-            yield pd.DataFrame(rows, columns=["media_id", "fp"])
+                out_mid.extend(int(mid) for _ in subs)
+                out_no.extend(range(1, len(subs) + 1))
+                out_sub.extend(subs)
+            yield pd.DataFrame(
+                {"media_id": out_mid, "frame_no": out_no, "sub": out_sub},
+                columns=["media_id", "frame_no", "sub"],
+            )
 
-    return media.mapInPandas(kernel, schema=_FP_SCHEMA)
+    return media.mapInPandas(kernel, schema=_SUB_SCHEMA)
 
 
-def audio_neardup(fps: DataFrame, max_hamming: int = 2) -> DataFrame:
-    """(aud_a, aud_b, hamming) pairs within ``max_hamming`` bits via the
-    banded equi-join (pigeonhole: d <= N_BANDS - 1 shares a band)."""
-    if max_hamming > N_BANDS - 1:
-        raise ValueError(
-            f"banding guarantees recall only to hamming {N_BANDS - 1}"
-        )
-    bands = fps.select(
+def _banded_candidates(subs: DataFrame, max_df: int) -> DataFrame:
+    """(aud_a, aud_b, sa, sb) distinct candidate subfingerprint pairs
+    from the capped band join."""
+    distinct_subs = subs.select("media_id", "sub").distinct()
+    bands = distinct_subs.select(
         "media_id",
-        "fp",
+        "sub",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        (
-                            (F.col("fp") / (1 << (i * BAND_BITS))).cast("bigint")
-                            % (1 << BAND_BITS)
-                        ).alias("bv"),
+                        (F.shiftright("sub", i * BAND_BITS) % (1 << BAND_BITS))
+                        .alias("bv"),
                     )
                     for i in range(N_BANDS)
                 ]
             )
         ).alias("s"),
-    ).select("media_id", "fp", "s.band", "s.bv")
-    a = bands.select(F.col("media_id").alias("aud_a"), F.col("fp").alias("fpa"), "band", "bv")
-    b = bands.select(F.col("media_id").alias("aud_b"), F.col("fp").alias("fpb"), "band", "bv")
-    cand = (
+    ).select("media_id", "sub", "s.band", "s.bv")
+    rare = (
+        bands.groupBy("band", "bv")
+        .agg(F.countDistinct("media_id").alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("band", "bv")
+    )
+    kept = bands.join(rare, ["band", "bv"], "left_semi")
+    a = kept.select(
+        F.col("media_id").alias("aud_a"), F.col("sub").alias("sa"), "band", "bv"
+    )
+    b = kept.select(
+        F.col("media_id").alias("aud_b"), F.col("sub").alias("sb"), "band", "bv"
+    )
+    return (
         a.join(b, ["band", "bv"])
         .filter(F.col("aud_a") < F.col("aud_b"))
-        .select("aud_a", "aud_b", "fpa", "fpb")
+        .select("aud_a", "aud_b", "sa", "sb")
         .distinct()
     )
-    return cand.select(
-        "aud_a", "aud_b", F.expr("bit_count(fpa ^ fpb)").alias("hamming")
-    ).filter(F.col("hamming") <= max_hamming)
+
+
+def audio_neardup(
+    subs: DataFrame, max_hamming: int = 2, max_df: int = MAX_DF
+) -> DataFrame:
+    """(aud_a, aud_b, hamming, n_sub_matches) clip pairs where some
+    subfingerprint pair is within ``max_hamming`` bits: hamming = the
+    minimum over matching pairs, n_sub_matches = how many distinct
+    subfingerprint pairs matched.  Candidates via the capped banded
+    equi-join (pigeonhole: subfingerprints at d ≤ N_BANDS − 1 share an
+    8-bit band)."""
+    if max_hamming > N_BANDS - 1:
+        raise ValueError(
+            f"banding guarantees recall only to hamming {N_BANDS - 1}"
+        )
+    cand = _banded_candidates(subs, max_df)
+    ham = F.expr("bit_count(sa ^ sb)")
+    return (
+        cand.select("aud_a", "aud_b", ham.alias("h"))
+        .filter(F.col("h") <= max_hamming)
+        .groupBy("aud_a", "aud_b")
+        .agg(
+            F.min("h").cast("int").alias("hamming"),
+            F.count(F.lit(1)).cast("bigint").alias("n_sub_matches"),
+        )
+    )
 
 
 # ----------------------------------------------------------- check --
 
-_AFP_N_PAIR = 10          # 20 clips: mates 2k / 2k+1 differ by 2x gain
-_AFP_LEN = 800            # samples per clip; 16 windows of 50
+# 7 groups × 3 clips: 3k = base, 3k+1 = 2× gain copy, 3k+2 = copy offset
+# by TRIM samples (the trimmed-copy case whole-clip windows miss).
+_AFP_GROUPS = 7
+_AFP_LEN = 400            # samples per clip → 22 frames, 21 subfps
+_AFP_TRIM = 2 * STRIDE    # trim offset (a multiple of the stride)
+_AFP_MAX_DF = 16          # check-scale hot-bucket cap
+_AFP_MAX_DF_10X = 64
 
 
 def _afp_samples(i: int) -> np.ndarray:
-    """Clip 2k/2k+1: a k-dependent "frequency" (t*(13+2k) mod ramp) so
-    distinct clips get distinct window-energy profiles; mates differ
-    only by the 2x gain."""
-    k, m = divmod(i, 2)
-    t = np.arange(_AFP_LEN, dtype=np.int64)
-    base = (t * (13 + 2 * k)) % 3001 - 1500
-    return (base * (1 + m)).astype(np.int16)
+    """Clip i: quadratic integer pseudo-noise (distinct per group k so
+    frames get distinct spectra), gain-doubled for the 3k+1 mate,
+    sample-offset for the 3k+2 mate."""
+    k, m = divmod(i, 3)
+    u = np.arange(_AFP_LEN, dtype=np.int64) + (_AFP_TRIM if m == 2 else 0)
+    base = (u * u * (7 + k) + u * (13 + 29 * k)) % 2003 - 1001
+    return (base * (2 if m == 1 else 1)).astype(np.int16)
 
 
-@check(
-    "audio_fp_neardup",
-    oracle=f"""
-        WITH s AS (
-            SELECT i.i AS aud, t.t // {_AFP_LEN // N_WIN} AS w,
-                   CAST(((t.t * (13 + 2 * (i.i // 2))) % 3001 - 1500)
-                        * (1 + i.i % 2) AS BIGINT) AS v
-            FROM (SELECT unnest(range(0, {2 * _AFP_N_PAIR})) AS i) i,
+def _seqmap_values() -> str:
+    return ", ".join(f"({s}, {SEQ2NAT[s]})" for s in range(1, N_EBANDS + 1))
+
+
+def _afp_subs_sql(n_clips: int, n_base: int) -> str:
+    """DuckDB CTE chain computing (aud, n, sub) for ``n_clips`` clips
+    whose content repeats every ``n_base`` ids — the closed-form
+    restatement of the WHT subfingerprint pipeline."""
+    n_frames = (_AFP_LEN - FRAME) // STRIDE + 1
+    return f"""
+        s AS (
+            SELECT i.i AS base, t.t AS t,
+                   CAST((((t.t + CASE WHEN i.i % 3 = 2 THEN {_AFP_TRIM} ELSE 0 END)
+                          * (t.t + CASE WHEN i.i % 3 = 2 THEN {_AFP_TRIM} ELSE 0 END)
+                          * (7 + i.i // 3)
+                          + (t.t + CASE WHEN i.i % 3 = 2 THEN {_AFP_TRIM} ELSE 0 END)
+                            * (13 + 29 * (i.i // 3))) % 2003 - 1001)
+                        * (CASE WHEN i.i % 3 = 1 THEN 2 ELSE 1 END) AS BIGINT) AS v
+            FROM (SELECT unnest(range(0, {n_base})) AS i) i,
                  (SELECT unnest(range(0, {_AFP_LEN})) AS t) t),
-        en AS (SELECT aud, w, SUM(v * v) AS e FROM s GROUP BY aud, w),
+        seqmap(seq, nat) AS (VALUES {_seqmap_values()}),
+        coef AS (
+            SELECT s.base, f.n, b.seq,
+                   SUM(s.v * (1 - 2 * (bit_count(b.nat & (s.t - f.n * {STRIDE})) % 2))) AS c
+            FROM s,
+                 (SELECT unnest(range(0, {n_frames})) AS n) f,
+                 seqmap b
+            WHERE s.t >= f.n * {STRIDE} AND s.t < f.n * {STRIDE} + {FRAME}
+            GROUP BY s.base, f.n, b.seq),
+        d AS (
+            SELECT a.base, a.n, a.seq AS m, a.c * a.c - b.c * b.c AS d
+            FROM coef a JOIN coef b
+              ON b.base = a.base AND b.n = a.n AND b.seq = a.seq + 1
+            WHERE a.seq <= {SUB_BITS}),
         bits AS (
-            SELECT a.aud, a.w AS idx,
-                   CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
-            FROM en a JOIN en b ON b.aud = a.aud AND b.w = a.w + 1),
-        fps AS (
-            SELECT aud,
-                   CAST(SUM(bit * (1::BIGINT << CAST(idx AS INT))) AS BIGINT) AS fp
-            FROM bits GROUP BY aud),
+            SELECT cur.base, cur.n, cur.m - 1 AS idx,
+                   CASE WHEN cur.d - prev.d > 0 THEN 1 ELSE 0 END AS bit
+            FROM d cur JOIN d prev
+              ON prev.base = cur.base AND prev.n = cur.n - 1 AND prev.m = cur.m),
+        basesubs AS (
+            SELECT base, n,
+                   CAST(SUM(bit * (1::BIGINT << CAST(idx AS INT))) AS BIGINT) AS sub
+            FROM bits GROUP BY base, n),
+        subs AS (
+            SELECT c.i AS aud, bs.n, bs.sub
+            FROM (SELECT unnest(range(0, {n_clips})) AS i) c
+            JOIN basesubs bs ON bs.base = c.i % {n_base})"""
+
+
+def _afp_pairs_sql(n_clips: int, n_base: int, max_df: int) -> str:
+    return f"""
+        WITH {_afp_subs_sql(n_clips, n_base)},
+        dsubs AS (SELECT DISTINCT aud, sub FROM subs),
         bands AS (
-            SELECT aud, fp, band,
-                   CAST(fp // (1::BIGINT << (band * {BAND_BITS})) AS BIGINT)
+            SELECT aud, sub, band,
+                   CAST(sub // (1::BIGINT << (band * {BAND_BITS})) AS BIGINT)
                        % {1 << BAND_BITS} AS bv
-            FROM fps, (SELECT unnest(range(0, {N_BANDS})) AS band) bs),
+            FROM dsubs, (SELECT unnest(range(0, {N_BANDS})) AS band) bs),
+        rare AS (
+            SELECT band, bv FROM bands
+            GROUP BY band, bv HAVING COUNT(DISTINCT aud) <= {max_df}),
+        kept AS (SELECT b.* FROM bands b JOIN rare USING (band, bv)),
         cand AS (
             SELECT DISTINCT a.aud AS aud_a, b.aud AS aud_b,
-                   a.fp AS fpa, b.fp AS fpb
-            FROM bands a JOIN bands b
-              ON a.band = b.band AND a.bv = b.bv AND a.aud < b.aud)
-        SELECT aud_a, aud_b,
-               CAST(bit_count(xor(fpa, fpb)) AS INT) AS hamming
-        FROM cand
-        WHERE bit_count(xor(fpa, fpb)) <= 2
-        ORDER BY aud_a, aud_b""",
-)
-def q_audio_fp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Real PCM16 WAV bytes through decode → energy-gradient fingerprint
-    → banded hamming pairs.  Mates (2k, 2k+1) differ by a 2× gain,
-    which scales every window energy 4× and preserves every gradient
-    sign — each pair MUST surface at hamming 0, invisible to the
-    content hash (different bytes)."""
+                   a.sub AS sa, b.sub AS sb
+            FROM kept a JOIN kept b
+              ON a.band = b.band AND a.bv = b.bv AND a.aud < b.aud),
+        pairs AS (
+            SELECT aud_a, aud_b,
+                   CAST(MIN(bit_count(xor(sa, sb))) AS INT) AS hamming,
+                   CAST(COUNT(*) AS BIGINT) AS n_sub_matches
+            FROM cand WHERE bit_count(xor(sa, sb)) <= 2
+            GROUP BY aud_a, aud_b)"""
 
+
+def _gen_afp_wav(ids: DataFrame, n_base: int) -> DataFrame:
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from dronedb_spark.sources.wav import encode_wav
 
         for pdf in it:
             rows = [
-                {"media_id": int(i), "content": encode_wav(_afp_samples(int(i)), 16000)}
+                {
+                    "media_id": int(i),
+                    "content": encode_wav(_afp_samples(int(i) % n_base), 16000),
+                }
                 for i in pdf["id"]
             ]
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
-    media = spread(spark.range(2 * _AFP_N_PAIR)).mapInPandas(
+    return ids.mapInPandas(
         gen,
         schema=T.StructType(
             [
@@ -193,10 +345,28 @@ def q_audio_fp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ),
     )
-    pairs = audio_neardup(audio_fingerprints(media), max_hamming=2)
-    return pairs.select(
-        "aud_a", "aud_b", F.col("hamming").cast("int").alias("hamming")
-    ).orderBy("aud_a", "aud_b")
+
+
+@check(
+    "audio_fp_neardup",
+    oracle=_afp_pairs_sql(3 * _AFP_GROUPS, 3 * _AFP_GROUPS, _AFP_MAX_DF)
+    + """
+        SELECT aud_a, aud_b, hamming, n_sub_matches
+        FROM pairs ORDER BY aud_a, aud_b""",
+)
+def q_audio_fp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real PCM16 WAV bytes through decode → per-frame WHT
+    subfingerprints → capped banded hamming pairs.  Each group of 3
+    plants BOTH robustness cases: the 2× gain mate (every band energy
+    scales 4×, every difference sign survives) and the TRIMMED mate
+    offset by 2·STRIDE samples (its frames realign with the original's
+    — the case the old whole-clip window fingerprint provably missed).
+    All three pairs per group MUST surface at hamming 0."""
+    media = _gen_afp_wav(spread(spark.range(3 * _AFP_GROUPS)), 3 * _AFP_GROUPS)
+    pairs = audio_neardup(
+        audio_subfingerprints(media), max_hamming=2, max_df=_AFP_MAX_DF
+    )
+    return pairs.orderBy("aud_a", "aud_b")
 
 
 # ------------------------------------------------- 10x stress twin --
@@ -206,75 +376,32 @@ _AFP_COPIES = 10
 
 @check(
     "audio_fp_neardup_10x",
-    oracle=f"""
-        WITH s AS (
-            SELECT i.i AS aud, t.t // {_AFP_LEN // N_WIN} AS w,
-                   CAST(((t.t * (13 + 2 * ((i.i % {2 * _AFP_N_PAIR}) // 2)))
-                         % 3001 - 1500)
-                        * (1 + (i.i % {2 * _AFP_N_PAIR}) % 2) AS BIGINT) AS v
-            FROM (SELECT unnest(range(0, {2 * _AFP_N_PAIR * _AFP_COPIES})) AS i) i,
-                 (SELECT unnest(range(0, {_AFP_LEN})) AS t) t),
-        en AS (SELECT aud, w, SUM(v * v) AS e FROM s GROUP BY aud, w),
-        bits AS (
-            SELECT a.aud, a.w AS idx,
-                   CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
-            FROM en a JOIN en b ON b.aud = a.aud AND b.w = a.w + 1),
-        fps AS (
-            SELECT aud,
-                   CAST(SUM(bit * (1::BIGINT << CAST(idx AS INT))) AS BIGINT) AS fp
-            FROM bits GROUP BY aud),
-        bands AS (
-            SELECT aud, fp, band,
-                   CAST(fp // (1::BIGINT << (band * {BAND_BITS})) AS BIGINT)
-                       % {1 << BAND_BITS} AS bv
-            FROM fps, (SELECT unnest(range(0, {N_BANDS})) AS band) bs),
-        cand AS (
-            SELECT DISTINCT a.aud AS aud_a, b.aud AS aud_b,
-                   a.fp AS fpa, b.fp AS fpb
-            FROM bands a JOIN bands b
-              ON a.band = b.band AND a.bv = b.bv AND a.aud < b.aud),
-        pairs AS (
-            SELECT aud_a, aud_b, bit_count(xor(fpa, fpb)) AS hamming
-            FROM cand WHERE bit_count(xor(fpa, fpb)) <= 2)
+    oracle=_afp_pairs_sql(
+        3 * _AFP_GROUPS * _AFP_COPIES, 3 * _AFP_GROUPS, _AFP_MAX_DF_10X
+    )
+    + """
         SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
                CAST(SUM(CASE WHEN hamming = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
                CAST(COUNT(DISTINCT aud_a) AS BIGINT) AS n_lhs
         FROM pairs""",
 )
 def q_audio_fp_neardup_10x(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The audio fingerprint pipeline at 10× media mass — 200 WAV clips
-    (10 re-keyed copies per fixture clip) through decode + the banded
-    join: decode is linear (one file per task), and every copy group
-    collapses to hamming-0 pairs, stress-testing genuinely hot band
-    buckets (the ``image_dhash_neardup_10x`` pattern for audio)."""
-
-    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from dronedb_spark.sources.wav import encode_wav
-
-        for pdf in it:
-            rows = [
-                {
-                    "media_id": int(i),
-                    "content": encode_wav(
-                        _afp_samples(int(i) % (2 * _AFP_N_PAIR)), 16000
-                    ),
-                }
-                for i in pdf["id"]
-            ]
-            yield pd.DataFrame(rows, columns=["media_id", "content"])
-
-    media = spread(spark.range(2 * _AFP_N_PAIR * _AFP_COPIES)).mapInPandas(
-        gen,
-        schema=T.StructType(
-            [
-                T.StructField("media_id", T.LongType()),
-                T.StructField("content", T.BinaryType()),
-            ]
-        ),
+    """The subfingerprint pipeline at 10× media mass — 210 WAV clips
+    (10 re-keyed copies per fixture clip) through decode + the capped
+    banded join.  Decode is linear (one file per task); every copy
+    group shares identical subfingerprints, so band buckets are
+    genuinely hot (30+ clips) and the document-frequency cap is
+    exercised for real — buckets hotter than the cap drop, pairs
+    sharing any rarer band still surface."""
+    n = 3 * _AFP_GROUPS * _AFP_COPIES
+    media = _gen_afp_wav(spread(spark.range(n)), 3 * _AFP_GROUPS)
+    pairs = audio_neardup(
+        audio_subfingerprints(media), max_hamming=2, max_df=_AFP_MAX_DF_10X
     )
-    pairs = audio_neardup(audio_fingerprints(media), max_hamming=2)
     return pairs.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-        F.sum(F.when(F.col("hamming") == 0, 1).otherwise(0)).cast("bigint").alias("n_exact"),
+        F.sum(F.when(F.col("hamming") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_exact"),
         F.countDistinct("aud_a").cast("bigint").alias("n_lhs"),
     )

@@ -37,6 +37,7 @@ from dronedb_spark.tables import spread
 
 GRID_H, GRID_W = 8, 9  # box grid; 8 x 8 gradient bits
 N_BANDS = 8  # 8 bands x 8 bits: pigeonhole guarantees recall to hamming 7
+MAX_DF = 1000  # hot-bucket document-frequency cap (images per band bucket)
 
 
 def _box_means(g: np.ndarray) -> np.ndarray:
@@ -103,13 +104,23 @@ def dhash_images(media: DataFrame) -> DataFrame:
     return media.mapInPandas(kernel, schema=_HASH_SCHEMA)
 
 
-def dhash_neardup(hashes: DataFrame, max_hamming: int = 6) -> DataFrame:
+def dhash_neardup(
+    hashes: DataFrame, max_hamming: int = 6, max_df: int = MAX_DF
+) -> DataFrame:
     """(img_a, img_b, hamming) pairs within ``max_hamming`` bits.
 
     Candidates from an 8×8-bit band equi-join: a pair at hamming d
     differs in at most d bands, so for d <= 7 at least one of the 8
     band keys matches (pigeonhole) — full recall at any
-    ``max_hamming`` <= 7, which covers the default of 6."""
+    ``max_hamming`` <= 7, which covers the default of 6.
+
+    HOT-BUCKET CAP (the ``winnow.py:MAX_DF`` discipline): band keys
+    present in more than ``max_df`` images are dropped BEFORE the join.
+    Natural-image corpora skew hard onto a few gradient patterns
+    (smooth sky/ground shares band values), and a bucket of f images
+    contributes f² candidate pairs — at 100M images a handful of hot
+    buckets go quadratic without the cap.  Pairs surviving in ANY
+    uncapped bucket keep the pigeonhole recall guarantee."""
     if max_hamming > N_BANDS - 1:
         raise ValueError(
             f"banded candidate generation guarantees recall only to "
@@ -128,6 +139,13 @@ def dhash_neardup(hashes: DataFrame, max_hamming: int = 6) -> DataFrame:
     bands = hashes.select(
         "media_id", "h1", "h2", F.explode(F.array(*band_structs)).alias("s")
     ).select("media_id", "h1", "h2", "s.band", "s.bv")
+    rare = (
+        bands.groupBy("band", "bv")
+        .agg(F.countDistinct("media_id").alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("band", "bv")
+    )
+    bands = bands.join(rare, ["band", "bv"], "left_semi")
     a = bands.select(
         F.col("media_id").alias("img_a"), F.col("h1").alias("h1a"),
         F.col("h2").alias("h2a"), "band", "bv",
@@ -153,6 +171,8 @@ def dhash_neardup(hashes: DataFrame, max_hamming: int = 6) -> DataFrame:
 
 _PH_N_PAIR = 8   # 16 images: mates 2k / 2k+1 differ by a +3 shift
 _PH_H, _PH_W = 32, 36
+_PH_MAX_DF = 12       # check-scale hot-bucket cap
+_PH_MAX_DF_10X = 64   # 10x twin: copy groups put 20 images per bucket
 
 
 def _ph_pixels(i: int) -> np.ndarray:
@@ -163,7 +183,7 @@ def _ph_pixels(i: int) -> np.ndarray:
     return np.repeat(v.astype(np.uint8)[:, :, None], 3, axis=2)
 
 
-def _ph_oracle(n_images: int) -> str:
+def _ph_oracle(n_images: int, max_df: int = _PH_MAX_DF) -> str:
     return f"""
         WITH px AS (
             SELECT i.i AS img, y.y AS y, x.x AS x,
@@ -193,10 +213,14 @@ def _ph_oracle(n_images: int) -> str:
                    CAST((CASE WHEN band < 4 THEN h1 ELSE h2 END
                          // (1::BIGINT << ((band % 4) * 8))) AS BIGINT) % 256 AS bv
             FROM hs, (SELECT unnest(range(0, {N_BANDS})) AS band) bs),
+        rare AS (
+            SELECT band, bv FROM bands
+            GROUP BY band, bv HAVING COUNT(DISTINCT img) <= {max_df}),
+        kept AS (SELECT b.* FROM bands b JOIN rare USING (band, bv)),
         cand AS (
             SELECT DISTINCT a.img AS img_a, b.img AS img_b,
                    a.h1 AS h1a, a.h2 AS h2a, b.h1 AS h1b, b.h2 AS h2b
-            FROM bands a JOIN bands b
+            FROM kept a JOIN kept b
               ON a.band = b.band AND a.bv = b.bv AND a.img < b.img)
         SELECT img_a, img_b,
                CAST(bit_count(xor(h1a, h1b)) + bit_count(xor(h2a, h2b)) AS INT) AS hamming
@@ -212,7 +236,7 @@ def q_image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     preserves every gradient sign — each pair MUST surface with
     hamming 0, which the content hash (different bytes) cannot see."""
     media = _gen_ph_png(spread(spark.range(2 * _PH_N_PAIR)))
-    pairs = dhash_neardup(dhash_images(media), max_hamming=6)
+    pairs = dhash_neardup(dhash_images(media), max_hamming=6, max_df=_PH_MAX_DF)
     return pairs.select(
         "img_a", "img_b", F.col("hamming").cast("int").alias("hamming")
     ).orderBy("img_a", "img_b")
@@ -276,10 +300,14 @@ _PH_COPIES = 10
                    CAST((CASE WHEN band < 4 THEN h1 ELSE h2 END
                          // (1::BIGINT << ((band % 4) * 8))) AS BIGINT) % 256 AS bv
             FROM hs, (SELECT unnest(range(0, {N_BANDS})) AS band) bs),
+        rare AS (
+            SELECT band, bv FROM bands
+            GROUP BY band, bv HAVING COUNT(DISTINCT img) <= {_PH_MAX_DF_10X}),
+        kept AS (SELECT b.* FROM bands b JOIN rare USING (band, bv)),
         cand AS (
             SELECT DISTINCT a.img AS img_a, b.img AS img_b,
                    a.h1 AS h1a, a.h2 AS h2a, b.h1 AS h1b, b.h2 AS h2b
-            FROM bands a JOIN bands b
+            FROM kept a JOIN kept b
               ON a.band = b.band AND a.bv = b.bv AND a.img < b.img),
         pairs AS (
             SELECT img_a, img_b,
@@ -302,7 +330,9 @@ def q_image_dhash_neardup_10x(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = 2 * _PH_N_PAIR * _PH_COPIES
     ids = spread(spark.range(n))
     media = _gen_ph_png_mod(ids)
-    pairs = dhash_neardup(dhash_images(media), max_hamming=6)
+    pairs = dhash_neardup(
+        dhash_images(media), max_hamming=6, max_df=_PH_MAX_DF_10X
+    )
     return pairs.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
         F.sum(F.when(F.col("hamming") == 0, 1).otherwise(0)).cast("bigint").alias("n_exact"),

@@ -91,3 +91,19 @@ def test_dhash_images_skips_undecodable(spark):
     df = spark.createDataFrame(rows, "media_id long, content binary")
     got = sorted(r["media_id"] for r in dhash_images(df).collect())
     assert got == [1, 3]
+
+
+def test_hot_bucket_cap_bounds_candidates(spark):
+    """A planted 1000-copy hot bucket is dropped by the DF cap (its
+    ~500k candidate pairs never form) while a planted hamming-0 mate
+    pair outside the bucket still surfaces."""
+    # 1000 images sharing EVERY band value (identical hashes) — without
+    # the cap this alone is 499,500 candidate pairs
+    hot = [(i, 0x01020304, 0x05060708) for i in range(1000)]
+    mates = [(5001, 0x0A0B0C0D, 0x0E0F1011), (5002, 0x0A0B0C0D, 0x0E0F1011)]
+    df = spark.createDataFrame(hot + mates, "media_id long, h1 long, h2 long")
+    got = {
+        (r["img_a"], r["img_b"]): r["hamming"]
+        for r in dhash_neardup(df, max_hamming=6, max_df=16).collect()
+    }
+    assert got == {(5001, 5002): 0}
