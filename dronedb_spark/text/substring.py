@@ -1,0 +1,209 @@
+"""Exact substring dedup at ARBITRARY token boundaries — the
+suffix-array-style operator of Lee et al. 2022 ("Deduplicating Training
+Data Makes Language Models Better": remove every substring of ≥ k
+tokens that occurs more than once in the corpus), re-expressed for a
+distributed engine without a global suffix array.
+
+Fixed-window segment dedup (``text/segdedup.py``, the C4/RefinedWeb
+line discipline) only sees duplicates ALIGNED to its 8-word grid — a
+copied span that straddles a window boundary contributes no duplicated
+segment and is invisible.  This operator anchors on OVERLAPPING
+k-grams instead: a duplicated span of L ≥ k tokens contains L − k + 1
+consecutive duplicated anchors at ANY offset, so merging maximal runs
+of duplicated anchor positions recovers the span exactly — the
+"k-gram anchor + extend" equivalent of the suffix-array scan, where
+the bidirectional extension is the island merge over anchor positions
+(a planted duplicate's interior anchors are all duplicated, so the
+merged island is precisely the planted span).
+
+Semantics: a token position is DUPLICATED iff some corpus-duplicated
+k-gram covers it; the output spans are the maximal merged intervals of
+duplicated positions per document (the union of duplicated k-gram
+windows).  This is the standard distributed approximation of the
+suffix-array result and is span-exact for planted duplicates.
+
+Scale design — there is NO pair join anywhere (unlike the near-dup
+family, dedup here needs only occurrence counts, never candidate
+pairs):
+
+  * anchors are per-token rows (the honest cost of substring-level
+    dedup; Lee et al. pay the same in suffix-array memory), built with
+    the zip_with/slice idiom (``dedup.py:_shingle_df``) so tokenization
+    is never re-inlined per element;
+  * anchor hashes are 60-bit md5 prefixes — fixed-width shuffle keys
+    instead of full gram text (identical in DuckDB, so the oracle
+    reproduces counts exactly; a 60-bit collision merges two grams on
+    BOTH engines);
+  * occurrence counting is one map-side-combinable groupBy; duplicated
+    anchors come back via a left-semi join (linear fan-out — a
+    boilerplate gram in 10M docs is one heavy count group, AQE-split,
+    never a quadratic bucket);
+  * span assembly is a per-document window (lag + running sum islands)
+    — one hash partition on doc_id, prefix sums in-partition
+    (the ``catalog/compact.py`` gaps-and-islands discipline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dronedb_spark.suite import check
+from dronedb_spark.tables import load, register_views
+
+K_TOKENS = 6  # minimum duplicated-span length in tokens
+
+
+def _kgram_col(k: int) -> Column:
+    """k-gram array over ``toks`` via k shifted slices zipped pairwise —
+    the top-level-slice idiom that keeps Catalyst from re-tokenizing per
+    element (see dedup.py:_shingle_df)."""
+    acc = f"slice(toks, 1, size(toks) - {k - 1})"
+    for i in range(2, k + 1):
+        acc = (
+            f"zip_with({acc}, slice(toks, {i}, size(toks) - {k - 1}),"
+            f" (x, y) -> concat(x, ' ', y))"
+        )
+    return F.expr(f"CASE WHEN size(toks) >= {k} THEN {acc} ELSE array() END")
+
+
+def anchor_kgrams(docs: DataFrame, k: int = K_TOKENS) -> DataFrame:
+    """(doc_id, pos, ah): overlapping k-gram anchors — pos is the
+    1-based token index of the gram's first token, ah its 60-bit md5
+    prefix hash."""
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    grams = toks.select("doc_id", _kgram_col(k).alias("grams"))
+    return grams.select(
+        "doc_id", F.posexplode("grams").alias("p0", "gram")
+    ).select(
+        "doc_id",
+        (F.col("p0") + 1).alias("pos"),
+        F.expr("CAST(conv(substr(md5(gram), 1, 15), 16, 10) AS BIGINT)").alias("ah"),
+    )
+
+
+def substring_dup_spans(docs: DataFrame, k: int = K_TOKENS) -> DataFrame:
+    """(doc_id, span_start, span_end, span_tokens): maximal duplicated
+    token spans ≥ k tokens, 1-based inclusive positions."""
+    anchors = anchor_kgrams(docs, k)
+    dup_keys = (
+        anchors.groupBy("ah")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") >= 2)
+        .select("ah")
+    )
+    dup_pos = anchors.join(dup_keys, "ah", "left_semi").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    # interval [pos, pos+k-1]; merge while the union stays contiguous
+    brk = (
+        F.when(F.col("pos") - F.lag("pos").over(w) > k, 1)
+        .otherwise(0)
+        .alias("brk")
+    )
+    islands = dup_pos.select("doc_id", "pos", brk).select(
+        "doc_id",
+        "pos",
+        F.sum("brk")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("island"),
+    )
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            F.col("span_start").cast("bigint").alias("span_start"),
+            F.col("span_end").cast("bigint").alias("span_end"),
+            (F.col("span_end") - F.col("span_start") + 1)
+            .cast("bigint")
+            .alias("span_tokens"),
+        )
+    )
+
+
+# ----------------------------------------------------------- check --
+
+# The planted-duplicate corpus: every doc_id % 10 == 0 base doc (with
+# ≥ 20 tokens, next doc ≥ 12) contributes a SPLICED doc whose middle is
+# an arbitrary-offset copy of base tokens [src_off, src_off + 7 + id%6)
+# surrounded by fragments of the NEXT doc shorter than k — the
+# duplicate sits at arbitrary boundaries in both documents.
+_SPLICE_SPARK = """
+    SELECT 1000000 + a.doc_id AS doc_id,
+           concat_ws(' ',
+             array_join(slice(split(b.text, ' '), 1, 3 + CAST(a.doc_id % 4 AS INT)), ' '),
+             array_join(slice(split(a.text, ' '), 2 + CAST(a.doc_id % 5 AS INT),
+                              7 + CAST(a.doc_id % 6 AS INT)), ' '),
+             array_join(slice(split(b.text, ' '), 8, 4), ' ')) AS text
+    FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+    WHERE a.doc_id % 10 = 0
+      AND size(split(a.text, ' ')) >= 20 AND size(split(b.text, ' ')) >= 12
+"""
+
+_SPLICE_DUCK = """
+    SELECT 1000000 + a.doc_id AS doc_id,
+           array_to_string(string_split(b.text, ' ')[1 : 3 + CAST(a.doc_id % 4 AS INT)], ' ')
+           || ' ' ||
+           array_to_string(string_split(a.text, ' ')[2 + CAST(a.doc_id % 5 AS INT) :
+                1 + CAST(a.doc_id % 5 AS INT) + 7 + CAST(a.doc_id % 6 AS INT)], ' ')
+           || ' ' ||
+           array_to_string(string_split(b.text, ' ')[8 : 11], ' ') AS text
+    FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+    WHERE a.doc_id % 10 = 0
+      AND len(string_split(a.text, ' ')) >= 20 AND len(string_split(b.text, ' ')) >= 12
+"""
+
+
+@check(
+    "substring_dup_spans",
+    oracle=f"""
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            {_SPLICE_DUCK}),
+        toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+        anchors AS (
+            SELECT doc_id, p.pos,
+                   CAST(CAST('0x' || substr(md5(
+                       array_to_string(t[p.pos : p.pos + {K_TOKENS - 1}], ' ')
+                   ), 1, 15) AS BIGINT) AS BIGINT) AS ah
+            FROM toks,
+                 LATERAL (SELECT unnest(range(1, len(t) - {K_TOKENS - 1} + 1)) AS pos) p),
+        dup_keys AS (SELECT ah FROM anchors GROUP BY ah HAVING COUNT(*) >= 2),
+        dup_pos AS (
+            SELECT a.doc_id, a.pos FROM anchors a
+            WHERE a.ah IN (SELECT ah FROM dup_keys)),
+        marked AS (
+            SELECT doc_id, pos,
+                   CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                             > {K_TOKENS} THEN 1 ELSE 0 END AS brk
+            FROM dup_pos),
+        islands AS (
+            SELECT doc_id, pos,
+                   SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS island
+            FROM marked)
+        SELECT doc_id,
+               CAST(MIN(pos) AS BIGINT) AS span_start,
+               CAST(MAX(pos) + {K_TOKENS - 1} AS BIGINT) AS span_end,
+               CAST(MAX(pos) + {K_TOKENS - 1} - MIN(pos) + 1 AS BIGINT) AS span_tokens
+        FROM islands
+        GROUP BY doc_id, island
+        ORDER BY doc_id, span_start""",
+)
+def q_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-boundary duplicated spans over the corpus + planted
+    spliced copies: each spliced doc carries a 7-12-token copy of its
+    base doc at an arbitrary offset, wrapped in sub-k fragments — the
+    operator must recover the planted span SPAN-EXACT in both the
+    spliced doc and the base doc (the fixed-window segment dedup
+    provably misses grid-straddling plants: pytest-pinned)."""
+    register_views(spark, sf_dir, ["documents"])
+    corpus = spark.sql(
+        f"SELECT doc_id, text FROM documents UNION ALL {_SPLICE_SPARK}"
+    )
+    return substring_dup_spans(corpus, K_TOKENS).orderBy("doc_id", "span_start")
