@@ -8,10 +8,21 @@ compressed scoring (``pq.py``: literal-folded codebook, integer LUT) —
 so a query reads NPROBE/N_CENTROIDS of the bytes and scores them
 without touching raw floats.
 
-The codebook is trained on the FULL corpus (the standard recipe: one
-global PQ codebook, per-cell candidate lists); the oracle restates the
-complete composition — IVF assignment, centroid probe ranking, PQ
-training, candidate codes, the query LUT, and the integer top-k.
+Two codebook recipes, both oracle-restated end-to-end (IVF assignment,
+centroid probe ranking, PQ training, candidate codes, query LUT,
+integer top-k):
+
+  * GLOBAL (``ivfpq_adc_search``) — one PQ codebook trained on the raw
+    corpus vectors; simple, and pruning cannot change scores.
+  * RESIDUAL (``ivfpq_residual_search``) — the FAISS ``IVFPQ`` default
+    (Jégou et al. TPAMI 2011 §V.A): the codebook is trained on
+    v − centroid(cell) and the query builds ONE LUT PER PROBED CELL
+    from its own residual q − centroid(cell).  Residuals concentrate
+    near the origin, so the same code budget quantizes far finer —
+    recall@10 ≥ the global recipe is pytest-pinned on the fixture.
+    Residual subtraction is a literal fold (N_CENTROIDS×DIM centroid
+    doubles in the plan), so the encode stays a zero-shuffle two-stage
+    projection; the per-cell LUT select is a CASE over NPROBE branches.
 """
 
 from __future__ import annotations
@@ -121,6 +132,113 @@ def ivfpq_adc_search(
     )
 
 
+# ------------------------------------------------- residual encoding --
+
+
+def _centroid_floats(emb: DataFrame) -> dict[int, list[float]]:
+    """{cid: DIM doubles} — the IVF centroid vectors as driver floats
+    (N_CENTROIDS×DIM model state, the probe_cells_for budget)."""
+    return {
+        int(r["cid"]): [float(v) for v in r["c_emb"]]
+        for r in _centroids(emb).collect()
+    }
+
+
+def residual_frame(
+    emb: DataFrame, cents: dict[int, list[float]] | None = None
+) -> DataFrame:
+    """(vec_id, label, cell, embedding): each vector replaced by its
+    IVF residual v − centroid(cell).  The centroid components fold into
+    the plan as literals (element_at over an N_CENTROIDS array per
+    dimension), so this is a map-only narrow projection after the
+    assignment — no join against a centroid table at encode time."""
+    if cents is None:
+        cents = _centroid_floats(emb)
+    cids = sorted(cents)
+    dim = len(next(iter(cents.values())))
+    res_cols = []
+    for i in range(dim):
+        per_cell = F.array(*[F.lit(float(cents[c][i])) for c in cids])
+        res_cols.append(
+            F.col("embedding")[i].cast("double")
+            - F.element_at(per_cell, F.col("cell") + 1)
+        )
+    return (
+        ivf_assign(emb)
+        .select("vec_id", "label", "cell")
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .select("vec_id", "label", "cell", F.array(*res_cols).alias("embedding"))
+    )
+
+
+def pq_train_residual(
+    emb: DataFrame, cents: dict[int, list[float]] | None = None
+) -> dict[tuple[int, int], list[float]]:
+    """PQ codebook trained on the residuals (FAISS IVFPQ recipe).  The
+    seed starts at vec_id = N_CENTROIDS: vectors 0..N_CENTROIDS−1 ARE
+    the centroids, so their residuals are identically zero — seeding
+    there would collapse every subspace to one code."""
+    from dronedb_spark.vectors.ivf import N_CENTROIDS
+
+    return pq_train(residual_frame(emb, cents), seed_from=N_CENTROIDS)
+
+
+def ivfpq_residual_search(
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    codebook: dict[tuple[int, int], list[float]] | None = None,
+) -> DataFrame:
+    """Top-k by residual-PQ ADC over the NPROBE probed cells: candidates
+    encode their residuals through the literal-folded two-stage path,
+    and the query carries one integer LUT per probed cell (its residual
+    against THAT cell's centroid) selected by a CASE on the candidate's
+    cell — the FAISS IVFPQ scoring shape."""
+    cents = _centroid_floats(emb)
+    if codebook is None:
+        codebook = pq_train_residual(emb, cents)
+    cells = probe_cells_for(emb, query_vec_id)
+    q = emb.filter(F.col("vec_id") == query_vec_id).select("embedding").collect()
+    q_emb = [float(v) for v in q[0]["embedding"]]
+    cand = residual_frame(emb, cents).filter(
+        F.col("cell").isin(cells) & (F.col("vec_id") != query_vec_id)
+    )
+    s1 = _dot_stage(cand, codebook, ["vec_id", "label", "cell"])
+    per_cell_score = {}
+    for cell in cells:
+        q_res = [a - b for a, b in zip(q_emb, cents[cell])]
+        terms = []
+        for m in range(M):
+            qs = q_res[m * SUBDIM : (m + 1) * SUBDIM]
+            lut = []
+            for j in range(K):
+                c = codebook.get((m, j))
+                if c is None:
+                    lut.append(None)
+                    continue
+                d2 = _fold_dot(qs, qs) - 2.0 * _fold_dot(qs, c) + _fold_dot(c, c)
+                lut.append(_micro_half_up(d2))
+            arr = F.array(
+                *[
+                    F.lit(v) if v is not None else F.lit(None).cast("bigint")
+                    for v in lut
+                ]
+            )
+            terms.append(F.element_at(arr, _code_from_dots(m, codebook) + 1))
+        score = terms[0]
+        for t in terms[1:]:
+            score = score + t
+        per_cell_score[cell] = score
+    scored = F.when(F.col("cell") == cells[0], per_cell_score[cells[0]])
+    for cell in cells[1:]:
+        scored = scored.when(F.col("cell") == cell, per_cell_score[cell])
+    return (
+        s1.select("vec_id", "label", "cell", scored.cast("bigint").alias("adc_micro"))
+        .orderBy("adc_micro", "vec_id")
+        .limit(k)
+    )
+
+
 # ---------------------------------------------------------------- check
 
 _IVFPQ_ORACLE = f"""
@@ -178,6 +296,101 @@ def q_ivfpq_adc_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb, query_vec_id=0, k=10, codebook=codebook_for(spark, sf_dir)
         )
         _Q_CACHE[key] = df
+    return df
+
+
+# ------------------------------------------- residual check + oracle --
+
+_IVFPQ_RES_ORACLE = f"""
+    WITH {_D_ASSIGN},
+    q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+    probe AS (
+        SELECT c.cid AS cell
+        FROM c CROSS JOIN q
+        ORDER BY {_d_packed(_D_DOT.format(a='c.c_emb', b='q.q_emb')
+                            + ' / (' + _D_NORM.format(v='c.c_emb')
+                            + ' * ' + _D_NORM.format(v='q.q_emb') + ')', 'c.cid')}
+        LIMIT {NPROBE}),
+    remb AS (
+        SELECT e.vec_id,
+               list_transform(list_zip(CAST(e.embedding AS DOUBLE[]),
+                                       CAST(c.c_emb AS DOUBLE[])),
+                              p -> p[1] - p[2]) AS r
+        FROM embeddings e
+        JOIN assign a ON a.vec_id = e.vec_id
+        JOIN c ON c.cid = a.cell),
+    subs AS (
+        SELECT vec_id, m.m AS m, r[m.m * {SUBDIM} + 1 : m.m * {SUBDIM} + {SUBDIM}] AS sub
+        FROM remb, (SELECT unnest(range(0, {M})) AS m) m),
+    pc0 AS (SELECT m, CAST(vec_id - {K} AS INT) AS j, sub AS c_sub
+            FROM subs WHERE vec_id >= {K} AND vec_id < {2 * K}),
+    pa1 AS ({_d_assign('pc0')}),
+    pc1 AS ({_d_update('pa1')}),
+    pa2 AS ({_d_assign('pc1')}),
+    pc2 AS ({_d_update('pa2')}),
+    pa3 AS ({_d_assign('pc2')}),
+    qres AS (
+        SELECT c.cid AS cell,
+               list_transform(list_zip(CAST(q.q_emb AS DOUBLE[]),
+                                       CAST(c.c_emb AS DOUBLE[])),
+                              p -> p[1] - p[2]) AS r
+        FROM c CROSS JOIN q
+        WHERE c.cid IN (SELECT cell FROM probe)),
+    qsubs AS (
+        SELECT cell, m.m AS m, r[m.m * {SUBDIM} + 1 : m.m * {SUBDIM} + {SUBDIM}] AS sub
+        FROM qres, (SELECT unnest(range(0, {M})) AS m) m),
+    lut AS (
+        SELECT qs.cell, qs.m, cb.j,
+               CAST(ROUND((list_dot_product(qs.sub, qs.sub)
+                           - 2.0 * list_dot_product(qs.sub, cb.c_sub)
+                           + list_dot_product(cb.c_sub, cb.c_sub)) * 1000000.0)
+                    AS BIGINT) AS micro
+        FROM qsubs qs JOIN pc2 cb ON cb.m = qs.m),
+    scores AS (
+        SELECT a.vec_id, SUM(l.micro) AS adc_micro
+        FROM pa3 a
+        JOIN assign asg ON asg.vec_id = a.vec_id
+        JOIN lut l ON l.m = a.m AND l.j = a.code AND l.cell = asg.cell
+        WHERE a.vec_id <> 0
+        GROUP BY a.vec_id)
+    SELECT s.vec_id, e.label, asg.cell, CAST(s.adc_micro AS BIGINT) AS adc_micro
+    FROM scores s
+    JOIN assign asg ON asg.vec_id = s.vec_id
+    JOIN embeddings e ON e.vec_id = s.vec_id
+    ORDER BY s.adc_micro, s.vec_id LIMIT 10
+"""
+
+_RCB_CACHE: dict[tuple[str, str], dict[tuple[int, int], list[float]]] = {}
+_RQ_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def residual_codebook_for(
+    spark: SparkSession, sf_dir: str
+) -> dict[tuple[int, int], list[float]]:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cb = _RCB_CACHE.get(key)
+    if cb is None:
+        cb = pq_train_residual(load(spark, sf_dir, "embeddings"))
+        _RCB_CACHE[key] = cb
+    return cb
+
+
+@check("ivfpq_residual_top10", oracle=_IVFPQ_RES_ORACLE)
+def q_ivfpq_residual_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FAISS-recipe residual index end-to-end: IVF probe prunes to
+    NPROBE cells, residual-trained PQ codes rescore with the query's
+    per-cell LUTs.  The oracle restates residual construction, the
+    offset-seeded Lloyd iterations, per-cell query LUTs, and the
+    integer top-k.  Plan cached per (session, dataset) like the global
+    row."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _RQ_CACHE.get(key)
+    if df is None:
+        emb = load(spark, sf_dir, "embeddings")
+        df = ivfpq_residual_search(
+            emb, query_vec_id=0, k=10, codebook=residual_codebook_for(spark, sf_dir)
+        )
+        _RQ_CACHE[key] = df
     return df
 
 

@@ -77,13 +77,18 @@ def _packed(d2: Column, code: Column) -> Column:
     )
 
 
-def pq_train(emb: DataFrame) -> dict[tuple[int, int], list[float]]:
+def pq_train(emb: DataFrame, seed_from: int = 0) -> dict[tuple[int, int], list[float]]:
     """{(m, code): 16 rounded doubles} after ``ITERS`` Lloyd iterations
-    from the deterministic seed (first K vectors' subspace slices)."""
+    from the deterministic seed (vectors ``seed_from .. seed_from+K-1``'s
+    subspace slices; residual training passes a nonzero offset because
+    the first N_CENTROIDS vectors ARE the IVF centroids and their
+    residuals are identically zero — a degenerate seed)."""
     spark = emb.sparkSession
     subs = _subspaces(emb)
-    seed = subs.filter(F.col("vec_id") < K).select(
-        "m", F.col("vec_id").cast("int").alias("j"),
+    seed = subs.filter(
+        (F.col("vec_id") >= seed_from) & (F.col("vec_id") < seed_from + K)
+    ).select(
+        "m", (F.col("vec_id") - seed_from).cast("int").alias("j"),
         F.transform("sub", lambda x: x.cast("double")).alias("c_sub"),
     )
     cb_df = seed

@@ -143,3 +143,49 @@ def test_hard_negatives_plan_and_semantics(spark, sf_dir):
             if best is None or key < best:
                 best, best_cos = key, b_id
         assert got[a_id]["neg_id"] == best_cos
+
+
+def test_ivfpq_residual_recall_at_least_global(spark, sf_dir):
+    """The FAISS residual recipe must not lose recall@10 vs the global
+    codebook on the probed cells (residuals concentrate near the
+    origin, so the same code budget quantizes finer)."""
+    import numpy as np
+
+    from dronedb_spark.vectors.ivf import ivf_assign
+    from dronedb_spark.vectors.ivfpq import (
+        ivfpq_adc_search,
+        ivfpq_residual_search,
+        pq_train_residual,
+        probe_cells_for,
+    )
+    from dronedb_spark.vectors.pq import pq_train
+
+    emb = load(spark, sf_dir, "embeddings")
+    cells = set(probe_cells_for(emb, 0))
+    assign = {r["vec_id"]: r["cell"] for r in ivf_assign(emb).collect()}
+    vecs = {
+        r["vec_id"]: np.array([float(v) for v in r["embedding"]])
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    q = vecs[0]
+    cand = [v for v in vecs if assign[v] in cells and v != 0]
+    exact = set(
+        sorted(cand, key=lambda v: (float(np.sum((vecs[v] - q) ** 2)), v))[:10]
+    )
+    res_ids = {
+        r["vec_id"]
+        for r in ivfpq_residual_search(
+            emb, 0, 10, codebook=pq_train_residual(emb)
+        ).collect()
+    }
+    glob_ids = {
+        r["vec_id"]
+        for r in ivfpq_adc_search(emb, 0, 10, codebook=pq_train(emb)).collect()
+    }
+    recall_res = len(res_ids & exact)
+    recall_glob = len(glob_ids & exact)
+    assert recall_res >= recall_glob
+    # sanity floor only: M=4 x K=8 is 12 bits/vector — extreme
+    # compression on 64-d unstructured fixture embeddings, so absolute
+    # recall is low by construction; the recipe comparison is the pin
+    assert recall_res >= 2
