@@ -669,9 +669,10 @@ def test_bloom_screen_laws(spark):
     returns EXACTLY the unscreened plan's neededFiles; (c) the bit
     table never exceeds m rows."""
     from dronedb_spark.operators.bloom import (
-        M_BITS,
+        M_FLOOR,
         bloom_bits,
         bloom_classify,
+        bloom_m_bits,
         push_plan_prefiltered,
     )
     from dronedb_spark.operators.delta import _push_fixture_sql, push_plan
@@ -679,16 +680,43 @@ def test_bloom_screen_laws(spark):
     t = _push_fixture_sql("spark")
     server = spark.sql(t["server"])
     client = spark.sql(t["client"])
-    bits = bloom_bits(server)
-    assert bits.count() <= M_BITS
-    cls = {r["hash"]: r["cls"] for r in bloom_classify(client, bits).collect()}
+    bits, m = bloom_bits(server)
+    assert m == M_FLOOR  # fixture is tiny: the wire-format floor
+    assert bits.count() <= m
+    cls = {r["hash"]: r["cls"] for r in bloom_classify(client, bits, m).collect()}
     on_server = {r["hash"] for r in server.collect()}
     for h, c in cls.items():
         if h in on_server:
             assert c == "check", h
-    got = sorted(r["item"] for r in push_plan_prefiltered(client, server, bits).collect())
+    got = sorted(
+        r["item"] for r in push_plan_prefiltered(client, server, bits, m).collect()
+    )
     want = sorted(r["item"] for r in push_plan(client, server).collect())
     assert got == want and len(want) > 0
+    # sizing law: m scales with the key count, never below the floor
+    assert bloom_m_bits(1) == M_FLOOR
+    assert bloom_m_bits(600) == 8192
+    assert bloom_m_bits(10**6) == 2**24  # 16M bits ≥ 10 bits/key
+
+
+def test_bloom_no_false_negatives_at_derived_size(spark):
+    """The no-false-negative law at the SECOND derived size (600 keys →
+    m = 8192): every stored hash still classifies 'check'."""
+    from dronedb_spark.operators.bloom import (
+        _LARGE_CLIENT_SPARK,
+        _LARGE_SERVER_SPARK,
+        bloom_bits,
+        bloom_classify,
+    )
+
+    server = spark.sql(_LARGE_SERVER_SPARK)
+    client = spark.sql(_LARGE_CLIENT_SPARK)
+    bits, m = bloom_bits(server)
+    assert m == 8192
+    on_server = {r["hash"] for r in server.collect()}
+    for r in bloom_classify(client, bits, m).collect():
+        if r["hash"] in on_server:
+            assert r["cls"] == "check"
 
 
 def test_r7_operator_plan_shapes(spark, sf_dir):
@@ -725,7 +753,8 @@ def test_r7_operator_plan_shapes(spark, sf_dir):
     from dronedb_spark.operators.delta import _push_fixture_sql
 
     t = _push_fixture_sql("spark")
-    q = bloom_classify(spark.sql(t["client"]), bloom_bits(spark.sql(t["server"])))
+    bbits, bm = bloom_bits(spark.sql(t["server"]))
+    q = bloom_classify(spark.sql(t["client"]), bbits, bm)
     p = physical_plan(q)
     assert "BroadcastHashJoin" in p and not has_cartesian(q)
 
