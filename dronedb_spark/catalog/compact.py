@@ -41,11 +41,17 @@ def compact_plan(entries: DataFrame, target: int = TARGET_BYTES) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     before = F.coalesce(F.sum("size").over(w), F.lit(0))
+    # integer division (DIV): Spark's `/` on bigints is a double, whose
+    # truncated quotient can disagree with the exact closed form once a
+    # folder's cumulative bytes pass 2^53 — the 100 TB regime this plan
+    # targets
     return files.select(
+        "folder", "path", "size", before.alias("before_bytes")
+    ).select(
         "folder",
         "path",
         "size",
-        (before / target).cast("int").alias("group_no"),
+        F.expr(f"CAST(before_bytes DIV {target} AS INT)").alias("group_no"),
     )
 
 

@@ -34,7 +34,9 @@ def temperature_budgets(docs: DataFrame, total: int = TOTAL_BUDGET) -> DataFrame
     weighted = counts.select("source", "n_docs", w.alias("weight"))
     tot_w = weighted.agg(F.sum("weight").alias("w_sum"))
     j = weighted.join(F.broadcast(tot_w))
-    base = (F.lit(total) * F.col("weight") / F.col("w_sum")).cast("bigint")
+    # integer DIV, not `/`: the double quotient's truncation can
+    # disagree with the oracle's exact `//` once total·weight nears 2^53
+    base = F.expr(f"CAST({total} AS BIGINT) * weight DIV w_sum")
     rem = (F.lit(total) * F.col("weight")) % F.col("w_sum")
     staged = j.select(
         "source", "n_docs", "weight",
