@@ -477,11 +477,21 @@ def stac_item_proj(props: DataFrame, props_col: str = "properties") -> DataFrame
 
 
 def stac_item_props_rewrite(props: DataFrame, props_col: str = "properties") -> DataFrame:
-    """The in-place property REWRITE buildStacItem performs: for rows
-    with both geotransform+projection, the source keys (geotransform,
-    projection, and width/height when proj:shape is emitted) are ERASED
-    and replaced by their proj:* forms; other rows pass through
-    untouched.  Returns (path, properties) with the rewritten JSON."""
+    """The in-place property REWRITE buildStacItem performs
+    (stac.cpp:394-416): for rows with both geotransform+projection, the
+    SOURCE keys (geotransform, projection, and width/height only when
+    proj:shape is emitted) are erased and the proj:* keys added — every
+    OTHER property (datetime, captureTime, bands, make/model, ... —
+    real entries always carry siblings, entry.cpp:140-196) survives
+    verbatim.  Returns (path, properties) with the rewritten JSON,
+    entries in sorted-key order (the nlohmann::json object order the
+    reference serializes); untouched rows pass through byte-identical.
+
+    Mechanics: the properties parse once as ``map<string, variant>``
+    (typed values of any shape), surviving entries re-serialize via
+    ``to_json`` on the variant (numbers canonicalize, nested structure
+    is preserved), and the proj:* entries assemble from the typed
+    extraction — all column work, no shuffle."""
     p = F.from_json(F.col(props_col), _PROJ_PROPS_SCHEMA)
     has = p["geotransform"].isNotNull() & p["projection"].isNotNull()
     has_shape = has & p["width"].isNotNull() & p["height"].isNotNull()
@@ -494,7 +504,7 @@ def stac_item_props_rewrite(props: DataFrame, props_col: str = "properties") -> 
         F.lit("]"),
     )
     shape_json = F.concat(
-        F.lit(',"proj:shape":['),
+        F.lit('"proj:shape":['),
         p["height"].cast("string"), F.lit(","), p["width"].cast("string"),
         F.lit("]"),
     )
@@ -505,20 +515,40 @@ def stac_item_props_rewrite(props: DataFrame, props_col: str = "properties") -> 
         F.lit('"'),
         F.lit('\\"'),
     )
-    wkt_json = F.concat(F.lit(',"proj:wkt2":"'), wkt_escaped, F.lit('"'))
+    wkt_json = F.concat(F.lit('"proj:wkt2":"'), wkt_escaped, F.lit('"'))
     code_json = F.when(
         epsg.cast("int") > 0,
-        F.concat(F.lit(',"proj:code":"EPSG:'), epsg, F.lit('"')),
-    ).otherwise(F.lit(""))
+        F.concat(F.lit('"proj:code":"EPSG:'), epsg, F.lit('"')),
+    ).otherwise(F.lit(None).cast("string"))
+    staged = props.withColumn("_hs", has_shape).withColumn(
+        "_entries", F.map_entries(F.from_json(F.col(props_col), "map<string, variant>"))
+    )
+    survivors = F.transform(
+        F.filter(
+            F.col("_entries"),
+            lambda e: ~(
+                e["key"].isin("geotransform", "projection")
+                | (F.col("_hs") & e["key"].isin("width", "height"))
+            ),
+        ),
+        lambda e: F.concat(
+            F.lit('"'), e["key"], F.lit('":'), F.to_json(e["value"])
+        ),
+    )
+    proj_entries = F.array_compact(
+        F.array(
+            gt_json,
+            F.when(has_shape, shape_json).otherwise(F.lit(None).cast("string")),
+            wkt_json,
+            code_json,
+        )
+    )
     rewritten = F.concat(
         F.lit("{"),
-        gt_json,
-        F.when(has_shape, shape_json).otherwise(F.lit("")),
-        wkt_json,
-        code_json,
+        F.array_join(F.array_sort(F.concat(proj_entries, survivors)), ","),
         F.lit("}"),
     )
-    return props.select(
+    return staged.select(
         "path",
         F.when(has, rewritten).otherwise(F.col(props_col)).alias("properties"),
     )
@@ -605,3 +635,71 @@ def q_stac_item_proj_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
         " FROM documents WHERE doc_id % 7 = 2"
     )
     return stac_item_proj(props.unionByName(plain)).orderBy("path")
+
+
+# Sibling properties real entries always carry (set during ingest just
+# like datetime in buildStacItem, stac.cpp:389-393): the rewrite must
+# preserve them.  Shared-dialect fragment over the GeoRaster scalars.
+_GEORASTER_SIBLINGS_SQL = f"""
+    SELECT g.*,
+           '2021-0' || CAST(1 + CAST(g.gt0 AS BIGINT) % 9 AS STRING)
+               || '-15T08:30:00Z' AS dt,
+           CAST(1600000000000 + CAST(g.gt0 AS BIGINT) * 1000 AS BIGINT) AS ct,
+           CASE WHEN CAST(g.gt0 AS BIGINT) % 20 = 0 THEN 'DJI'
+                ELSE 'Parrot' END AS mk
+    FROM ({_GEORASTER_PROPS_SQL}) g
+"""
+
+
+@check(
+    "stac_props_rewrite_siblings",
+    oracle=f"""
+        WITH gr AS ({_GEORASTER_SIBLINGS_SQL})
+        SELECT path,
+               '{{' || array_to_string(list_sort([x FOR x IN [
+                   '"proj:transform":[' || CAST(gt0 AS VARCHAR) || ',' ||
+                       CAST(gt1 AS VARCHAR) || ',' || CAST(gt2 AS VARCHAR) || ',' ||
+                       CAST(gt3 AS VARCHAR) || ',' || CAST(gt4 AS VARCHAR) || ',' ||
+                       CAST(gt5 AS VARCHAR) || ']',
+                   CASE WHEN width IS NOT NULL AND height IS NOT NULL
+                        THEN '"proj:shape":[' || CAST(height AS VARCHAR) || ','
+                             || CAST(width AS VARCHAR) || ']' END,
+                   '"proj:wkt2":"' ||
+                       replace(replace(projection, '\\', '\\\\'), '"', '\\"') || '"',
+                   CASE WHEN (regexp_extract_all(projection,
+                                 'AUTHORITY\\["EPSG","([0-9]+)"\\]', 1))[-1] IS NOT NULL
+                        THEN '"proj:code":"EPSG:' ||
+                             (regexp_extract_all(projection,
+                                 'AUTHORITY\\["EPSG","([0-9]+)"\\]', 1))[-1] || '"' END,
+                   '"captureTime":' || CAST(ct AS VARCHAR),
+                   '"datetime":"' || dt || '"',
+                   '"make":"' || mk || '"'
+               ] IF x IS NOT NULL]), ',') || '}}' AS properties
+        FROM gr ORDER BY path""",
+)
+def q_stac_props_rewrite_siblings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The property REWRITE with realistic entries: every GeoRaster row
+    carries datetime, captureTime, and make alongside the projection
+    sources.  The rewrite must erase exactly the source keys, add the
+    proj:* keys, and pass every sibling through — the oracle assembles
+    the full expected JSON (sorted-entry canonical form) from the same
+    scalars."""
+    from dronedb_spark.tables import register_views
+
+    register_views(spark, sf_dir, ["documents"])
+    gr = spark.sql(_GEORASTER_SIBLINGS_SQL)
+    props = gr.select(
+        "path",
+        F.to_json(
+            F.struct(
+                F.array(*[F.col(f"gt{i}") for i in range(6)]).alias("geotransform"),
+                F.col("projection"),
+                F.col("width"),
+                F.col("height"),
+                F.col("dt").alias("datetime"),
+                F.col("ct").alias("captureTime"),
+                F.col("mk").alias("make"),
+            )
+        ).alias("properties"),
+    )
+    return stac_item_props_rewrite(props).orderBy("path")

@@ -75,7 +75,11 @@ def test_stac_item_proj_rewrite_erases_sources(spark):
            'AUTHORITY["EPSG","32633"]]')
     rows = [
         ("a", json.dumps({"geotransform": [1.0, 0.5, 0.0, 2.0, 0.0, -0.5],
-                          "projection": wkt, "width": 100, "height": 80})),
+                          "projection": wkt, "width": 100, "height": 80,
+                          "datetime": "2021-05-06T10:00:00Z",
+                          "captureTime": 1620295200000,
+                          "make": "DJI",
+                          "bands": [{"colorInterp": "Red"}]})),
         ("b", json.dumps({"geotransform": [1.0, 1.0, 0.0, 2.0, 0.0, -1.0],
                           "projection": 'LOCAL_CS["eng"]'})),
         ("c", json.dumps({"width": 640})),
@@ -90,8 +94,29 @@ def test_stac_item_proj_rewrite_erases_sources(spark):
     assert got["a"]["proj:code"] == "EPSG:32633"
     for k in ("geotransform", "projection", "width", "height"):
         assert k not in got["a"]
+    # SIBLING properties survive the rewrite (the reference erases only
+    # the source keys, stac.cpp:394-416; datetime is set just above the
+    # projection block and must never be lost)
+    assert got["a"]["datetime"] == "2021-05-06T10:00:00Z"
+    assert got["a"]["captureTime"] == 1620295200000
+    assert got["a"]["make"] == "DJI"
+    assert got["a"]["bands"] == [{"colorInterp": "Red"}]
     # b: no shape (no width/height), no code (no EPSG authority)
     assert "proj:shape" not in got["b"] and "proj:code" not in got["b"]
     assert got["b"]["proj:wkt2"] == 'LOCAL_CS["eng"]'
     # c: untouched passthrough
     assert got["c"] == {"width": 640}
+
+
+def test_stac_item_proj_rewrite_keeps_width_without_shape(spark):
+    """width WITHOUT height ⇒ no proj:shape ⇒ width is NOT erased
+    (the reference only erases width/height when it emits the shape)."""
+    import json
+
+    from dronedb_spark.operators.stac import stac_item_props_rewrite
+
+    rows = [("w", json.dumps({"geotransform": [0.0, 1.0, 0.0, 0.0, 0.0, -1.0],
+                              "projection": 'LOCAL_CS["eng"]', "width": 321}))]
+    df = spark.createDataFrame(rows, "path string, properties string")
+    got = json.loads(stac_item_props_rewrite(df).collect()[0]["properties"])
+    assert got["width"] == 321 and "proj:shape" not in got
