@@ -104,7 +104,12 @@ def stream_cms_sketch(docs_stream: DataFrame) -> DataFrame:
     return cms_token_sketch(docs_stream)
 
 
-def stream_incremental_probe(batch_stream: DataFrame, store: DataFrame) -> DataFrame:
+def stream_incremental_probe(
+    batch_stream: DataFrame,
+    store: DataFrame,
+    event_time: str | None = None,
+    delay: str = "10 minutes",
+) -> DataFrame:
     """The daily-ingest dedup RUNTIME as Structured Streaming: new
     documents arrive as a stream, their signatures/bands compute per
     microbatch (streaming-safe path — no persist barrier), and the
@@ -116,12 +121,24 @@ def stream_incremental_probe(batch_stream: DataFrame, store: DataFrame) -> DataF
     COUNT(DISTINCT), so per-doc rollups (and the left-fill of hit-less
     docs) happen downstream, exactly where the batch twin
     `incremental_neardup` computes them.  tests/test_streaming.py pins
-    the stream triples rolled up == the batch twin's hit rows."""
+    the stream triples rolled up == the batch twin's hit rows.
+
+    STATE BOUND: pass ``event_time`` (an event-time column on the
+    stream) for the long-lived runtime — the triple dedup then runs as
+    ``dropDuplicatesWithinWatermark`` and state older than ``delay``
+    is evicted, the same discipline the content-hash path above uses.
+    Without it the dedup state grows with every distinct triple
+    forever: acceptable for bounded replays (availableNow backfills),
+    never for the continuous daily-ingest deployment."""
     from dronedb_spark.text.dedup import BANDS, minhash_signatures
 
-    sig = minhash_signatures(batch_stream, streaming=True)
+    carry: tuple[str, ...] = (event_time,) if event_time else ()
+    if event_time:
+        batch_stream = batch_stream.withWatermark(event_time, delay)
+    sig = minhash_signatures(batch_stream, streaming=True, carry=carry)
     probe = sig.select(
         F.col("doc_id").alias("batch_doc"),
+        *carry,
         F.explode(
             F.array(
                 *[
@@ -130,8 +147,14 @@ def stream_incremental_probe(batch_stream: DataFrame, store: DataFrame) -> DataF
                 ]
             )
         ).alias("s"),
-    ).select("batch_doc", F.col("s.band_id").alias("band_id"), F.col("s.bk").alias("bk"))
-    hits = probe.join(store, ["band_id", "bk"])
-    return hits.select("batch_doc", "doc_id", "band_id").dropDuplicates(
-        ["batch_doc", "doc_id", "band_id"]
+    ).select(
+        "batch_doc", *carry,
+        F.col("s.band_id").alias("band_id"), F.col("s.bk").alias("bk"),
     )
+    hits = probe.join(store, ["band_id", "bk"])
+    triples = hits.select("batch_doc", "doc_id", "band_id", *carry)
+    if event_time:
+        return triples.dropDuplicatesWithinWatermark(
+            ["batch_doc", "doc_id", "band_id"]
+        )
+    return triples.dropDuplicates(["batch_doc", "doc_id", "band_id"])

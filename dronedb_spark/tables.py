@@ -154,10 +154,26 @@ def barrier_persist(df: DataFrame) -> DataFrame:
     if key is not None:
         hit = _BARRIER_CACHE.get(key)
         if hit is not None:
-            _BARRIER_CACHE.move_to_end(key)
-            return hit
+            # semanticHash is 32-bit and equal hashes do NOT guarantee
+            # equal plans — confirm before serving the cached frame, or
+            # a collision would silently substitute another pipeline's
+            # data.  On mismatch fall through to a fresh persist (the
+            # collided entry keeps its slot; correctness first).
+            try:
+                same = df.sameSemantics(hit)
+            except Exception:
+                same = False
+            if same:
+                _BARRIER_CACHE.move_to_end(key)
+                return hit
     p = df.persist(StorageLevel.MEMORY_AND_DISK)
     if key is not None:
+        collided = _BARRIER_CACHE.get(key)
+        if collided is not None:
+            try:
+                collided.unpersist()
+            except Exception:
+                pass
         _BARRIER_CACHE[key] = p
         if len(_BARRIER_CACHE) > _BARRIER_MAX:
             _, old = _BARRIER_CACHE.popitem(last=False)

@@ -44,8 +44,9 @@ def exact_dup_groups(docs: DataFrame) -> DataFrame:
     )
 
 
-def _shingle_df(docs: DataFrame) -> DataFrame:
-    """(doc_id, sh: array<string>) — word 3-grams.
+def _shingle_df(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_id, *carry, sh: array<string>) — word 3-grams; ``carry``
+    columns (e.g. a stream's event-time) pass through untouched.
 
     Built with ``zip_with`` over three shifted ``slice``s so the token
     array is referenced only as TOP-LEVEL arguments (evaluated once per
@@ -66,12 +67,14 @@ def _shingle_df(docs: DataFrame) -> DataFrame:
                        (x, y) -> concat(x, ' ', y))
                 ELSE array() END"""
     )
-    return docs.select("doc_id", F.split("text", " ").alias("toks")).select(
-        "doc_id", sh.alias("sh")
-    )
+    return docs.select(
+        "doc_id", *carry, F.split("text", " ").alias("toks")
+    ).select("doc_id", *carry, sh.alias("sh"))
 
 
-def minhash_signatures(docs: DataFrame, *, streaming: bool = False) -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame, *, streaming: bool = False, carry: tuple[str, ...] = ()
+) -> DataFrame:
     """Per-doc MinHash signature + LSH band keys.
 
     The shingle array is MATERIALIZED before the k per-hash-function
@@ -90,7 +93,7 @@ def minhash_signatures(docs: DataFrame, *, streaming: bool = False) -> DataFrame
     the cache instead of re-shingling."""
     from dronedb_spark.tables import barrier_persist, spread
 
-    sh = _shingle_df(docs).filter(F.size("sh") > 0)
+    sh = _shingle_df(docs, carry).filter(F.size("sh") > 0)
     if streaming:
         # streaming frames admit neither persist nor .rdd-based width
         # probes; microbatches are small enough that the HOF-recompute
@@ -108,12 +111,14 @@ def minhash_signatures(docs: DataFrame, *, streaming: bool = False) -> DataFrame
     sig = [
         F.array_min(F.transform(F.col("sh"), hasher(j))).alias(f"mh{j}") for j in range(N_HASHES)
     ]
-    df = sh_df.select("doc_id", *sig)
+    df = sh_df.select("doc_id", *carry, *sig)
     bands = [
         F.md5(F.concat(*[F.col(f"mh{j}") for j in range(b * 3, b * 3 + 3)])).alias(f"band{b}")
         for b in range(BANDS)
     ]
-    return df.select("doc_id", *[F.col(f"mh{j}") for j in range(N_HASHES)], *bands)
+    return df.select(
+        "doc_id", *carry, *[F.col(f"mh{j}") for j in range(N_HASHES)], *bands
+    )
 
 
 def neardup_pairs(docs: DataFrame) -> DataFrame:

@@ -766,3 +766,25 @@ def test_r7_operator_plan_shapes(spark, sf_dir):
     q = eval_contaminated(emb, emb.filter(F.col("vec_id") % 17 == 0))
     p = physical_plan(q)
     assert "Exchange" not in p and "Join" not in p, p
+
+
+def test_barrier_persist_collision_guard(spark):
+    """barrier_persist serves a cached frame only when sameSemantics
+    confirms the hit — a 32-bit semanticHash collision must fall
+    through to a fresh persist, never substitute another pipeline's
+    data."""
+    from dronedb_spark import tables
+
+    a = spark.range(10).selectExpr("id", "id * 2 AS x")
+    b = spark.range(10).selectExpr("id", "id * 3 AS x")  # different plan
+    key = (spark.sparkContext.applicationId, a.semanticHash())
+    tables._BARRIER_CACHE.pop(key, None)
+    tables._BARRIER_CACHE[key] = b  # simulate a hash collision
+    got = tables.barrier_persist(a)
+    assert got is not b
+    assert [r["x"] for r in got.orderBy("id").collect()][:3] == [0, 2, 4]
+    # genuine re-use still hits the cache
+    again = tables.barrier_persist(spark.range(10).selectExpr("id", "id * 2 AS x"))
+    assert again is got
+    got.unpersist()
+    tables._BARRIER_CACHE.pop(key, None)

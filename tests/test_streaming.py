@@ -271,3 +271,56 @@ def test_stream_incremental_probe_matches_batch(spark, sf_dir, tmp_path):
         for r in incremental_neardup(batch, store).filter("is_corpus_dup").collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stream_incremental_probe_watermarked_state_bound(spark, sf_dir, tmp_path):
+    """The long-lived runtime path: with an event-time column the
+    triple dedup runs under a watermark (bounded state) and still
+    yields exactly the batch twin's hit rows."""
+    from pyspark.sql import functions as F
+
+    from dronedb_spark.streaming.dedup import stream_incremental_probe
+    from dronedb_spark.tables import load
+    from dronedb_spark.text.dedup import band_store, incremental_neardup
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    store_docs = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0).unionByName(
+        store_docs.filter(F.col("doc_id") % 11 == 1).select(
+            (F.col("doc_id") + 5000000).alias("doc_id"), "text"
+        )
+    )
+    stamped = batch.withColumn(
+        "ingest_ts",
+        F.to_timestamp(F.lit("2026-08-14 12:00:00")) + F.make_interval(
+            secs=F.col("doc_id") % 60
+        ),
+    )
+    store = band_store(store_docs)
+    src = str(tmp_path / "inc_batch_wm_src")
+    stamped.repartition(2).write.parquet(src)
+    stream = spark.readStream.schema(stamped.schema).parquet(src)
+    q = (
+        stream_incremental_probe(stream, store, event_time="ingest_ts")
+        .writeStream.format("memory")
+        .queryName("inc_probe_wm")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    triples = spark.sql("SELECT * FROM inc_probe_wm").collect()
+    per_doc: dict[int, dict] = {}
+    for r in triples:
+        d = per_doc.setdefault(r["batch_doc"], {"docs": set(), "bands": set()})
+        d["docs"].add(r["doc_id"])
+        d["bands"].add(r["band_id"])
+    got = {
+        (bd, len(v["docs"]), len(v["bands"]), min(v["docs"]))
+        for bd, v in per_doc.items()
+    }
+    want = {
+        (r["doc_id"], r["n_corpus_hits"], r["n_hit_bands"], r["dup_of"])
+        for r in incremental_neardup(batch, store).filter("is_corpus_dup").collect()
+    }
+    assert got == want and len(want) > 0
