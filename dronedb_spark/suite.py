@@ -30,54 +30,48 @@ def check(name: str, oracle: str | None = None):
     return deco
 
 
-# Round-7 gating order: everything NEW or whose code was TOUCHED this
+# Round-8 gating order: everything NEW or whose code was TOUCHED this
 # round re-gates first (the driver walks in order under a ~50-check
 # budget); checks green twice with unchanged code cede their slots.
-_ROUND7_PRIORITY = [
-    # NEW in round 7 — the STAC projection extension (the last §2 parity
-    # gap), BPE corpus encode (+10x twin), PQ ADC search, and the
-    # multimodal 10x stress twin
-    "stac_item_proj_fields", "bpe_encode_corpus", "bpe_encode_corpus_10x",
-    "pq_adc_top10", "image_dhash_neardup_10x", "ivfpq_adc_top10",
-    "audio_fp_neardup", "doc_chunks_overlap", "video_scene_cuts",
-    "ivfpq_store_probe", "shard_shuffle_assign", "aspect_bucket_batches",
-    "compact_plan_groups", "hard_negative_mining",
-    "embedding_eval_decontam", "temperature_mixture_budgets",
-    "push_bloom_classify", "doc_chunks_overlap_10x", "flight_session_rollup",
-    "audio_fp_neardup_10x",
-    # TOUCHED in round 7 — dHash rebanded 8x8-bit + arbitrary-dimension
-    # box means; dedup/winnow CSE barriers moved to the bounded
-    # barrier_persist LRU; push_plan meta-side guard; incremental build
-    # path root gating
-    "image_dhash_neardup", "winnow_overlap_pairs",
-    "dedup_minhash_signatures", "dedup_neardup_pairs",
-    "incremental_dedup_probe", "dedup_cluster_ids", "dedup_jaccard_pairs",
-    "push_needed_files", "build_derivatives_real",
-    # r6-new checks taking their second green
-    "delta_adds_10x", "hll_token_registers", "cms_heavy_hitters",
-    "clone_plan_downloads", "bm25_query_scores",
-    # refresh band: once-green surface touched by shared modules (stac,
-    # sketch, bpe families) or carrying exactly one green row
-    "stac_items_page", "stac_items_keyset", "stac_number_matched",
-    "stac_datetime_iso", "stac_collection_doc", "bpe_first_merge",
-    "video_frame_decode", "media_gif_channel_stats",
+_ROUND8_PRIORITY = [
+    # NEW in round 8 — the rebuilt per-frame audio fingerprint (+10x),
+    # arbitrary-boundary substring dedup, residual IVF-PQ, the sized
+    # Bloom screen's second-m gate, domain-level caps, and the
+    # sibling-preserving STAC properties rewrite
+    "audio_fp_neardup", "audio_fp_neardup_10x", "substring_dup_spans",
+    "ivfpq_residual_top10", "push_bloom_classify_large",
+    "domain_quality_rollup", "domain_cap_sample", "domain_capped_budgets",
+    "stac_props_rewrite_siblings",
+    # TOUCHED in round 8 — dHash hot-bucket cap; Bloom sizing;
+    # compaction + mixture integer DIV; minhash carry columns (the
+    # whole dedup/winnow family re-gates); stac rewrite module
+    "image_dhash_neardup", "image_dhash_neardup_10x",
+    "push_bloom_classify", "compact_plan_groups",
+    "temperature_mixture_budgets", "dedup_minhash_signatures",
+    "dedup_neardup_pairs", "incremental_dedup_probe", "dedup_cluster_ids",
+    "dedup_jaccard_pairs", "winnow_overlap_pairs", "stream_dedup_twin",
+    "stac_item_proj_fields",
+    # r7-new checks taking their second green
+    "pq_adc_top10", "ivfpq_adc_top10", "ivfpq_store_probe",
+    "bpe_encode_corpus", "bpe_encode_corpus_10x", "doc_chunks_overlap",
+    "doc_chunks_overlap_10x", "video_scene_cuts", "shard_shuffle_assign",
+    "aspect_bucket_batches", "hard_negative_mining",
+    "embedding_eval_decontam", "flight_session_rollup",
+    # refresh band: families whose last green predates r7 or that carry
+    # exactly one green row
     "catalog_workflow_lifecycle", "catalog_rescan_types",
-    "pointcloud_laz_stats", "pointcloud_laz14_stats",
-    "pointcloud_waveform_metrics", "copc_container_pages",
-    "lm_doc_perplexity_10x", "pack_sequences_10x", "pull_delta_plan",
-    "stockpile_single", "stamp_checksum", "stamp_tree_digest",
-    "elevation_profile", "media_jpeg_channel_stats", "thumb_stats",
-    "cog_roundtrip", "raster_export_parquet", "thermal_rjpeg_stats",
-    "sensor_profile_presets", "fingerprint_types", "setexif_gps_roundtrip",
-    "meta_chattr_roundtrip", "passwords_verify", "json_sink_roundtrip",
-    "geo_timezone_lookup", "stream_dedup_twin", "sq8_adc_top10",
+    "build_derivatives_real", "push_needed_files", "pull_delta_plan",
+    "clone_plan_downloads", "delta_adds", "apply_delta_classify",
+    "meta_rollup", "meta_restore_merge", "stamp_checksum",
+    "sqlite_catalog_entries", "vector_query_page", "vector_describe",
+    "mvt_tile_features", "raster_area_stats",
 ]
 
 
 def load_all() -> dict[str, Check]:
     """Import every operator module so its checks register, then reorder
     the registry so the checks that still need a driver CORRECTNESS row
-    (``_ROUND7_PRIORITY``) come first — the driver walks in order under a
+    (``_ROUND8_PRIORITY``) come first — the driver walks in order under a
     ~50-check budget and the already-green families can cede their slots.
     """
     # --- never-gated in round 1: register first -------------------------
@@ -174,7 +168,7 @@ def load_all() -> dict[str, Check]:
     import dronedb_spark.text.segdedup  # noqa: F401
     import dronedb_spark.text.repetition  # noqa: F401
 
-    ordered = {n: REGISTRY[n] for n in _ROUND7_PRIORITY if n in REGISTRY}
+    ordered = {n: REGISTRY[n] for n in _ROUND8_PRIORITY if n in REGISTRY}
     ordered.update((n, c) for n, c in REGISTRY.items() if n not in ordered)
     REGISTRY.clear()
     REGISTRY.update(ordered)
