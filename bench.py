@@ -120,6 +120,17 @@ HEADLINE = [
     "doc_chunks_overlap_10x",
     "flight_session_rollup",
     "audio_fp_neardup_10x",
+    # round-8 breadth: arbitrary-boundary substring dedup (anchor counts
+    # + islands, no pair join), the residual IVF-PQ recipe, the sized
+    # Bloom screen at its second m, domain-level rollup/cap/budget
+    # composition, and the sibling-preserving STAC properties rewrite
+    "substring_dup_spans",
+    "ivfpq_residual_top10",
+    "push_bloom_classify_large",
+    "domain_quality_rollup",
+    "domain_cap_sample",
+    "domain_capped_budgets",
+    "stac_props_rewrite_siblings",
 ]
 
 _SMALL_RESULT = {
@@ -140,6 +151,11 @@ _SMALL_RESULT = {
     "embedding_eval_decontam",
     "temperature_mixture_budgets",
     "push_bloom_classify",
+    "ivfpq_residual_top10",
+    "push_bloom_classify_large",
+    "domain_quality_rollup",
+    "domain_cap_sample",
+    "domain_capped_budgets",
 }
 
 

@@ -34,10 +34,11 @@ pairs):
     instead of full gram text (identical in DuckDB, so the oracle
     reproduces counts exactly; a 60-bit collision merges two grams on
     BOTH engines);
-  * occurrence counting is one map-side-combinable groupBy; duplicated
-    anchors come back via a left-semi join (linear fan-out — a
-    boilerplate gram in 10M docs is one heavy count group, AQE-split,
-    never a quadratic bucket);
+  * occurrence counting is one WINDOW over the anchor hash — the
+    anchors shuffle once and count in place (a groupBy + semi-join
+    back would evaluate the anchor subtree once per join side); a
+    boilerplate gram in 10M docs is one heavy hash partition, linear,
+    never a quadratic bucket;
   * span assembly is a per-document window (lag + running sum islands)
     — one hash partition on doc_id, prefix sums in-partition
     (the ``catalog/compact.py`` gaps-and-islands discipline).
@@ -49,7 +50,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dronedb_spark.suite import check
-from dronedb_spark.tables import load, register_views
+from dronedb_spark.tables import load, register_views, spread
 
 K_TOKENS = 6  # minimum duplicated-span length in tokens
 
@@ -84,15 +85,24 @@ def anchor_kgrams(docs: DataFrame, k: int = K_TOKENS) -> DataFrame:
 
 def substring_dup_spans(docs: DataFrame, k: int = K_TOKENS) -> DataFrame:
     """(doc_id, span_start, span_end, span_tokens): maximal duplicated
-    token spans ≥ k tokens, 1-based inclusive positions."""
-    anchors = anchor_kgrams(docs, k)
-    dup_keys = (
-        anchors.groupBy("ah")
-        .agg(F.count(F.lit(1)).alias("n_occ"))
+    token spans ≥ k tokens, 1-based inclusive positions.
+
+    Occurrence counting is a WINDOW over the anchor hash, not a
+    groupBy + semi-join back: the join formulation evaluates the whole
+    anchor subtree (tokenize + k-gram + md5 per gram) once per side —
+    Catalyst has no common-subplan materialization across join inputs —
+    while the window shuffles the anchors once and counts in place.
+    Same two exchanges total (hash, then doc), half the compute."""
+    anchors = spread(anchor_kgrams(docs, k))
+    dup_pos = (
+        anchors.select(
+            "doc_id",
+            "pos",
+            F.count(F.lit(1)).over(Window.partitionBy("ah")).alias("n_occ"),
+        )
         .filter(F.col("n_occ") >= 2)
-        .select("ah")
+        .select("doc_id", "pos")
     )
-    dup_pos = anchors.join(dup_keys, "ah", "left_semi").select("doc_id", "pos")
     w = Window.partitionBy("doc_id").orderBy("pos")
     # interval [pos, pos+k-1]; merge while the union stays contiguous
     brk = (
@@ -172,10 +182,12 @@ _SPLICE_DUCK = """
                    ), 1, 15) AS BIGINT) AS BIGINT) AS ah
             FROM toks,
                  LATERAL (SELECT unnest(range(1, len(t) - {K_TOKENS - 1} + 1)) AS pos) p),
-        dup_keys AS (SELECT ah FROM anchors GROUP BY ah HAVING COUNT(*) >= 2),
         dup_pos AS (
-            SELECT a.doc_id, a.pos FROM anchors a
-            WHERE a.ah IN (SELECT ah FROM dup_keys)),
+            SELECT doc_id, pos FROM (
+                SELECT doc_id, pos,
+                       COUNT(*) OVER (PARTITION BY ah) AS n_occ
+                FROM anchors) a
+            WHERE n_occ >= 2),
         marked AS (
             SELECT doc_id, pos,
                    CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
