@@ -153,6 +153,7 @@ def load_all() -> dict[str, Check]:
     import dronedb_spark.operators.sessions  # noqa: F401  (flight sessions, new in r7)
     import dronedb_spark.text.substring  # noqa: F401  (arbitrary-boundary substring dedup, new in r8)
     import dronedb_spark.text.domains  # noqa: F401  (domain-level quality caps, new in r8)
+    import dronedb_spark.text.gopher  # noqa: F401  (Gopher quality rules, new in r8)
     # --- green rows in CORRECTNESS_r01: register after ------------------
     import dronedb_spark.operators.search  # noqa: F401
     import dronedb_spark.operators.stats  # noqa: F401
