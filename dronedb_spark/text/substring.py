@@ -134,6 +134,43 @@ def substring_dup_spans(docs: DataFrame, k: int = K_TOKENS) -> DataFrame:
     )
 
 
+def substring_dedup_rewrite(docs: DataFrame, k: int = K_TOKENS) -> DataFrame:
+    """The C4-style REWRITE over the spans: (doc_id, n_tokens, n_kept,
+    n_dropped, clean_md5) — every token covered by a duplicated span is
+    removed from every document (Lee et al.'s remove-all policy for
+    spans duplicated across the corpus), the survivors re-join into the
+    cleaned text, fingerprinted for the check.
+
+    The span table is tiny relative to the corpus (only documents with
+    duplication carry rows), so the rewrite is a LEFT join of docs
+    against per-doc span arrays + one narrow projection: the token
+    filter runs as a lambda over (token, position) pairs with the
+    span array in-row — no per-token shuffle."""
+    spans = substring_dup_spans(docs, k)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("spans")
+    )
+    joined = docs.join(per_doc, "doc_id", "left")
+    kept = F.expr(
+        """filter(transform(split(text, ' '), (t, i) -> struct(t AS t, i + 1 AS p)),
+                  x -> spans IS NULL OR NOT exists(spans,
+                       s -> x.p >= s.span_start AND x.p <= s.span_end))"""
+    )
+    return joined.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        kept.alias("_kept"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.size("_kept").cast("bigint").alias("n_kept"),
+        (F.col("n_tokens") - F.size("_kept")).cast("bigint").alias("n_dropped"),
+        F.md5(F.array_join(F.expr("transform(_kept, x -> x.t)"), " ")).alias(
+            "clean_md5"
+        ),
+    )
+
+
 # ----------------------------------------------------------- check --
 
 # The planted-duplicate corpus: every doc_id % 10 == 0 base doc (with
@@ -167,10 +204,10 @@ _SPLICE_DUCK = """
 """
 
 
-@check(
-    "substring_dup_spans",
-    oracle=f"""
-        WITH corpus AS (
+# spans CTE chain shared by both oracles: corpus → anchors → window
+# count → islands → spans(doc_id, span_start, span_end)
+_D_SPANS_CTES = f"""
+        corpus AS (
             SELECT doc_id, text FROM documents
             UNION ALL
             {_SPLICE_DUCK}),
@@ -198,13 +235,22 @@ _SPLICE_DUCK = """
                    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                        AS island
-            FROM marked)
-        SELECT doc_id,
-               CAST(MIN(pos) AS BIGINT) AS span_start,
-               CAST(MAX(pos) + {K_TOKENS - 1} AS BIGINT) AS span_end,
-               CAST(MAX(pos) + {K_TOKENS - 1} - MIN(pos) + 1 AS BIGINT) AS span_tokens
-        FROM islands
-        GROUP BY doc_id, island
+            FROM marked),
+        spans AS (
+            SELECT doc_id,
+                   CAST(MIN(pos) AS BIGINT) AS span_start,
+                   CAST(MAX(pos) + {K_TOKENS - 1} AS BIGINT) AS span_end
+            FROM islands
+            GROUP BY doc_id, island)"""
+
+
+@check(
+    "substring_dup_spans",
+    oracle=f"""
+        WITH {_D_SPANS_CTES}
+        SELECT doc_id, span_start, span_end,
+               CAST(span_end - span_start + 1 AS BIGINT) AS span_tokens
+        FROM spans
         ORDER BY doc_id, span_start""",
 )
 def q_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -219,3 +265,44 @@ def q_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT doc_id, text FROM documents UNION ALL {_SPLICE_SPARK}"
     )
     return substring_dup_spans(corpus, K_TOKENS).orderBy("doc_id", "span_start")
+
+
+@check(
+    "substring_dedup_rewrite",
+    oracle=f"""
+        WITH {_D_SPANS_CTES},
+        positions AS (
+            SELECT t.doc_id, p.pos, t.t[p.pos] AS tok
+            FROM toks t,
+                 LATERAL (SELECT unnest(range(1, len(t.t) + 1)) AS pos) p),
+        kept AS (
+            SELECT p.doc_id, p.pos, p.tok
+            FROM positions p
+            LEFT JOIN spans s
+              ON s.doc_id = p.doc_id
+             AND p.pos BETWEEN s.span_start AND s.span_end
+            WHERE s.doc_id IS NULL)
+        SELECT c.doc_id,
+               CAST(len(string_split(c.text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(kc.n_kept, 0) AS BIGINT) AS n_kept,
+               CAST(len(string_split(c.text, ' '))
+                    - COALESCE(kc.n_kept, 0) AS BIGINT) AS n_dropped,
+               md5(COALESCE(kc.clean, '')) AS clean_md5
+        FROM corpus c
+        LEFT JOIN (
+            SELECT doc_id, COUNT(*) AS n_kept,
+                   string_agg(tok, ' ' ORDER BY pos) AS clean
+            FROM kept GROUP BY doc_id) kc
+          ON kc.doc_id = c.doc_id
+        ORDER BY c.doc_id""",
+)
+def q_substring_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus AFTER span removal: per-document token accounting and
+    an md5 fingerprint of the cleaned text — the rewrite itself, not
+    just the span report, value-checked end to end (the planted splices
+    lose exactly their copied middles)."""
+    register_views(spark, sf_dir, ["documents"])
+    corpus = spark.sql(
+        f"SELECT doc_id, text FROM documents UNION ALL {_SPLICE_SPARK}"
+    )
+    return substring_dedup_rewrite(corpus, K_TOKENS).orderBy("doc_id")

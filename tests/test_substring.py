@@ -81,3 +81,37 @@ def test_min_span_length_is_k(spark):
     ]
     assert all(t == K_TOKENS for _, t in spans)
     assert {d for d, _ in spans} == {1, 2}
+
+
+def test_rewrite_removes_exactly_the_span(spark):
+    """The rewrite drops exactly the duplicated tokens from both docs
+    and leaves everything else joined in order."""
+    from dronedb_spark.text.substring import substring_dedup_rewrite
+
+    w = [f"w{i}" for i in range(30)]
+    v = [f"v{i}" for i in range(30)]
+    span = w[3:12]
+    doc1 = " ".join(w[:20])
+    doc2 = " ".join(v[:5] + span + v[5:10])
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_kept"], r["n_dropped"])
+        for r in substring_dedup_rewrite(
+            _mkdocs(spark, [(1, doc1), (2, doc2)])
+        ).collect()
+    }
+    assert got == {1: (20, 11, 9), 2: (19, 10, 9)}
+
+
+def test_rewrite_keeps_clean_docs_verbatim(spark):
+    """A doc with no duplicated spans fingerprints to its original
+    text."""
+    import hashlib
+
+    from dronedb_spark.text.substring import substring_dedup_rewrite
+
+    t1 = " ".join(f"x{i}" for i in range(15))
+    t2 = " ".join(f"y{i}" for i in range(12))
+    rows = {r["doc_id"]: r for r in substring_dedup_rewrite(
+        _mkdocs(spark, [(1, t1), (2, t2)])).collect()}
+    assert rows[1]["n_dropped"] == 0
+    assert rows[1]["clean_md5"] == hashlib.md5(t1.encode()).hexdigest()
