@@ -253,6 +253,100 @@ def mixture_quota_sample(docs: DataFrame, base: int = 5, step: int = 7) -> DataF
     )
 
 
+def mixture_quota_twophase(
+    docs: DataFrame, base: int = 5, step: int = 7
+) -> DataFrame:
+    """``mixture_quota_sample`` in the TWO-PHASE shape SCALE.md
+    prescribes for extreme per-source volume — identical survivors
+    (pytest + driver pin equality), no per-source global sort:
+
+      1. bucket every row by the first 2 hex chars of its hash (256
+         lexicographic buckets — bucket order IS hash order) and
+         aggregate per-(source, bucket) counts: a map-side-combinable
+         pass whose result is model state (sources × 256 rows to the
+         driver, the centroid-rank budget);
+      2. the driver walks each source's buckets cumulatively to find
+         the BOUNDARY bucket where the quota lands; rows in earlier
+         buckets pass with a plain filter (no sort anywhere), and only
+         the boundary bucket — 1/256 of the source — is ranked for the
+         remaining seats.
+
+    At 100 TB per source the rank window therefore touches ~0.4% of
+    the data; everything else is filter + aggregate."""
+    spark = docs.sparkSession
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("source")))
+    bucketed = docs.select(
+        "doc_id", "source", h.alias("h"), F.substring(h, 1, 2).alias("bkt")
+    )
+    counts = (
+        bucketed.groupBy("source", "bkt")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    per_source: dict[str, dict[str, int]] = {}
+    for r in counts:
+        per_source.setdefault(r["source"], {})[r["bkt"]] = r["n"]
+
+    def quota_of(source: str) -> int:
+        return base + step * (int(source[3:]) % 3)
+
+    # (source, boundary bucket, seats remaining inside it)
+    plan_rows = []
+    for source, bkts in per_source.items():
+        q = quota_of(source)
+        acc = 0
+        boundary, remaining = "zz", 0  # quota exceeds corpus: keep all
+        for bkt in sorted(bkts):
+            if acc + bkts[bkt] >= q:
+                boundary, remaining = bkt, q - acc
+                break
+            acc += bkts[bkt]
+        plan_rows.append((source, boundary, remaining))
+    plan = spark.createDataFrame(
+        plan_rows, "source string, boundary string, remaining int"
+    )
+    staged = bucketed.join(F.broadcast(plan), "source")
+    early = staged.filter(F.col("bkt") < F.col("boundary"))
+    wb = Window.partitionBy("source").orderBy("h", "doc_id")
+    border = (
+        staged.filter(F.col("bkt") == F.col("boundary"))
+        .withColumn("rk", F.row_number().over(wb))
+        .filter(F.col("rk") <= F.col("remaining"))
+        .drop("rk")
+    )
+    return (
+        early.unionByName(border)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").cast("bigint").alias("sum_kept_ids"),
+        )
+        .orderBy("source")
+    )
+
+
+_QUOTA_ORACLE = """
+        WITH ranked AS (
+            SELECT doc_id, source,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS STRING) || ':' || source), doc_id
+                   ) AS rk
+            FROM documents)
+        SELECT source, CAST(COUNT(1) AS BIGINT) AS n_kept,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_kept_ids
+        FROM ranked
+        WHERE rk <= 5 + 7 * (CAST(substr(source, 4, 10) AS INT) % 3)
+        GROUP BY source ORDER BY source"""
+
+
+@check("mixture_quota_twophase", oracle=_QUOTA_ORACLE)
+def q_mixture_quota_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-phase scale path against the SAME oracle as the window
+    formulation — survivor sets must be identical."""
+    return mixture_quota_twophase(load(spark, sf_dir, "documents"))
+
+
 @check(
     "mixture_quota_sample",
     oracle="""

@@ -368,3 +368,18 @@ def test_eval_decontam_flags_only_planted(spark, sf_dir):
     planted = {r["vec_id"] for r in ev.collect()}
     assert set(got) == planted
     assert all(v == 1000000 for v in got.values())
+
+
+def test_quota_twophase_equals_window_formulation(spark, sf_dir):
+    """The two-phase cutoff path must select EXACTLY the window
+    formulation's survivors, source for source."""
+    from dronedb_spark.tables import load
+    from dronedb_spark.text.quality import (
+        mixture_quota_sample,
+        mixture_quota_twophase,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    a = {tuple(r) for r in mixture_quota_sample(docs).collect()}
+    b = {tuple(r) for r in mixture_quota_twophase(docs).collect()}
+    assert a == b and len(a) > 0
