@@ -131,6 +131,12 @@ HEADLINE = [
     "domain_cap_sample",
     "domain_capped_budgets",
     "stac_props_rewrite_siblings",
+    # round-8 late breadth: the span-removal rewrite, the Gopher rule
+    # gate, and the two-phase quota cutoff (filter + boundary-bucket
+    # rank, no per-source global sort)
+    "substring_dedup_rewrite",
+    "gopher_quality_flags",
+    "mixture_quota_twophase",
 ]
 
 _SMALL_RESULT = {
@@ -156,6 +162,7 @@ _SMALL_RESULT = {
     "domain_quality_rollup",
     "domain_cap_sample",
     "domain_capped_budgets",
+    "mixture_quota_twophase",
 }
 
 

@@ -41,7 +41,8 @@ _ROUND8_PRIORITY = [
     "audio_fp_neardup", "audio_fp_neardup_10x", "substring_dup_spans",
     "ivfpq_residual_top10", "push_bloom_classify_large",
     "domain_quality_rollup", "domain_cap_sample", "domain_capped_budgets",
-    "stac_props_rewrite_siblings",
+    "stac_props_rewrite_siblings", "substring_dedup_rewrite",
+    "gopher_quality_flags", "mixture_quota_twophase",
     # TOUCHED in round 8 — dHash hot-bucket cap; Bloom sizing;
     # compaction + mixture integer DIV; minhash carry columns (the
     # whole dedup/winnow family re-gates); stac rewrite module
@@ -154,6 +155,8 @@ def load_all() -> dict[str, Check]:
     import dronedb_spark.text.substring  # noqa: F401  (arbitrary-boundary substring dedup, new in r8)
     import dronedb_spark.text.domains  # noqa: F401  (domain-level quality caps, new in r8)
     import dronedb_spark.text.gopher  # noqa: F401  (Gopher quality rules, new in r8)
+    # (text.substring also registers substring_dedup_rewrite; text.quality
+    # registers mixture_quota_twophase — imported above)
     # --- green rows in CORRECTNESS_r01: register after ------------------
     import dronedb_spark.operators.search  # noqa: F401
     import dronedb_spark.operators.stats  # noqa: F401
