@@ -137,6 +137,7 @@ HEADLINE = [
     "substring_dedup_rewrite",
     "gopher_quality_flags",
     "mixture_quota_twophase",
+    "audio_fp_incremental",
 ]
 
 _SMALL_RESULT = {
@@ -163,6 +164,7 @@ _SMALL_RESULT = {
     "domain_cap_sample",
     "domain_capped_budgets",
     "mixture_quota_twophase",
+    "audio_fp_incremental",
 }
 
 

@@ -159,33 +159,49 @@ def audio_subfingerprints(media: DataFrame) -> DataFrame:
     return media.mapInPandas(kernel, schema=_SUB_SCHEMA)
 
 
-def _banded_candidates(subs: DataFrame, max_df: int) -> DataFrame:
-    """(aud_a, aud_b, sa, sb) distinct candidate subfingerprint pairs
-    from the capped band join."""
-    distinct_subs = subs.select("media_id", "sub").distinct()
-    bands = distinct_subs.select(
-        "media_id",
-        "sub",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        (F.shiftright("sub", i * BAND_BITS) % (1 << BAND_BITS))
-                        .alias("bv"),
-                    )
-                    for i in range(N_BANDS)
-                ]
-            )
-        ).alias("s"),
-    ).select("media_id", "sub", "s.band", "s.bv")
+def _sub_bands(subs: DataFrame) -> DataFrame:
+    """(media_id, sub, band, bv) — each DISTINCT (clip, subfingerprint)
+    exploded to its N_BANDS 8-bit band keys."""
+    return (
+        subs.select("media_id", "sub")
+        .distinct()
+        .select(
+            "media_id",
+            "sub",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band"),
+                            (
+                                F.shiftright("sub", i * BAND_BITS)
+                                % (1 << BAND_BITS)
+                            ).alias("bv"),
+                        )
+                        for i in range(N_BANDS)
+                    ]
+                )
+            ).alias("s"),
+        )
+        .select("media_id", "sub", "s.band", "s.bv")
+    )
+
+
+def _df_capped(bands: DataFrame, max_df: int) -> DataFrame:
+    """Drop band buckets present in more than ``max_df`` clips."""
     rare = (
         bands.groupBy("band", "bv")
         .agg(F.countDistinct("media_id").alias("df"))
         .filter(F.col("df") <= max_df)
         .select("band", "bv")
     )
-    kept = bands.join(rare, ["band", "bv"], "left_semi")
+    return bands.join(rare, ["band", "bv"], "left_semi")
+
+
+def _banded_candidates(subs: DataFrame, max_df: int) -> DataFrame:
+    """(aud_a, aud_b, sa, sb) distinct candidate subfingerprint pairs
+    from the capped band join."""
+    kept = _df_capped(_sub_bands(subs), max_df)
     a = kept.select(
         F.col("media_id").alias("aud_a"), F.col("sub").alias("sa"), "band", "bv"
     )
@@ -197,6 +213,52 @@ def _banded_candidates(subs: DataFrame, max_df: int) -> DataFrame:
         .filter(F.col("aud_a") < F.col("aud_b"))
         .select("aud_a", "aud_b", "sa", "sb")
         .distinct()
+    )
+
+
+def audio_band_store(media: DataFrame, max_df: int = MAX_DF) -> DataFrame:
+    """The persisted corpus fingerprint store: (media_id, sub, band, bv)
+    rows with hot buckets already dropped — what a production pipeline
+    writes once per ingested batch and keeps bucketed by (band, bv) on
+    disk, so tomorrow's probe join needs no corpus-side shuffle and
+    never re-decodes stored audio (the ``text/dedup.py:band_store``
+    discipline for the audio family)."""
+    return _df_capped(_sub_bands(audio_subfingerprints(media)), max_df)
+
+
+def audio_incremental_neardup(
+    batch_media: DataFrame, store: DataFrame, max_hamming: int = 2
+) -> DataFrame:
+    """Probe NEW clips against the persisted store: one row per batch
+    clip — (aud, is_dup, n_store_hits, dup_of, min_hamming).  Only the
+    batch decodes; the store side is pre-banded and pre-capped, so the
+    join moves batch band keys only (broadcastable for a daily batch).
+    Sentinels (-1) instead of NULLs for hit-less clips."""
+    subs = audio_subfingerprints(batch_media)
+    probe = _sub_bands(subs).withColumnRenamed("media_id", "aud").withColumnRenamed(
+        "sub", "sub_probe"
+    )
+    hits = (
+        probe.join(store, ["band", "bv"])
+        .select(
+            "aud",
+            F.col("media_id").alias("store_id"),
+            F.expr("bit_count(sub_probe ^ sub)").alias("h"),
+        )
+        .filter(F.col("h") <= max_hamming)
+    )
+    per_clip = hits.groupBy("aud").agg(
+        F.countDistinct("store_id").alias("n_store_hits"),
+        F.min("store_id").alias("dup_of"),
+        F.min("h").alias("min_hamming"),
+    )
+    ids = batch_media.select(F.col("media_id").alias("aud")).distinct()
+    return ids.join(per_clip, "aud", "left").select(
+        "aud",
+        F.col("n_store_hits").isNotNull().cast("int").alias("is_dup"),
+        F.coalesce("n_store_hits", F.lit(0)).cast("bigint").alias("n_store_hits"),
+        F.coalesce("dup_of", F.lit(-1)).cast("bigint").alias("dup_of"),
+        F.coalesce("min_hamming", F.lit(-1)).cast("int").alias("min_hamming"),
     )
 
 
@@ -240,8 +302,12 @@ _AFP_MAX_DF_10X = 64
 def _afp_samples(i: int) -> np.ndarray:
     """Clip i: quadratic integer pseudo-noise (distinct per group k so
     frames get distinct spectra), gain-doubled for the 3k+1 mate,
-    sample-offset for the 3k+2 mate."""
-    k, m = divmod(i, 3)
+    sample-offset for the 3k+2 mate.  Ids ≥ 100 are mate-less NOVEL
+    clips (group 50 + (i−100)) for the incremental-probe fixture."""
+    if i >= 100:
+        k, m = 50 + (i - 100), 0
+    else:
+        k, m = divmod(i, 3)
     u = np.arange(_AFP_LEN, dtype=np.int64) + (_AFP_TRIM if m == 2 else 0)
     base = (u * u * (7 + k) + u * (13 + 29 * k)) % 2003 - 1001
     return (base * (2 if m == 1 else 1)).astype(np.int16)
@@ -367,6 +433,140 @@ def q_audio_fp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         audio_subfingerprints(media), max_hamming=2, max_df=_AFP_MAX_DF
     )
     return pairs.orderBy("aud_a", "aud_b")
+
+
+# -------------------------------------------- incremental store probe --
+
+# store: the base + gain clips of all 7 groups; batch: the 7 trimmed
+# mates (must hit their group) + 3 novel clips (must miss)
+_AFP_NOVEL = 3
+
+
+def _afp_subs_generic_sql(ids_sql: str) -> str:
+    """DuckDB CTEs computing subs(aud, n, sub) for an arbitrary clip-id
+    set (ids ≥ 100 are novel clips, group 50 + (id − 100))."""
+    n_frames = (_AFP_LEN - FRAME) // STRIDE + 1
+    k = "(CASE WHEN i.i >= 100 THEN 50 + (i.i - 100) ELSE CAST(i.i // 3 AS BIGINT) END)"
+    m = "(CASE WHEN i.i >= 100 THEN 0 ELSE i.i % 3 END)"
+    u = f"(t.t + CASE WHEN {m} = 2 THEN {_AFP_TRIM} ELSE 0 END)"
+    return f"""
+        s AS (
+            SELECT i.i AS aud, t.t AS t,
+                   CAST((({u} * {u} * (7 + {k})
+                          + {u} * (13 + 29 * {k})) % 2003 - 1001)
+                        * (CASE WHEN {m} = 1 THEN 2 ELSE 1 END) AS BIGINT) AS v
+            FROM ({ids_sql}) i,
+                 (SELECT unnest(range(0, {_AFP_LEN})) AS t) t),
+        seqmap(seq, nat) AS (VALUES {_seqmap_values()}),
+        coef AS (
+            SELECT s.aud, f.n, b.seq,
+                   SUM(s.v * (1 - 2 * (bit_count(b.nat & (s.t - f.n * {STRIDE})) % 2))) AS c
+            FROM s,
+                 (SELECT unnest(range(0, {n_frames})) AS n) f,
+                 seqmap b
+            WHERE s.t >= f.n * {STRIDE} AND s.t < f.n * {STRIDE} + {FRAME}
+            GROUP BY s.aud, f.n, b.seq),
+        d AS (
+            SELECT a.aud, a.n, a.seq AS m, a.c * a.c - b.c * b.c AS d
+            FROM coef a JOIN coef b
+              ON b.aud = a.aud AND b.n = a.n AND b.seq = a.seq + 1
+            WHERE a.seq <= {SUB_BITS}),
+        bits AS (
+            SELECT cur.aud, cur.n, cur.m - 1 AS idx,
+                   CASE WHEN cur.d - prev.d > 0 THEN 1 ELSE 0 END AS bit
+            FROM d cur JOIN d prev
+              ON prev.aud = cur.aud AND prev.n = cur.n - 1 AND prev.m = cur.m),
+        subs AS (
+            SELECT aud, n,
+                   CAST(SUM(bit * (1::BIGINT << CAST(idx AS INT))) AS BIGINT) AS sub
+            FROM bits GROUP BY aud, n)"""
+
+
+_AFP_INC_IDS = (
+    f"SELECT unnest(range(0, {3 * _AFP_GROUPS})) AS i"
+    f" UNION ALL SELECT unnest(range(100, {100 + _AFP_NOVEL})) AS i"
+)
+
+
+@check(
+    "audio_fp_incremental",
+    oracle=f"""
+        WITH {_afp_subs_generic_sql(_AFP_INC_IDS)},
+        dsubs AS (SELECT DISTINCT aud, sub FROM subs),
+        bands AS (
+            SELECT aud, sub, band,
+                   CAST(sub // (1::BIGINT << (band * {BAND_BITS})) AS BIGINT)
+                       % {1 << BAND_BITS} AS bv
+            FROM dsubs, (SELECT unnest(range(0, {N_BANDS})) AS band) bs),
+        store AS (
+            SELECT b.* FROM bands b
+            JOIN (SELECT band, bv FROM bands WHERE aud < 100 AND aud % 3 <> 2
+                  GROUP BY band, bv
+                  HAVING COUNT(DISTINCT aud) <= {_AFP_MAX_DF}) r USING (band, bv)
+            WHERE b.aud < 100 AND b.aud % 3 <> 2),
+        probe AS (
+            SELECT aud, sub AS sub_probe, band, bv FROM bands
+            WHERE aud >= 100 OR aud % 3 = 2),
+        hits AS (
+            SELECT p.aud, s.aud AS store_id,
+                   bit_count(xor(p.sub_probe, s.sub)) AS h
+            FROM probe p JOIN store s USING (band, bv)
+            WHERE bit_count(xor(p.sub_probe, s.sub)) <= 2),
+        per_clip AS (
+            SELECT aud, COUNT(DISTINCT store_id) AS n_store_hits,
+                   MIN(store_id) AS dup_of, MIN(h) AS min_hamming
+            FROM hits GROUP BY aud)
+        SELECT i.i AS aud,
+               CAST(CASE WHEN pc.aud IS NULL THEN 0 ELSE 1 END AS INT) AS is_dup,
+               CAST(COALESCE(pc.n_store_hits, 0) AS BIGINT) AS n_store_hits,
+               CAST(COALESCE(pc.dup_of, -1) AS BIGINT) AS dup_of,
+               CAST(COALESCE(pc.min_hamming, -1) AS INT) AS min_hamming
+        FROM ({_AFP_INC_IDS}) i
+        LEFT JOIN per_clip pc ON pc.aud = i.i
+        WHERE i.i >= 100 OR i.i % 3 = 2
+        ORDER BY aud""",
+)
+def q_audio_fp_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily-ingest runtime for audio: the store holds the base +
+    gain clips (banded, hot buckets capped at build); the batch decodes
+    the 7 TRIMMED mates plus 3 novel clips.  Every trimmed mate must
+    hit its group in the store (shared interior subfingerprints at
+    hamming 0); every novel clip must miss — only the batch side ever
+    decodes."""
+    store_ids = [i for i in range(3 * _AFP_GROUPS) if i % 3 != 2]
+    batch_ids = [i for i in range(3 * _AFP_GROUPS) if i % 3 == 2] + [
+        100 + j for j in range(_AFP_NOVEL)
+    ]
+    store_media = _gen_afp_wav_ids(spark, store_ids)
+    batch_media = _gen_afp_wav_ids(spark, batch_ids)
+    store = audio_band_store(store_media, max_df=_AFP_MAX_DF)
+    return audio_incremental_neardup(batch_media, store).orderBy("aud")
+
+
+def _gen_afp_wav_ids(spark: SparkSession, ids: list[int]) -> DataFrame:
+    base = spread(
+        spark.createDataFrame([(int(i),) for i in ids], "id long")
+    )
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from dronedb_spark.sources.wav import encode_wav
+
+        for pdf in it:
+            rows = [
+                {"media_id": int(i), "content": encode_wav(_afp_samples(int(i)), 16000)}
+                for i in pdf["id"]
+            ]
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    return base.mapInPandas(
+        gen,
+        schema=T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("content", T.BinaryType()),
+            ]
+        ),
+    )
 
 
 # ------------------------------------------------- 10x stress twin --

@@ -106,3 +106,28 @@ def test_pigeonhole_recall_to_hamming_3(spark):
     )
     got = audio_neardup(subs, max_hamming=3).collect()
     assert len(got) == 1 and got[0]["hamming"] == 3
+
+
+def test_incremental_probe_only_decodes_batch(spark):
+    """The store side of the incremental probe is pre-banded rows — a
+    probe plan must not contain a second decode kernel over the store
+    (one mapInPandas for the batch, none for the store input)."""
+    from dronedb_spark.multimodal.audiofp import (
+        audio_band_store,
+        audio_incremental_neardup,
+        _afp_samples,
+    )
+    from dronedb_spark.sources.wav import encode_wav
+
+    rows = [(i, bytearray(encode_wav(_afp_samples(i), 16000))) for i in range(6)]
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    store = [
+        (r["media_id"], r["sub"], r["band"], r["bv"])
+        for r in audio_band_store(media).collect()
+    ]
+    store_df = spark.createDataFrame(store, "media_id long, sub long, band int, bv bigint")
+    batch = spark.createDataFrame(rows[:2], "media_id long, content binary")
+    plan = audio_incremental_neardup(batch, store_df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1
+    got = {r["aud"]: r["is_dup"] for r in audio_incremental_neardup(batch, store_df).collect()}
+    assert got == {0: 1, 1: 1}  # both clips are in the store (self-hit)
