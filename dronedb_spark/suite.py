@@ -43,7 +43,7 @@ _ROUND8_PRIORITY = [
     "domain_quality_rollup", "domain_cap_sample", "domain_capped_budgets",
     "stac_props_rewrite_siblings", "substring_dedup_rewrite",
     "gopher_quality_flags", "mixture_quota_twophase",
-    "audio_fp_incremental",
+    "audio_fp_incremental", "ivfpq_residual_store_probe",
     # TOUCHED in round 8 — dHash hot-bucket cap; Bloom sizing;
     # compaction + mixture integer DIV; minhash carry columns (the
     # whole dedup/winnow family re-gates); stac rewrite module

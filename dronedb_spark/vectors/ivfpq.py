@@ -474,6 +474,125 @@ def ivfpq_probe_store(
     )
 
 
+def write_ivfpq_residual_store(
+    emb: DataFrame, path: str,
+    codebook: dict[tuple[int, int], list[float]] | None = None,
+    cents: dict[int, list[float]] | None = None,
+) -> dict[tuple[int, int], list[float]]:
+    """The residual-recipe serving index: same cell-partitioned
+    codes-only layout as ``write_ivfpq_store``, but the stored codes
+    quantize v − centroid(cell) — the index artifact beside it is the
+    residual codebook + the N_CENTROIDS centroid vectors."""
+    from dronedb_spark.vectors.pq import pq_encode
+
+    if cents is None:
+        cents = _centroid_floats(emb)
+    if codebook is None:
+        codebook = pq_train_residual(emb, cents)
+    res = residual_frame(emb, cents)
+    codes = pq_encode(res.select("vec_id", "embedding"), codebook)
+    (
+        res.select("vec_id", "label", "cell")
+        .join(codes, "vec_id")
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    return codebook
+
+
+def ivfpq_residual_probe_store(
+    spark: SparkSession,
+    path: str,
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    codebook: dict[tuple[int, int], list[float]] | None = None,
+    cents: dict[int, list[float]] | None = None,
+) -> DataFrame:
+    """Top-k residual ADC against the persisted index: read ONLY the
+    NPROBE probed cells' partitions, score the STORED residual codes
+    with the query's per-cell LUT (selected by the partition's cell
+    value) — no embedding floats read.  Must return exactly what the
+    in-memory ``ivfpq_residual_search`` returns on the same corpus +
+    codebook."""
+    if cents is None:
+        cents = _centroid_floats(emb)
+    if codebook is None:
+        codebook = pq_train_residual(emb, cents)
+    cells = probe_cells_for(emb, query_vec_id)
+    q = emb.filter(F.col("vec_id") == query_vec_id).select("embedding").collect()
+    q_emb = [float(v) for v in q[0]["embedding"]]
+    store = spark.read.parquet(path).filter(
+        F.col("cell").isin(cells) & (F.col("vec_id") != query_vec_id)
+    )
+    per_cell_score = {}
+    for cell in cells:
+        q_res = [a - b for a, b in zip(q_emb, cents[cell])]
+        terms = []
+        for m in range(M):
+            qs = q_res[m * SUBDIM : (m + 1) * SUBDIM]
+            lut = []
+            for j in range(K):
+                c = codebook.get((m, j))
+                if c is None:
+                    lut.append(None)
+                    continue
+                d2 = _fold_dot(qs, qs) - 2.0 * _fold_dot(qs, c) + _fold_dot(c, c)
+                lut.append(_micro_half_up(d2))
+            arr = F.array(
+                *[
+                    F.lit(v) if v is not None else F.lit(None).cast("bigint")
+                    for v in lut
+                ]
+            )
+            terms.append(F.element_at(arr, F.col(f"code_{m}") + 1))
+        score = terms[0]
+        for t in terms[1:]:
+            score = score + t
+        per_cell_score[cell] = score
+    scored = F.when(F.col("cell") == cells[0], per_cell_score[cells[0]])
+    for cell in cells[1:]:
+        scored = scored.when(F.col("cell") == cell, per_cell_score[cell])
+    return (
+        store.select(
+            "vec_id", "label", F.col("cell").cast("int").alias("cell"),
+            scored.cast("bigint").alias("adc_micro"),
+        )
+        .orderBy("adc_micro", "vec_id")
+        .limit(k)
+    )
+
+
+@check("ivfpq_residual_store_probe", oracle=_IVFPQ_RES_ORACLE)
+def q_ivfpq_residual_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The residual SERVING path: write the cell-partitioned residual
+    code store to a scratch dir, probe it (partition pruning +
+    stored-code per-cell LUTs), collect inside the check — must
+    hash-match the in-memory residual search's oracle."""
+    import shutil
+    import tempfile
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = _centroid_floats(emb)
+    cb = residual_codebook_for(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="ivfpq_res_store_")
+    try:
+        path = tmp + "/store"
+        write_ivfpq_residual_store(emb, path, codebook=cb, cents=cents)
+        rows = [
+            (int(r["vec_id"]), int(r["label"]), int(r["cell"]), int(r["adc_micro"]))
+            for r in ivfpq_residual_probe_store(
+                spark, path, emb, query_vec_id=0, k=10, codebook=cb, cents=cents
+            ).collect()
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "vec_id bigint, label int, cell int, adc_micro bigint"
+    )
+
+
 @check("ivfpq_store_probe", oracle=_IVFPQ_ORACLE)
 def q_ivfpq_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SERVING path against the persisted index: write the

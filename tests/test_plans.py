@@ -788,3 +788,78 @@ def test_barrier_persist_collision_guard(spark):
     assert again is got
     got.unpersist()
     tables._BARRIER_CACHE.pop(key, None)
+
+
+def test_r8_operator_plan_shapes(spark, sf_dir):
+    """One pin per round-8 operator family — the physical property each
+    one's SCALE.md claim rests on."""
+    from pyspark.sql import functions as F
+
+    from dronedb_spark.plans.inspect import has_cartesian, physical_plan
+    from dronedb_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    # substring spans: occurrence counting is a window, never a join
+    from dronedb_spark.text.substring import substring_dup_spans
+
+    q = substring_dup_spans(docs)
+    p = physical_plan(q)
+    assert "Join" not in p and not has_cartesian(q), p
+
+    # gopher gate: one narrow projection, no exchange
+    from dronedb_spark.text.gopher import gopher_quality_flags
+
+    p = physical_plan(gopher_quality_flags(docs))
+    assert "Exchange" not in p, p
+
+    # domain cap: the rank window is the only hash exchange
+    from dronedb_spark.text.domains import domain_cap
+
+    p = physical_plan(domain_cap(load(spark, sf_dir, "documents")))
+    own = p.split("InMemoryTableScan", 1)[0]
+    assert own.count("Exchange hashpartitioning") == 1, p
+
+    # residual IVF-PQ: the cell filter runs BEFORE the residual/dot
+    # stage (pruning shape), and the plan carries no cartesian
+    from dronedb_spark.vectors.ivfpq import (
+        ivfpq_residual_search,
+        pq_train_residual,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = ivfpq_residual_search(emb, 0, 10, codebook=pq_train_residual(emb))
+    assert not has_cartesian(q)
+    got = {tuple(r) for r in q.collect()}
+    assert len(got) == 10
+
+
+def test_residual_store_probe_reads_no_embeddings(spark, sf_dir, tmp_path):
+    """The residual serving store: probe plan prunes partitions to the
+    probed cells and its scan schema carries no embedding column."""
+    from dronedb_spark.plans.inspect import formatted
+    from dronedb_spark.tables import load
+    from dronedb_spark.vectors.ivfpq import (
+        _centroid_floats,
+        ivfpq_residual_probe_store,
+        ivfpq_residual_search,
+        pq_train_residual,
+        write_ivfpq_residual_store,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = _centroid_floats(emb)
+    cb = pq_train_residual(emb, cents)
+    path = str(tmp_path / "res_store")
+    write_ivfpq_residual_store(emb, path, codebook=cb, cents=cents)
+    q = ivfpq_residual_probe_store(spark, path, emb, 0, 10, codebook=cb, cents=cents)
+    f = formatted(q)
+    assert "PartitionFilters" in f and "cell" in f.split("PartitionFilters", 1)[1][:200]
+    read_schema = [ln for ln in f.splitlines() if "ReadSchema" in ln]
+    assert read_schema and all("embedding" not in ln for ln in read_schema)
+    got = [tuple(r) for r in q.collect()]
+    want = [
+        tuple(r)
+        for r in ivfpq_residual_search(emb, 0, 10, codebook=cb).collect()
+    ]
+    assert got == want and len(got) == 10
