@@ -138,6 +138,8 @@ HEADLINE = [
     "gopher_quality_flags",
     "mixture_quota_twophase",
     "audio_fp_incremental",
+    "ccnet_perplexity_buckets",
+    "cluster_quality_keep",
 ]
 
 _SMALL_RESULT = {
@@ -165,6 +167,7 @@ _SMALL_RESULT = {
     "domain_capped_budgets",
     "mixture_quota_twophase",
     "audio_fp_incremental",
+    "cluster_quality_keep",
 }
 
 

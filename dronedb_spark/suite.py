@@ -44,6 +44,7 @@ _ROUND8_PRIORITY = [
     "stac_props_rewrite_siblings", "substring_dedup_rewrite",
     "gopher_quality_flags", "mixture_quota_twophase",
     "audio_fp_incremental", "ivfpq_residual_store_probe",
+    "ccnet_perplexity_buckets", "cluster_quality_keep",
     # TOUCHED in round 8 — dHash hot-bucket cap; Bloom sizing;
     # compaction + mixture integer DIV; minhash carry columns (the
     # whole dedup/winnow family re-gates); stac rewrite module
@@ -156,6 +157,7 @@ def load_all() -> dict[str, Check]:
     import dronedb_spark.text.substring  # noqa: F401  (arbitrary-boundary substring dedup, new in r8)
     import dronedb_spark.text.domains  # noqa: F401  (domain-level quality caps, new in r8)
     import dronedb_spark.text.gopher  # noqa: F401  (Gopher quality rules, new in r8)
+    import dronedb_spark.text.curation  # noqa: F401  (CCNet buckets + cluster survivors, new in r8)
     # (text.substring also registers substring_dedup_rewrite; text.quality
     # registers mixture_quota_twophase — imported above)
     # --- green rows in CORRECTNESS_r01: register after ------------------

@@ -383,3 +383,42 @@ def test_quota_twophase_equals_window_formulation(spark, sf_dir):
     a = {tuple(r) for r in mixture_quota_sample(docs).collect()}
     b = {tuple(r) for r in mixture_quota_twophase(docs).collect()}
     assert a == b and len(a) > 0
+
+
+def test_ccnet_buckets_are_balanced_terciles(spark, sf_dir):
+    """Per language: bucket sizes differ by at most 1 and bucket 0
+    holds the lowest cross-entropy (head) documents."""
+    import collections
+
+    from dronedb_spark.tables import load
+    from dronedb_spark.text.curation import ccnet_perplexity_buckets
+
+    rows = ccnet_perplexity_buckets(load(spark, sf_dir, "documents")).collect()
+    by_lang = collections.defaultdict(list)
+    for r in rows:
+        by_lang[r["lang_pred"]].append((r["ppl_bucket"], r["cross_entropy"]))
+    for lang, vals in by_lang.items():
+        sizes = collections.Counter(b for b, _ in vals)
+        assert max(sizes.values()) - min(sizes.values()) <= 1, (lang, sizes)
+        h0 = max(ce for b, ce in vals if b == 0)
+        h2 = min(ce for b, ce in vals if b == 2)
+        assert h0 <= h2
+
+
+def test_cluster_keep_prefers_quality_over_min_id(spark):
+    """A cluster whose LATER member has more distinct tokens keeps the
+    later member — the policy min-id representatives get wrong."""
+    from dronedb_spark.text.curation import cluster_quality_keep
+
+    # near-identical docs (share shingles => same band) but doc 2 has an
+    # extra distinct token appended
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    # "kappa" keeps one LSH band shared (verified); doc 2 gains a
+    # distinct token, so quality selection must beat min-id
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " kappa")], "doc_id long, text string"
+    )
+    got = cluster_quality_keep(docs).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["cluster_id"] == 1 and r["keep_id"] == 2 and r["n_members"] == 2
