@@ -140,6 +140,7 @@ HEADLINE = [
     "audio_fp_incremental",
     "ccnet_perplexity_buckets",
     "cluster_quality_keep",
+    "image_dhash_incremental",
 ]
 
 _SMALL_RESULT = {
@@ -168,6 +169,7 @@ _SMALL_RESULT = {
     "mixture_quota_twophase",
     "audio_fp_incremental",
     "cluster_quality_keep",
+    "image_dhash_incremental",
 }
 
 

@@ -167,6 +167,75 @@ def dhash_neardup(
     )
 
 
+def _hash_bands(hashes: DataFrame) -> DataFrame:
+    """(media_id, h1, h2, band, bv) — each image's 8 band keys."""
+    band_structs = []
+    for i in range(N_BANDS):
+        half = F.col("h1") if i < 4 else F.col("h2")
+        shift = (i % 4) * 8
+        band_structs.append(
+            F.struct(
+                F.lit(i).alias("band"),
+                ((half / (1 << shift)).cast("bigint") % 256).alias("bv"),
+            )
+        )
+    return hashes.select(
+        "media_id", "h1", "h2", F.explode(F.array(*band_structs)).alias("s")
+    ).select("media_id", "h1", "h2", "s.band", "s.bv")
+
+
+def dhash_band_store(media: DataFrame, max_df: int = MAX_DF) -> DataFrame:
+    """The persisted image-fingerprint store: banded dHash rows with hot
+    buckets already dropped — written once per ingested batch, bucketed
+    by (band, bv) on disk, so tomorrow's probe needs no corpus-side
+    shuffle and never re-decodes stored images (the audio/text band
+    store discipline for images)."""
+    bands = _hash_bands(dhash_images(media))
+    rare = (
+        bands.groupBy("band", "bv")
+        .agg(F.countDistinct("media_id").alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("band", "bv")
+    )
+    return bands.join(rare, ["band", "bv"], "left_semi")
+
+
+def dhash_incremental_neardup(
+    batch_media: DataFrame, store: DataFrame, max_hamming: int = 6
+) -> DataFrame:
+    """Probe NEW images against the persisted store: one row per batch
+    image — (img, is_dup, n_store_hits, dup_of, min_hamming).  Only the
+    batch decodes; the store is pre-banded and pre-capped.  Sentinels
+    (-1) instead of NULLs for miss rows."""
+    hashes = dhash_images(batch_media)
+    probe = _hash_bands(hashes).select(
+        F.col("media_id").alias("img"),
+        F.col("h1").alias("h1p"),
+        F.col("h2").alias("h2p"),
+        "band",
+        "bv",
+    )
+    ham = F.expr("bit_count(h1p ^ h1) + bit_count(h2p ^ h2)")
+    hits = (
+        probe.join(store, ["band", "bv"])
+        .select("img", F.col("media_id").alias("store_id"), ham.alias("h"))
+        .filter(F.col("h") <= max_hamming)
+    )
+    per_img = hits.groupBy("img").agg(
+        F.countDistinct("store_id").alias("n_store_hits"),
+        F.min("store_id").alias("dup_of"),
+        F.min("h").alias("min_hamming"),
+    )
+    ids = batch_media.select(F.col("media_id").alias("img")).distinct()
+    return ids.join(per_img, "img", "left").select(
+        "img",
+        F.col("n_store_hits").isNotNull().cast("int").alias("is_dup"),
+        F.coalesce("n_store_hits", F.lit(0)).cast("bigint").alias("n_store_hits"),
+        F.coalesce("dup_of", F.lit(-1)).cast("bigint").alias("dup_of"),
+        F.coalesce("min_hamming", F.lit(-1)).cast("int").alias("min_hamming"),
+    )
+
+
 # ----------------------------------------------------------- check --
 
 _PH_N_PAIR = 8   # 16 images: mates 2k / 2k+1 differ by a +3 shift
@@ -176,7 +245,13 @@ _PH_MAX_DF_10X = 64   # 10x twin: copy groups put 20 images per bucket
 
 
 def _ph_pixels(i: int) -> np.ndarray:
-    k, m = divmod(i, 2)
+    """Image i: k-keyed gradient ramp; 2k+1 mates add a +3 brightness
+    shift.  Ids ≥ 100 are mate-less NOVEL images (k = 20 + (i−100))
+    for the incremental-probe fixture."""
+    if i >= 100:
+        k, m = 20 + (i - 100), 0
+    else:
+        k, m = divmod(i, 2)
     v = np.fromfunction(
         lambda y, x: (k * 37 + y * 5 + x * 11) % 200 + m * 3, (_PH_H, _PH_W)
     )
@@ -262,6 +337,99 @@ def _gen_ph_png(ids: DataFrame) -> DataFrame:
             ]
         ),
     )
+
+
+# -------------------------------------------- incremental store probe --
+
+_PH_NOVEL = 3
+_PH_INC_IDS = (
+    f"SELECT unnest(range(0, {2 * _PH_N_PAIR})) AS i"
+    f" UNION ALL SELECT unnest(range(100, {100 + _PH_NOVEL})) AS i"
+)
+
+
+@check(
+    "image_dhash_incremental",
+    oracle=f"""
+        WITH px AS (
+            SELECT i.i AS img, y.y AS y, x.x AS x,
+                   CAST(((CASE WHEN i.i >= 100 THEN 20 + (i.i - 100)
+                               ELSE CAST(i.i // 2 AS BIGINT) END) * 37
+                         + y.y * 5 + x.x * 11) % 200
+                        + (CASE WHEN i.i >= 100 THEN 0 ELSE i.i % 2 END) * 3
+                        AS DOUBLE) AS v
+            FROM ({_PH_INC_IDS}) i,
+                 (SELECT unnest(range(0, {_PH_H})) AS y) y,
+                 (SELECT unnest(range(0, {_PH_W})) AS x) x),
+        boxes AS (
+            SELECT img, y // 4 AS by, x // 4 AS bx, AVG(v) AS bv
+            FROM px GROUP BY img, y // 4, x // 4),
+        bits AS (
+            SELECT a.img, a.by * 8 + a.bx AS idx,
+                   CASE WHEN a.bv < b.bv THEN 1 ELSE 0 END AS bit
+            FROM boxes a
+            JOIN boxes b ON a.img = b.img AND a.by = b.by AND b.bx = a.bx + 1
+            WHERE a.bx < 8),
+        hs AS (
+            SELECT img,
+                   CAST(SUM(CASE WHEN idx < 32
+                                 THEN bit * (1::BIGINT << idx) ELSE 0 END) AS BIGINT) AS h1,
+                   CAST(SUM(CASE WHEN idx >= 32
+                                 THEN bit * (1::BIGINT << (idx - 32)) ELSE 0 END) AS BIGINT) AS h2
+            FROM bits GROUP BY img),
+        bands AS (
+            SELECT img, h1, h2, band,
+                   CAST((CASE WHEN band < 4 THEN h1 ELSE h2 END
+                         // (1::BIGINT << ((band % 4) * 8))) AS BIGINT) % 256 AS bv
+            FROM hs, (SELECT unnest(range(0, {N_BANDS})) AS band) bs),
+        store AS (
+            SELECT b.* FROM bands b
+            JOIN (SELECT band, bv FROM bands
+                  WHERE img < 100 AND img % 2 = 0
+                  GROUP BY band, bv
+                  HAVING COUNT(DISTINCT img) <= {_PH_MAX_DF}) r USING (band, bv)
+            WHERE b.img < 100 AND b.img % 2 = 0),
+        probe AS (
+            SELECT img, h1 AS h1p, h2 AS h2p, band, bv FROM bands
+            WHERE img >= 100 OR img % 2 = 1),
+        hits AS (
+            SELECT p.img, s.img AS store_id,
+                   bit_count(xor(p.h1p, s.h1)) + bit_count(xor(p.h2p, s.h2)) AS h
+            FROM probe p JOIN store s USING (band, bv)
+            WHERE bit_count(xor(p.h1p, s.h1)) + bit_count(xor(p.h2p, s.h2)) <= 6),
+        per_img AS (
+            SELECT img, COUNT(DISTINCT store_id) AS n_store_hits,
+                   MIN(store_id) AS dup_of, MIN(h) AS min_hamming
+            FROM hits GROUP BY img)
+        SELECT i.i AS img,
+               CAST(CASE WHEN pi.img IS NULL THEN 0 ELSE 1 END AS INT) AS is_dup,
+               CAST(COALESCE(pi.n_store_hits, 0) AS BIGINT) AS n_store_hits,
+               CAST(COALESCE(pi.dup_of, -1) AS BIGINT) AS dup_of,
+               CAST(COALESCE(pi.min_hamming, -1) AS INT) AS min_hamming
+        FROM ({_PH_INC_IDS}) i
+        LEFT JOIN per_img pi ON pi.img = i.i
+        WHERE i.i >= 100 OR i.i % 2 = 1
+        ORDER BY img""",
+)
+def q_image_dhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily-ingest runtime for images: the store holds the base
+    (even-id) images banded and capped; the batch decodes the +3-shift
+    mates (each must hit its base at hamming 0) plus 3 novel ramps —
+    two of which legitimately near-match stored ramps at hamming 4-5
+    (dHash sees gradient structure, and ramps are periodic mod 200)
+    while the third misses.  Only the batch side decodes."""
+    store_ids = [i for i in range(2 * _PH_N_PAIR) if i % 2 == 0]
+    batch_ids = [i for i in range(2 * _PH_N_PAIR) if i % 2 == 1] + [
+        100 + j for j in range(_PH_NOVEL)
+    ]
+    store_media = _gen_ph_png(
+        spread(spark.createDataFrame([(int(i),) for i in store_ids], "id long"))
+    )
+    batch_media = _gen_ph_png(
+        spread(spark.createDataFrame([(int(i),) for i in batch_ids], "id long"))
+    )
+    store = dhash_band_store(store_media, max_df=_PH_MAX_DF)
+    return dhash_incremental_neardup(batch_media, store).orderBy("img")
 
 
 # ------------------------------------------------- 10x stress twin --
