@@ -141,6 +141,7 @@ HEADLINE = [
     "ccnet_perplexity_buckets",
     "cluster_quality_keep",
     "image_dhash_incremental",
+    "ivfpq_rerank_top10",
 ]
 
 _SMALL_RESULT = {
@@ -170,6 +171,7 @@ _SMALL_RESULT = {
     "audio_fp_incremental",
     "cluster_quality_keep",
     "image_dhash_incremental",
+    "ivfpq_rerank_top10",
 }
 
 

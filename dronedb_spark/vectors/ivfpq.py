@@ -299,6 +299,120 @@ def q_ivfpq_adc_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def ivfpq_adc_rerank(
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    rerank: int = 50,
+    codebook: dict[tuple[int, int], list[float]] | None = None,
+) -> DataFrame:
+    """The full FAISS serving pattern: ADC shortlists ``rerank``
+    candidates from the probed cells (compressed scoring, no floats),
+    then ONLY those re-score with the exact squared L2 distance against
+    the raw vectors (a ``rerank``-row join — the float read is bounded
+    by the shortlist, never the corpus).  Output is the exact top-k of
+    the shortlist, integer-micro quantized for engine parity."""
+    if codebook is None:
+        codebook = pq_train(emb)
+    q = emb.filter(F.col("vec_id") == query_vec_id).select("embedding").collect()
+    q_emb = [float(v) for v in q[0]["embedding"]]
+    shortlist = ivfpq_adc_search(emb, query_vec_id, rerank, codebook).select(
+        "vec_id", "label", "cell"
+    )
+    cand = shortlist.join(emb.select("vec_id", "embedding"), "vec_id")
+    dim = len(q_emb)
+    t0 = F.col("embedding")[0].cast("double") - F.lit(q_emb[0])
+    acc = t0 * t0
+    for i in range(1, dim):
+        ti = F.col("embedding")[i].cast("double") - F.lit(q_emb[i])
+        acc = acc + ti * ti
+    return (
+        cand.select(
+            "vec_id",
+            "label",
+            "cell",
+            F.round(acc * F.lit(1000000.0)).cast("bigint").alias("l2_micro"),
+        )
+        .orderBy("l2_micro", "vec_id")
+        .limit(k)
+    )
+
+
+_IVFPQ_RERANK_ORACLE = f"""
+    WITH {_D_ASSIGN},
+    q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+    probe AS (
+        SELECT c.cid AS cell
+        FROM c CROSS JOIN q
+        ORDER BY {_d_packed(_D_DOT.format(a='c.c_emb', b='q.q_emb')
+                            + ' / (' + _D_NORM.format(v='c.c_emb')
+                            + ' * ' + _D_NORM.format(v='q.q_emb') + ')', 'c.cid')}
+        LIMIT {NPROBE}),
+    subs AS ({_D_SUBS}),
+    pc0 AS (SELECT m, CAST(vec_id AS INT) AS j, sub AS c_sub
+            FROM subs WHERE vec_id < {K}),
+    pa1 AS ({_d_assign('pc0')}),
+    pc1 AS ({_d_update('pa1')}),
+    pa2 AS ({_d_assign('pc1')}),
+    pc2 AS ({_d_update('pa2')}),
+    pa3 AS ({_d_assign('pc2')}),
+    lut AS (
+        SELECT s.m, cb.j,
+               CAST(ROUND((list_dot_product(s.sub, s.sub)
+                           - 2.0 * list_dot_product(s.sub, cb.c_sub)
+                           + list_dot_product(cb.c_sub, cb.c_sub)) * 1000000.0)
+                    AS BIGINT) AS micro
+        FROM subs s JOIN pc2 cb ON cb.m = s.m
+        WHERE s.vec_id = 0),
+    scores AS (
+        SELECT a.vec_id, SUM(l.micro) AS adc_micro
+        FROM pa3 a JOIN lut l ON l.m = a.m AND l.j = a.code
+        GROUP BY a.vec_id),
+    shortlist AS (
+        SELECT s.vec_id
+        FROM scores s
+        JOIN assign asg ON asg.vec_id = s.vec_id
+        WHERE asg.cell IN (SELECT cell FROM probe) AND s.vec_id <> 0
+        ORDER BY s.adc_micro, s.vec_id LIMIT 50),
+    exact AS (
+        SELECT sl.vec_id, e.label, asg.cell,
+               CAST(ROUND(list_dot_product(
+                   list_transform(list_zip(CAST(e.embedding AS DOUBLE[]),
+                                           CAST(q.q_emb AS DOUBLE[])),
+                                  p -> p[1] - p[2]),
+                   list_transform(list_zip(CAST(e.embedding AS DOUBLE[]),
+                                           CAST(q.q_emb AS DOUBLE[])),
+                                  p -> p[1] - p[2])) * 1000000.0) AS BIGINT)
+                   AS l2_micro
+        FROM shortlist sl
+        JOIN embeddings e ON e.vec_id = sl.vec_id
+        JOIN assign asg ON asg.vec_id = sl.vec_id
+        CROSS JOIN q)
+    SELECT vec_id, label, cell, l2_micro
+    FROM exact ORDER BY l2_micro, vec_id LIMIT 10
+"""
+
+_RR_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+@check("ivfpq_rerank_top10", oracle=_IVFPQ_RERANK_ORACLE)
+def q_ivfpq_rerank_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC shortlist (top-50 compressed scores in the probed cells) →
+    exact L2 rerank of the shortlist only → top-10.  The oracle
+    restates the whole chain; exact distances must agree to the micro
+    because the d² fold association matches list_dot_product."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _RR_CACHE.get(key)
+    if df is None:
+        emb = load(spark, sf_dir, "embeddings")
+        df = ivfpq_adc_rerank(
+            emb, query_vec_id=0, k=10, rerank=50,
+            codebook=codebook_for(spark, sf_dir),
+        )
+        _RR_CACHE[key] = df
+    return df
+
+
 # ------------------------------------------- residual check + oracle --
 
 _IVFPQ_RES_ORACLE = f"""

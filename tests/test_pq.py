@@ -189,3 +189,34 @@ def test_ivfpq_residual_recall_at_least_global(spark, sf_dir):
     # compression on 64-d unstructured fixture embeddings, so absolute
     # recall is low by construction; the recipe comparison is the pin
     assert recall_res >= 2
+
+
+def test_rerank_improves_or_matches_adc_recall(spark, sf_dir):
+    """Exact rerank of the ADC shortlist can only improve recall@10
+    against the true L2 top-10 of the probed cells."""
+    import numpy as np
+
+    from dronedb_spark.vectors.ivf import ivf_assign
+    from dronedb_spark.vectors.ivfpq import (
+        ivfpq_adc_rerank,
+        ivfpq_adc_search,
+        probe_cells_for,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    cb = pq_train(emb)
+    cells = set(probe_cells_for(emb, 0))
+    assign = {r["vec_id"]: r["cell"] for r in ivf_assign(emb).collect()}
+    vecs = {
+        r["vec_id"]: np.array([float(v) for v in r["embedding"]])
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    q = vecs[0]
+    cand = [v for v in vecs if assign[v] in cells and v != 0]
+    exact = set(
+        sorted(cand, key=lambda v: (float(np.sum((vecs[v] - q) ** 2)), v))[:10]
+    )
+    adc = {r["vec_id"] for r in ivfpq_adc_search(emb, 0, 10, codebook=cb).collect()}
+    rr = {r["vec_id"] for r in ivfpq_adc_rerank(emb, 0, 10, 50, codebook=cb).collect()}
+    assert len(rr & exact) >= len(adc & exact)
+    assert len(rr & exact) >= 5  # a 50-deep shortlist recovers most of the true top-10
