@@ -267,6 +267,77 @@ def q_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_dup_spans(corpus, K_TOKENS).orderBy("doc_id", "span_start")
 
 
+# ------------------------------------------------- 10x stress twin --
+
+_SS_COPIES = 10
+_SS_STRIDE = 10000000
+
+
+@check(
+    "substring_dup_spans_10x",
+    oracle=f"""
+        WITH corpus AS (
+            SELECT d.doc_id + c.c * {_SS_STRIDE} AS doc_id, d.text
+            FROM documents d,
+                 (SELECT unnest(range(0, {_SS_COPIES})) AS c) c),
+        toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+        anchors AS (
+            SELECT doc_id, p.pos,
+                   CAST(CAST('0x' || substr(md5(
+                       array_to_string(t[p.pos : p.pos + {K_TOKENS - 1}], ' ')
+                   ), 1, 15) AS BIGINT) AS BIGINT) AS ah
+            FROM toks,
+                 LATERAL (SELECT unnest(range(1, len(t) - {K_TOKENS - 1} + 1)) AS pos) p),
+        dup_pos AS (
+            SELECT doc_id, pos FROM (
+                SELECT doc_id, pos,
+                       COUNT(*) OVER (PARTITION BY ah) AS n_occ
+                FROM anchors) a
+            WHERE n_occ >= 2),
+        marked AS (
+            SELECT doc_id, pos,
+                   CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                             > {K_TOKENS} THEN 1 ELSE 0 END AS brk
+            FROM dup_pos),
+        islands AS (
+            SELECT doc_id, pos,
+                   SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS island
+            FROM marked),
+        spans AS (
+            SELECT doc_id,
+                   CAST(MIN(pos) AS BIGINT) AS span_start,
+                   CAST(MAX(pos) + {K_TOKENS - 1} AS BIGINT) AS span_end
+            FROM islands GROUP BY doc_id, island)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(SUM(span_end - span_start + 1) AS BIGINT) AS sum_tokens
+        FROM spans""",
+)
+def q_substring_dup_spans_10x(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The anchor pipeline at 10× corpus mass: every document appears
+    10 times, so EVERY anchor is a 10-way hot hash partition and every
+    document collapses to one full-coverage span — the worst case for
+    the occurrence window, which must stay a linear count, never a
+    pair fan-out (the pair-join formulation would be 45×n_anchors
+    candidate rows here)."""
+    register_views(spark, sf_dir, ["documents"])
+    corpus = spark.sql(
+        f"""SELECT d.doc_id + c.c * {_SS_STRIDE} AS doc_id, d.text
+            FROM documents d,
+                 (SELECT explode(sequence(0, {_SS_COPIES - 1})) AS c) c"""
+    )
+    spans = substring_dup_spans(corpus, K_TOKENS)
+    return spans.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1)
+        .cast("bigint")
+        .alias("sum_tokens"),
+    )
+
+
 @check(
     "substring_dedup_rewrite",
     oracle=f"""

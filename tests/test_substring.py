@@ -115,3 +115,14 @@ def test_rewrite_keeps_clean_docs_verbatim(spark):
         _mkdocs(spark, [(1, t1), (2, t2)])).collect()}
     assert rows[1]["n_dropped"] == 0
     assert rows[1]["clean_md5"] == hashlib.md5(t1.encode()).hexdigest()
+
+
+def test_spans_10x_is_full_coverage(spark):
+    """10 identical copies of every doc => every document's whole token
+    range is one duplicated span."""
+    from dronedb_spark.text.substring import substring_dup_spans
+
+    docs = [(c * 100 + 1, " ".join(f"w{i}" for i in range(12))) for c in range(10)]
+    spans = substring_dup_spans(_mkdocs(spark, docs)).collect()
+    assert len(spans) == 10
+    assert all(r["span_start"] == 1 and r["span_end"] == 12 for r in spans)
