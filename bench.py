@@ -142,6 +142,7 @@ HEADLINE = [
     "cluster_quality_keep",
     "image_dhash_incremental",
     "ivfpq_rerank_top10",
+    "curation_pipeline_rollup",
 ]
 
 _SMALL_RESULT = {
@@ -172,6 +173,7 @@ _SMALL_RESULT = {
     "cluster_quality_keep",
     "image_dhash_incremental",
     "ivfpq_rerank_top10",
+    "curation_pipeline_rollup",
 }
 
 

@@ -46,7 +46,7 @@ _ROUND8_PRIORITY = [
     "audio_fp_incremental", "ivfpq_residual_store_probe",
     "ccnet_perplexity_buckets", "cluster_quality_keep",
     "image_dhash_incremental", "ivfpq_rerank_top10",
-    "substring_dup_spans_10x",
+    "substring_dup_spans_10x", "curation_pipeline_rollup",
     # TOUCHED in round 8 — dHash hot-bucket cap; Bloom sizing;
     # compaction + mixture integer DIV; minhash carry columns (the
     # whole dedup/winnow family re-gates); stac rewrite module

@@ -95,6 +95,45 @@ def cluster_quality_keep(docs: DataFrame) -> DataFrame:
     )
 
 
+def curation_pipeline_rollup(docs: DataFrame) -> DataFrame:
+    """The WHOLE curation pass, composed from the library stages the
+    way a production corpus run chains them:
+
+      1. Gopher rule gate (``text/gopher.py``) — drop failing docs;
+      2. exact dedup — keep the smallest doc_id per content hash;
+      3. substring span removal (``text/substring.py``) — rewrite the
+         surviving corpus without its duplicated spans;
+      4. domain cap (``text/domains.py``) — at most DOMAIN_CAP
+         survivors per derived domain, deterministic hash order.
+
+    Output: per-source accounting of what survived — documents in/out
+    and the token mass the span removal dropped.  One driver row pins
+    the COMPOSITION end to end (each stage is already pinned alone)."""
+    from dronedb_spark.text.domains import domain_cap
+    from dronedb_spark.text.gopher import gopher_quality_flags
+    from dronedb_spark.text.substring import substring_dedup_rewrite
+
+    kept = docs.join(
+        gopher_quality_flags(docs).filter(F.col("keep") == 1).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    wdup = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    unique = (
+        kept.withColumn("_rk", F.row_number().over(wdup))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+    rewritten = substring_dedup_rewrite(unique.select("doc_id", "text"))
+    capped = domain_cap(unique).select("doc_id", "source")
+    final = capped.join(rewritten, "doc_id")
+    return final.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_kept").cast("bigint").alias("n_tokens_clean"),
+        F.sum("n_dropped").cast("bigint").alias("n_tokens_removed"),
+    )
+
+
 # ----------------------------------------------------------- checks --
 
 
@@ -146,6 +185,70 @@ def q_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     document (the CCNet training-mixture split)."""
     return ccnet_perplexity_buckets(load(spark, sf_dir, "documents")).orderBy(
         "doc_id"
+    )
+
+
+def _pipeline_oracle() -> str:
+    from dronedb_spark.text.domains import d_capped_sql
+    from dronedb_spark.text.gopher import _GOPHER_SQL, MAX_WORDS, MIN_WORDS
+    from dronedb_spark.text.substring import D_SPANS_CHAIN, K_TOKENS
+
+    return f"""
+        WITH gsig AS ({_GOPHER_SQL}),
+        gop AS (
+            SELECT doc_id FROM gsig
+            WHERE n_words >= {MIN_WORDS} AND n_words <= {MAX_WORDS}
+              AND word_chars >= 3 * n_words AND word_chars <= 10 * n_words
+              AND 10 * symbols <= n_words
+              AND 5 * alpha_words >= 4 * n_words
+              AND stop_distinct >= 2),
+        gdocs AS (
+            SELECT d.doc_id, d.source, d.text
+            FROM documents d JOIN gop USING (doc_id)),
+        uniq AS (
+            SELECT doc_id, source, text FROM (
+                SELECT doc_id, source, text,
+                       ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                          ORDER BY doc_id) AS rk
+                FROM gdocs) u
+            WHERE rk = 1),
+        corpus AS (SELECT doc_id, text FROM uniq),
+        {D_SPANS_CHAIN},
+        positions AS (
+            SELECT t.doc_id, p.pos
+            FROM toks t,
+                 LATERAL (SELECT unnest(range(1, len(t.t) + 1)) AS pos) p),
+        kept AS (
+            SELECT p.doc_id, p.pos
+            FROM positions p
+            LEFT JOIN spans s
+              ON s.doc_id = p.doc_id
+             AND p.pos BETWEEN s.span_start AND s.span_end
+            WHERE s.doc_id IS NULL),
+        kc AS (SELECT doc_id, COUNT(*) AS n_kept FROM kept GROUP BY doc_id),
+        counts AS (
+            SELECT c.doc_id,
+                   len(string_split(c.text, ' ')) AS n_tokens,
+                   COALESCE(kc.n_kept, 0) AS n_kept
+            FROM corpus c LEFT JOIN kc USING (doc_id)),
+        capped AS ({d_capped_sql('uniq')})
+        SELECT cp.source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(ct.n_kept) AS BIGINT) AS n_tokens_clean,
+               CAST(SUM(ct.n_tokens - ct.n_kept) AS BIGINT) AS n_tokens_removed
+        FROM capped cp JOIN counts ct USING (doc_id)
+        GROUP BY cp.source ORDER BY cp.source"""
+
+
+@check("curation_pipeline_rollup", oracle=_pipeline_oracle())
+def q_curation_pipeline_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pass composed end to end — Gopher gate, exact
+    dedup, substring span removal, domain cap — with per-source
+    accounting value-checked against one nested-CTE restatement.  This
+    is the 'run your daily corpus job' check: every stage is
+    individually pinned, this row pins the composition."""
+    return curation_pipeline_rollup(load(spark, sf_dir, "documents")).orderBy(
+        "source"
     )
 
 

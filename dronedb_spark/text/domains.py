@@ -87,15 +87,20 @@ def domain_cap(docs: DataFrame, cap: int = DOMAIN_CAP) -> DataFrame:
 
 _D_DOMAIN = _domain_sql("duckdb")
 
-_D_CAPPED = f"""
+def d_capped_sql(rel: str = "documents") -> str:
+    """The capped-survivor SELECT over any (doc_id, source) relation."""
+    return f"""
     SELECT doc_id, source, domain FROM (
         SELECT doc_id, source, domain,
                ROW_NUMBER() OVER (
                    PARTITION BY domain
                    ORDER BY md5(CAST(doc_id AS VARCHAR) || '@' || domain), doc_id
                ) AS rk
-        FROM (SELECT doc_id, source, {_D_DOMAIN} AS domain FROM documents) d) r
+        FROM (SELECT doc_id, source, {_D_DOMAIN} AS domain FROM {rel}) d) r
     WHERE rk <= {DOMAIN_CAP}"""
+
+
+_D_CAPPED = d_capped_sql("documents")
 
 
 @check(

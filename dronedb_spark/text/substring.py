@@ -204,13 +204,10 @@ _SPLICE_DUCK = """
 """
 
 
-# spans CTE chain shared by both oracles: corpus → anchors → window
-# count → islands → spans(doc_id, span_start, span_end)
-_D_SPANS_CTES = f"""
-        corpus AS (
-            SELECT doc_id, text FROM documents
-            UNION ALL
-            {_SPLICE_DUCK}),
+# spans CTE chain from an existing corpus(doc_id, text) CTE → anchors →
+# window count → islands → spans(doc_id, span_start, span_end); reused
+# by the curation-pipeline oracle
+D_SPANS_CHAIN = f"""
         toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
         anchors AS (
             SELECT doc_id, p.pos,
@@ -242,6 +239,15 @@ _D_SPANS_CTES = f"""
                    CAST(MAX(pos) + {K_TOKENS - 1} AS BIGINT) AS span_end
             FROM islands
             GROUP BY doc_id, island)"""
+
+_D_SPANS_CTES = (
+    f"""
+        corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            {_SPLICE_DUCK}),"""
+    + D_SPANS_CHAIN
+)
 
 
 @check(
