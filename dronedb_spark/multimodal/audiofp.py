@@ -51,7 +51,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -188,14 +188,18 @@ def _sub_bands(subs: DataFrame) -> DataFrame:
 
 
 def _df_capped(bands: DataFrame, max_df: int) -> DataFrame:
-    """Drop band buckets present in more than ``max_df`` clips."""
-    rare = (
-        bands.groupBy("band", "bv")
-        .agg(F.countDistinct("media_id").alias("df"))
-        .filter(F.col("df") <= max_df)
-        .select("band", "bv")
+    """Drop band buckets present in more than ``max_df`` clips — one
+    window pass (dense_rank max = distinct count; the phash.py
+    ``_win_capped`` discipline): no second evaluation of the decode
+    subtree, and the (band, bv) partitioning feeds the candidate join
+    with no extra exchange."""
+    w = Window.partitionBy("band", "bv")
+    return (
+        bands.withColumn("_dr", F.dense_rank().over(w.orderBy("media_id")))
+        .withColumn("_df", F.max("_dr").over(w))
+        .filter(F.col("_df") <= max_df)
+        .drop("_dr", "_df")
     )
-    return bands.join(rare, ["band", "bv"], "left_semi")
 
 
 def _banded_candidates(subs: DataFrame, max_df: int) -> DataFrame:

@@ -28,7 +28,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -104,6 +104,22 @@ def dhash_images(media: DataFrame) -> DataFrame:
     return media.mapInPandas(kernel, schema=_HASH_SCHEMA)
 
 
+def _win_capped(bands: DataFrame, max_df: int) -> DataFrame:
+    """Drop band buckets present in more than ``max_df`` images — as
+    ONE window pass (dense_rank max = distinct count) instead of a
+    groupBy + semi-join back: the join formulation evaluates the whole
+    decode+hash subtree once per side (measured 2.5× slower on the 10×
+    twin), and the window's (band, bv) partitioning is exactly what the
+    candidate join needs next, so no extra exchange."""
+    w = Window.partitionBy("band", "bv")
+    return (
+        bands.withColumn("_dr", F.dense_rank().over(w.orderBy("media_id")))
+        .withColumn("_df", F.max("_dr").over(w))
+        .filter(F.col("_df") <= max_df)
+        .drop("_dr", "_df")
+    )
+
+
 def dhash_neardup(
     hashes: DataFrame, max_hamming: int = 6, max_df: int = MAX_DF
 ) -> DataFrame:
@@ -126,26 +142,7 @@ def dhash_neardup(
             f"banded candidate generation guarantees recall only to "
             f"hamming {N_BANDS - 1}; got max_hamming={max_hamming}"
         )
-    band_structs = []
-    for i in range(N_BANDS):
-        half = F.col("h1") if i < 4 else F.col("h2")
-        shift = (i % 4) * 8
-        band_structs.append(
-            F.struct(
-                F.lit(i).alias("band"),
-                ((half / (1 << shift)).cast("bigint") % 256).alias("bv"),
-            )
-        )
-    bands = hashes.select(
-        "media_id", "h1", "h2", F.explode(F.array(*band_structs)).alias("s")
-    ).select("media_id", "h1", "h2", "s.band", "s.bv")
-    rare = (
-        bands.groupBy("band", "bv")
-        .agg(F.countDistinct("media_id").alias("df"))
-        .filter(F.col("df") <= max_df)
-        .select("band", "bv")
-    )
-    bands = bands.join(rare, ["band", "bv"], "left_semi")
+    bands = _win_capped(_hash_bands(hashes), max_df)
     a = bands.select(
         F.col("media_id").alias("img_a"), F.col("h1").alias("h1a"),
         F.col("h2").alias("h2a"), "band", "bv",
@@ -190,14 +187,7 @@ def dhash_band_store(media: DataFrame, max_df: int = MAX_DF) -> DataFrame:
     by (band, bv) on disk, so tomorrow's probe needs no corpus-side
     shuffle and never re-decodes stored images (the audio/text band
     store discipline for images)."""
-    bands = _hash_bands(dhash_images(media))
-    rare = (
-        bands.groupBy("band", "bv")
-        .agg(F.countDistinct("media_id").alias("df"))
-        .filter(F.col("df") <= max_df)
-        .select("band", "bv")
-    )
-    return bands.join(rare, ["band", "bv"], "left_semi")
+    return _win_capped(_hash_bands(dhash_images(media)), max_df)
 
 
 def dhash_incremental_neardup(
