@@ -143,6 +143,7 @@ HEADLINE = [
     "image_dhash_incremental",
     "ivfpq_rerank_top10",
     "curation_pipeline_rollup",
+    "video_fp_neardup",
 ]
 
 _SMALL_RESULT = {
@@ -174,6 +175,7 @@ _SMALL_RESULT = {
     "image_dhash_incremental",
     "ivfpq_rerank_top10",
     "curation_pipeline_rollup",
+    "video_fp_neardup",
 }
 
 

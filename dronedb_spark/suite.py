@@ -47,6 +47,7 @@ _ROUND8_PRIORITY = [
     "ccnet_perplexity_buckets", "cluster_quality_keep",
     "image_dhash_incremental", "ivfpq_rerank_top10",
     "substring_dup_spans_10x", "curation_pipeline_rollup",
+    "video_fp_neardup",
     # TOUCHED in round 8 — dHash hot-bucket cap; Bloom sizing;
     # compaction + mixture integer DIV; minhash carry columns (the
     # whole dedup/winnow family re-gates); stac rewrite module
@@ -160,6 +161,7 @@ def load_all() -> dict[str, Check]:
     import dronedb_spark.text.domains  # noqa: F401  (domain-level quality caps, new in r8)
     import dronedb_spark.text.gopher  # noqa: F401  (Gopher quality rules, new in r8)
     import dronedb_spark.text.curation  # noqa: F401  (CCNet buckets + cluster survivors, new in r8)
+    import dronedb_spark.multimodal.videofp  # noqa: F401  (per-frame video near-dup, new in r8)
     # (text.substring also registers substring_dedup_rewrite; text.quality
     # registers mixture_quota_twophase — imported above)
     # --- green rows in CORRECTNESS_r01: register after ------------------
