@@ -34,6 +34,8 @@ def check(name: str, oracle: str | None = None):
 # round re-gates first (the driver walks in order under a ~50-check
 # budget); checks green twice with unchanged code cede their slots.
 _ROUND8_PRIORITY = [
+    # NEW in round 8 (late additions) — DSIR data selection
+    "dsir_bucket_weights", "dsir_doc_logweights", "dsir_resample_topk",
     # NEW in round 8 — the rebuilt per-frame audio fingerprint (+10x),
     # arbitrary-boundary substring dedup, residual IVF-PQ, the sized
     # Bloom screen's second-m gate, domain-level caps, and the
@@ -162,6 +164,7 @@ def load_all() -> dict[str, Check]:
     import dronedb_spark.text.gopher  # noqa: F401  (Gopher quality rules, new in r8)
     import dronedb_spark.text.curation  # noqa: F401  (CCNet buckets + cluster survivors, new in r8)
     import dronedb_spark.multimodal.videofp  # noqa: F401  (per-frame video near-dup, new in r8)
+    import dronedb_spark.text.dsir  # noqa: F401  (DSIR importance resampling, new in r8)
     # (text.substring also registers substring_dedup_rewrite; text.quality
     # registers mixture_quota_twophase — imported above)
     # --- green rows in CORRECTNESS_r01: register after ------------------
