@@ -144,6 +144,14 @@ HEADLINE = [
     "ivfpq_rerank_top10",
     "curation_pipeline_rollup",
     "video_fp_neardup",
+    # round-8 final breadth: DSIR importance weights + the Gumbel top-k
+    # draw (two corpus featurization passes + broadcast model join), and
+    # the zero-shuffle URL canonicalization / one-shuffle canonical dedup
+    "dsir_doc_logweights",
+    "dsir_resample_topk",
+    "url_canonicalize",
+    "url_canonical_dedup",
+    "url_blocklist_hosts",
 ]
 
 _SMALL_RESULT = {
@@ -176,6 +184,8 @@ _SMALL_RESULT = {
     "ivfpq_rerank_top10",
     "curation_pipeline_rollup",
     "video_fp_neardup",
+    "dsir_resample_topk",
+    "url_blocklist_hosts",
 }
 
 
