@@ -152,6 +152,7 @@ HEADLINE = [
     "url_canonicalize",
     "url_canonical_dedup",
     "url_blocklist_hosts",
+    "warc_text_extract",
 ]
 
 _SMALL_RESULT = {
@@ -186,6 +187,7 @@ _SMALL_RESULT = {
     "video_fp_neardup",
     "dsir_resample_topk",
     "url_blocklist_hosts",
+    "warc_text_extract",
 }
 
 
