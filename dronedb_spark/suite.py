@@ -37,7 +37,7 @@ _ROUND8_PRIORITY = [
     # NEW in round 8 (late additions) — DSIR data selection
     "dsir_bucket_weights", "dsir_doc_logweights", "dsir_resample_topk",
     "url_canonicalize", "url_canonical_dedup", "url_blocklist_hosts",
-    "warc_record_inventory", "warc_text_extract",
+    "warc_record_inventory", "warc_text_extract", "image_text_alignment",
     # NEW in round 8 — the rebuilt per-frame audio fingerprint (+10x),
     # arbitrary-boundary substring dedup, residual IVF-PQ, the sized
     # Bloom screen's second-m gate, domain-level caps, and the
@@ -169,6 +169,7 @@ def load_all() -> dict[str, Check]:
     import dronedb_spark.text.dsir  # noqa: F401  (DSIR importance resampling, new in r8)
     import dronedb_spark.text.urls  # noqa: F401  (URL canonicalize/dedup/blocklist, new in r8)
     import dronedb_spark.sources.warc  # noqa: F401  (WARC/WET web-archive source, new in r8)
+    import dronedb_spark.multimodal.alignment  # noqa: F401  (image-text alignment gate, new in r8)
     # (text.substring also registers substring_dedup_rewrite; text.quality
     # registers mixture_quota_twophase — imported above)
     # --- green rows in CORRECTNESS_r01: register after ------------------
