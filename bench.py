@@ -153,6 +153,9 @@ HEADLINE = [
     "url_canonical_dedup",
     "url_blocklist_hosts",
     "warc_text_extract",
+    "image_text_alignment",
+    "url_canonical_dedup_10x",
+    "dsir_doc_logweights_10x",
 ]
 
 _SMALL_RESULT = {
@@ -188,6 +191,7 @@ _SMALL_RESULT = {
     "dsir_resample_topk",
     "url_blocklist_hosts",
     "warc_text_extract",
+    "image_text_alignment",
 }
 
 

@@ -38,6 +38,7 @@ _ROUND8_PRIORITY = [
     "dsir_bucket_weights", "dsir_doc_logweights", "dsir_resample_topk",
     "url_canonicalize", "url_canonical_dedup", "url_blocklist_hosts",
     "warc_record_inventory", "warc_text_extract", "image_text_alignment",
+    "url_canonical_dedup_10x", "dsir_doc_logweights_10x",
     # NEW in round 8 — the rebuilt per-frame audio fingerprint (+10x),
     # arbitrary-boundary substring dedup, residual IVF-PQ, the sized
     # Bloom screen's second-m gate, domain-level caps, and the

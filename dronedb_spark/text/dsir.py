@@ -280,3 +280,52 @@ def q_dsir_resample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     sel = dsir_resample(docs, _target_en(docs), spark, TOP_K)
     return sel.select("doc_id", F.round("key", 9).alias("key"))
+
+
+_GRAMS10_SQL = _GRAMS_SQL.replace(
+    "FROM documents",
+    "FROM (SELECT doc_id + k.k * 10000000 AS doc_id, text, lang"
+    " FROM documents, (SELECT unnest(range(0, 10)) AS k) k)",
+)
+_MODEL10_SQL = _MODEL_SQL.replace(
+    "FROM documents WHERE lang = 'en'",
+    "FROM (SELECT doc_id + k.k * 10000000 AS doc_id, lang"
+    " FROM documents, (SELECT unnest(range(0, 10)) AS k) k)"
+    " WHERE lang = 'en'",
+)
+
+
+@check(
+    "dsir_doc_logweights_10x",
+    oracle=f"""
+        WITH {_GRAMS10_SQL}, {_MODEL10_SQL}, {_LOGW_SQL}
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_grams) AS BIGINT) AS total_grams,
+               ROUND(MIN(logw), 9) AS min_logw,
+               ROUND(MAX(logw), 9) AS max_logw,
+               CAST(SUM(CAST(ROUND(logw, 9) AS DECIMAL(38,15))) AS DOUBLE)
+                   AS sum_logw
+        FROM logw""",
+)
+def q_dsir_doc_logweights_10x(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR weights at 10× corpus mass (broadcast-inflated raw AND
+    target sides): featurization is the only data-sized shuffle, the
+    model tables stay 64 rows, so wall-clock must track the gram mass.
+    The rounded-decimal sum is partition-order-proof."""
+    docs = load(spark, sf_dir, "documents")
+    ks = F.broadcast(spark.range(10).select(F.col("id").alias("k")))
+    docs10 = (
+        docs.select("doc_id", "text", "lang")
+        .crossJoin(ks)
+        .select((F.col("doc_id") + F.col("k") * 10000000).alias("doc_id"), "text", "lang")
+    )
+    lw = dsir_doc_logweights(docs10, _target_en(docs10), spark)
+    return lw.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_grams").cast("bigint").alias("total_grams"),
+        F.round(F.min("logw"), 9).alias("min_logw"),
+        F.round(F.max("logw"), 9).alias("max_logw"),
+        F.sum(F.round("logw", 9).cast("decimal(38,15)"))
+        .cast("double")
+        .alias("sum_logw"),
+    )

@@ -284,3 +284,38 @@ def q_url_blocklist_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
         .orderBy("host")
     )
+
+
+@check(
+    "url_canonical_dedup_10x",
+    oracle=f"""
+        WITH docs10 AS (
+            SELECT doc_id + k.k * 10000000 AS doc_id, source
+            FROM documents, (SELECT unnest(range(0, 10)) AS k) k),
+        urls AS (SELECT doc_id, {_D_URL} AS url FROM docs10),
+        {_D_PARTS}
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+               CAST(SUM(keeper) AS BIGINT) AS keeper_sum
+        FROM (
+            SELECT canonical_url, MIN(doc_id) AS keeper, COUNT(*) AS n_docs
+            FROM final GROUP BY canonical_url) g""",
+)
+def q_url_canonical_dedup_10x(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical dedup at 10× corpus mass (broadcast-inflated,
+    re-keyed doc_ids → new URL variants): the pipeline is one narrow
+    projection + one map-side-combined shuffle, so wall-clock must
+    track row mass.  Output is the dedup accounting."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    ks = F.broadcast(
+        docs.sparkSession.range(10).select(F.col("id").alias("k"))
+    )
+    docs10 = docs.crossJoin(ks).select(
+        (F.col("doc_id") + F.col("k") * 10000000).alias("doc_id"), "source"
+    )
+    g = canonical_dedup(with_url(docs10))
+    return g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("keeper").cast("bigint").alias("keeper_sum"),
+    )
