@@ -39,6 +39,7 @@ _ROUND8_PRIORITY = [
     "url_canonicalize", "url_canonical_dedup", "url_blocklist_hosts",
     "warc_record_inventory", "warc_text_extract", "image_text_alignment",
     "url_canonical_dedup_10x", "dsir_doc_logweights_10x",
+    "length_quantiles_exact",
     # NEW in round 8 — the rebuilt per-frame audio fingerprint (+10x),
     # arbitrary-boundary substring dedup, residual IVF-PQ, the sized
     # Bloom screen's second-m gate, domain-level caps, and the
@@ -171,6 +172,7 @@ def load_all() -> dict[str, Check]:
     import dronedb_spark.text.urls  # noqa: F401  (URL canonicalize/dedup/blocklist, new in r8)
     import dronedb_spark.sources.warc  # noqa: F401  (WARC/WET web-archive source, new in r8)
     import dronedb_spark.multimodal.alignment  # noqa: F401  (image-text alignment gate, new in r8)
+    import dronedb_spark.text.lengths  # noqa: F401  (exact length quantiles, new in r8)
     # (text.substring also registers substring_dedup_rewrite; text.quality
     # registers mixture_quota_twophase — imported above)
     # --- green rows in CORRECTNESS_r01: register after ------------------
