@@ -156,6 +156,7 @@ HEADLINE = [
     "image_text_alignment",
     "url_canonical_dedup_10x",
     "dsir_doc_logweights_10x",
+    "length_quantiles_exact",
 ]
 
 _SMALL_RESULT = {
@@ -192,6 +193,7 @@ _SMALL_RESULT = {
     "url_blocklist_hosts",
     "warc_text_extract",
     "image_text_alignment",
+    "length_quantiles_exact",
 }
 
 

@@ -79,7 +79,10 @@ def hashed_gram_counts(docs: DataFrame) -> DataFrame:
 
 
 def dsir_bucket_model(
-    docs: DataFrame, target: DataFrame, spark: SparkSession
+    docs: DataFrame,
+    target: DataFrame,
+    spark: SparkSession,
+    raw_counts: DataFrame | None = None,
 ) -> DataFrame:
     """(bucket, t_n, r_n, lw) — the per-bucket importance log-ratio
     ``lw_b = ln(t_b+1) − ln(r_b+1) + ln(R+B) − ln(T+B)`` over a complete
@@ -92,7 +95,8 @@ def dsir_bucket_model(
     t_counts = (
         hashed_gram_counts(target).groupBy("bucket").agg(F.sum("c").alias("t_n"))
     )
-    r_counts = hashed_gram_counts(docs).groupBy("bucket").agg(F.sum("c").alias("r_n"))
+    r_base = raw_counts if raw_counts is not None else hashed_gram_counts(docs)
+    r_counts = r_base.groupBy("bucket").agg(F.sum("c").alias("r_n"))
     spine = spark.range(N_BUCKETS).select(F.col("id").cast("int").alias("bucket"))
     m = (
         spine.join(F.broadcast(t_counts), "bucket", "left")
@@ -127,9 +131,19 @@ def dsir_doc_logweights(
 ) -> DataFrame:
     """(doc_id, n_grams, logw) — per-document importance log-weight:
     the doc's bucket counts dotted with the broadcast model table,
-    summed as DECIMAL(38,15)."""
-    model = dsir_bucket_model(docs, target, spark)
-    cnt = hashed_gram_counts(docs)
+    summed as DECIMAL(38,15).
+
+    The raw corpus is featurized ONCE: the per-doc bucket counts go
+    through a ``barrier_persist`` CSE barrier and feed BOTH the raw
+    bag-of-words model and the weight join (Spark's ReuseExchange does
+    not fire across these two aggregation shapes — measured 5 scans /
+    0 reuses without the barrier).  The persisted table is (doc_id,
+    bucket, c) — ≤ N_BUCKETS small-int rows per document, far smaller
+    than the text it summarizes."""
+    from dronedb_spark.tables import barrier_persist
+
+    cnt = barrier_persist(hashed_gram_counts(docs))
+    model = dsir_bucket_model(docs, target, spark, raw_counts=cnt)
     return (
         cnt.join(F.broadcast(model.select("bucket", "lw")), "bucket")
         .groupBy("doc_id")
