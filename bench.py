@@ -157,6 +157,7 @@ HEADLINE = [
     "url_canonical_dedup_10x",
     "dsir_doc_logweights_10x",
     "length_quantiles_exact",
+    "stream_url_dedup_twin",
 ]
 
 _SMALL_RESULT = {
@@ -194,6 +195,7 @@ _SMALL_RESULT = {
     "warc_text_extract",
     "image_text_alignment",
     "length_quantiles_exact",
+    "stream_url_dedup_twin",
 }
 
 

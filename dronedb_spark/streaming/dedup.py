@@ -158,3 +158,63 @@ def stream_incremental_probe(
             ["batch_doc", "doc_id", "band_id"]
         )
     return triples.dropDuplicates(["batch_doc", "doc_id", "band_id"])
+
+
+def stream_url_dedup(docs_stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """First-seen pass-through per CANONICAL URL — the crawl-ingest
+    front gate run continuously: canonicalization is a stateless
+    projection (streaming-safe by construction), so the only state is
+    one entry per canonical key, watermark-evicted like the
+    content-hash path above."""
+    from dronedb_spark.text.urls import canonicalize, with_url
+
+    return (
+        canonicalize(with_url(docs_stream))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["canonical_url"])
+    )
+
+
+def _register_url_check() -> None:
+    from pyspark.sql import SparkSession, Window
+
+    from dronedb_spark.suite import check
+    from dronedb_spark.tables import load
+    from dronedb_spark.text.urls import _D_PARTS, _D_URL, canonicalize, with_url
+
+    @check(
+        "stream_url_dedup_twin",
+        oracle=f"""
+            WITH urls AS (SELECT doc_id, source, {_D_URL} AS url FROM documents),
+            {_D_PARTS},
+            k AS (
+                SELECT source, doc_id,
+                       row_number() OVER (PARTITION BY canonical_url
+                                          ORDER BY doc_id) AS rn
+                FROM final)
+            SELECT source, CAST(COUNT(1) AS BIGINT) AS n_first_seen,
+                   CAST(SUM(doc_id) AS BIGINT) AS sum_kept_ids
+            FROM k WHERE rn = 1 GROUP BY source ORDER BY source""",
+    )
+    def q_stream_url_dedup_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """First-seen-wins canonical-URL dedup, batch twin of
+        stream_url_dedup: one row survives per canonical key
+        (deterministic arrival order = doc_id), per-source accounting;
+        sum_kept_ids pins WHICH row won."""
+        docs = load(spark, sf_dir, "documents")
+        c = canonicalize(with_url(docs))
+        w = Window.partitionBy("canonical_url").orderBy("doc_id")
+        first = c.withColumn("_rn", F.row_number().over(w)).filter(
+            F.col("_rn") == 1
+        )
+        return (
+            first.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_first_seen"),
+                F.sum("doc_id").cast("bigint").alias("sum_kept_ids"),
+            )
+            .orderBy("source")
+        )
+
+
+_register_url_check()

@@ -39,7 +39,7 @@ _ROUND8_PRIORITY = [
     "url_canonicalize", "url_canonical_dedup", "url_blocklist_hosts",
     "warc_record_inventory", "warc_text_extract", "image_text_alignment",
     "url_canonical_dedup_10x", "dsir_doc_logweights_10x",
-    "length_quantiles_exact",
+    "length_quantiles_exact", "stream_url_dedup_twin",
     # NEW in round 8 — the rebuilt per-frame audio fingerprint (+10x),
     # arbitrary-boundary substring dedup, residual IVF-PQ, the sized
     # Bloom screen's second-m gate, domain-level caps, and the

@@ -324,3 +324,37 @@ def test_stream_incremental_probe_watermarked_state_bound(spark, sf_dir, tmp_pat
         for r in incremental_neardup(batch, store).filter("is_corpus_dup").collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stream_url_dedup_matches_batch(spark, sf_dir, tmp_path):
+    from dronedb_spark.streaming.dedup import stream_url_dedup
+    from dronedb_spark.text.urls import canonicalize, with_url
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id") % 600).alias("ts"),
+    )
+    src = str(tmp_path / "url_stream")
+    docs.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    out = stream_url_dedup(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("url_dedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = [r["canonical_url"] for r in spark.sql(
+        "SELECT canonical_url FROM url_dedup_test").collect()]
+    want = {
+        r["canonical_url"]
+        for r in canonicalize(with_url(docs)).select("canonical_url").distinct().collect()
+    }
+    # one output row per canonical key, each exactly once
+    assert len(got) == len(set(got)) == len(want)
+    assert set(got) == want
