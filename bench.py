@@ -158,6 +158,7 @@ HEADLINE = [
     "dsir_doc_logweights_10x",
     "length_quantiles_exact",
     "stream_url_dedup_twin",
+    "unicode_normalize_corpus",
 ]
 
 _SMALL_RESULT = {
@@ -196,6 +197,7 @@ _SMALL_RESULT = {
     "image_text_alignment",
     "length_quantiles_exact",
     "stream_url_dedup_twin",
+    "unicode_normalize_corpus",
 }
 
 
