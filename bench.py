@@ -159,6 +159,7 @@ HEADLINE = [
     "length_quantiles_exact",
     "stream_url_dedup_twin",
     "unicode_normalize_corpus",
+    "domain_pagerank",
 ]
 
 _SMALL_RESULT = {
@@ -198,6 +199,7 @@ _SMALL_RESULT = {
     "length_quantiles_exact",
     "stream_url_dedup_twin",
     "unicode_normalize_corpus",
+    "domain_pagerank",
 }
 
 
