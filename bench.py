@@ -160,6 +160,7 @@ HEADLINE = [
     "stream_url_dedup_twin",
     "unicode_normalize_corpus",
     "domain_pagerank",
+    "langid_nb_predictions",
 ]
 
 _SMALL_RESULT = {
@@ -200,6 +201,7 @@ _SMALL_RESULT = {
     "stream_url_dedup_twin",
     "unicode_normalize_corpus",
     "domain_pagerank",
+    "langid_nb_predictions",
 }
 
 
