@@ -161,6 +161,7 @@ HEADLINE = [
     "unicode_normalize_corpus",
     "domain_pagerank",
     "langid_nb_predictions",
+    "webdataset_roundtrip",
 ]
 
 _SMALL_RESULT = {
@@ -202,6 +203,7 @@ _SMALL_RESULT = {
     "unicode_normalize_corpus",
     "domain_pagerank",
     "langid_nb_predictions",
+    "webdataset_roundtrip",
 }
 
 
