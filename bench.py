@@ -162,6 +162,7 @@ HEADLINE = [
     "domain_pagerank",
     "langid_nb_predictions",
     "webdataset_roundtrip",
+    "crawl_entry_rollup",
 ]
 
 _SMALL_RESULT = {
@@ -204,6 +205,7 @@ _SMALL_RESULT = {
     "domain_pagerank",
     "langid_nb_predictions",
     "webdataset_roundtrip",
+    "crawl_entry_rollup",
 }
 
 

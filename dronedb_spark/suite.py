@@ -42,7 +42,7 @@ _ROUND8_PRIORITY = [
     "length_quantiles_exact", "stream_url_dedup_twin",
     "unicode_normalize_cases", "unicode_normalize_corpus",
     "domain_pagerank", "langid_nb_model", "langid_nb_predictions",
-    "webdataset_roundtrip",
+    "webdataset_roundtrip", "crawl_entry_rollup",
     # NEW in round 8 — the rebuilt per-frame audio fingerprint (+10x),
     # arbitrary-boundary substring dedup, residual IVF-PQ, the sized
     # Bloom screen's second-m gate, domain-level caps, and the

@@ -319,3 +319,47 @@ def q_url_canonical_dedup_10x(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_docs").cast("bigint").alias("n_docs"),
         F.sum("keeper").cast("bigint").alias("keeper_sum"),
     )
+
+
+@check(
+    "crawl_entry_rollup",
+    oracle=f"""
+        WITH urls AS (SELECT doc_id, source, {_D_URL} AS url FROM documents),
+        {_D_PARTS},
+        unblocked AS (
+            SELECT * FROM final
+            WHERE len(list_filter(
+                      list_transform(range(1, len(string_split(host, '.')) + 1),
+                          i -> array_to_string(string_split(host, '.')[i:], '.')),
+                      s -> s IN ('site4.example.com', 'site9.example.com'))) = 0),
+        keep AS (
+            SELECT source, doc_id,
+                   row_number() OVER (PARTITION BY canonical_url
+                                      ORDER BY doc_id) AS rn
+            FROM unblocked)
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_kept,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_kept_ids
+        FROM keep WHERE rn = 1 GROUP BY source ORDER BY source""",
+)
+def q_crawl_entry_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed crawl ENTRY pipeline — blocklist gate, then
+    canonical-URL dedup (first-seen by doc_id), then per-source
+    survivor accounting: the 'what reaches text processing' number.
+    One narrow projection + one window shuffle end-to-end."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    unblocked = blocklist_filter(with_url(docs)).filter(~F.col("blocked"))
+    w = Window.partitionBy("canonical_url").orderBy("doc_id")
+    kept = unblocked.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.sum("doc_id").cast("bigint").alias("sum_kept_ids"),
+        )
+        .orderBy("source")
+    )
