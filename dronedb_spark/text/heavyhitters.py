@@ -122,25 +122,26 @@ def heavy_hitters_exact(docs: DataFrame, k: int = K) -> DataFrame:
     The threshold test is the integer cross-multiplication
     ``cnt * (k+1) > N`` — no division, no float, engine-portable.
     """
-    summaries = mg_partition_summaries(docs, k).persist()
-    try:
-        n_total = (
-            summaries.filter(F.col("tok") == _SENTINEL)
-            .agg(F.sum("cnt"))
-            .collect()[0][0]
-        ) or 0
-        candidates = summaries.filter(F.col("tok") != _SENTINEL).select("tok").distinct()
-        toks = docs.select(
-            F.explode(F.split("text", " ")).alias("tok")
-        ).filter(F.col("tok") != "")
-        return (
-            toks.join(F.broadcast(candidates), "tok", "left_semi")
-            .groupBy("tok")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-            .filter(F.col("cnt") * (k + 1) > F.lit(n_total))
-        )
-    finally:
-        summaries.unpersist()
+    from dronedb_spark.tables import barrier_persist
+
+    # the summary is O(P*k) rows — a barrier_persist (bounded keyed LRU)
+    # evaluates pass 1 once for both the sentinel fold and the candidates
+    summaries = barrier_persist(mg_partition_summaries(docs, k))
+    n_total = (
+        summaries.filter(F.col("tok") == _SENTINEL)
+        .agg(F.sum("cnt"))
+        .collect()[0][0]
+    ) or 0
+    candidates = summaries.filter(F.col("tok") != _SENTINEL).select("tok").distinct()
+    toks = docs.select(
+        F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    return (
+        toks.join(F.broadcast(candidates), "tok", "left_semi")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .filter(F.col("cnt") * (k + 1) > F.lit(n_total))
+    )
 
 
 @check(
