@@ -1,0 +1,168 @@
+"""Paragraph-level exact dedup with keep-first rewrite (the Dolma
+toolkit's paragraph dedup, Soldaini et al. 2024 — there via a Bloom
+filter, here exact and deterministic): boilerplate that repeats across
+pages (footers, nav bars, subscription nags, license blocks) is removed
+at PARAGRAPH granularity while each paragraph's first occurrence
+corpus-wide survives, so no content is lost — only repetition.
+
+Complements the neighbors: ``segdedup`` windows are fixed 8-word tiles
+(they straddle paragraph boundaries), ``substring`` finds >=k-token
+spans at any offset (heavier machinery), and doc-level exact dedup
+misses pages that differ only in body.  Paragraph dedup is the cheap
+middle: one shuffle, exact.
+
+Beyond the reference (no text pipeline there).  Scale design:
+
+  * paragraphs explode as a narrow projection (split on blank lines);
+  * the dedup decision is ONE window over ``partitionBy(para)`` —
+    first occurrence = min (doc_id, pos) struct; the single exchange
+    carries each paragraph's bytes exactly once (the same shape as
+    exact doc dedup, one granularity down);
+  * the rewrite re-aggregates by doc_id — a second exchange on the
+    compact (doc_id, kept paragraph) rows — and re-joins with the
+    paragraph separator, preserving original order;
+  * no driver-side state, no Python in the data path.
+
+The driver check derives deterministic multi-paragraph pages from the
+flat ``documents`` fixture — two unique body slices per doc plus a
+footer shared by every third doc, a nav block shared by the even half,
+and an exact paragraph planted in every 25th doc — and verifies page
+totals, duplicate counts and rewritten char mass against the DuckDB
+window oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dronedb_spark.suite import check
+from dronedb_spark.tables import load
+
+PARA_SEP = "\n\n"
+
+
+def paragraph_occurrences(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, pos, para, is_first): every non-blank paragraph with its
+    keep-first verdict — first occurrence = smallest (doc_id, pos)."""
+    paras = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(text_col, PARA_SEP)).alias("pos", "para"),
+        )
+        .filter(F.trim("para") != "")
+    )
+    w = Window.partitionBy("para")
+    first = F.min(F.struct("doc_id", "pos")).over(w)
+    return paras.withColumn(
+        "is_first",
+        (F.col("doc_id") == first["doc_id"]) & (F.col("pos") == first["pos"]),
+    )
+
+
+def paragraph_dedup_rewrite(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc rewrite: duplicate paragraphs removed, survivors re-joined
+    in original order.  Docs whose every paragraph was seen earlier
+    come back with an empty ``cleaned_text`` (row preserved)."""
+    occ = paragraph_occurrences(docs, text_col)
+    return (
+        occ.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_paras"),
+            F.sum((~F.col("is_first")).cast("bigint")).alias("n_dup_paras"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("is_first"), F.struct("pos", "para"))
+                        )
+                    ),
+                    lambda s: s["para"],
+                ),
+                PARA_SEP,
+            ).alias("cleaned_text"),
+        )
+    )
+
+
+def _derived_pages(docs: DataFrame) -> DataFrame:
+    sep = PARA_SEP
+    page = F.concat(
+        F.expr("substr(text, 1, 80)"), F.lit(sep),
+        F.expr(
+            "CASE doc_id % 3 WHEN 0 THEN 'Subscribe to our newsletter for updates.' "
+            "WHEN 1 THEN 'All rights reserved by the site owner.' "
+            "ELSE 'Follow us on social media today.' END"
+        ),
+        F.lit(sep),
+        F.expr("substr(text, 81, 90)"), F.lit(sep),
+        F.expr(
+            "CASE WHEN doc_id % 2 = 0 THEN 'Home About Products Contact' "
+            "ELSE substr(text, 171, 60) END"
+        ),
+        F.expr(
+            f"CASE WHEN doc_id % 25 = 0 THEN '{sep}This exact paragraph appears "
+            "in every twenty fifth document.' ELSE '' END"
+        ),
+    )
+    return docs.select("doc_id", page.alias("text"))
+
+
+_DERIVE_SQL = """
+        WITH pages AS (
+            SELECT doc_id,
+                   substr(text, 1, 80) || chr(10) || chr(10)
+                   || CASE doc_id % 3
+                        WHEN 0 THEN 'Subscribe to our newsletter for updates.'
+                        WHEN 1 THEN 'All rights reserved by the site owner.'
+                        ELSE 'Follow us on social media today.' END
+                   || chr(10) || chr(10) || substr(text, 81, 90)
+                   || chr(10) || chr(10)
+                   || CASE WHEN doc_id % 2 = 0 THEN 'Home About Products Contact'
+                           ELSE substr(text, 171, 60) END
+                   || CASE WHEN doc_id % 25 = 0
+                           THEN chr(10) || chr(10) || 'This exact paragraph appears in every twenty fifth document.'
+                           ELSE '' END
+                   AS text
+            FROM documents),
+        lists AS (
+            SELECT doc_id, string_split(text, chr(10) || chr(10)) AS l
+            FROM pages),
+        paras AS (
+            SELECT doc_id, pos, l[pos] AS para
+            FROM lists, LATERAL (SELECT unnest(range(1, len(l) + 1)) AS pos) p
+            WHERE trim(l[pos]) <> ''),
+        flagged AS (
+            SELECT doc_id, pos, para,
+                   ROW_NUMBER() OVER (PARTITION BY para ORDER BY doc_id, pos) = 1
+                       AS is_first
+            FROM paras)
+"""
+
+
+@check(
+    "paragraph_dedup",
+    oracle=_DERIVE_SQL
+    + """
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_paras,
+               CAST(SUM(CASE WHEN is_first THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_dup_paras,
+               CAST(length(COALESCE(
+                   string_agg(CASE WHEN is_first THEN para END,
+                              chr(10) || chr(10) ORDER BY pos),
+                   '')) AS BIGINT) AS kept_chars
+        FROM flagged GROUP BY doc_id ORDER BY doc_id""",
+)
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived boilerplate-laden pages through keep-first paragraph
+    dedup: per-doc paragraph totals, duplicates removed, and the
+    rewritten text's char mass."""
+    docs = load(spark, sf_dir, "documents")
+    out = paragraph_dedup_rewrite(_derived_pages(docs))
+    return out.select(
+        "doc_id",
+        "n_paras",
+        "n_dup_paras",
+        F.length("cleaned_text").cast("bigint").alias("kept_chars"),
+    ).orderBy("doc_id")
