@@ -44,6 +44,7 @@ _ROUND8_PRIORITY = [
     "domain_pagerank", "langid_nb_model", "langid_nb_predictions",
     "webdataset_roundtrip", "crawl_entry_rollup", "jsonl_roundtrip",
     "heavy_hitters_exact", "c4_line_clean", "paragraph_dedup",
+    "epoch_materialize",
     # NEW in round 8 — the rebuilt per-frame audio fingerprint (+10x),
     # arbitrary-boundary substring dedup, residual IVF-PQ, the sized
     # Bloom screen's second-m gate, domain-level caps, and the

@@ -81,3 +81,95 @@ def q_temperature_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest pins the conservation law)."""
     docs = load(spark, sf_dir, "documents").select("source")
     return temperature_budgets(docs).orderBy("source")
+
+
+# ------------------------------------------- epoch materialization ----
+
+EPOCH_TOTAL = 3333  # forces fractional epochs on the uniform fixture
+
+
+def epoch_copies(docs: DataFrame, budgets: DataFrame) -> DataFrame:
+    """(doc_id, source, n_copies): turn per-source BUDGETS (possibly
+    above the source's size — multi-epoch upsampling, the
+    temperature-mixture consequence) into an exact physical repeat plan
+    (the "repeat factor" every training-data loader ultimately needs):
+
+      * every doc gets ``budget DIV n_docs`` full-epoch copies;
+      * the remaining ``budget % n_docs`` seats go to the docs with the
+        smallest ``md5(doc_id)`` — the deterministic hash IS the
+        shuffle, so the fractional epoch is an unbiased, reproducible
+        subset, not "whatever rows came first".
+
+    Conservation law (pytest-pinned): sum(n_copies) per source ==
+    budget, exactly.  Scale: one broadcast join (budgets are
+    #sources rows) + the per-source hash-rank window; for extreme
+    per-source volume the rank admits the same two-phase cutoff-hash
+    refinement as ``mixture_quota_twophase`` (SCALE.md) — semantics
+    identical, selection map-only after a sampled cutoff."""
+    j = docs.join(F.broadcast(budgets.select("source", "n_docs", "budget")), "source")
+    full = F.expr("budget DIV n_docs")
+    frac = F.col("budget") % F.col("n_docs")
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.md5(F.col("doc_id").cast("string")), "doc_id"
+        )
+    )
+    return j.select(
+        "doc_id",
+        "source",
+        (full + (rk <= frac).cast("bigint")).cast("bigint").alias("n_copies"),
+    )
+
+
+def materialize_epochs(copies: DataFrame) -> DataFrame:
+    """Explode the repeat plan into physical (doc_id, source, copy_no)
+    rows — the list a packing/sharding stage consumes.  Zero-copy docs
+    (downsampled sources) drop out here."""
+    return copies.filter(F.col("n_copies") > 0).select(
+        "doc_id",
+        "source",
+        F.explode(F.sequence(F.lit(1), F.col("n_copies").cast("int"))).alias(
+            "copy_no"
+        ),
+    )
+
+
+@check(
+    "epoch_materialize",
+    oracle=f"""
+        WITH counts AS (
+            SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+        weighted AS (
+            SELECT source, n_docs,
+                   CAST(FLOOR(SQRT(n_docs * 1000000.0)) AS BIGINT) AS weight
+            FROM counts),
+        tot AS (SELECT SUM(weight) AS w_sum FROM weighted),
+        staged AS (
+            SELECT source, n_docs, weight,
+                   CAST(({EPOCH_TOTAL}::BIGINT * weight) // w_sum AS BIGINT) AS base,
+                   ({EPOCH_TOTAL}::BIGINT * weight) % w_sum AS rem
+            FROM weighted CROSS JOIN tot),
+        lo AS (SELECT {EPOCH_TOTAL} - SUM(base) AS leftover FROM staged),
+        budgets AS (
+            SELECT s.source, s.n_docs,
+                   s.base + CASE WHEN ROW_NUMBER() OVER
+                            (ORDER BY s.rem DESC, s.source) <= lo.leftover
+                        THEN 1 ELSE 0 END AS budget
+            FROM staged s CROSS JOIN lo),
+        ranked AS (
+            SELECT d.doc_id, d.source, b.n_docs, b.budget,
+                   ROW_NUMBER() OVER (PARTITION BY d.source
+                       ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rk
+            FROM documents d JOIN budgets b USING (source))
+        SELECT doc_id, source,
+               CAST(budget // n_docs
+                    + CASE WHEN rk <= budget % n_docs THEN 1 ELSE 0 END
+                    AS BIGINT) AS n_copies
+        FROM ranked ORDER BY doc_id""",
+)
+def q_epoch_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature budgets -> exact per-doc repeat plan: every doc's copy
+    count under the T=2 mixture at a total of {EPOCH_TOTAL} samples."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    budgets = temperature_budgets(docs, EPOCH_TOTAL)
+    return epoch_copies(docs, budgets).orderBy("doc_id")
