@@ -45,7 +45,7 @@ _ROUND8_PRIORITY = [
     "webdataset_roundtrip", "crawl_entry_rollup", "jsonl_roundtrip",
     "heavy_hitters_exact", "c4_line_clean", "paragraph_dedup",
     "epoch_materialize", "binq_hamming_top10", "binq_rerank_top10",
-    "anchor_text_rollup",
+    "anchor_text_rollup", "paragraph_dedup_10x",
     # NEW in round 8 — the rebuilt per-frame audio fingerprint (+10x),
     # arbitrary-boundary substring dedup, residual IVF-PQ, the sized
     # Bloom screen's second-m gate, domain-level caps, and the

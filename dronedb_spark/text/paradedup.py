@@ -108,7 +108,8 @@ def _derived_pages(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", page.alias("text"))
 
 
-_DERIVE_SQL = """
+def _derive_sql(src: str) -> str:
+    return f"""
         WITH pages AS (
             SELECT doc_id,
                    substr(text, 1, 80) || chr(10) || chr(10)
@@ -124,7 +125,7 @@ _DERIVE_SQL = """
                            THEN chr(10) || chr(10) || 'This exact paragraph appears in every twenty fifth document.'
                            ELSE '' END
                    AS text
-            FROM documents),
+            FROM {src}),
         lists AS (
             SELECT doc_id, string_split(text, chr(10) || chr(10)) AS l
             FROM pages),
@@ -140,10 +141,7 @@ _DERIVE_SQL = """
 """
 
 
-@check(
-    "paragraph_dedup",
-    oracle=_DERIVE_SQL
-    + """
+_ROLLUP_SQL = """
         SELECT doc_id,
                CAST(COUNT(*) AS BIGINT) AS n_paras,
                CAST(SUM(CASE WHEN is_first THEN 0 ELSE 1 END) AS BIGINT)
@@ -152,13 +150,42 @@ _DERIVE_SQL = """
                    string_agg(CASE WHEN is_first THEN para END,
                               chr(10) || chr(10) ORDER BY pos),
                    '')) AS BIGINT) AS kept_chars
-        FROM flagged GROUP BY doc_id ORDER BY doc_id""",
-)
+        FROM flagged GROUP BY doc_id ORDER BY doc_id"""
+
+
+@check("paragraph_dedup", oracle=_derive_sql("documents") + _ROLLUP_SQL)
 def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derived boilerplate-laden pages through keep-first paragraph
     dedup: per-doc paragraph totals, duplicates removed, and the
     rewritten text's char mass."""
     docs = load(spark, sf_dir, "documents")
+    out = paragraph_dedup_rewrite(_derived_pages(docs))
+    return out.select(
+        "doc_id",
+        "n_paras",
+        "n_dup_paras",
+        F.length("cleaned_text").cast("bigint").alias("kept_chars"),
+    ).orderBy("doc_id")
+
+
+def _inflated_src() -> str:
+    from dronedb_spark.text.segdedup import _INFLATE, _INFLATE_STRIDE
+
+    return f"""(
+            SELECT doc_id + k.k * {_INFLATE_STRIDE} AS doc_id, text
+            FROM documents, (SELECT unnest(range(0, {_INFLATE})) AS k) k) corpus"""
+
+
+@check("paragraph_dedup_10x", oracle=_derive_sql(_inflated_src()) + _ROLLUP_SQL)
+def q_paragraph_dedup_10x(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10× inflated corpus through the same pipeline — every body
+    paragraph now repeats across the 10 strided copies (parity and mod
+    classes shift with the stride, so the page MIX changes too), the
+    worst-case duplicate mass.  Kept sublinear by the same one-window
+    shape."""
+    from dronedb_spark.text.segdedup import inflated_documents
+
+    docs = inflated_documents(load(spark, sf_dir, "documents"))
     out = paragraph_dedup_rewrite(_derived_pages(docs))
     return out.select(
         "doc_id",
