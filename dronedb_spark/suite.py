@@ -45,7 +45,7 @@ _ROUND8_PRIORITY = [
     "webdataset_roundtrip", "crawl_entry_rollup", "jsonl_roundtrip",
     "heavy_hitters_exact", "c4_line_clean", "paragraph_dedup",
     "epoch_materialize", "binq_hamming_top10", "binq_rerank_top10",
-    "anchor_text_rollup", "paragraph_dedup_10x",
+    "anchor_text_rollup", "paragraph_dedup_10x", "robots_url_verdicts",
     # NEW in round 8 — the rebuilt per-frame audio fingerprint (+10x),
     # arbitrary-boundary substring dedup, residual IVF-PQ, the sized
     # Bloom screen's second-m gate, domain-level caps, and the
@@ -189,6 +189,7 @@ def load_all() -> dict[str, Check]:
     import dronedb_spark.text.paradedup  # noqa: F401  (paragraph keep-first dedup, new in r8)
     import dronedb_spark.vectors.binq  # noqa: F401  (1-bit quantize + rerank, new in r8)
     import dronedb_spark.text.anchors  # noqa: F401  (anchor-text rollup, new in r8)
+    import dronedb_spark.text.robots  # noqa: F401  (robots.txt verdicts, new in r8)
     # (text.substring also registers substring_dedup_rewrite; text.quality
     # registers mixture_quota_twophase — imported above)
     # --- green rows in CORRECTNESS_r01: register after ------------------

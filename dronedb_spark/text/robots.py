@@ -1,0 +1,271 @@
+"""robots.txt parsing and crawl-permission verdicts (RFC 9309, the
+Google robots.txt spec) — the legal/etiquette gate at the very front
+of a crawl pipeline, before a byte of page content is fetched:
+
+  * ``parse_robots`` — REAL robots.txt bytes → a rules table
+    (host, agent, rule, path): User-agent lines stack into groups
+    (consecutive UA lines share the group, per the RFC), Allow /
+    Disallow lines attach to the open group, comments and unknown
+    directives drop, and an empty Disallow (``Disallow:``, meaning
+    "no restriction") is dropped at parse so it can never shadow a
+    real rule;
+  * ``robots_allowed`` — URL verdicts by the RFC match: the effective
+    group is the agent's exact group if the host declares one, else
+    ``*``; among matching rules (byte-wise path prefix — RFC wildcard
+    patterns are out of scope here and documented), the LONGEST path
+    wins, Allow beating Disallow on ties; hosts with no robots.txt
+    (or no matching rule) default to allowed.
+
+Beyond the reference (no crawl pipeline there).  Scale shape: the
+rules table is crawl-metadata-sized (kilobytes per host) and
+BROADCASTS; the URL side joins map-only, so the only exchange is the
+per-URL best-rule aggregate over the candidate matches.  Parsing runs
+one file per task through an Arrow kernel (line order matters — a
+group is a sequential construct).
+
+The driver check parses REAL fixture bytes and verdicts the derived
+URL corpus of ``text/urls.py`` against a DuckDB oracle that re-states
+the fixture rules as literals and re-implements longest-match in SQL —
+two independent implementations of the same spec.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dronedb_spark.suite import check
+from dronedb_spark.tables import load
+from dronedb_spark.text.urls import _derived_url_sql, with_url
+
+_RULE_SCHEMA = "host string, agent string, rule string, path string"
+
+
+def parse_robots(files: DataFrame) -> DataFrame:
+    """(file_name, content) → (host, agent, rule, path) rows.  The host
+    comes from the file name (``<host>.robots.txt`` — a crawler stores
+    one fetched robots per host)."""
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for name, content in zip(pdf["file_name"], pdf["content"]):
+                host = str(name)
+                if host.endswith(".robots.txt"):
+                    host = host[: -len(".robots.txt")]
+                agents: list[str] = []
+                group_open = False
+                for raw in bytes(content).decode("utf-8", "replace").splitlines():
+                    line = raw.split("#", 1)[0].strip()
+                    if not line or ":" not in line:
+                        continue
+                    key, _, val = line.partition(":")
+                    key = key.strip().lower()
+                    val = val.strip()
+                    if key == "user-agent":
+                        if group_open:
+                            agents = []  # a rule closed the group; start anew
+                            group_open = False
+                        agents.append(val.lower())
+                    elif key in ("allow", "disallow"):
+                        group_open = True
+                        if not val:
+                            continue  # empty Disallow: = no restriction
+                        for a in agents:
+                            rows.append(
+                                {"host": host, "agent": a, "rule": key, "path": val}
+                            )
+            yield pd.DataFrame(rows, columns=["host", "agent", "rule", "path"])
+
+    return files.mapInPandas(kernel, schema=_RULE_SCHEMA)
+
+
+def robots_allowed(
+    urls: DataFrame, rules: DataFrame, agent: str = "*"
+) -> DataFrame:
+    """urls(doc_id, host, path) + rules → + ``allowed`` (1/0).
+
+    Group selection: hosts that declare the exact agent use that group,
+    every other host falls back to ``*``.  Longest-path rule wins,
+    Allow beats Disallow on equal length, no match → allowed.
+    """
+    exact_hosts = (
+        rules.filter(F.col("agent") == agent.lower())
+        .select("host")
+        .distinct()
+        .withColumn("has_exact", F.lit(True))
+    )
+    eff = (
+        rules.join(F.broadcast(exact_hosts), "host", "left")
+        .filter(
+            ((F.col("agent") == agent.lower()) & F.col("has_exact").isNotNull())
+            | ((F.col("agent") == "*") & F.col("has_exact").isNull())
+        )
+        .select("host", "rule", F.col("path").alias("rule_path"))
+    )
+    cand = urls.join(
+        F.broadcast(eff),
+        (urls["host"] == eff["host"]) & F.expr("startswith(path, rule_path)"),
+        "left",
+    ).select(
+        urls["doc_id"],
+        urls["host"],
+        urls["path"],
+        F.when(
+            eff["rule_path"].isNotNull(),
+            F.struct(
+                F.length(eff["rule_path"]).alias("plen"),
+                (eff["rule"] == "allow").cast("int").alias("is_allow"),
+            ),
+        ).alias("m"),
+    )
+    best = F.max("m")
+    return (
+        cand.groupBy("doc_id", "host", "path")
+        .agg(best.alias("best"))
+        .select(
+            "doc_id",
+            "host",
+            "path",
+            F.when(
+                F.col("best").isNull() | (F.col("best")["is_allow"] == 1),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("allowed"),
+        )
+    )
+
+
+# ------------------------------------------------------------ fixture --
+
+# squares mod 10 hit hosts {0,1,4,5,6,9}; 6 and 9 carry NO robots.txt
+# and must default-allow, as must every www./cdn. host variant.  The
+# rules reference source prefixes that REALLY co-occur with each host
+# in the derived corpus (site1 serves src1/src9/src11/src19, ...), so
+# the verdict mix is non-degenerate; /src1 prefix-matching /src11 and
+# /src19 is deliberate RFC byte-prefix behavior.
+_RB_RULES: dict[int, list[tuple[str, str]]] = {
+    0: [("disallow", "/src10/p3")],
+    1: [("disallow", "/src1"), ("allow", "/src1/p1")],
+    4: [("disallow", "/src2"), ("allow", "/src2/p4")],
+    5: [("disallow", "/src15"), ("allow", "/src15/p5")],
+}
+_RB_SITES = tuple(sorted(_RB_RULES))
+
+
+def _rb_text(n: int) -> str:
+    rules = "\n".join(f"{r.capitalize()}: {p}" for r, p in _RB_RULES[n])
+    return (
+        f"# fixture robots for site{n}\n"
+        "User-agent: googlebot\n"
+        "Disallow: /\n"
+        "\n"
+        "User-agent: *\n"
+        f"{rules}\n"
+        "Disallow:\n"  # empty = no restriction; must be inert
+    )
+
+
+def _robots_root() -> str:
+    import os
+
+    root = os.path.abspath(
+        os.path.join(
+            os.path.dirname(__file__), "..", "..", "tests", "fixtures",
+            "robots_v1",
+        )
+    )
+    os.makedirs(root, exist_ok=True)
+    for n in _RB_SITES:
+        payload = _rb_text(n).encode()
+        p = os.path.join(root, f"site{n}.example.com.robots.txt")
+        if not os.path.exists(p) or open(p, "rb").read() != payload:
+            with open(p, "wb") as f:
+                f.write(payload)
+        os.utime(p, (1700000000, 1700000000))
+    return root
+
+
+def _rules_values_sql() -> str:
+    vals = []
+    for n in _RB_SITES:
+        h = f"site{n}.example.com"
+        for rule, path in _RB_RULES[n]:
+            vals.append(f"('{h}', '{rule}', '{path}')")
+    return ", ".join(vals)
+
+
+# raw lowercase host (port stripped, www./cdn. KEPT — robots bind to the
+# exact fetched host) and the raw path (query/fragment stripped,
+# trailing slash kept)
+_RAW_HOST = (
+    "lower(substring_index(substring_index(substring_index("
+    "substring_index(url, '#', 1), '://', -1), '/', 1), ':', 1))"
+)
+
+
+def _url_host_path(docs: DataFrame) -> DataFrame:
+    u = with_url(docs)
+    rest = "substring_index(substring_index(url, '#', 1), '://', -1)"
+    path = f"substring_index(substring({rest}, length(substring_index({rest}, '/', 1)) + 1), '?', 1)"
+    return u.select(
+        "doc_id",
+        F.expr(_RAW_HOST).alias("host"),
+        F.expr(path).alias("path"),
+    )
+
+
+@check(
+    "robots_url_verdicts",
+    oracle=f"""
+        WITH urls AS (
+            SELECT doc_id, {_derived_url_sql("duckdb")} AS url FROM documents),
+        rests AS (
+            SELECT doc_id,
+                   string_split(string_split(url, '#')[1], '://')[2] AS rest
+            FROM urls),
+        parts AS (
+            SELECT doc_id,
+                   lower(string_split(string_split(rest, '/')[1], ':')[1]) AS host,
+                   string_split(
+                       substr(rest, length(string_split(rest, '/')[1]) + 1),
+                       '?')[1] AS path
+            FROM rests),
+        rules(host, rule, rule_path) AS (VALUES {_rules_values_sql()}),
+        cand AS (
+            SELECT p.doc_id, p.host, p.path, r.rule,
+                   length(r.rule_path) AS plen
+            FROM parts p LEFT JOIN rules r
+              ON r.host = p.host AND starts_with(p.path, r.rule_path)),
+        best AS (
+            SELECT doc_id, host, path,
+                   MAX(CASE WHEN rule IS NOT NULL THEN
+                       plen * 2 + CASE WHEN rule = 'allow' THEN 1 ELSE 0 END
+                       END) AS score,
+                   MAX(CASE WHEN rule = 'allow'
+                            THEN plen * 2 + 1 END) AS best_allow
+            FROM cand GROUP BY doc_id, host, path)
+        SELECT doc_id, host, path,
+               CAST(CASE WHEN score IS NULL OR best_allow = score
+                         THEN 1 ELSE 0 END AS BIGINT) AS allowed
+        FROM best ORDER BY doc_id""",
+)
+def q_robots_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL robots.txt bytes → rules → RFC longest-match verdicts over
+    the derived URL corpus: per-URL host, path, and the crawl-allow
+    bit (hosts without robots, and cdn/www variants, default-allow)."""
+    from dronedb_spark.sources.bridge import scan_binaries
+    from dronedb_spark.tables import spread
+
+    files = scan_binaries(spark, _robots_root(), "*.robots.txt")
+    rules = parse_robots(spread(files))
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return robots_allowed(_url_host_path(docs), rules, agent="fixturebot").orderBy(
+        "doc_id"
+    )
