@@ -108,11 +108,9 @@ def _derived_pages(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", page.alias("text"))
 
 
-def _derive_sql(src: str) -> str:
-    return f"""
-        WITH pages AS (
-            SELECT doc_id,
-                   substr(text, 1, 80) || chr(10) || chr(10)
+# the derived-page text expression over (doc_id, text) — shared by the
+# batch check, the 10x twin, and the incremental store/batch split
+_PAGE_EXPR = """substr(text, 1, 80) || chr(10) || chr(10)
                    || CASE doc_id % 3
                         WHEN 0 THEN 'Subscribe to our newsletter for updates.'
                         WHEN 1 THEN 'All rights reserved by the site owner.'
@@ -123,8 +121,13 @@ def _derive_sql(src: str) -> str:
                            ELSE substr(text, 171, 60) END
                    || CASE WHEN doc_id % 25 = 0
                            THEN chr(10) || chr(10) || 'This exact paragraph appears in every twenty fifth document.'
-                           ELSE '' END
-                   AS text
+                           ELSE '' END"""
+
+
+def _derive_sql(src: str) -> str:
+    return f"""
+        WITH pages AS (
+            SELECT doc_id, {_PAGE_EXPR} AS text
             FROM {src}),
         lists AS (
             SELECT doc_id, string_split(text, chr(10) || chr(10)) AS l
@@ -193,3 +196,113 @@ def q_paragraph_dedup_10x(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_dup_paras",
         F.length("cleaned_text").cast("bigint").alias("kept_chars"),
     ).orderBy("doc_id")
+
+
+# ------------------------------------------- incremental store/probe ----
+
+
+def paragraph_store(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The persisted corpus paragraph index: DISTINCT md5(paragraph)
+    rows — what the daily pipeline writes once per ingested batch and
+    keeps bucketed by hash on disk, so tomorrow's probe joins without
+    reshuffling (or even reading) yesterday's text."""
+    return (
+        docs.select(F.explode(F.split(text_col, PARA_SEP)).alias("para"))
+        .filter(F.trim("para") != "")
+        .select(F.md5("para").alias("phash"))
+        .distinct()
+    )
+
+
+def incremental_paragraph_dedup(
+    batch: DataFrame, store: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Dedup a NEW batch against the persisted paragraph store AND
+    within itself (keep-first): per batch doc, how many paragraphs were
+    already indexed (``n_store_dups``), how many repeat earlier batch
+    paragraphs (``n_batch_dups``), and the surviving char mass.
+
+    Scale shape: only the batch's paragraphs hash and probe; the store
+    side of the hash equi-join is pre-bucketed and never reshuffles.
+    A paragraph both in the store and repeated in the batch counts as
+    a store dup (the store verdict wins)."""
+    occ = paragraph_occurrences(batch, text_col).withColumn(
+        "phash", F.md5("para")
+    )
+    marked = occ.join(
+        store.withColumn("in_store", F.lit(True)), "phash", "left"
+    ).withColumn("in_store", F.col("in_store").isNotNull())
+    keep = (~F.col("in_store")) & F.col("is_first")
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_paras"),
+            F.sum(F.col("in_store").cast("bigint")).alias("n_store_dups"),
+            F.sum(((~F.col("in_store")) & (~F.col("is_first"))).cast("bigint"))
+            .alias("n_batch_dups"),
+            F.length(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(keep, F.struct("pos", "para"))
+                            )
+                        ),
+                        lambda s: s["para"],
+                    ),
+                    PARA_SEP,
+                )
+            ).cast("bigint").alias("kept_chars"),
+        )
+    )
+
+
+@check(
+    "paragraph_dedup_incremental",
+    oracle=f"""
+        WITH store_pages AS (
+            SELECT doc_id, {_PAGE_EXPR} AS text
+            FROM documents WHERE doc_id % 3 <> 0),
+        batch_pages AS (
+            SELECT doc_id, {_PAGE_EXPR} AS text
+            FROM documents WHERE doc_id % 3 = 0),
+        store AS (
+            SELECT DISTINCT md5(l[pos]) AS phash
+            FROM (SELECT string_split(text, chr(10) || chr(10)) AS l
+                  FROM store_pages) s,
+                 LATERAL (SELECT unnest(range(1, len(l) + 1)) AS pos) p
+            WHERE trim(l[pos]) <> ''),
+        bparas AS (
+            SELECT doc_id, pos, l[pos] AS para
+            FROM (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS l
+                  FROM batch_pages) b,
+                 LATERAL (SELECT unnest(range(1, len(l) + 1)) AS pos) p
+            WHERE trim(l[pos]) <> ''),
+        flagged AS (
+            SELECT doc_id, pos, para,
+                   ROW_NUMBER() OVER (PARTITION BY para
+                       ORDER BY doc_id, pos) = 1 AS is_first,
+                   md5(para) IN (SELECT phash FROM store) AS in_store
+            FROM bparas)
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_paras,
+               CAST(SUM(CASE WHEN in_store THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_store_dups,
+               CAST(SUM(CASE WHEN NOT in_store AND NOT is_first
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_batch_dups,
+               CAST(length(COALESCE(
+                   string_agg(CASE WHEN NOT in_store AND is_first
+                                   THEN para END,
+                              chr(10) || chr(10) ORDER BY pos),
+                   '')) AS BIGINT) AS kept_chars
+        FROM flagged GROUP BY doc_id ORDER BY doc_id""",
+)
+def q_paragraph_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Store = derived pages of doc_id % 3 != 0; batch = the rest.  The
+    batch's shared footers/nav blocks must register as STORE dups, its
+    internal repeats as BATCH dups, and unique body slices survive."""
+    docs = load(spark, sf_dir, "documents")
+    pages = _derived_pages(docs)
+    store = paragraph_store(pages.filter(F.col("doc_id") % 3 != 0))
+    batch = pages.filter(F.col("doc_id") % 3 == 0)
+    return incremental_paragraph_dedup(batch, store).orderBy("doc_id")

@@ -81,3 +81,43 @@ def test_two_exchange_plan(spark, sf_dir):
     # one exchange for the paragraph window, one for the doc_id regroup
     assert p.count("Exchange hashpartitioning") == 2, p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_incremental_store_verdict_wins(spark):
+    from dronedb_spark.text.paradedup import (
+        incremental_paragraph_dedup,
+        paragraph_store,
+    )
+
+    store_docs = _docs(spark, [(1, "indexed paragraph one\n\nindexed paragraph two")])
+    store = paragraph_store(store_docs)
+    batch = _docs(
+        spark,
+        [
+            # store dup + fresh + internal repeat of the fresh one
+            (10, "indexed paragraph one\n\nfresh content here"),
+            (11, "fresh content here\n\nindexed paragraph two\n\nanother new one"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in incremental_paragraph_dedup(batch, store).collect()}
+    assert (out[10]["n_store_dups"], out[10]["n_batch_dups"]) == (1, 0)
+    assert out[10]["kept_chars"] == len("fresh content here")
+    # doc 11: "fresh content here" repeats doc 10's (batch dup),
+    # "indexed paragraph two" is a store dup, "another new one" survives
+    assert (out[11]["n_store_dups"], out[11]["n_batch_dups"]) == (1, 1)
+    assert out[11]["kept_chars"] == len("another new one")
+
+
+def test_incremental_store_dup_not_double_counted(spark):
+    from dronedb_spark.text.paradedup import (
+        incremental_paragraph_dedup,
+        paragraph_store,
+    )
+
+    store = paragraph_store(_docs(spark, [(1, "shared everywhere")]))
+    batch = _docs(spark, [(10, "shared everywhere"), (11, "shared everywhere")])
+    out = {r["doc_id"]: r for r in incremental_paragraph_dedup(batch, store).collect()}
+    # both occurrences are STORE dups (store verdict wins over batch rank)
+    assert out[10]["n_store_dups"] == 1 and out[10]["n_batch_dups"] == 0
+    assert out[11]["n_store_dups"] == 1 and out[11]["n_batch_dups"] == 0
+    assert out[10]["kept_chars"] == 0 and out[11]["kept_chars"] == 0
