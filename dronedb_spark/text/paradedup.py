@@ -42,13 +42,17 @@ from dronedb_spark.tables import load
 PARA_SEP = "\n\n"
 
 
-def paragraph_occurrences(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def paragraph_occurrences(
+    docs: DataFrame, text_col: str = "text", sep: str = PARA_SEP
+) -> DataFrame:
     """(doc_id, pos, para, is_first): every non-blank paragraph with its
-    keep-first verdict — first occurrence = smallest (doc_id, pos)."""
+    keep-first verdict — first occurrence = smallest (doc_id, pos).
+    ``sep="\\n"`` gives line-level dedup (the Dolma paragraph notion —
+    its documents delimit paragraphs by single newlines)."""
     paras = (
         docs.select(
             "doc_id",
-            F.posexplode(F.split(text_col, PARA_SEP)).alias("pos", "para"),
+            F.posexplode(F.split(text_col, sep)).alias("pos", "para"),
         )
         .filter(F.trim("para") != "")
     )
@@ -60,11 +64,13 @@ def paragraph_occurrences(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def paragraph_dedup_rewrite(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def paragraph_dedup_rewrite(
+    docs: DataFrame, text_col: str = "text", sep: str = PARA_SEP
+) -> DataFrame:
     """Per-doc rewrite: duplicate paragraphs removed, survivors re-joined
     in original order.  Docs whose every paragraph was seen earlier
     come back with an empty ``cleaned_text`` (row preserved)."""
-    occ = paragraph_occurrences(docs, text_col)
+    occ = paragraph_occurrences(docs, text_col, sep)
     return (
         occ.groupBy("doc_id")
         .agg(
@@ -79,7 +85,7 @@ def paragraph_dedup_rewrite(docs: DataFrame, text_col: str = "text") -> DataFram
                     ),
                     lambda s: s["para"],
                 ),
-                PARA_SEP,
+                sep,
             ).alias("cleaned_text"),
         )
     )
