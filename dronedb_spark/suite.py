@@ -46,7 +46,7 @@ _ROUND8_PRIORITY = [
     "heavy_hitters_exact", "c4_line_clean", "paragraph_dedup",
     "epoch_materialize", "binq_hamming_top10", "binq_rerank_top10",
     "anchor_text_rollup", "paragraph_dedup_10x", "robots_url_verdicts",
-    "paragraph_dedup_incremental", "web_curation_rollup",
+    "paragraph_dedup_incremental", "web_curation_rollup", "lsh_calibration",
     # NEW in round 8 — the rebuilt per-frame audio fingerprint (+10x),
     # arbitrary-boundary substring dedup, residual IVF-PQ, the sized
     # Bloom screen's second-m gate, domain-level caps, and the

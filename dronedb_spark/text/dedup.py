@@ -511,3 +511,120 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return incremental_neardup(batch, band_store(store_docs)).orderBy("doc_id")
+
+
+# ------------------------------------------------------------ calibration
+
+_CAL_TAUS = (30, 50, 70)  # jaccard thresholds, in percent
+
+
+def lsh_calibration(docs: DataFrame, taus: tuple[int, ...] = _CAL_TAUS) -> DataFrame:
+    """Confusion counts of the banded-MinHash candidate set against
+    EXACT n-gram Jaccard ground truth, per threshold — "what recall is
+    my LSH actually buying at this banding?", the question every 100 TB
+    dedup run must answer before trusting its candidate join.
+
+    Ground truth comes from the shingle equi-self-join (pairs sharing
+    zero shingles have Jaccard 0 and never materialize), with the
+    threshold test as the integer cross-multiplication
+    ``n_inter·100 >= tau·n_union`` — no float crosses a decision
+    boundary.  At production scale this runs on a uniform SAMPLE (a
+    few 10^4 docs): ground truth is quadratic in document-frequency
+    mass and exists to CALIBRATE the banding, not to dedup; the
+    measured curve then applies to the full-corpus LSH run, whose own
+    cost stays the banded one.  Per tau: true pairs, LSH candidates,
+    hits (TP), spurious candidates (FP), and misses (FN).
+    """
+    cand = neardup_pairs(docs).withColumn("is_cand", F.lit(1))
+    sh = (
+        _shingle_df(docs)
+        .select("doc_id", F.explode("sh").alias("s"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    truth = (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .select("doc_a", "doc_b", "n_inter", (F.col("na") + F.col("nb") - F.col("n_inter")).alias("n_union"))
+    )
+    base = truth.join(cand, ["doc_a", "doc_b"], "full_outer").select(
+        F.coalesce("n_inter", F.lit(0)).alias("n_inter"),
+        # a band collision with zero shared shingles (md5 fluke) still
+        # needs a union size; 1 keeps the jaccard test well-defined at 0
+        F.coalesce("n_union", F.lit(1)).alias("n_union"),
+        F.coalesce("is_cand", F.lit(0)).alias("is_cand"),
+    )
+    taued = base.crossJoin(
+        F.broadcast(
+            docs.sparkSession.createDataFrame([(t,) for t in taus], "tau_pct int")
+        )
+    ).withColumn(
+        "is_true",
+        (F.col("n_inter") * 100 >= F.col("tau_pct") * F.col("n_union")).cast("int"),
+    )
+    return taued.groupBy("tau_pct").agg(
+        F.sum("is_true").cast("bigint").alias("n_true"),
+        F.sum("is_cand").cast("bigint").alias("n_cand"),
+        F.sum(F.col("is_true") * F.col("is_cand")).cast("bigint").alias("tp"),
+        F.sum(F.col("is_cand") * (1 - F.col("is_true"))).cast("bigint").alias("fp"),
+        F.sum(F.col("is_true") * (1 - F.col("is_cand"))).cast("bigint").alias("fn"),
+    )
+
+
+@check(
+    "lsh_calibration",
+    oracle=f"""
+        WITH sig AS ({_DUCK_SIG_BANDS}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM sig a JOIN sig b
+              ON (a.band0 = b.band0 OR a.band1 = b.band1) AND a.doc_id < b.doc_id),
+        sh AS (SELECT DISTINCT doc_id, unnest(sh) AS s
+               FROM (SELECT doc_id, {{shingles}} AS sh
+                     FROM ({{words}}) words) t),
+        sizes AS (SELECT doc_id, COUNT(1) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(1) AS n_inter
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+        truth AS (
+            SELECT i.doc_a, i.doc_b, i.n_inter,
+                   za.n + zb.n - i.n_inter AS n_union
+            FROM inter i
+            JOIN sizes za ON za.doc_id = i.doc_a
+            JOIN sizes zb ON zb.doc_id = i.doc_b),
+        base AS (
+            SELECT COALESCE(t.n_inter, 0) AS n_inter,
+                   COALESCE(t.n_union, 1) AS n_union,
+                   CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS is_cand
+            FROM truth t FULL OUTER JOIN cand c
+              ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b),
+        taus(tau_pct) AS (VALUES {", ".join(f"({t})" for t in _CAL_TAUS)}),
+        taued AS (
+            SELECT tau_pct,
+                   CASE WHEN n_inter * 100 >= tau_pct * n_union
+                        THEN 1 ELSE 0 END AS is_true,
+                   is_cand
+            FROM base CROSS JOIN taus)
+        SELECT CAST(tau_pct AS INT) AS tau_pct,
+               CAST(SUM(is_true) AS BIGINT) AS n_true,
+               CAST(SUM(is_cand) AS BIGINT) AS n_cand,
+               CAST(SUM(is_true * is_cand) AS BIGINT) AS tp,
+               CAST(SUM(is_cand * (1 - is_true)) AS BIGINT) AS fp,
+               CAST(SUM(is_true * (1 - is_cand)) AS BIGINT) AS fn
+        FROM taued GROUP BY tau_pct ORDER BY tau_pct""".format(
+        shingles=_DUCK_SHINGLES, words=_DUCK_WORDS
+    ),
+)
+def q_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-MinHash recall/precision against exact Jaccard truth at
+    tau = 30/50/70% — the banding's measured operating point."""
+    return lsh_calibration(load(spark, sf_dir, "documents")).orderBy("tau_pct")

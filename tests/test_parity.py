@@ -121,3 +121,29 @@ def test_pii_metrics_counts_injected_pii(spark, sf_dir):
             assert r["n_ips"] >= 1
         elif doc_id % 4 == 2:
             assert r["n_longids"] >= 1
+
+
+def test_lsh_calibration_identities(spark):
+    """tp+fn == n_true, tp+fp == n_cand, n_true non-increasing in tau,
+    and a crafted mid-jaccard pair is true at 30/50 but not at 70."""
+    from dronedb_spark.text.dedup import lsh_calibration
+
+    base = [f"w{i}" for i in range(20)]
+    half = base[:15] + [f"x{i}" for i in range(5)]   # j ~ 13/23 ~ 0.57
+    rows = [
+        (1, " ".join(base)),
+        (2, " ".join(half)),
+        (3, " ".join(f"y{i}" for i in range(20))),   # unrelated
+        (4, " ".join(base)),                         # exact dup of 1
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["tau_pct"]: r for r in lsh_calibration(docs).collect()}
+    for t, r in out.items():
+        assert r["tp"] + r["fn"] == r["n_true"], (t, r)
+        assert r["tp"] + r["fp"] == r["n_cand"], (t, r)
+    # n_cand is tau-independent
+    assert len({r["n_cand"] for r in out.values()}) == 1
+    # truth shrinks with tau: pair (1,2) [and (2,4)] drop out at 70
+    assert out[30]["n_true"] >= out[70]["n_true"]
+    assert out[30]["n_true"] == 3   # (1,2), (2,4), (1,4)
+    assert out[70]["n_true"] == 1   # only the exact dup (1,4)
