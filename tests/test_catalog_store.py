@@ -301,3 +301,18 @@ def test_compact_plan_invariants(spark):
             members = [r for r in fr if r["group_no"] == g]
             # removing the last member must bring the group under target
             assert total - members[-1]["size"] < TARGET_BYTES
+
+
+def test_dataset_diff_statuses(spark):
+    from dronedb_spark.catalog.datadiff import dataset_diff
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "will change"), (3, "goes away")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "changed now"), (4, "brand new")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["status"] for r in dataset_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
