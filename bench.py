@@ -163,6 +163,30 @@ HEADLINE = [
     "langid_nb_predictions",
     "webdataset_roundtrip",
     "crawl_entry_rollup",
+    # round-8 session breadth: bounded-memory heavy hitters (+10x — the
+    # candidate set must stay flat while the corpus grows), the C4 gate,
+    # paragraph dedup (+10x +incremental probe), epoch materialization,
+    # 1-bit quantized search + rerank, crawl anchors/robots, the C4+dedup
+    # composition, LSH calibration, Matryoshka budgets, collocations,
+    # drift deciles, dataset diff, and the JSONL roundtrip
+    "heavy_hitters_exact",
+    "heavy_hitters_exact_10x",
+    "c4_line_clean",
+    "paragraph_dedup",
+    "paragraph_dedup_10x",
+    "paragraph_dedup_incremental",
+    "epoch_materialize",
+    "binq_hamming_top10",
+    "binq_rerank_top10",
+    "anchor_text_rollup",
+    "robots_url_verdicts",
+    "web_curation_rollup",
+    "lsh_calibration",
+    "matryoshka_topk",
+    "bigram_lift_topk",
+    "embedding_drift_deciles",
+    "dataset_diff_rollup",
+    "jsonl_roundtrip",
 ]
 
 _SMALL_RESULT = {

@@ -49,6 +49,7 @@ _ROUND8_PRIORITY = [
     "paragraph_dedup_incremental", "web_curation_rollup", "lsh_calibration",
     "matryoshka_topk", "bigram_lift_topk", "csv_roundtrip",
     "embedding_drift_deciles", "dataset_diff_rollup", "orc_roundtrip",
+    "heavy_hitters_exact_10x",
     # NEW in round 8 — the rebuilt per-frame audio fingerprint (+10x),
     # arbitrary-boundary substring dedup, residual IVF-PQ, the sized
     # Bloom screen's second-m gate, domain-level caps, and the

@@ -162,3 +162,29 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the full-vocabulary DuckDB aggregate."""
     docs = load(spark, sf_dir, "documents")
     return heavy_hitters_exact(docs).orderBy("tok")
+
+
+@check(
+    "heavy_hitters_exact_10x",
+    oracle=f"""
+        WITH corpus AS (
+            SELECT text FROM documents,
+                 (SELECT unnest(range(0, 10)) AS k) k),
+        toks AS (
+            SELECT unnest(string_split(text, ' ')) AS tok FROM corpus),
+        t AS (SELECT tok FROM toks WHERE tok <> ''),
+        n AS (SELECT COUNT(*) AS n_total FROM t)
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM t GROUP BY tok
+        HAVING COUNT(*) * {K + 1} > (SELECT n_total FROM n)
+        ORDER BY tok""",
+)
+def q_heavy_hitters_10x(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10× corpus mass through the same two passes: the heavy-hitter SET
+    is scale-invariant (counts grow 10×, shares don't), the per-partition
+    summaries stay <= k+1 rows, and the candidate union stays O(P·k) —
+    the whole point of the sketch under growth."""
+    from dronedb_spark.text.segdedup import inflated_documents
+
+    docs = inflated_documents(load(spark, sf_dir, "documents"))
+    return heavy_hitters_exact(docs).orderBy("tok")
