@@ -45,6 +45,33 @@ from dronedb_spark.text.urls import _derived_url_sql, with_url
 _RULE_SCHEMA = "host string, agent string, rule string, path string"
 
 
+def parse_robots_text(host: str, text: str) -> list[dict]:
+    """Pure single-file parse (the kernel body, fuzzable without Spark):
+    robots.txt text → rule rows for ``host``."""
+    rows: list[dict] = []
+    agents: list[str] = []
+    group_open = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if group_open:
+                agents = []  # a rule closed the group; start anew
+                group_open = False
+            agents.append(val.lower())
+        elif key in ("allow", "disallow"):
+            group_open = True
+            if not val:
+                continue  # empty Disallow: = no restriction
+            for a in agents:
+                rows.append({"host": host, "agent": a, "rule": key, "path": val})
+    return rows
+
+
 def parse_robots(files: DataFrame) -> DataFrame:
     """(file_name, content) → (host, agent, rule, path) rows.  The host
     comes from the file name (``<host>.robots.txt`` — a crawler stores
@@ -57,28 +84,11 @@ def parse_robots(files: DataFrame) -> DataFrame:
                 host = str(name)
                 if host.endswith(".robots.txt"):
                     host = host[: -len(".robots.txt")]
-                agents: list[str] = []
-                group_open = False
-                for raw in bytes(content).decode("utf-8", "replace").splitlines():
-                    line = raw.split("#", 1)[0].strip()
-                    if not line or ":" not in line:
-                        continue
-                    key, _, val = line.partition(":")
-                    key = key.strip().lower()
-                    val = val.strip()
-                    if key == "user-agent":
-                        if group_open:
-                            agents = []  # a rule closed the group; start anew
-                            group_open = False
-                        agents.append(val.lower())
-                    elif key in ("allow", "disallow"):
-                        group_open = True
-                        if not val:
-                            continue  # empty Disallow: = no restriction
-                        for a in agents:
-                            rows.append(
-                                {"host": host, "agent": a, "rule": key, "path": val}
-                            )
+                rows.extend(
+                    parse_robots_text(
+                        host, bytes(content).decode("utf-8", "replace")
+                    )
+                )
             yield pd.DataFrame(rows, columns=["host", "agent", "rule", "path"])
 
     return files.mapInPandas(kernel, schema=_RULE_SCHEMA)
