@@ -218,3 +218,46 @@ def _register_url_check() -> None:
 
 
 _register_url_check()
+
+
+def stream_paragraph_dedup(
+    batch_stream: DataFrame,
+    store: DataFrame,
+    event_time: str | None = None,
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Paragraph-level dedup as a continuous operator — the streaming
+    runtime of ``text/paradedup.py:incremental_paragraph_dedup``: new
+    pages arrive as a stream, their paragraphs explode per microbatch
+    (stateless narrow work), paragraphs already in the persisted corpus
+    store drop via a STREAM-STATIC left-anti join (the store side never
+    recomputes per trigger), and first-seen-wins WITHIN the stream runs
+    as ``dropDuplicatesWithinWatermark`` on the paragraph hash — state
+    bounded by the dedup horizon, the same discipline as the
+    content-hash path above.
+
+    Emits each surviving paragraph once: the SET of surviving hashes is
+    deterministic (one per distinct new paragraph); WHICH (doc_id, pos)
+    carries it follows arrival order, the streaming semantic (the batch
+    twin's (doc_id, pos) keep-first is the deterministic replay).
+    tests/test_streaming.py pins stream survivors == the batch twin's
+    kept-paragraph hash set.  Without ``event_time`` the dedup is an
+    unbounded ``dropDuplicates`` — bounded replays only, never the
+    continuous deployment."""
+    from dronedb_spark.text.paradedup import PARA_SEP
+
+    if event_time:
+        batch_stream = batch_stream.withWatermark(event_time, delay)
+    carry = (event_time,) if event_time else ()
+    paras = (
+        batch_stream.select(
+            "doc_id", *carry,
+            F.posexplode(F.split("text", PARA_SEP)).alias("pos", "para"),
+        )
+        .filter(F.trim("para") != "")
+        .withColumn("phash", F.md5("para"))
+    )
+    fresh = paras.join(store, "phash", "left_anti")
+    if event_time:
+        return fresh.dropDuplicatesWithinWatermark(["phash"])
+    return fresh.dropDuplicates(["phash"])

@@ -358,3 +358,49 @@ def test_stream_url_dedup_matches_batch(spark, sf_dir, tmp_path):
     # one output row per canonical key, each exactly once
     assert len(got) == len(set(got)) == len(want)
     assert set(got) == want
+
+
+def test_stream_paragraph_dedup_matches_batch(spark, sf_dir, tmp_path):
+    """Stream survivors (availableNow over file chunks) carry exactly
+    the batch twin's kept-paragraph hash set: store dups never emit,
+    each new paragraph emits once."""
+    from pyspark.sql import functions as F
+
+    from dronedb_spark.streaming.dedup import stream_paragraph_dedup
+    from dronedb_spark.tables import load
+    from dronedb_spark.text.paradedup import (
+        _derived_pages,
+        paragraph_occurrences,
+        paragraph_store,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    pages = _derived_pages(docs)
+    store_pages = pages.filter(F.col("doc_id") % 3 != 0)
+    batch = pages.filter(F.col("doc_id") % 3 == 0)
+    store = paragraph_store(store_pages)
+
+    src = str(tmp_path / "para_stream_src")
+    batch.repartition(3).write.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (
+        stream_paragraph_dedup(stream, store)
+        .writeStream.format("memory")
+        .queryName("para_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = [r["phash"] for r in spark.sql("SELECT phash FROM para_stream").collect()]
+    assert len(got) == len(set(got))  # each survivor exactly once
+
+    occ = paragraph_occurrences(batch).withColumn("phash", F.md5("para"))
+    want = {
+        r["phash"]
+        for r in occ.join(store, "phash", "left_anti")
+        .select("phash")
+        .distinct()
+        .collect()
+    }
+    assert set(got) == want and len(want) > 0
