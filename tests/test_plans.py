@@ -863,3 +863,75 @@ def test_residual_store_probe_reads_no_embeddings(spark, sf_dir, tmp_path):
         for r in ivfpq_residual_search(emb, 0, 10, codebook=cb).collect()
     ]
     assert got == want and len(got) == 10
+
+
+def test_r8_session_operator_plan_shapes(spark, sf_dir):
+    """One pin per round-8 late-session operator family — the physical
+    property each one's SCALE.md claim rests on."""
+    from pyspark.sql import functions as F
+
+    from dronedb_spark.plans.inspect import has_cartesian, physical_plan
+    from dronedb_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    # heavy hitters pass 1: map-only (scan -> Arrow kernel, no exchange)
+    from dronedb_spark.text.heavyhitters import mg_partition_summaries
+
+    p = physical_plan(mg_partition_summaries(docs))
+    assert "Exchange" not in p, p
+
+    # binq hamming search: the query side broadcasts, never a sort-merge
+    from dronedb_spark.vectors.binq import binq_hamming_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = binq_hamming_topk(emb, 0, 10)
+    p = physical_plan(q)
+    assert "SortMergeJoin" not in p, p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
+
+    # anchors rollup: no join; at most the two-stage countDistinct
+    # exchange pair on the rollup key
+    from dronedb_spark.text.anchors import anchor_rollup, resolve_target_host
+
+    links = spark.createDataFrame(
+        [("https://a.com/x", "https://t.com/y", "hello world")],
+        "source_uri string, href string, anchor_text string",
+    )
+    p = physical_plan(anchor_rollup(resolve_target_host(links)))
+    assert "Join" not in p, p
+    assert 1 <= p.count("Exchange hashpartitioning") <= 2, p
+
+    # robots verdicts: rules broadcast into the URL side (no sort-merge)
+    from dronedb_spark.text.robots import robots_allowed
+
+    urls = spark.createDataFrame(
+        [(1, "h.com", "/p")], "doc_id long, host string, path string"
+    )
+    rules = spark.createDataFrame(
+        [("h.com", "*", "disallow", "/p")],
+        "host string, agent string, rule string, path string",
+    )
+    q = robots_allowed(urls, rules)
+    p = physical_plan(q)
+    assert "SortMergeJoin" not in p, p
+
+    # epoch copies: budgets broadcast; the only hash exchange is the
+    # per-source fractional rank window
+    from dronedb_spark.text.mixture import epoch_copies
+
+    budgets = spark.createDataFrame(
+        [("s", 10, 25)], "source string, n_docs long, budget long"
+    )
+    src_docs = spark.createDataFrame(
+        [(i, "s") for i in range(10)], "doc_id long, source string"
+    )
+    p = physical_plan(epoch_copies(src_docs, budgets))
+    assert "BroadcastHashJoin" in p and p.count("Exchange hashpartitioning") == 1, p
+
+    # dataset diff: digests cross the join, never text (projection shows
+    # md5 below the join, and no cartesian)
+    from dronedb_spark.catalog.datadiff import dataset_diff
+
+    q = dataset_diff(docs, docs.select("doc_id", F.upper("text").alias("text")))
+    assert not has_cartesian(q)
