@@ -935,3 +935,32 @@ def test_r8_session_operator_plan_shapes(spark, sf_dir):
 
     q = dataset_diff(docs, docs.select("doc_id", F.upper("text").alias("text")))
     assert not has_cartesian(q)
+
+
+def test_resample_ffill_semantics(spark):
+    """Gap buckets carry the last prior observation; leading gaps stay
+    null; counts exact; grid spans min..max for EVERY key."""
+    from dronedb_spark.operators.resample import resample_ffill
+
+    rows = [
+        # key a: obs in bucket 0 and 2 (hour grid; ts in us precision)
+        (1, "2024-01-01 00:10:00", "a", 1.0),
+        (2, "2024-01-01 02:20:00", "a", 3.0),
+        # key b: first obs only in bucket 2 -> leading gaps null
+        (3, "2024-01-01 02:30:00", "b", 7.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts_s string, event_type string, value double"
+    ).selectExpr("event_id", "CAST(ts_s AS TIMESTAMP) AS ts", "event_type", "value")
+    got = {
+        (r["event_type"], r["bucket"]): (r["n_events"], r["value_ffill"])
+        for r in resample_ffill(ev).collect()
+    }
+    b0 = min(b for _, b in got)  # the grid's first bucket (TZ-agnostic)
+    assert got[("a", b0)] == (1, 1.0)
+    assert got[("a", b0 + 3600)] == (0, 1.0)      # gap carried forward
+    assert got[("a", b0 + 7200)] == (1, 3.0)
+    assert got[("b", b0)] == (0, None)            # leading gap stays null
+    assert got[("b", b0 + 3600)] == (0, None)
+    assert got[("b", b0 + 7200)] == (1, 7.0)
+    assert len(got) == 6
