@@ -1,0 +1,105 @@
+"""Ordered-funnel analysis — "of the users who VIEWED, how many went
+on to CLICK, then PURCHASE, and when?" — the event-analytics staple
+(every product-analytics engine ships it; here in the exact-arithmetic
+house style).  Step k's timestamp is the FIRST occurrence of step k's
+event STRICTLY AFTER the user's step-(k-1) time, so out-of-order
+events (a purchase before any view) never count — the semantic that
+separates a funnel from three independent MINs.
+
+Shape: one conditional-min aggregate pass per step (map-side
+combinable), each joined back on user_id to gate the next step —
+K small passes instead of per-user event-array folds, so memory stays
+bounded however active a user is and no Python touches the data.
+Times are integer epoch-micros end to end (``unix_micros``), absent
+steps sentinel to -1 (the driver comparator's NULL discipline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dronedb_spark.suite import check
+from dronedb_spark.tables import load
+
+STEPS = ("view", "click", "purchase")
+WITHIN_S = 86_400  # conversion window between consecutive steps
+
+
+def funnel_times(
+    events: DataFrame,
+    steps: tuple[str, ...] = STEPS,
+    within_s: int | None = WITHIN_S,
+) -> DataFrame:
+    """(user_id, t1_us..tK_us, reached): strictly-ordered first-arrival
+    times per funnel step, -1 where the user never got there.  With
+    ``within_s`` set, step k must land within that window of step k-1
+    (the product-analytics conversion-window semantic); None removes
+    the bound."""
+    ev = events.select(
+        "user_id", "event_type", F.expr("unix_micros(ts)").alias("t_us")
+    )
+    users = ev.select("user_id").distinct()
+    out = users
+    prev_col = None
+    for i, step in enumerate(steps, start=1):
+        gated = ev.filter(F.col("event_type") == step)
+        if prev_col is not None:
+            gated = gated.join(
+                out.select("user_id", F.col(prev_col).alias("_prev")), "user_id"
+            ).filter((F.col("_prev") >= 0) & (F.col("t_us") > F.col("_prev")))
+            if within_s is not None:
+                gated = gated.filter(
+                    F.col("t_us") <= F.col("_prev") + F.lit(within_s * 1_000_000)
+                )
+        step_t = gated.groupBy("user_id").agg(F.min("t_us").alias(f"t{i}_us"))
+        out = out.join(step_t, "user_id", "left").withColumn(
+            f"t{i}_us", F.coalesce(f"t{i}_us", F.lit(-1)).cast("bigint")
+        )
+        prev_col = f"t{i}_us"
+    reached = sum(
+        (F.col(f"t{i}_us") >= 0).cast("int") for i in range(1, len(steps) + 1)
+    )
+    return out.withColumn("reached", reached.cast("int"))
+
+
+@check(
+    "funnel_view_click_purchase",
+    oracle=f"""
+        WITH ev AS (
+            SELECT user_id, event_type, epoch_us(ts) AS t_us FROM events),
+        users AS (SELECT DISTINCT user_id FROM ev),
+        s1 AS (
+            SELECT user_id, MIN(t_us) AS t1_us FROM ev
+            WHERE event_type = 'view' GROUP BY user_id),
+        s2 AS (
+            SELECT e.user_id, MIN(e.t_us) AS t2_us
+            FROM ev e JOIN s1 ON s1.user_id = e.user_id
+            WHERE e.event_type = 'click' AND e.t_us > s1.t1_us
+              AND e.t_us <= s1.t1_us + {WITHIN_S * 1_000_000}
+            GROUP BY e.user_id),
+        s3 AS (
+            SELECT e.user_id, MIN(e.t_us) AS t3_us
+            FROM ev e JOIN s2 ON s2.user_id = e.user_id
+            WHERE e.event_type = 'purchase' AND e.t_us > s2.t2_us
+              AND e.t_us <= s2.t2_us + {WITHIN_S * 1_000_000}
+            GROUP BY e.user_id)
+        SELECT u.user_id,
+               CAST(COALESCE(s1.t1_us, -1) AS BIGINT) AS t1_us,
+               CAST(COALESCE(s2.t2_us, -1) AS BIGINT) AS t2_us,
+               CAST(COALESCE(s3.t3_us, -1) AS BIGINT) AS t3_us,
+               CAST(CASE WHEN s1.user_id IS NULL THEN 0
+                         WHEN s2.user_id IS NULL THEN 1
+                         WHEN s3.user_id IS NULL THEN 2 ELSE 3 END AS INT)
+                   AS reached
+        FROM users u
+        LEFT JOIN s1 ON s1.user_id = u.user_id
+        LEFT JOIN s2 ON s2.user_id = u.user_id
+        LEFT JOIN s3 ON s3.user_id = u.user_id
+        ORDER BY u.user_id""",
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase within a 24h conversion window, per
+    user: strictly-ordered first arrivals in epoch-micros (fixture
+    funnel: 150 viewed → 60 clicked → 25 purchased)."""
+    return funnel_times(load(spark, sf_dir, "events")).orderBy("user_id")

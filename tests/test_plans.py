@@ -964,3 +964,34 @@ def test_resample_ffill_semantics(spark):
     assert got[("b", b0 + 3600)] == (0, None)
     assert got[("b", b0 + 7200)] == (1, 7.0)
     assert len(got) == 6
+
+
+def test_funnel_strict_order_and_window(spark):
+    """A purchase BEFORE the first view never counts; the conversion
+    window cuts late steps; independent mins would get both wrong."""
+    from dronedb_spark.operators.funnel import funnel_times
+
+    rows = [
+        # user 1: purchase precedes view -> stops at reached=2 (view,click)
+        (1, 1, "purchase", "2024-01-01 00:00:00"),
+        (2, 1, "view", "2024-01-01 01:00:00"),
+        (3, 1, "click", "2024-01-01 02:00:00"),
+        # user 2: full ordered funnel inside the window
+        (4, 2, "view", "2024-01-01 00:00:00"),
+        (5, 2, "click", "2024-01-01 01:00:00"),
+        (6, 2, "purchase", "2024-01-01 02:00:00"),
+        # user 3: click arrives 3 days after view -> window cuts it
+        (7, 3, "view", "2024-01-01 00:00:00"),
+        (8, 3, "click", "2024-01-04 00:00:00"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts_s string"
+    ).selectExpr("event_id", "user_id", "event_type", "CAST(ts_s AS TIMESTAMP) AS ts")
+    got = {r["user_id"]: r["reached"] for r in funnel_times(ev).collect()}
+    assert got == {1: 2, 2: 3, 3: 1}
+    # unbounded window recovers user 3's click
+    got_unb = {
+        r["user_id"]: r["reached"]
+        for r in funnel_times(ev, within_s=None).collect()
+    }
+    assert got_unb[3] == 2
