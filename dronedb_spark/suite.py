@@ -50,7 +50,7 @@ _ROUND8_PRIORITY = [
     "matryoshka_topk", "bigram_lift_topk", "csv_roundtrip",
     "embedding_drift_deciles", "dataset_diff_rollup", "orc_roundtrip",
     "heavy_hitters_exact_10x", "events_resample_ffill",
-    "funnel_view_click_purchase",
+    "funnel_view_click_purchase", "cohort_retention",
     # NEW in round 8 — the rebuilt per-frame audio fingerprint (+10x),
     # arbitrary-boundary substring dedup, residual IVF-PQ, the sized
     # Bloom screen's second-m gate, domain-level caps, and the
@@ -204,6 +204,7 @@ def load_all() -> dict[str, Check]:
     import dronedb_spark.sources.orcio  # noqa: F401  (ORC interchange, new in r8)
     import dronedb_spark.operators.resample  # noqa: F401  (time-grid ffill, new in r8)
     import dronedb_spark.operators.funnel  # noqa: F401  (ordered funnel, new in r8)
+    import dronedb_spark.operators.cohorts  # noqa: F401  (cohort retention, new in r8)
     # (text.substring also registers substring_dedup_rewrite; text.quality
     # registers mixture_quota_twophase — imported above)
     # --- green rows in CORRECTNESS_r01: register after ------------------

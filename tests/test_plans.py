@@ -995,3 +995,33 @@ def test_funnel_strict_order_and_window(spark):
         for r in funnel_times(ev, within_s=None).collect()
     }
     assert got_unb[3] == 2
+
+
+def test_cohort_retention_triangle(spark):
+    """Cohort = first active week; offsets count survivors; offset-0
+    rows equal cohort sizes."""
+    from dronedb_spark.operators.cohorts import cohort_retention
+
+    # weeks encoded directly through ts at week granularity (epoch week
+    # 2817 == 2024-01-01 .. ): user 1 active weeks 0,1,2; user 2 weeks
+    # 0,2; user 3 week 1 only
+    base = "2024-01-01 00:00:00"
+    rows = [
+        (1, 1, base), (2, 1, "2024-01-08 00:00:00"), (3, 1, "2024-01-15 00:00:00"),
+        (4, 2, base), (5, 2, "2024-01-15 00:00:00"),
+        (6, 3, "2024-01-08 00:00:00"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_s string"
+    ).selectExpr("event_id", "user_id", "CAST(ts_s AS TIMESTAMP) AS ts")
+    got = {
+        (r["cohort_week"] % 100, r["week_offset"]): r["n_active"]
+        for r in cohort_retention(ev).collect()
+    }
+    w0 = min(k[0] for k in got)
+    assert got == {
+        (w0, 0): 2,      # users 1 and 2 start week 0
+        (w0, 1): 1,      # only user 1 back in week 1
+        (w0, 2): 2,      # both back in week 2
+        (w0 + 1, 0): 1,  # user 3's cohort
+    }
