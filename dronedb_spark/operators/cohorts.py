@@ -81,3 +81,74 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sparse = ev.filter(F.expr(_SPARSE)).drop("week")
     return cohort_retention(sparse).orderBy("cohort_week", "week_offset")
+
+
+# ------------------------------------------------- rolling active users
+
+
+def rolling_active_users(events: DataFrame, window_days: int = 7) -> DataFrame:
+    """(day, dau, wau): exact daily actives and rolling-window actives
+    (WAU for window=7) for every day in the span — the liveness curve
+    next to the retention triangle.
+
+    Exact sliding COUNT DISTINCT does not decompose into a window
+    aggregate, so it computes as (user, day) dedup → a generated day
+    grid range-joined against each user's active days within the
+    window — the join is (days × activity) on a bounded integer range,
+    grid rows are time-sized, and the heavy input collapses to the
+    deduped activity table first (one map-side-combinable shuffle).
+    Days are integer epoch-days (``DIV 86400``), engine-portable."""
+    activity = events.select(
+        "user_id", F.expr("unix_micros(ts) DIV 86400000000").cast("bigint").alias("day")
+    ).distinct()
+    span = activity.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    days = span.select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    w = F.lit(window_days - 1)
+    joined = days.join(
+        activity.select(F.col("day").alias("aday"), "user_id"),
+        (F.col("aday") <= F.col("day")) & (F.col("aday") >= F.col("day") - w),
+        "left",  # zero-activity days stay on the curve with dau=wau=0
+    )
+    return (
+        joined.groupBy("day")
+        .agg(
+            F.countDistinct(F.when(F.col("aday") == F.col("day"), F.col("user_id")))
+            .cast("bigint")
+            .alias("dau"),
+            F.countDistinct("user_id").cast("bigint").alias("wau"),
+        )
+    )
+
+
+@check(
+    "rolling_active_users",
+    oracle=f"""
+        WITH weeks AS (
+            SELECT user_id, ts,
+                   epoch_us(ts) // 604800000000 AS week
+            FROM events),
+        activity AS (
+            SELECT DISTINCT user_id,
+                   epoch_us(ts) // 86400000000 AS day
+            FROM weeks WHERE {_SPARSE}),
+        span AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM activity),
+        days AS (SELECT unnest(range(lo, hi + 1)) AS day FROM span)
+        SELECT d.day,
+               CAST(COUNT(DISTINCT CASE WHEN a.day = d.day
+                                        THEN a.user_id END) AS BIGINT) AS dau,
+               CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS wau
+        FROM days d
+        LEFT JOIN activity a ON a.day <= d.day AND a.day >= d.day - 6
+        GROUP BY d.day ORDER BY d.day""",
+)
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DAU and rolling 7-day actives for every day of the events
+    month, on the same derived sparse-activity pattern the retention
+    check uses (uniform activity would pin every number to 150)."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "week", F.expr(_WEEK).cast("bigint")
+    )
+    sparse = ev.filter(F.expr(_SPARSE)).drop("week")
+    return rolling_active_users(sparse).orderBy("day")

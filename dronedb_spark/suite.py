@@ -50,7 +50,7 @@ _ROUND8_PRIORITY = [
     "matryoshka_topk", "bigram_lift_topk", "csv_roundtrip",
     "embedding_drift_deciles", "dataset_diff_rollup", "orc_roundtrip",
     "heavy_hitters_exact_10x", "events_resample_ffill",
-    "funnel_view_click_purchase", "cohort_retention",
+    "funnel_view_click_purchase", "cohort_retention", "rolling_active_users",
     # NEW in round 8 — the rebuilt per-frame audio fingerprint (+10x),
     # arbitrary-boundary substring dedup, residual IVF-PQ, the sized
     # Bloom screen's second-m gate, domain-level caps, and the

@@ -1025,3 +1025,22 @@ def test_cohort_retention_triangle(spark):
         (w0, 2): 2,      # both back in week 2
         (w0 + 1, 0): 1,  # user 3's cohort
     }
+
+
+def test_rolling_active_window_bounds(spark):
+    """An active day counts toward WAU for exactly window_days days."""
+    from dronedb_spark.operators.cohorts import rolling_active_users
+
+    rows = [(1, 10, "2024-01-01 12:00:00"), (2, 20, "2024-01-10 12:00:00")]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_s string"
+    ).selectExpr("event_id", "user_id", "CAST(ts_s AS TIMESTAMP) AS ts")
+    got = {r["day"]: (r["dau"], r["wau"]) for r in rolling_active_users(ev).collect()}
+    d0 = min(got)
+    # user 10 active d0: in WAU through d0+6, gone at d0+7
+    assert got[d0] == (1, 1)
+    assert got[d0 + 6] == (0, 1)
+    assert got[d0 + 7] == (0, 0)
+    # user 20 active d0+9
+    assert got[d0 + 9] == (1, 1)
+    assert len(got) == 10
