@@ -51,6 +51,7 @@ _ROUND8_PRIORITY = [
     "embedding_drift_deciles", "dataset_diff_rollup", "orc_roundtrip",
     "heavy_hitters_exact_10x", "events_resample_ffill",
     "funnel_view_click_purchase", "cohort_retention", "rolling_active_users",
+    "image_whash_neardup",
     # NEW in round 8 — the rebuilt per-frame audio fingerprint (+10x),
     # arbitrary-boundary substring dedup, residual IVF-PQ, the sized
     # Bloom screen's second-m gate, domain-level caps, and the
@@ -205,6 +206,7 @@ def load_all() -> dict[str, Check]:
     import dronedb_spark.operators.resample  # noqa: F401  (time-grid ffill, new in r8)
     import dronedb_spark.operators.funnel  # noqa: F401  (ordered funnel, new in r8)
     import dronedb_spark.operators.cohorts  # noqa: F401  (cohort retention, new in r8)
+    import dronedb_spark.multimodal.whash  # noqa: F401  (WHT frequency hash, new in r8)
     # (text.substring also registers substring_dedup_rewrite; text.quality
     # registers mixture_quota_twophase — imported above)
     # --- green rows in CORRECTNESS_r01: register after ------------------
