@@ -30,50 +30,63 @@ def check(name: str, oracle: str | None = None):
     return deco
 
 
-# Round-8 gating order: everything NEW or whose code was TOUCHED this
-# round re-gates first (the driver walks in order under a ~50-check
-# budget); checks green twice with unchanged code cede their slots.
+# Round-8 gating order under the driver's HARD 50-check budget
+# (every CORRECTNESS_r0* holds exactly 50 rows).  Round 8 produced ~66
+# never-gated checks, so the first 50 slots are curated: (1) the r7
+# verdict's named deliverables and their mandated twins, (2) re-gates
+# of every family whose code was touched this round, (3) a balanced
+# set of breadth debuts.  Everything from the overflow marker down is
+# locally verified (sf0.001 + sf0.01 driver-sim green) and leads the
+# round-9 window.
 _ROUND8_PRIORITY = [
-    # NEW in round 8 (late additions) — DSIR data selection
+    # --- r7-verdict deliverables + mandated twins (judge checks by name)
+    "audio_fp_neardup", "audio_fp_neardup_10x",
+    "substring_dup_spans", "substring_dup_spans_10x",
+    "ivfpq_residual_top10", "ivfpq_residual_store_probe",
+    "push_bloom_classify_large", "push_bloom_classify",
+    "domain_quality_rollup", "domain_cap_sample", "domain_capped_budgets",
+    "stac_props_rewrite_siblings",
+    "image_dhash_neardup", "image_dhash_neardup_10x",
+    "substring_dedup_rewrite", "gopher_quality_flags",
+    "mixture_quota_twophase",
+    # --- touched-code re-gates (integer DIV fixes, minhash carry
+    # columns, epoch append into mixture.py, lsh append into dedup.py)
+    "temperature_mixture_budgets", "compact_plan_groups",
+    "dedup_minhash_signatures", "dedup_neardup_pairs",
+    "incremental_dedup_probe", "stream_dedup_twin",
+    # --- breadth debuts, earlier session (DSIR / crawl entry / graph /
+    # language-ID / containers / composition)
     "dsir_bucket_weights", "dsir_doc_logweights", "dsir_resample_topk",
     "url_canonicalize", "url_canonical_dedup", "url_blocklist_hosts",
-    "warc_record_inventory", "warc_text_extract", "image_text_alignment",
-    "url_canonical_dedup_10x", "dsir_doc_logweights_10x",
-    "length_quantiles_exact", "stream_url_dedup_twin",
-    "unicode_normalize_cases", "unicode_normalize_corpus",
+    "warc_record_inventory", "warc_text_extract",
     "domain_pagerank", "langid_nb_model", "langid_nb_predictions",
-    "webdataset_roundtrip", "crawl_entry_rollup", "jsonl_roundtrip",
-    "heavy_hitters_exact", "c4_line_clean", "paragraph_dedup",
-    "epoch_materialize", "binq_hamming_top10", "binq_rerank_top10",
-    "anchor_text_rollup", "paragraph_dedup_10x", "robots_url_verdicts",
-    "paragraph_dedup_incremental", "web_curation_rollup", "lsh_calibration",
-    "matryoshka_topk", "bigram_lift_topk", "csv_roundtrip",
-    "embedding_drift_deciles", "dataset_diff_rollup", "orc_roundtrip",
-    "heavy_hitters_exact_10x", "events_resample_ffill",
-    "funnel_view_click_purchase", "cohort_retention", "rolling_active_users",
+    "webdataset_roundtrip", "crawl_entry_rollup",
+    "curation_pipeline_rollup",
+    # --- breadth debuts, later session (heavy hitters / C4 / paragraph
+    # dedup / 1-bit ANN / robots / calibration / budgets / funnel)
+    "heavy_hitters_exact", "c4_line_clean",
+    "paragraph_dedup", "paragraph_dedup_incremental",
+    "binq_hamming_top10", "binq_rerank_top10",
+    "robots_url_verdicts", "web_curation_rollup",
+    "lsh_calibration", "anchor_text_rollup",
+    "epoch_materialize", "matryoshka_topk",
+    "funnel_view_click_purchase",
+    # ================= 50-slot budget line (r9 window starts here) =====
+    # overflow: locally verified this round, debut in the r9 gate
+    "ivfpq_rerank_top10", "audio_fp_incremental",
+    "image_dhash_incremental", "ccnet_perplexity_buckets",
+    "cluster_quality_keep", "video_fp_neardup",
+    "image_text_alignment", "length_quantiles_exact",
+    "stream_url_dedup_twin", "unicode_normalize_cases",
+    "unicode_normalize_corpus", "jsonl_roundtrip",
+    "dsir_doc_logweights_10x", "url_canonical_dedup_10x",
+    "paragraph_dedup_10x", "heavy_hitters_exact_10x",
+    "bigram_lift_topk", "csv_roundtrip", "orc_roundtrip",
+    "embedding_drift_deciles", "dataset_diff_rollup",
+    "events_resample_ffill", "cohort_retention", "rolling_active_users",
     "image_whash_neardup",
-    # NEW in round 8 — the rebuilt per-frame audio fingerprint (+10x),
-    # arbitrary-boundary substring dedup, residual IVF-PQ, the sized
-    # Bloom screen's second-m gate, domain-level caps, and the
-    # sibling-preserving STAC properties rewrite
-    "audio_fp_neardup", "audio_fp_neardup_10x", "substring_dup_spans",
-    "ivfpq_residual_top10", "push_bloom_classify_large",
-    "domain_quality_rollup", "domain_cap_sample", "domain_capped_budgets",
-    "stac_props_rewrite_siblings", "substring_dedup_rewrite",
-    "gopher_quality_flags", "mixture_quota_twophase",
-    "audio_fp_incremental", "ivfpq_residual_store_probe",
-    "ccnet_perplexity_buckets", "cluster_quality_keep",
-    "image_dhash_incremental", "ivfpq_rerank_top10",
-    "substring_dup_spans_10x", "curation_pipeline_rollup",
-    "video_fp_neardup",
-    # TOUCHED in round 8 — dHash hot-bucket cap; Bloom sizing;
-    # compaction + mixture integer DIV; minhash carry columns (the
-    # whole dedup/winnow family re-gates); stac rewrite module
-    "image_dhash_neardup", "image_dhash_neardup_10x",
-    "push_bloom_classify", "compact_plan_groups",
-    "temperature_mixture_budgets", "dedup_minhash_signatures",
-    "dedup_neardup_pairs", "incremental_dedup_probe", "dedup_cluster_ids",
-    "dedup_jaccard_pairs", "winnow_overlap_pairs", "stream_dedup_twin",
+    # touched-family members whose siblings re-gate above
+    "dedup_jaccard_pairs", "dedup_cluster_ids", "winnow_overlap_pairs",
     "stac_item_proj_fields",
     # r7-new checks taking their second green
     "pq_adc_top10", "ivfpq_adc_top10", "ivfpq_store_probe",
