@@ -82,7 +82,7 @@ _ROUND8_PRIORITY = [
     "dsir_doc_logweights_10x", "url_canonical_dedup_10x",
     "paragraph_dedup_10x", "heavy_hitters_exact_10x",
     "bigram_lift_topk", "csv_roundtrip", "orc_roundtrip",
-    "embedding_drift_deciles", "dataset_diff_rollup",
+    "embedding_drift_deciles", "dataset_diff_rollup", "binq_store_probe",
     "events_resample_ffill", "cohort_retention", "rolling_active_users",
     "image_whash_neardup",
     # touched-family members whose siblings re-gate above

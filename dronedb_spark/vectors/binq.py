@@ -236,3 +236,75 @@ def q_binq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 32×-compressed serving path's final top-10."""
     emb = load(spark, sf_dir, "embeddings")
     return binq_rerank_topk(emb, 0, K)
+
+
+# ------------------------------------------------------- serving store --
+
+
+def write_binq_store(emb: DataFrame, path: str, thresholds: DataFrame | None = None) -> list[float]:
+    """Persist the 1-bit serving index: (vec_id, lo, hi) — 16 bytes of
+    code per vector, NO embedding floats on disk (32× smaller).  The
+    64 medians (the only float state) return to the caller to live
+    beside the index, the PQ-codebook discipline.  Encode is the Arrow
+    numpy pass — one map-only scan."""
+    th = thresholds if thresholds is not None else binq_thresholds(emb)
+    med_rows = sorted((r["pos"], r["med"]) for r in th.collect())
+    binq_encode_arrays(emb, th).write.mode("overwrite").parquet(path)
+    return [float(m) for _, m in med_rows]
+
+
+def binq_probe_store(
+    spark: SparkSession,
+    path: str,
+    query_emb: list[float],
+    medians: list[float],
+    k: int = K,
+) -> DataFrame:
+    """Hamming top-k against the persisted code table: the query encodes
+    driver-side against the stored medians (64 comparisons), the scan
+    reads two bigints per vector, and the refine is XOR+popcount —
+    no embedding column exists to read.  Equality with the in-memory
+    search and the no-embedding-read scan are pytest-pinned."""
+    qlo = qhi = 0
+    for i, (v, m) in enumerate(zip(query_emb, medians)):
+        if float(v) > m:
+            if i < 32:
+                qlo |= 1 << i
+            else:
+                qhi |= 1 << (i - 32)
+    codes = spark.read.parquet(path)
+    ham = codes.select(
+        "vec_id",
+        (
+            F.expr(f"bit_count(lo ^ {qlo}L)") + F.expr(f"bit_count(hi ^ {qhi}L)")
+        ).cast("bigint").alias("hamming"),
+    )
+    return ham.orderBy("hamming", "vec_id").limit(k)
+
+
+@check(
+    "binq_store_probe",
+    oracle="WITH " + _MEDS_SQL + f"""
+        SELECT vec_id, hamming FROM ham ORDER BY hamming, vec_id LIMIT {K}""",
+)
+def q_binq_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write the 16-byte/vector code store, probe it for vec 0's
+    neighbors, drop the query's own row: must hash-match the in-memory
+    Hamming search's oracle.  Scratch-dir check: collected
+    in-function."""
+    import tempfile
+
+    emb = load(spark, sf_dir, "embeddings")
+    q_emb = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        path = td + "/binq_store"
+        medians = write_binq_store(emb, path)
+        rows = [
+            (int(r["vec_id"]), int(r["hamming"]))
+            for r in binq_probe_store(spark, path, q_emb, medians, k=K + 1).collect()
+            if r["vec_id"] != 0
+        ][:K]
+    return spark.createDataFrame(rows, "vec_id bigint, hamming bigint")

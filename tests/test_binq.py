@@ -81,3 +81,33 @@ def test_query_excluded_and_k_respected(spark, sf_dir):
     assert all(r["vec_id"] != 0 for r in rows)
     hams = [r["hamming"] for r in rows]
     assert hams == sorted(hams)
+
+
+def test_store_probe_matches_memory_and_reads_no_floats(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dronedb_spark.plans.inspect import formatted
+    from dronedb_spark.vectors.binq import (
+        binq_hamming_topk,
+        binq_probe_store,
+        write_binq_store,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "binq_store")
+    medians = write_binq_store(emb, path)
+    q_emb = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    q = binq_probe_store(spark, path, q_emb, medians, k=11)
+    # the store probe sees the query itself at hamming 0; drop it to
+    # compare with the in-memory search's self-exclusion
+    got = [
+        (r["vec_id"], r["hamming"]) for r in q.collect() if r["vec_id"] != 0
+    ][:10]
+    want = [tuple(r) for r in binq_hamming_topk(emb, 0, 10).collect()]
+    assert got == want
+    f = formatted(q)
+    read_schema = [ln for ln in f.splitlines() if "ReadSchema" in ln]
+    assert read_schema and all("embedding" not in ln for ln in read_schema)
