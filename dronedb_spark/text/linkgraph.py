@@ -169,3 +169,108 @@ def q_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle."""
     docs = load(spark, sf_dir, "documents")
     return domain_pagerank(docs).orderBy("domain")
+
+
+# ------------------------------------------------------------ triangles
+
+
+def undirected_domain_edges(docs: DataFrame) -> DataFrame:
+    """(u, v) with u < v: the domain graph with direction and weights
+    dropped, self-loops removed — triangle counting's input.  (On this
+    fixture the doc-level link map is a source PERMUTATION, so this
+    particular graph is triangle-free; the driver check derives a
+    denser co-link graph below to exercise the operator.)"""
+    e = domain_edges(docs).select("src", "dst").filter(F.col("src") != F.col("dst"))
+    return e.select(
+        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+    ).distinct()
+
+
+def triangle_counts(und: DataFrame) -> DataFrame:
+    """(domain, n_triangles): exact per-node triangle membership over an
+    undirected (u < v) edge table — the clustering-coefficient
+    numerator, the classic webgraph link-farm signal next to PageRank.
+
+    Node-iterator join with the canonical u < v < w ordering so every
+    triangle materializes exactly ONCE: e1(u,v) ⋈ e2(v,w) ⋈ e3(u,w) as
+    a left-semi closing-edge probe.  Both joins are equi-joins on a
+    node key.  At web scale the standard degree-ordering refinement
+    (orient edges low-degree → high-degree) bounds the wedge fan-out;
+    domain graphs are host-sized, so the canonical order suffices and
+    is stated."""
+    e1 = und.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = und.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = und.select(F.col("u").alias("a2"), F.col("v").alias("c2"))
+    tri = e1.join(e2, "b").join(
+        e3,
+        (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2")),
+        "left_semi",
+    )
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("domain"))
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+
+
+def _colink_edges(docs: DataFrame) -> DataFrame:
+    """Derived co-link graph over the source domains: node k (the
+    source number) connects to k+1, k+2 and k+(k%4)+3 (mod n_sources) —
+    a circulant with node-dependent chords, so triangle membership
+    VARIES per node (45 triangles, counts 5/6/8 on the 20-source
+    fixture)."""
+    ks = docs.select(
+        F.expr("CAST(substr(source, 4) AS INT)").alias("k")
+    ).distinct()
+    nsrc = ks.count()
+    offs = ks.select(
+        "k",
+        F.explode(
+            F.array(F.lit(1), F.lit(2), (F.col("k") % 4 + 3))
+        ).alias("d"),
+    )
+    pairs = offs.select(
+        F.concat(F.lit("h"), F.col("k")).alias("x"),
+        F.concat(F.lit("h"), (F.col("k") + F.col("d")) % nsrc).alias("y"),
+    ).filter(F.col("x") != F.col("y"))
+    return pairs.select(
+        F.least("x", "y").alias("u"), F.greatest("x", "y").alias("v")
+    ).distinct()
+
+
+@check(
+    "domain_triangles",
+    oracle="""
+        WITH ks AS (
+            SELECT DISTINCT CAST(substr(source, 4) AS INT) AS k
+            FROM documents),
+        n AS (SELECT COUNT(*) AS n FROM ks),
+        offs AS (
+            SELECT k, unnest([1, 2, (k % 4) + 3]) AS d FROM ks),
+        pairs AS (
+            SELECT 'h' || k AS x,
+                   'h' || ((k + d) % (SELECT n FROM n)) AS y
+            FROM offs),
+        und AS (
+            SELECT DISTINCT least(x, y) AS u, greatest(x, y) AS v
+            FROM pairs WHERE x <> y),
+        tri AS (
+            SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM und e1
+            JOIN und e2 ON e2.u = e1.v
+            JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+        members AS (
+            SELECT a AS domain FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri)
+        SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM members GROUP BY domain ORDER BY domain""",
+)
+def q_domain_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-host triangle membership over the derived co-link
+    graph — each u<v<w triangle counted once, exploded to its corners
+    (counts must vary 5/6/8 across the 20 hosts)."""
+    from dronedb_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    return triangle_counts(_colink_edges(docs)).orderBy("domain")

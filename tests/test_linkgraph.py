@@ -73,3 +73,36 @@ def test_sink_via_self_loop_accumulates(spark):
     want = base
     # teleport + damped self-inflow each round: stays at (15+85)% = base
     assert abs(r["rank"] - want) <= 3  # DIV truncation only
+
+
+def test_triangle_counts_exact_on_known_graphs(spark):
+    from dronedb_spark.text.linkgraph import triangle_counts
+
+    def _und(pairs):
+        return spark.createDataFrame(
+            [(min(a, b), max(a, b)) for a, b in pairs], "u string, v string"
+        ).distinct()
+
+    # K4: 4 triangles, every node in 3
+    k4 = _und([(a, b) for a in "abcd" for b in "abcd" if a < b])
+    got = {r["domain"]: r["n_triangles"] for r in triangle_counts(k4).collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+    # a 4-cycle has none
+    c4 = _und([("a", "b"), ("b", "c"), ("c", "d"), ("a", "d")])
+    assert triangle_counts(c4).count() == 0
+    # two triangles sharing an edge: shared nodes in 2, tips in 1
+    bowtie = _und([("a", "b"), ("b", "c"), ("a", "c"), ("b", "d"), ("c", "d")])
+    got = {r["domain"]: r["n_triangles"] for r in triangle_counts(bowtie).collect()}
+    assert got == {"a": 1, "b": 2, "c": 2, "d": 1}
+
+
+def test_fixture_domain_graph_is_permutation_trianglefree(spark, sf_dir):
+    """The statement in undirected_domain_edges' docstring, pinned."""
+    from dronedb_spark.tables import load
+    from dronedb_spark.text.linkgraph import (
+        triangle_counts,
+        undirected_domain_edges,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    assert triangle_counts(undirected_domain_edges(docs)).count() == 0
