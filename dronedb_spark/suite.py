@@ -84,7 +84,7 @@ _ROUND8_PRIORITY = [
     "bigram_lift_topk", "csv_roundtrip", "orc_roundtrip",
     "embedding_drift_deciles", "dataset_diff_rollup", "binq_store_probe",
     "events_resample_ffill", "cohort_retention", "rolling_active_users",
-    "domain_triangles",
+    "domain_triangles", "mad_outliers",
     "image_whash_neardup",
     # touched-family members whose siblings re-gate above
     "dedup_jaccard_pairs", "dedup_cluster_ids", "winnow_overlap_pairs",
@@ -220,6 +220,7 @@ def load_all() -> dict[str, Check]:
     import dronedb_spark.operators.resample  # noqa: F401  (time-grid ffill, new in r8)
     import dronedb_spark.operators.funnel  # noqa: F401  (ordered funnel, new in r8)
     import dronedb_spark.operators.cohorts  # noqa: F401  (cohort retention, new in r8)
+    import dronedb_spark.operators.outliers  # noqa: F401  (MAD outliers, new in r8)
     import dronedb_spark.multimodal.whash  # noqa: F401  (WHT frequency hash, new in r8)
     # (text.substring also registers substring_dedup_rewrite; text.quality
     # registers mixture_quota_twophase — imported above)

@@ -1044,3 +1044,16 @@ def test_rolling_active_window_bounds(spark):
     # user 20 active d0+9
     assert got[d0 + 9] == (1, 1)
     assert len(got) == 10
+
+
+def test_mad_outliers_robust_to_spike(spark):
+    """One extreme spike flags itself without dragging the fence (the
+    mean/sigma failure MAD exists to avoid)."""
+    from dronedb_spark.operators.outliers import mad_outlier_rollup
+
+    rows = [(i, "t", float(10 + (i % 3))) for i in range(20)]  # 10,11,12
+    rows.append((99, "t", 10_000.0))  # the spike
+    ev = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    r = mad_outlier_rollup(ev).collect()[0]
+    assert r["n_outliers"] == 1 and r["sum_outlier_ids"] == 99
+    assert 10.0 <= r["med"] <= 12.0 and r["mad"] <= 2.0
