@@ -84,7 +84,7 @@ _ROUND8_PRIORITY = [
     "bigram_lift_topk", "csv_roundtrip", "orc_roundtrip",
     "embedding_drift_deciles", "dataset_diff_rollup", "binq_store_probe",
     "events_resample_ffill", "cohort_retention", "rolling_active_users",
-    "domain_triangles", "mad_outliers",
+    "domain_triangles", "mad_outliers", "crawl_fetch_plan",
     "image_whash_neardup",
     # touched-family members whose siblings re-gate above
     "dedup_jaccard_pairs", "dedup_cluster_ids", "winnow_overlap_pairs",

@@ -69,6 +69,13 @@ def parse_robots_text(host: str, text: str) -> list[dict]:
                 continue  # empty Disallow: = no restriction
             for a in agents:
                 rows.append({"host": host, "agent": a, "rule": key, "path": val})
+        elif key == "crawl-delay":
+            group_open = True
+            if val.isdigit():
+                for a in agents:
+                    rows.append(
+                        {"host": host, "agent": a, "rule": "crawl-delay", "path": val}
+                    )
     return rows
 
 
@@ -110,7 +117,8 @@ def robots_allowed(
         .withColumn("has_exact", F.lit(True))
     )
     eff = (
-        rules.join(F.broadcast(exact_hosts), "host", "left")
+        rules.filter(F.col("rule").isin("allow", "disallow"))
+        .join(F.broadcast(exact_hosts), "host", "left")
         .filter(
             ((F.col("agent") == agent.lower()) & F.col("has_exact").isNotNull())
             | ((F.col("agent") == "*") & F.col("has_exact").isNull())
@@ -178,6 +186,7 @@ def _rb_text(n: int) -> str:
         "\n"
         "User-agent: *\n"
         f"{rules}\n"
+        f"Crawl-delay: {2 + n}\n"
         "Disallow:\n"  # empty = no restriction; must be inert
     )
 
@@ -278,4 +287,102 @@ def q_robots_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "source")
     return robots_allowed(_url_host_path(docs), rules, agent="fixturebot").orderBy(
         "doc_id"
+    )
+
+
+# --------------------------------------------------- fetch scheduling --
+
+
+DEFAULT_DELAY_S = 1
+
+
+def fetch_plan(urls: DataFrame, rules: DataFrame, agent: str = "*") -> DataFrame:
+    """Politeness schedule for the ALLOWED urls: per host, the k-th URL
+    fetches at (k−1)·delay seconds (Crawl-delay from the host's
+    effective group; ``DEFAULT_DELAY_S`` when the host declares none).
+    Returns per-host totals — URL count, delay, and the makespan
+    (n−1)·delay — the numbers a crawl scheduler budgets wall-clock and
+    slot counts from.  One rank window per host; delays broadcast."""
+    allowed = robots_allowed(urls, rules, agent).filter(F.col("allowed") == 1)
+    delays = (
+        rules.filter(
+            (F.col("rule") == "crawl-delay")
+            & (F.col("agent").isin("*", agent.lower()))
+        )
+        .groupBy("host")
+        .agg(F.max(F.col("path").cast("bigint")).alias("delay_s"))
+    )
+    j = allowed.join(F.broadcast(delays), "host", "left").withColumn(
+        "delay_s", F.coalesce("delay_s", F.lit(DEFAULT_DELAY_S))
+    )
+    return j.groupBy("host").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_urls"),
+        F.first("delay_s").cast("bigint").alias("delay_s"),
+        ((F.count(F.lit(1)) - 1) * F.first("delay_s"))
+        .cast("bigint")
+        .alias("makespan_s"),
+    )
+
+
+@check(
+    "crawl_fetch_plan",
+    oracle=f"""
+        WITH urls AS (
+            SELECT doc_id, {_derived_url_sql("duckdb")} AS url FROM documents),
+        rests AS (
+            SELECT doc_id,
+                   string_split(string_split(url, '#')[1], '://')[2] AS rest
+            FROM urls),
+        parts AS (
+            SELECT doc_id,
+                   lower(string_split(string_split(rest, '/')[1], ':')[1]) AS host,
+                   string_split(
+                       substr(rest, length(string_split(rest, '/')[1]) + 1),
+                       '?')[1] AS path
+            FROM rests),
+        rules(host, rule, rule_path) AS (VALUES {{values}}),
+        cand AS (
+            SELECT p.doc_id, p.host, p.path, r.rule,
+                   length(r.rule_path) AS plen
+            FROM parts p LEFT JOIN rules r
+              ON r.host = p.host AND starts_with(p.path, r.rule_path)),
+        best AS (
+            SELECT doc_id, host,
+                   MAX(CASE WHEN rule IS NOT NULL THEN
+                       plen * 2 + CASE WHEN rule = 'allow' THEN 1 ELSE 0 END
+                       END) AS score,
+                   MAX(CASE WHEN rule = 'allow'
+                            THEN plen * 2 + 1 END) AS best_allow
+            FROM cand GROUP BY doc_id, host),
+        allowed AS (
+            SELECT doc_id, host FROM best
+            WHERE score IS NULL OR best_allow = score),
+        delays(host, delay_s) AS (VALUES {{delays}})
+        SELECT a.host,
+               CAST(COUNT(*) AS BIGINT) AS n_urls,
+               CAST(COALESCE(ANY_VALUE(d.delay_s), {DEFAULT_DELAY_S}) AS BIGINT)
+                   AS delay_s,
+               CAST((COUNT(*) - 1)
+                    * COALESCE(ANY_VALUE(d.delay_s), {DEFAULT_DELAY_S}) AS BIGINT)
+                   AS makespan_s
+        FROM allowed a LEFT JOIN delays d ON d.host = a.host
+        GROUP BY a.host ORDER BY a.host""".format(
+        values=_rules_values_sql(),
+        delays=", ".join(
+            f"('site{n}.example.com', {2 + n})" for n in _RB_SITES
+        ),
+    ),
+)
+def q_crawl_fetch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots verdicts → politeness schedule: per host, allowed-URL
+    counts, the fixture's Crawl-delay (2+n seconds, default 1 where no
+    robots exists), and the resulting makespan."""
+    from dronedb_spark.sources.bridge import scan_binaries
+    from dronedb_spark.tables import spread
+
+    files = scan_binaries(spark, _robots_root(), "*.robots.txt")
+    rules = parse_robots(spread(files))
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return fetch_plan(_url_host_path(docs), rules, agent="fixturebot").orderBy(
+        "host"
     )

@@ -29,8 +29,10 @@ def test_robots_parser_invariants(lines):
     rows = parse_robots_text("h.com", "\n".join(lines))
     for r in rows:
         assert r["host"] == "h.com"
-        assert r["rule"] in ("allow", "disallow")
+        assert r["rule"] in ("allow", "disallow", "crawl-delay")
         assert r["path"] != ""            # empty Disallow never emits
+        if r["rule"] == "crawl-delay":
+            assert r["path"].isdigit()
         assert r["agent"] == r["agent"].lower()
         assert "#" not in r["path"].split("#", 1)[:0]  # comments stripped
 

@@ -28,10 +28,12 @@ def test_parser_groups_and_noise(spark):
         "User-agent: *\n"                # rules above closed the group
         "Disallow: /b\n"
         "Disallow:\n"                    # empty -> inert
-        "Crawl-delay: 5\n"               # unknown directive -> ignored
+        "Crawl-delay: 5\n"               # parsed as a delay row
+        "Request-rate: 1/5\n"            # unknown directive -> ignored
     )
     got = sorted(tuple(r) for r in _rules(spark, text).collect())
     assert got == [
+        ("h.com", "*", "crawl-delay", "5"),
         ("h.com", "*", "disallow", "/b"),
         ("h.com", "alphabot", "allow", "/a/ok"),
         ("h.com", "alphabot", "disallow", "/a"),
@@ -85,3 +87,28 @@ def test_exact_agent_group_beats_star(spark):
         for r in robots_allowed(urls, rules, agent="anybot").collect()
     }
     assert generic == {1: 1, 2: 0}
+
+
+def test_crawl_delay_and_fetch_plan(spark):
+    from dronedb_spark.text.robots import fetch_plan
+
+    text = (
+        "User-agent: *\n"
+        "Crawl-delay: 4\n"
+        "Disallow: /private\n"
+    )
+    rules = _rules(spark, text)
+    urls = _urls(
+        spark,
+        [
+            (1, "h.com", "/a"),
+            (2, "h.com", "/b"),
+            (3, "h.com", "/private/x"),   # disallowed, not scheduled
+            (4, "other.com", "/c"),       # no robots -> default delay 1
+            (5, "other.com", "/d"),
+            (6, "other.com", "/e"),
+        ],
+    )
+    got = {r["host"]: (r["n_urls"], r["delay_s"], r["makespan_s"])
+           for r in fetch_plan(urls, rules).collect()}
+    assert got == {"h.com": (2, 4, 4), "other.com": (3, 1, 2)}
