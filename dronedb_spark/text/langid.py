@@ -75,11 +75,17 @@ def char_trigram_buckets(docs: DataFrame) -> DataFrame:
     )
 
 
-def langid_model(labeled: DataFrame, spark: SparkSession) -> DataFrame:
+def langid_model(
+    labeled: DataFrame, spark: SparkSession, counts: DataFrame | None = None
+) -> DataFrame:
     """(lang, bucket, t_c, llr, prior): the trained NB table over the
-    full (langs × B) spine — absent buckets carry the smoothed ratio."""
+    full (langs × B) spine — absent buckets carry the smoothed ratio.
+    Pass ``counts`` (a precomputed ``char_trigram_buckets``) when the
+    same corpus also gets PREDICTED — the featurization is the
+    dominant cost and must not run twice (the check path shares it via
+    ``barrier_persist``)."""
     cnt = (
-        char_trigram_buckets(labeled)
+        (counts if counts is not None else char_trigram_buckets(labeled))
         .join(labeled.select("doc_id", "lang"), "doc_id")
         .groupBy("lang", "bucket")
         .agg(F.sum("c").cast("bigint").alias("t_c"))
@@ -116,11 +122,11 @@ def langid_model(labeled: DataFrame, spark: SparkSession) -> DataFrame:
 
 
 def langid_predict(
-    docs: DataFrame, model: DataFrame
+    docs: DataFrame, model: DataFrame, counts: DataFrame | None = None
 ) -> DataFrame:
     """(doc_id, pred_lang, score): the argmax NB prediction per doc —
     DECIMAL-summed scores, decimal-ordered ties broken by lang."""
-    cnt = char_trigram_buckets(docs)
+    cnt = counts if counts is not None else char_trigram_buckets(docs)
     scores = (
         cnt.join(F.broadcast(model.select("lang", "bucket", "llr", "prior")), "bucket")
         .groupBy("doc_id", "lang")
@@ -235,9 +241,13 @@ def q_langid_nb_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     text is vocabulary-identical across labels, so this pins the exact
     computation; discrimination is pytest-pinned on distinct planted
     languages)."""
+    from dronedb_spark.tables import barrier_persist
+
     docs = load(spark, sf_dir, "documents")
-    model = langid_model(docs, spark)
-    pred = langid_predict(docs, model)
+    # ONE featurization for train + predict (the expensive subtree)
+    counts = barrier_persist(char_trigram_buckets(docs))
+    model = langid_model(docs, spark, counts=counts)
+    pred = langid_predict(docs, model, counts=counts)
     return (
         pred.join(docs.select("doc_id", "lang"), "doc_id")
         .select(
