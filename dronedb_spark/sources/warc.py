@@ -426,3 +426,17 @@ def q_warc_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
     ).orderBy("file_name", "rec_no")
+
+
+_BLOCK_CLOSE_RE = re.compile(rb"</(p|h[1-6]|li|div|td|title)\s*>|<br\s*/?>", re.I)
+
+
+def html_to_blocks(html: bytes) -> str:
+    """Block-aware variant of ``html_to_text``: block-closing tags become
+    line breaks BEFORE tag stripping, so line-level gates (C4) see the
+    page's block structure instead of one collapsed line.  Empty blocks
+    drop; each surviving line is whitespace-collapsed like the flat
+    extraction."""
+    marked = _BLOCK_CLOSE_RE.sub(b"\x00", html)
+    lines = [html_to_text(part) for part in marked.split(b"\x00")]
+    return "\n".join(ln for ln in lines if ln)

@@ -75,3 +75,18 @@ def test_html_to_text_rules():
 def test_html_to_text_case_insensitive_script():
     html = b"<SCRIPT>var x=1;</SCRIPT><P>kept</P>"
     assert html_to_text(html) == "kept"
+
+
+def test_html_to_blocks_structure():
+    from dronedb_spark.sources.warc import html_to_blocks
+
+    html = (
+        b"<html><head><title>T</title></head><body>"
+        b"<p>First block stays.</p><p></p>"
+        b"<div>Second &amp; block.</div>"
+        b"line one<br>line two"
+        b"<script>var x;</script></body></html>"
+    )
+    assert html_to_blocks(html) == (
+        "T\nFirst block stays.\nSecond & block.\nline one\nline two"
+    )
