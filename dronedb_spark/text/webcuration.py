@@ -151,3 +151,80 @@ def q_web_curation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages must not contribute lines at all."""
     docs = load(spark, sf_dir, "documents")
     return web_curation_rollup(_derived_pages(docs)).orderBy("source")
+
+
+@check(
+    "web_curation_rollup_10x",
+    oracle=f"""
+        WITH pages AS (
+            SELECT doc_id, source,
+                   substr(text, 1, 60) || '.' || chr(10)
+                   || '{_SUB}' || chr(10)
+                   || '{_JS}' || chr(10)
+                   || substr(text, 61, 70) || '!' || chr(10)
+                   || CASE WHEN doc_id % 2 = 0 THEN '{_CPR}'
+                           ELSE substr(text, 131, 50) || '?' END || chr(10)
+                   || substr(text, 181, 40) || '.'
+                   || CASE WHEN doc_id % 17 = 0
+                           THEN chr(10) || 'lorem ipsum dolor sit amet.'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 13 = 0
+                           THEN chr(10) || 'if (x) {{ run(); }}' ELSE '' END
+                   AS text
+            FROM (
+                SELECT doc_id + k.k * 10000000 AS doc_id, source, text
+                FROM documents, (SELECT unnest(range(0, 10)) AS k) k) corpus),
+        cleaned AS (
+            SELECT doc_id, source,
+                   list_filter(string_split(text, chr(10)),
+                               {_LINE_KEEP_SQL}) AS kept,
+                   contains(lower(text), 'lorem ipsum') AS has_lorem,
+                   contains(text, '{{') AS has_brace
+            FROM pages),
+        verd AS (
+            SELECT *,
+                   (NOT has_lorem AND NOT has_brace
+                    AND len(kept) >= {MIN_KEPT_LINES}) AS keep_page
+            FROM cleaned),
+        lines AS (
+            SELECT doc_id, source, pos, kept[pos] AS line
+            FROM verd, LATERAL (SELECT unnest(range(1, len(kept) + 1)) AS pos) p
+            WHERE keep_page AND trim(kept[pos]) <> ''),
+        flagged AS (
+            SELECT doc_id, source, pos, line,
+                   ROW_NUMBER() OVER (PARTITION BY line
+                       ORDER BY doc_id, pos) = 1 AS is_first
+            FROM lines),
+        perdoc AS (
+            SELECT doc_id,
+                   COUNT(*) AS n_lines,
+                   SUM(CASE WHEN is_first THEN 0 ELSE 1 END) AS n_dups,
+                   length(COALESCE(
+                       string_agg(CASE WHEN is_first THEN line END,
+                                  chr(10) ORDER BY pos), '')) AS kept_chars
+            FROM flagged GROUP BY doc_id)
+        SELECT v.source,
+               CAST(COUNT(*) AS BIGINT) AS n_pages,
+               CAST(SUM(CASE WHEN v.keep_page THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_pages_kept,
+               CAST(SUM(COALESCE(p.n_lines, 0)) AS BIGINT) AS n_lines_kept,
+               CAST(SUM(COALESCE(p.n_dups, 0)) AS BIGINT) AS n_dup_lines,
+               CAST(SUM(COALESCE(p.kept_chars, 0)) AS BIGINT) AS final_chars
+        FROM verd v LEFT JOIN perdoc p USING (doc_id)
+        GROUP BY v.source ORDER BY v.source""",
+)
+def q_web_curation_rollup_10x(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composition at 10× page mass: every body line becomes a
+    10-way corpus duplicate (the strided copies change NOTHING about a
+    page's own C4 verdict but multiply the dedup window's duplicate
+    mass) — the two pinned exchanges must absorb it."""
+    from dronedb_spark.tables import load
+    from dronedb_spark.text.segdedup import inflated_documents
+
+    docs = load(spark, sf_dir, "documents")
+    # the fixture assigns source = 'src' || (doc_id % 20); re-derive it
+    # on the strided copies instead of joining the base table back
+    big = inflated_documents(docs).withColumn(
+        "source", F.expr("'src' || CAST((doc_id % 10000000) % 20 AS STRING)")
+    )
+    return web_curation_rollup(_derived_pages(big)).orderBy("source")
