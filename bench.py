@@ -187,6 +187,14 @@ HEADLINE = [
     "embedding_drift_deciles",
     "dataset_diff_rollup",
     "jsonl_roundtrip",
+    # round-8 session tail: event analytics (grid resample, funnel,
+    # cohorts, rolling actives, MAD fences) and webgraph triangles
+    "events_resample_ffill",
+    "funnel_view_click_purchase",
+    "cohort_retention",
+    "rolling_active_users",
+    "mad_outliers",
+    "domain_triangles",
 ]
 
 _SMALL_RESULT = {
