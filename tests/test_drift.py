@@ -47,3 +47,18 @@ def test_nine_edges_sorted_per_dim(spark):
     assert set(edges) == {0, 1, 2}
     for e in edges.values():
         assert len(e) == 9 and e == sorted(e)
+
+
+def test_ks_flags_fire_on_shift_and_stay_quiet_on_same(spark):
+    from dronedb_spark.vectors.drift import drift_ks_flags
+
+    ref = _emb(spark, _pop(200, 4))
+    same = _emb(spark, _pop(200, 4, start=5000))
+    shifted = _emb(spark, _pop(200, 4, shift=60.0, start=10_000))
+    quiet = drift_ks_flags(ref, same).collect()
+    assert sum(r["drifted"] for r in quiet) == 0
+    loud = drift_ks_flags(ref, shifted).collect()
+    assert all(r["drifted"] == 1 for r in loud)
+    # D is a valid rational in [0, 1]
+    for r in loud:
+        assert 0 <= r["d_num"] <= r["d_den"]
