@@ -85,7 +85,7 @@ _ROUND8_PRIORITY = [
     "embedding_drift_deciles", "dataset_diff_rollup", "binq_store_probe",
     "events_resample_ffill", "cohort_retention", "rolling_active_users",
     "domain_triangles", "mad_outliers", "crawl_fetch_plan",
-    "crawl_to_corpus_rollup", "web_curation_rollup_10x", "embedding_drift_ks",
+    "crawl_to_corpus_rollup", "web_curation_rollup_10x", "embedding_drift_ks", "table_stats_profile",
     "image_whash_neardup",
     # touched-family members whose siblings re-gate above
     "dedup_jaccard_pairs", "dedup_cluster_ids", "winnow_overlap_pairs",
@@ -224,6 +224,7 @@ def load_all() -> dict[str, Check]:
     import dronedb_spark.operators.outliers  # noqa: F401  (MAD outliers, new in r8)
     import dronedb_spark.multimodal.whash  # noqa: F401  (WHT frequency hash, new in r8)
     import dronedb_spark.text.crawlcorpus  # noqa: F401  (crawl-to-corpus funnel, new in r8)
+    import dronedb_spark.catalog.profile  # noqa: F401  (ANALYZE-style stats, new in r8)
     # (text.substring also registers substring_dedup_rewrite; text.quality
     # registers mixture_quota_twophase — imported above)
     # --- green rows in CORRECTNESS_r01: register after ------------------
