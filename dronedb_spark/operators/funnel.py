@@ -16,7 +16,7 @@ steps sentinel to -1 (the driver comparator's NULL discipline).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dronedb_spark.suite import check
@@ -103,3 +103,102 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     user: strictly-ordered first arrivals in epoch-micros (fixture
     funnel: 150 viewed → 60 clicked → 25 purchased)."""
     return funnel_times(load(spark, sf_dir, "events")).orderBy("user_id")
+
+
+def conversion_latencies(
+    events: DataFrame,
+    steps: tuple[str, ...] = STEPS,
+    within_s: int | None = WITHIN_S,
+) -> DataFrame:
+    """(step_pair, n, p50_us, p90_us): time-to-convert between
+    consecutive funnel steps, over the users who made each transition —
+    the funnel's companion metric (a conversion that takes 23 hours and
+    one that takes 40 seconds are different products).  Quantiles are
+    TYPE-1 order statistics (ties by user_id): integer epoch-micro
+    deltas, engine-exact picks, no interpolation."""
+    t = funnel_times(events, steps, within_s)
+    pairs = []
+    for i in range(1, len(steps)):
+        a, b = f"t{i}_us", f"t{i + 1}_us"
+        pairs.append(
+            t.filter((F.col(a) >= 0) & (F.col(b) >= 0)).select(
+                F.lit(f"{steps[i - 1]}->{steps[i]}").alias("step_pair"),
+                (F.col(b) - F.col(a)).alias("delta_us"),
+                "user_id",
+            )
+        )
+    deltas = pairs[0]
+    for p in pairs[1:]:
+        deltas = deltas.unionByName(p)
+    w = Window.partitionBy("step_pair")
+    staged = deltas.select(
+        "step_pair",
+        "delta_us",
+        F.row_number().over(w.orderBy("delta_us", "user_id")).alias("rk"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    picks = staged.filter(
+        (F.col("rk") == F.expr("(50 * n + 99) DIV 100"))
+        | (F.col("rk") == F.expr("(90 * n + 99) DIV 100"))
+    )
+    return (
+        picks.groupBy("step_pair")
+        .agg(
+            F.first("n").cast("bigint").alias("n"),
+            F.min(
+                F.when(F.col("rk") == F.expr("(50 * n + 99) DIV 100"), F.col("delta_us"))
+            ).cast("bigint").alias("p50_us"),
+            F.min(
+                F.when(F.col("rk") == F.expr("(90 * n + 99) DIV 100"), F.col("delta_us"))
+            ).cast("bigint").alias("p90_us"),
+        )
+    )
+
+
+
+@check(
+    "funnel_conversion_latency",
+    oracle=f"""
+        WITH ev AS (
+            SELECT user_id, event_type, epoch_us(ts) AS t_us FROM events),
+        s1 AS (
+            SELECT user_id, MIN(t_us) AS t1 FROM ev
+            WHERE event_type = 'view' GROUP BY user_id),
+        s2 AS (
+            SELECT e.user_id, MIN(e.t_us) AS t2
+            FROM ev e JOIN s1 ON s1.user_id = e.user_id
+            WHERE e.event_type = 'click' AND e.t_us > s1.t1
+              AND e.t_us <= s1.t1 + {WITHIN_S * 1_000_000}
+            GROUP BY e.user_id),
+        s3 AS (
+            SELECT e.user_id, MIN(e.t_us) AS t3
+            FROM ev e JOIN s2 ON s2.user_id = e.user_id
+            WHERE e.event_type = 'purchase' AND e.t_us > s2.t2
+              AND e.t_us <= s2.t2 + {WITHIN_S * 1_000_000}
+            GROUP BY e.user_id),
+        deltas AS (
+            SELECT 'view->click' AS step_pair, s2.t2 - s1.t1 AS delta_us,
+                   s2.user_id
+            FROM s2 JOIN s1 ON s1.user_id = s2.user_id
+            UNION ALL
+            SELECT 'click->purchase', s3.t3 - s2.t2, s3.user_id
+            FROM s3 JOIN s2 ON s2.user_id = s3.user_id),
+        staged AS (
+            SELECT step_pair, delta_us,
+                   ROW_NUMBER() OVER (PARTITION BY step_pair
+                       ORDER BY delta_us, user_id) AS rk,
+                   COUNT(*) OVER (PARTITION BY step_pair) AS n
+            FROM deltas)
+        SELECT step_pair, CAST(ANY_VALUE(n) AS BIGINT) AS n,
+               CAST(MIN(CASE WHEN rk = (50 * n + 99) // 100
+                             THEN delta_us END) AS BIGINT) AS p50_us,
+               CAST(MIN(CASE WHEN rk = (90 * n + 99) // 100
+                             THEN delta_us END) AS BIGINT) AS p90_us
+        FROM staged
+        WHERE rk = (50 * n + 99) // 100 OR rk = (90 * n + 99) // 100
+        GROUP BY step_pair ORDER BY step_pair""",
+)
+def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90 time-to-convert for both funnel transitions under the
+    24h window — exact order-statistic picks over epoch-micro deltas."""
+    return conversion_latencies(load(spark, sf_dir, "events")).orderBy("step_pair")
