@@ -86,6 +86,7 @@ _ROUND8_PRIORITY = [
     "events_resample_ffill", "cohort_retention", "rolling_active_users",
     "domain_triangles", "mad_outliers", "crawl_fetch_plan",
     "crawl_to_corpus_rollup", "web_curation_rollup_10x", "embedding_drift_ks", "table_stats_profile", "funnel_conversion_latency",
+    "anchor_pagerank",
     "image_whash_neardup",
     # touched-family members whose siblings re-gate above
     "dedup_jaccard_pairs", "dedup_cluster_ids", "winnow_overlap_pairs",

@@ -221,3 +221,74 @@ def q_anchor_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     files = scan_binaries(spark, _links_catalog_root(), "*.warc.gz")
     links = resolve_target_host(warc_links(warc_records(spread(files))))
     return anchor_rollup(links).orderBy("target_host")
+
+
+# --------------------------------------------------- anchor PageRank --
+
+
+def anchor_host_edges(links: DataFrame) -> DataFrame:
+    """(src, dst, w, outw): the weighted host graph the crawl's anchors
+    actually draw — edge weight = anchor count, out-weight per source
+    host as a window on the already-shuffled src partition (the
+    ``linkgraph.domain_edges`` shape, fed by real bytes)."""
+    from pyspark.sql import Window
+
+    src_host = F.expr(_HOST_OF.format(u="source_uri"))
+    pairs = links.select(
+        src_host.alias("src"), F.col("target_host").alias("dst")
+    ).groupBy("src", "dst").agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    return pairs.withColumn(
+        "outw", F.sum("w").over(Window.partitionBy("src")).cast("bigint")
+    )
+
+
+def _anchor_pr_oracle() -> str:
+    from dronedb_spark.text.linkgraph import N_ITER, SCALE
+
+    # closed-form fixture edges: each site links its successor, itself
+    # (nav) and the cdn, 4 anchors each; the cdn is a pure sink
+    rows = []
+    for f in range(_AL_N):
+        h = f"site{f}.example.com"
+        rows.append(f"('{h}', 'site{(f + 1) % _AL_N}.example.com', 4, 12)")
+        rows.append(f"('{h}', '{h}', 4, 12)")
+        rows.append(f"('{h}', 'cdn.assets.example.net', 4, 12)")
+    doms = _AL_N + 1
+    base = SCALE // doms
+    steps = []
+    for k in range(N_ITER):
+        steps.append(f"""
+        r{k + 1} AS (
+            SELECT dm.domain,
+                   CAST({(15 * base) // 100} + (85 * COALESCE(s.inflow, 0)) // 100
+                        AS BIGINT) AS r
+            FROM doms dm LEFT JOIN (
+                SELECT e.dst AS domain,
+                       CAST(SUM((r.r * e.w) // e.outw) AS BIGINT) AS inflow
+                FROM edges e JOIN r{k} r ON r.domain = e.src
+                GROUP BY e.dst) s ON dm.domain = s.domain)""")
+    return (
+        f"""WITH edges(src, dst, w, outw) AS (VALUES {", ".join(rows)}),
+        doms AS (SELECT DISTINCT domain FROM (
+            SELECT src AS domain FROM edges
+            UNION ALL SELECT dst FROM edges) u),
+        r0 AS (SELECT domain, CAST({base} AS BIGINT) AS r FROM doms),"""
+        + ",".join(steps)
+        + f"""
+        SELECT domain, r AS rank FROM r{N_ITER} ORDER BY domain"""
+    )
+
+
+@check("anchor_pagerank", oracle=_anchor_pr_oracle())
+def q_anchor_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL crawl bytes → anchor edges → the integerized superstep
+    PageRank: the cdn sink must out-rank every site (it receives from
+    all three and emits nothing) — rank-exact vs the unrolled oracle."""
+    from dronedb_spark.sources.bridge import scan_binaries
+    from dronedb_spark.sources.warc import warc_records
+    from dronedb_spark.tables import spread
+    from dronedb_spark.text.linkgraph import pagerank_over_edges
+
+    files = scan_binaries(spark, _links_catalog_root(), "*.warc.gz")
+    links = resolve_target_host(warc_links(warc_records(spread(files))))
+    return pagerank_over_edges(anchor_host_edges(links)).orderBy("domain")

@@ -84,9 +84,16 @@ def domain_pagerank(docs: DataFrame, n_iter: int = N_ITER) -> DataFrame:
       plan (and Catalyst analysis) grows quadratically with K
       (measured: superstep 2.2s vs 4.4s lazy-chain at K=8, and the
       gap widens with K)."""
+    return pagerank_over_edges(domain_edges(docs), n_iter)
+
+
+def pagerank_over_edges(edge_table: DataFrame, n_iter: int = N_ITER) -> DataFrame:
+    """The superstep loop over ANY (src, dst, w, outw) edge table — the
+    domain check above and the anchor-graph check (``text/anchors.py``)
+    share it verbatim."""
     from dronedb_spark.tables import barrier_persist
 
-    edges = barrier_persist(domain_edges(docs))
+    edges = barrier_persist(edge_table)
     doms = (
         edges.select(F.col("src").alias("domain"))
         .union(edges.select(F.col("dst").alias("domain")))
