@@ -284,7 +284,11 @@ def main() -> None:
         if arts:
             raw = open(arts[-1]).read()
             for k, v in _re.findall(r'"([a-z0-9_]+)":\s*([0-9.]+)', raw):
-                if k not in ("value", "sf", "n", "rc", "cpus"):
+                # Allowlist from the live registry: old artifacts can embed
+                # non-query floats (truncated "tail" blobs, renamed keys) —
+                # only a name that is a registered check today may seed the
+                # stall-retry baseline.
+                if k in registry:
                     baseline[k] = float(v)
     except Exception:
         baseline = {}

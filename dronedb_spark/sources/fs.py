@@ -121,7 +121,7 @@ def scan_paths(
     return sorted(out)
 
 
-def _entry_row(rel: str, data: bytes, mtime: int, parser) -> dict:
+def _entry_row(rel: str, data: bytes, mtime: int, parser, full_path: str | None = None) -> dict:
     """One file's bytes → one entries-schema row (shared by every ingest
     path).  Hashing is hashlib.sha256 — identical output to F.sha2 — so
     the worker that LISTED a changed file also reads and hashes it without
@@ -135,7 +135,15 @@ def _entry_row(rel: str, data: bytes, mtime: int, parser) -> dict:
     props: dict = {}
     geo = {}
     try:
-        props = parser(rel, header) or {}
+        if t == ENTRY_TYPES["Model"]:
+            # Model properties need the WHOLE mesh (bounds) plus sidecar
+            # georef probes next to it (entry.cpp:656-709) — the worker
+            # owning the file reads both from shared storage in-kernel
+            from dronedb_spark.sources.model3d import parse_model_entry
+
+            props = parse_model_entry(rel, data, full_path)
+        else:
+            props = parser(rel, header) or {}
     except NotImplementedError:
         props = {}
     for k in ("point_lon", "point_lat", "point_alt"):
@@ -160,6 +168,12 @@ def _entry_row(rel: str, data: bytes, mtime: int, parser) -> dict:
     # non-pano image + XMP relative altitude + resolved sensor size +
     # focal ⇒ polygon_geom; the catalog materializes its MBR (SURVEY X9)
     bbox = None
+    if "_bbox" in props:
+        # parser-computed footprint MBR (Model equirectangular ring,
+        # entry.cpp:682-700): lift into the bbox columns, keep it out of
+        # the serialized properties JSON
+        w, s, e, n = props.pop("_bbox")
+        bbox = (w, s, e, n)
     if t == ENTRY_TYPES["GeoImage"]:
         ra = props.get("relativeAltitude")
         sw, sh = props.get("sensorWidth"), props.get("sensorHeight")
@@ -262,7 +276,7 @@ def ingest_listing(listing: DataFrame, root: str) -> DataFrame:
                         data = f.read()
                 except OSError:
                     continue  # raced deletion — sync picks it up
-                rows.append(_entry_row(rel, data, fs_mtime, parser))
+                rows.append(_entry_row(rel, data, fs_mtime, parser, full_path=full))
             yield pd.DataFrame(rows, columns=cols)
 
     return listing.select("path", "fs_mtime").mapInPandas(run, schema=ENTRIES_SCHEMA)

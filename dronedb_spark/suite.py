@@ -30,49 +30,15 @@ def check(name: str, oracle: str | None = None):
     return deco
 
 
-# Round-8 gating order under the driver's HARD 50-check budget
-# (every CORRECTNESS_r0* holds exactly 50 rows).  Round 8 produced ~66
-# never-gated checks, so the first 50 slots are curated: (1) the r7
-# verdict's named deliverables and their mandated twins, (2) re-gates
-# of every family whose code was touched this round, (3) a balanced
-# set of breadth debuts.  Everything from the overflow marker down is
-# locally verified (sf0.001 + sf0.01 driver-sim green) and leads the
-# round-9 window.
-_ROUND8_PRIORITY = [
-    # --- r7-verdict deliverables + mandated twins (judge checks by name)
-    "audio_fp_neardup", "audio_fp_neardup_10x",
-    "substring_dup_spans", "substring_dup_spans_10x",
-    "ivfpq_residual_top10", "ivfpq_residual_store_probe",
-    "push_bloom_classify_large", "push_bloom_classify",
-    "domain_quality_rollup", "domain_cap_sample", "domain_capped_budgets",
-    "stac_props_rewrite_siblings",
-    "image_dhash_neardup", "image_dhash_neardup_10x",
-    "substring_dedup_rewrite", "gopher_quality_flags",
-    "mixture_quota_twophase",
-    # --- touched-code re-gates (integer DIV fixes, minhash carry
-    # columns, epoch append into mixture.py, lsh append into dedup.py)
-    "temperature_mixture_budgets", "compact_plan_groups",
-    "dedup_minhash_signatures", "dedup_neardup_pairs",
-    "incremental_dedup_probe", "stream_dedup_twin",
-    # --- breadth debuts, earlier session (DSIR / crawl entry / graph /
-    # language-ID / containers / composition)
-    "dsir_bucket_weights", "dsir_doc_logweights", "dsir_resample_topk",
-    "url_canonicalize", "url_canonical_dedup", "url_blocklist_hosts",
-    "warc_record_inventory", "warc_text_extract",
-    "domain_pagerank", "langid_nb_model", "langid_nb_predictions",
-    "webdataset_roundtrip", "crawl_entry_rollup",
-    "curation_pipeline_rollup",
-    # --- breadth debuts, later session (heavy hitters / C4 / paragraph
-    # dedup / 1-bit ANN / robots / calibration / budgets / funnel)
-    "heavy_hitters_exact", "c4_line_clean",
-    "paragraph_dedup", "paragraph_dedup_incremental",
-    "binq_hamming_top10", "binq_rerank_top10",
-    "robots_url_verdicts", "web_curation_rollup",
-    "lsh_calibration", "anchor_text_rollup",
-    "epoch_materialize", "matryoshka_topk",
-    "funnel_view_click_purchase",
-    # ================= 50-slot budget line (r9 window starts here) =====
-    # overflow: locally verified this round, debut in the r9 gate
+# Round-9 gating order under the driver's HARD 50-check budget
+# (every CORRECTNESS_r0* holds exactly 50 rows).  Slots 1-35 are the
+# r8 overflow window EXACTLY as drafted below r8's "50-slot budget
+# line" (all locally verified + judge-verified, zero driver rows —
+# the r8 verdict's #1 instruction).  Slots 36-50: the r9 verdict
+# deliverables (new checks) and re-gates of every family whose code
+# was touched this round.
+_ROUND9_PRIORITY = [
+    # --- r8 overflow debuts (1-35, verbatim order) ---------------------
     "ivfpq_rerank_top10", "audio_fp_incremental",
     "image_dhash_incremental", "ccnet_perplexity_buckets",
     "cluster_quality_keep", "video_fp_neardup",
@@ -85,33 +51,50 @@ _ROUND8_PRIORITY = [
     "embedding_drift_deciles", "dataset_diff_rollup", "binq_store_probe",
     "events_resample_ffill", "cohort_retention", "rolling_active_users",
     "domain_triangles", "mad_outliers", "crawl_fetch_plan",
-    "crawl_to_corpus_rollup", "web_curation_rollup_10x", "embedding_drift_ks", "table_stats_profile", "funnel_conversion_latency",
-    "anchor_pagerank",
+    "crawl_to_corpus_rollup", "web_curation_rollup_10x",
+    "embedding_drift_ks", "table_stats_profile",
+    "funnel_conversion_latency", "anchor_pagerank",
     "image_whash_neardup",
-    # touched-family members whose siblings re-gate above
+    # --- r9 verdict deliverables (new checks) --------------------------
+    "model_entry_props",              # #2: Model (.obj/.glTF) properties
+    "build_derivatives_real",         # #3/#6: mvt/ + nxs-role artifacts re-gate
+    "substring_dedup_incremental",    # #7: substring daily-ingest store
+    # --- touched-family re-gates ---------------------------------------
+    "lsh_calibration",                # #4: enforced sampling/max_df cap
+    "binq_hamming_top10",             # #5: sampled threshold fit default
+    "binq_rerank_top10",
+    "ivfpq_residual_top10",           # ADVICE: oracle seed from N_CENTROIDS
+    "robots_url_verdicts",            # ADVICE: effective-group crawl delay
+    # --- r9 breadth debuts (filled as built this round) ----------------
+    "model_mesh_build_table",
+    "sessionize_gap_windows",
+    "saturation_scaling_curve",
+    "ngram_novelty_profile",
+    "minhash_band_store_probe",
+    "tfidf_topterms",
+    "reservoir_sample_fixed",
+    # ================= 50-slot budget line (r10 window starts here) ====
+    # refresh band: families with a single green or pre-r8 last green
+    "catalog_workflow_lifecycle", "catalog_rescan_types",
+    "push_needed_files", "pull_delta_plan",
+    "clone_plan_downloads", "delta_adds", "apply_delta_classify",
+    "meta_rollup", "meta_restore_merge", "stamp_checksum",
+    "sqlite_catalog_entries", "vector_query_page", "vector_describe",
+    "mvt_tile_features", "raster_area_stats",
     "dedup_jaccard_pairs", "dedup_cluster_ids", "winnow_overlap_pairs",
     "stac_item_proj_fields",
-    # r7-new checks taking their second green
     "pq_adc_top10", "ivfpq_adc_top10", "ivfpq_store_probe",
     "bpe_encode_corpus", "bpe_encode_corpus_10x", "doc_chunks_overlap",
     "doc_chunks_overlap_10x", "video_scene_cuts", "shard_shuffle_assign",
     "aspect_bucket_batches", "hard_negative_mining",
     "embedding_eval_decontam", "flight_session_rollup",
-    # refresh band: families whose last green predates r7 or that carry
-    # exactly one green row
-    "catalog_workflow_lifecycle", "catalog_rescan_types",
-    "build_derivatives_real", "push_needed_files", "pull_delta_plan",
-    "clone_plan_downloads", "delta_adds", "apply_delta_classify",
-    "meta_rollup", "meta_restore_merge", "stamp_checksum",
-    "sqlite_catalog_entries", "vector_query_page", "vector_describe",
-    "mvt_tile_features", "raster_area_stats",
 ]
 
 
 def load_all() -> dict[str, Check]:
     """Import every operator module so its checks register, then reorder
     the registry so the checks that still need a driver CORRECTNESS row
-    (``_ROUND8_PRIORITY``) come first — the driver walks in order under a
+    (``_ROUND9_PRIORITY``) come first — the driver walks in order under a
     ~50-check budget and the already-green families can cede their slots.
     """
     # --- never-gated in round 1: register first -------------------------
@@ -226,6 +209,7 @@ def load_all() -> dict[str, Check]:
     import dronedb_spark.multimodal.whash  # noqa: F401  (WHT frequency hash, new in r8)
     import dronedb_spark.text.crawlcorpus  # noqa: F401  (crawl-to-corpus funnel, new in r8)
     import dronedb_spark.catalog.profile  # noqa: F401  (ANALYZE-style stats, new in r8)
+    import dronedb_spark.sources.model_check  # noqa: F401  (S5 Model entry props, new in r9)
     # (text.substring also registers substring_dedup_rewrite; text.quality
     # registers mixture_quota_twophase — imported above)
     # --- green rows in CORRECTNESS_r01: register after ------------------
@@ -243,7 +227,7 @@ def load_all() -> dict[str, Check]:
     import dronedb_spark.text.segdedup  # noqa: F401
     import dronedb_spark.text.repetition  # noqa: F401
 
-    ordered = {n: REGISTRY[n] for n in _ROUND8_PRIORITY if n in REGISTRY}
+    ordered = {n: REGISTRY[n] for n in _ROUND9_PRIORITY if n in REGISTRY}
     ordered.update((n, c) for n, c in REGISTRY.items() if n not in ordered)
     REGISTRY.clear()
     REGISTRY.update(ordered)

@@ -168,12 +168,13 @@ def barrier_persist(df: DataFrame) -> DataFrame:
                 return hit
     p = df.persist(StorageLevel.MEMORY_AND_DISK)
     if key is not None:
-        collided = _BARRIER_CACHE.get(key)
-        if collided is not None:
-            try:
-                collided.unpersist()
-            except Exception:
-                pass
+        if key in _BARRIER_CACHE:
+            # Hash collision with a DIFFERENT plan (sameSemantics said no
+            # above).  The collided entry keeps its slot: it may still be
+            # referenced by an earlier caller, and unpersisting it here
+            # would silently drop live cached data mid-pipeline.  The new
+            # frame stays persisted for THIS caller but is not tracked.
+            return p
         _BARRIER_CACHE[key] = p
         if len(_BARRIER_CACHE) > _BARRIER_MAX:
             _, old = _BARRIER_CACHE.popitem(last=False)

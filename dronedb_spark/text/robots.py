@@ -304,10 +304,21 @@ def fetch_plan(urls: DataFrame, rules: DataFrame, agent: str = "*") -> DataFrame
     (n−1)·delay — the numbers a crawl scheduler budgets wall-clock and
     slot counts from.  One rank window per host; delays broadcast."""
     allowed = robots_allowed(urls, rules, agent).filter(F.col("allowed") == 1)
+    # The delay comes from the SAME effective group robots_allowed
+    # resolves (RFC 9309 group semantics): the exact-agent group when the
+    # host declares one, else the '*' group — never the MAX across both.
+    exact_hosts = (
+        rules.filter(F.col("agent") == agent.lower())
+        .select("host")
+        .distinct()
+        .withColumn("has_exact", F.lit(True))
+    )
     delays = (
-        rules.filter(
-            (F.col("rule") == "crawl-delay")
-            & (F.col("agent").isin("*", agent.lower()))
+        rules.filter(F.col("rule") == "crawl-delay")
+        .join(F.broadcast(exact_hosts), "host", "left")
+        .filter(
+            ((F.col("agent") == agent.lower()) & F.col("has_exact").isNotNull())
+            | ((F.col("agent") == "*") & F.col("has_exact").isNull())
         )
         .groupBy("host")
         .agg(F.max(F.col("path").cast("bigint")).alias("delay_s"))

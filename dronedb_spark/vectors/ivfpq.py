@@ -36,6 +36,7 @@ from dronedb_spark.vectors.ivf import (
     _D_ASSIGN,
     _D_DOT,
     _D_NORM,
+    N_CENTROIDS,
     NPROBE,
     _centroids,
     _d_packed,
@@ -436,8 +437,9 @@ _IVFPQ_RES_ORACLE = f"""
     subs AS (
         SELECT vec_id, m.m AS m, r[m.m * {SUBDIM} + 1 : m.m * {SUBDIM} + {SUBDIM}] AS sub
         FROM remb, (SELECT unnest(range(0, {M})) AS m) m),
-    pc0 AS (SELECT m, CAST(vec_id - {K} AS INT) AS j, sub AS c_sub
-            FROM subs WHERE vec_id >= {K} AND vec_id < {2 * K}),
+    pc0 AS (SELECT m, CAST(vec_id - {N_CENTROIDS} AS INT) AS j, sub AS c_sub
+            FROM subs WHERE vec_id >= {N_CENTROIDS}
+                       AND vec_id < {N_CENTROIDS + K}),
     pa1 AS ({_d_assign('pc0')}),
     pc1 AS ({_d_update('pa1')}),
     pa2 AS ({_d_assign('pc1')}),

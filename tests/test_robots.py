@@ -112,3 +112,31 @@ def test_crawl_delay_and_fetch_plan(spark):
     got = {r["host"]: (r["n_urls"], r["delay_s"], r["makespan_s"])
            for r in fetch_plan(urls, rules).collect()}
     assert got == {"h.com": (2, 4, 4), "other.com": (3, 1, 2)}
+
+
+def test_delay_comes_from_effective_group(spark):
+    """A host declaring BOTH groups with different Crawl-delays: the
+    exact agent gets ITS group's delay, a generic agent gets '*' — never
+    the MAX across groups (RFC 9309 group semantics)."""
+    from dronedb_spark.text.robots import fetch_plan
+
+    text = (
+        "User-agent: slowbot\n"
+        "Crawl-delay: 9\n"
+        "\n"
+        "User-agent: *\n"
+        "Crawl-delay: 2\n"
+    )
+    rules = _rules(spark, text)
+    urls = _urls(spark, [(1, "h.com", "/a"), (2, "h.com", "/b")])
+    slow = fetch_plan(urls, rules, agent="slowbot").collect()[0]
+    assert (slow["delay_s"], slow["makespan_s"]) == (9, 9)
+    fast = fetch_plan(urls, rules, agent="anybot").collect()[0]
+    assert (fast["delay_s"], fast["makespan_s"]) == (2, 2)
+    # and the inverse ordering (star slower than exact) must also pick
+    # the exact group, not the larger star value
+    inv = _rules(spark, (
+        "User-agent: slowbot\nCrawl-delay: 2\n\nUser-agent: *\nCrawl-delay: 9\n"
+    ))
+    got = fetch_plan(urls, inv, agent="slowbot").collect()[0]
+    assert (got["delay_s"], got["makespan_s"]) == (2, 2)
