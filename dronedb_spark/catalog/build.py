@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from dronedb_spark.catalog.derive import ENTRY_TYPES
 
-# type → artifact kind (build.cpp:39-66)
+# type → artifact kind (build.cpp:39-66; Model→nxs build.cpp:51-53)
 BUILD_KINDS = {
     ENTRY_TYPES["PointCloud"]: "copc",
     ENTRY_TYPES["GeoRaster"]: "cog",
@@ -33,6 +33,7 @@ BUILD_KINDS = {
     ENTRY_TYPES["GeoImage"]: "thumb",
     ENTRY_TYPES["GaussianSplat"]: "gsplat",
     ENTRY_TYPES["Tiles3D"]: "3dtiles",
+    ENTRY_TYPES["Model"]: "nxs",
 }
 
 
@@ -55,11 +56,20 @@ def _is_complete(root: str, hash_: str, kind: str) -> bool:
     exist (build.cpp:171's fileExistsAndNonEmpty).  Checking the file
     too means an artifact-contract change (e.g. 3dtiles' marker.json →
     extracted tileset.json) invalidates stale directories instead of
-    skipping them forever behind an old _SUCCESS."""
+    skipping them forever behind an old _SUCCESS.  Vector builds
+    co-produce the ``mvt/`` sibling, so their completeness requires
+    BOTH vec/features.parquet and mvt/metadata.json (build.cpp:148's
+    "vec/source.gpkg AND mvt/metadata.json") — a partial build (vec/
+    present, mvt/ missing) rebuilds instead of being silently accepted."""
     d = _artifact_dir(root, hash_, kind)
-    return os.path.exists(os.path.join(d, "_SUCCESS")) and os.path.exists(
+    ok = os.path.exists(os.path.join(d, "_SUCCESS")) and os.path.exists(
         os.path.join(d, ARTIFACT_FILES[kind])
     )
+    if ok and kind == "vec":
+        ok = os.path.exists(
+            os.path.join(_artifact_dir(root, hash_, "mvt"), "metadata.json")
+        )
+    return ok
 
 
 def _candidates_df(catalog):
@@ -114,14 +124,29 @@ ARTIFACT_FILES = {
     "vec": "features.parquet",
     "gsplat": "splats.parquet",
     "3dtiles": "tileset.json",
+    "nxs": "mesh.parquet",
 }
 
 THUMB_SIZE = 512  # thumbs.cpp default
 
 
+def _bb(row: dict, pts) -> dict:
+    """Attach the feature's WGS84 bbox when its vertices are known —
+    the coordinates the co-produced mvt/ artifact tiles from."""
+    pts = [p for p in pts if p is not None]
+    if pts:
+        xs = [p[0] for p in pts]
+        ys = [p[1] for p in pts]
+        row.update(minx=min(xs), miny=min(ys), maxx=max(xs), maxy=max(ys))
+    else:
+        row.update(minx=None, miny=None, maxx=None, maxy=None)
+    return row
+
+
 def _features_from_bytes(rel: str, data: bytes) -> list[dict]:
     """Dispatch a vector file's bytes to its format parser → feature
-    rows (the normalized ``vec`` artifact payload)."""
+    rows (the normalized ``vec`` artifact payload, with per-feature
+    bboxes feeding the mvt/ sibling)."""
     import gzip
     import json as _json
 
@@ -135,7 +160,10 @@ def _features_from_bytes(rel: str, data: bytes) -> list[dict]:
         for i, feat in enumerate(feats):
             geom = feat.get("geometry") or {}
             pts = list(_walk_coords(geom.get("coordinates", [])))
-            out.append({"fid": i, "geom_type": geom.get("type"), "n_vertices": len(pts)})
+            out.append(_bb(
+                {"fid": i, "geom_type": geom.get("type"), "n_vertices": len(pts)},
+                pts,
+            ))
         return out
     if ext == ".topojson":
         from dronedb_spark.sources.topojson import _decode_arcs, decode_geometry
@@ -147,29 +175,32 @@ def _features_from_bytes(rel: str, data: bytes) -> list[dict]:
             geoms = obj.get("geometries", []) if obj.get("type") == "GeometryCollection" else [obj]
             for i, g in enumerate(geoms):
                 gt, pts = decode_geometry(doc, g, arcs)
-                out.append({"fid": i, "geom_type": gt, "n_vertices": len(pts)})
+                out.append(_bb({"fid": i, "geom_type": gt, "n_vertices": len(pts)}, pts))
         return out
     if ext in (".shp", ".shz"):
         from dronedb_spark.sources.shapefile import parse_shp
 
         shp = gzip.decompress(data) if ext == ".shz" else data
         return [
-            {"fid": s["fid"], "geom_type": s["geom_type"], "n_vertices": len(s["points"])}
+            _bb({"fid": s["fid"], "geom_type": s["geom_type"],
+                 "n_vertices": len(s["points"])}, s["points"])
             for s in parse_shp(shp)
         ]
     if ext in (".kml", ".kmz"):
         from dronedb_spark.sources.kml import parse_kml
 
         return [
-            {"fid": s.get("fid", i), "geom_type": s["geom_type"],
-             "n_vertices": s.get("n_vertices", len(s.get("points", [])))}
+            _bb({"fid": s.get("fid", i), "geom_type": s["geom_type"],
+                 "n_vertices": s.get("n_vertices", len(s.get("points", [])))},
+                s.get("points", []))
             for i, s in enumerate(parse_kml(data))
         ]
     if ext == ".dxf":
         from dronedb_spark.sources.dxf import parse_dxf
 
         return [
-            {"fid": i, "geom_type": s["geom_type"], "n_vertices": len(s.get("points", []))}
+            _bb({"fid": i, "geom_type": s["geom_type"],
+                 "n_vertices": len(s.get("points", []))}, s.get("points", []))
             for i, s in enumerate(parse_dxf(data.decode("ascii", errors="replace")))
         ]
     if ext == ".fgb":
@@ -177,11 +208,77 @@ def _features_from_bytes(rel: str, data: bytes) -> list[dict]:
 
         d = parse_fgb(data)
         return [
-            {"fid": i, "geom_type": f.get("geom_type", d.get("geom_type")),
-             "n_vertices": f.get("n_vertices", 0)}
+            _bb({"fid": i, "geom_type": f.get("geom_type", d.get("geom_type")),
+                 "n_vertices": f.get("n_vertices", 0)}, f.get("points", []))
             for i, f in enumerate(d.get("features", []))
         ]
     raise NotImplementedError(f"vector format {ext}")
+
+
+def _build_mvt_dir(mvt_dir: str, feats: list[dict]) -> None:
+    """The mvt/ sibling of a vector build (vector.cpp:227-360 via GDAL's
+    MVT DIRECTORY writer): ``{z}/{x}/{y}.pbf`` tiles for z in
+    [0, MAXZOOM] plus ``metadata.json`` — MAXZOOM from the reference's
+    tile-budget heuristic (mvt.cpp:12-54) over the layer envelope.
+    Quantization matches ``functions/mvt.py:mvt_encode`` exactly (the
+    driver-gated formula); the pbf framing is the same hand-rolled
+    spec-2.1 encoder ``mvt_pbf_roundtrip`` gates byte-level."""
+    import math as _math
+
+    from dronedb_spark.functions.geo import mvt_max_zoom
+    from dronedb_spark.functions.mvt import EXTENT, encode_tile_pbf
+
+    boxed = [f for f in feats if f.get("minx") is not None]
+    if boxed:
+        x0 = min(f["minx"] for f in boxed)
+        y0 = min(f["miny"] for f in boxed)
+        x1 = max(f["maxx"] for f in boxed)
+        y1 = max(f["maxy"] for f in boxed)
+        area = max(0.0, x1 - x0) * max(0.0, y1 - y0)
+    else:
+        area = 0.0
+    maxzoom = mvt_max_zoom(area, feature_count=len(boxed))
+    tiles: dict[tuple[int, int, int], list[dict]] = {}
+    for f in boxed:
+        cx = (f["minx"] + f["maxx"]) / 2.0
+        cy = (f["miny"] + f["maxy"]) / 2.0
+        xn = (cx + 180.0) / 360.0
+        lat = _math.radians(cy)
+        yn = (1.0 - _math.log(_math.tan(lat) + 1.0 / _math.cos(lat)) / _math.pi) / 2.0
+        for z in range(maxzoom + 1):
+            n = float(2**z)
+            tx = _math.floor(xn * n)
+            ty = _math.floor(yn * n)
+            tiles.setdefault((z, int(tx), int(ty)), []).append(
+                {
+                    "fid": f["fid"],
+                    "geom_type": f["geom_type"],
+                    "u": int(_math.floor((xn * n - tx) * EXTENT)),
+                    "v": int(_math.floor((yn * n - ty) * EXTENT)),
+                }
+            )
+    for (z, tx, ty), members in tiles.items():
+        d = os.path.join(mvt_dir, str(z), str(tx))
+        os.makedirs(d, exist_ok=True)
+        p = os.path.join(d, f"{ty}.pbf")
+        with open(p + ".tmp", "wb") as fh:
+            fh.write(encode_tile_pbf("layer", members))
+        os.replace(p + ".tmp", p)
+    import json as _json
+
+    meta = {
+        "name": "layer",
+        "format": "pbf",
+        "minzoom": 0,
+        "maxzoom": maxzoom,
+        "tiles": len(tiles),
+        "features": len(boxed),
+    }
+    mp = os.path.join(mvt_dir, "metadata.json")
+    os.makedirs(mvt_dir, exist_ok=True)
+    with open(mp + ".tmp", "w") as fh:
+        _json.dump(meta, fh, sort_keys=True)
+    os.replace(mp + ".tmp", mp)
 
 
 def _nearest_resize(arr, max_dim: int):
@@ -272,6 +369,38 @@ def _build_one_locked(root: str, rel: str, hash_: str, kind: str,
                 {"fid": pa.array([], pa.int64())}
             )
             pq.write_table(table, out_path + ".tmp")
+            os.replace(out_path + ".tmp", out_path)
+            # co-produce the mvt/ sibling (vector.cpp:227-360: a vector
+            # build writes vec/ AND mvt/; completeness requires both)
+            _build_mvt_dir(_artifact_dir(root, hash_, "mvt"), rows)
+            open(os.path.join(target, "_SUCCESS"), "w").close()
+            return "built"
+        elif kind == "nxs":
+            # role-equivalent of the vendored nexus build (build.cpp:51-53,
+            # 3d.cpp:289-325): the mesh as a queryable triangle table —
+            # one row per face with its three root-frame corners — which
+            # downstream LOD/tiling stages partition and simplify.  True
+            # .nxs multiresolution encoding is the vendored C++ codec and
+            # raises NotImplementedError inside model_mesh (log-and-skip).
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            from dronedb_spark.sources.model3d import model_mesh
+
+            mesh = model_mesh(rel, data)
+            verts, faces = mesh["vertices"], mesh["faces"]
+            names = ["face_id"] + [
+                f"{n}{ax}" for n in "abc" for ax in "xyz"
+            ]
+            cols: dict[str, pa.Array] = {
+                "face_id": pa.array(range(len(faces)), pa.int64())
+            }
+            for ci, n in enumerate("abc"):
+                for di, ax in enumerate("xyz"):
+                    cols[f"{n}{ax}"] = pa.array(
+                        [float(verts[f[ci]][di]) for f in faces], pa.float64()
+                    )
+            pq.write_table(pa.table({k: cols[k] for k in names}), out_path + ".tmp")
             os.replace(out_path + ".tmp", out_path)
             open(os.path.join(target, "_SUCCESS"), "w").close()
             return "built"

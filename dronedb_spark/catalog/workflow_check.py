@@ -222,6 +222,22 @@ def q_meta_chattr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BD_N_PTS = 300
 _BD_DEM_H, _BD_DEM_W = 48, 36
+# tower.obj: quad base + apex, integer coords → exact corner sums.
+# 4 side triangles + fan-triangulated base quad = 6 faces.
+_BD_OBJ_VERTS = [(0, 0, 0), (4, 0, 0), (4, 6, 0), (0, 6, 0), (2, 3, 5)]
+_BD_OBJ_FACES = [(1, 2, 5), (2, 3, 5), (3, 4, 5), (4, 1, 5), (1, 2, 3, 4)]
+_BD_OBJ_TRIS = sum(len(f) - 2 for f in _BD_OBJ_FACES)
+_BD_OBJ_SUM = sum(
+    sum(_BD_OBJ_VERTS[f[0] - 1]) + sum(_BD_OBJ_VERTS[f[k] - 1])
+    + sum(_BD_OBJ_VERTS[f[k + 1] - 1])
+    for f in _BD_OBJ_FACES
+    for k in range(1, len(f) - 1)
+)
+# parcels.geojson extent: union bbox (0,0)-(2,2) → area 4 deg² →
+# MAXZOOM = clamp(floor(0.5·log2(10000·64800/4)), 5, 18) = 13
+# (mvt.cpp:12-54); 2 features appear once per level 0..13 → 28 decodes.
+_BD_MVT_MAXZOOM = 13
+_BD_MVT_DECODED = 2 * (_BD_MVT_MAXZOOM + 1)
 
 
 @check(
@@ -235,6 +251,8 @@ _BD_DEM_H, _BD_DEM_W = 48, 36
             ('copc', {_BD_N_PTS}, CAST((SELECT SUM(CAST(i.i % 5 AS BIGINT))
                   FROM (SELECT unnest(range(0, {_BD_N_PTS})) AS i) i) AS BIGINT)),
             ('gsplat', 7, 7),
+            ('mvt', {_BD_MVT_MAXZOOM}, {_BD_MVT_DECODED}),
+            ('nxs', {_BD_OBJ_TRIS}, {_BD_OBJ_SUM}),
             ('thumb', 20, 28),
             ('vec', 2, 4)
         ) AS t(kind, metric_a, metric_b)
@@ -311,6 +329,13 @@ def q_build_derivatives_real(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rgb=np.full((9, 3), 200, dtype=np.uint8),
                 )},
             ),
+            "tower.obj": (
+                "\n".join(
+                    [f"v {x} {y} {z}" for x, y, z in _BD_OBJ_VERTS]
+                    + ["f " + " ".join(str(i) for i in f) for f in _BD_OBJ_FACES]
+                )
+                + "\n"
+            ).encode(),
         }
         for name, data in files.items():
             with open(os.path.join(root, name), "wb") as f:
@@ -320,7 +345,10 @@ def q_build_derivatives_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         cat.add()
         counts = build_all(cat)
         assert counts == {"copc": 1, "cog": 1, "thumb": 1, "vec": 1,
-                          "gsplat": 1, "3dtiles": 1}, counts
+                          "gsplat": 1, "3dtiles": 1, "nxs": 1}, counts
+        # idempotency across the co-produced artifacts: with vec/ AND
+        # mvt/ both present nothing re-runs (build.cpp:148 completeness)
+        assert build_all(cat) == {}
         hashes = {r["path"]: r["hash"] for r in cat.entries().collect()}
 
         def artifact(path, kind):
@@ -346,6 +374,33 @@ def q_build_derivatives_real(spark: SparkSession, sf_dir: str) -> DataFrame:
                          ARTIFACT_FILES["vec"])
         )
         rows.append(("vec", vec.num_rows, int(sum(vec.column("n_vertices").to_pylist()))))
+        # mvt/ sibling: re-open every tile with the independent pbf
+        # decoder; maxzoom from metadata.json must match the budget
+        # heuristic and each level must carry both features
+        from dronedb_spark.functions.mvt import decode_tile_pbf
+
+        mvt_dir = _artifact_dir(root, hashes["parcels.geojson"], "mvt")
+        meta = json.loads(open(os.path.join(mvt_dir, "metadata.json")).read())
+        decoded = 0
+        for dirpath, _dirs, fnames in os.walk(mvt_dir):
+            for fn in fnames:
+                if fn.endswith(".pbf"):
+                    feats = decode_tile_pbf(
+                        open(os.path.join(dirpath, fn), "rb").read()
+                    )
+                    assert all(f["extent"] == 4096 for f in feats)
+                    decoded += len(feats)
+        rows.append(("mvt", int(meta["maxzoom"]), decoded))
+        # nxs-role mesh table: triangle rows re-summed corner-exact
+        mesh = pq.read_table(
+            os.path.join(_artifact_dir(root, hashes["tower.obj"], "nxs"),
+                         ARTIFACT_FILES["nxs"])
+        )
+        corner_sum = sum(
+            int(sum(mesh.column(c).to_pylist()))
+            for c in ("ax", "ay", "az", "bx", "by", "bz", "cx", "cy", "cz")
+        )
+        rows.append(("nxs", mesh.num_rows, corner_sum))
         gs = pq.read_table(
             os.path.join(_artifact_dir(root, hashes["cloud.splat"], "gsplat"),
                          ARTIFACT_FILES["gsplat"])

@@ -202,6 +202,145 @@ def model_bounds(rel_path: str, data: bytes) -> dict | None:
     return None  # .nxs/.nxz: vendored nexus codec, no pure-Python probe
 
 
+# -------------------------------------------------------- full meshes --
+# (the nxs-role build artifact needs real vertices+faces, not just the
+# AABB: reference buildNexus feeds the whole mesh to the vendored nexus
+# codec, 3d.cpp:289-325 / build.cpp:51-53)
+
+
+def obj_mesh(data: bytes) -> dict:
+    """OBJ text → {'vertices': [(x,y,z)...], 'faces': [(i,j,k)...]}
+    (0-based, fan-triangulated; negative OBJ indices resolved)."""
+    verts: list[tuple[float, float, float]] = []
+    faces: list[tuple[int, int, int]] = []
+    for raw in data.splitlines():
+        if raw[:2] == b"v ":
+            parts = raw.split()
+            if len(parts) >= 4:
+                try:
+                    verts.append(
+                        (float(parts[1]), float(parts[2]), float(parts[3]))
+                    )
+                except ValueError:
+                    continue
+        elif raw[:2] == b"f ":
+            idx = []
+            for tok in raw.split()[1:]:
+                head = tok.split(b"/")[0]
+                try:
+                    i = int(head)
+                except ValueError:
+                    idx = []
+                    break
+                idx.append(i - 1 if i > 0 else len(verts) + i)
+            for k in range(1, len(idx) - 1):  # fan triangulation
+                faces.append((idx[0], idx[k], idx[k + 1]))
+    return {"vertices": verts, "faces": faces}
+
+
+_COMP_FMT = {5120: "b", 5121: "B", 5122: "h", 5123: "H", 5125: "I", 5126: "f"}
+_TYPE_N = {"SCALAR": 1, "VEC2": 2, "VEC3": 3, "VEC4": 4}
+
+
+def _accessor_values(doc: dict, bin_chunk: bytes, idx: int) -> list[tuple]:
+    """Decode one accessor's elements from the GLB BIN chunk (tightly
+    packed or strided bufferViews; componentTypes per glTF 2.0 §3.6)."""
+    acc = doc["accessors"][idx]
+    bv = doc["bufferViews"][acc["bufferView"]]
+    fmt = _COMP_FMT[acc["componentType"]]
+    n = _TYPE_N[acc["type"]]
+    elem = struct.calcsize(fmt) * n
+    stride = bv.get("byteStride") or elem
+    base = bv.get("byteOffset", 0) + acc.get("byteOffset", 0)
+    out = []
+    for i in range(acc["count"]):
+        off = base + i * stride
+        out.append(struct.unpack_from("<" + fmt * n, bin_chunk, off))
+    return out
+
+
+def glb_mesh(data: bytes) -> dict:
+    """GLB container → fully-decoded mesh with node transforms baked
+    per-vertex (the Assimp root-frame convention): {'vertices', 'faces'}.
+    Raises NotImplementedError for external (.bin sidecar) buffers —
+    only the self-contained GLB layout decodes from one file's bytes."""
+    doc = glb_json(data)
+    if doc is None:
+        raise ValueError("not a GLB container")
+    # BIN chunk follows the JSON chunk
+    (jlen,) = struct.unpack_from("<I", data, 12)
+    pos = 20 + jlen
+    bin_chunk = b""
+    if pos + 8 <= len(data):
+        (blen, btype) = struct.unpack_from("<II", data, pos)
+        if btype == 0x004E4942:  # 'BIN\0'
+            bin_chunk = data[pos + 8 : pos + 8 + blen]
+    for buf in doc.get("buffers", []):
+        if "uri" in buf:
+            raise NotImplementedError(
+                "external glTF buffers (.bin sidecar) are not decoded from "
+                "a single file's bytes; supply a self-contained GLB"
+            )
+    verts: list[tuple] = []
+    faces: list[tuple] = []
+    nodes = doc.get("nodes", [])
+    meshes = doc.get("meshes", [])
+
+    def visit(idx: int, parent, depth: int) -> None:
+        if depth > 64 or idx >= len(nodes):
+            return
+        node = nodes[idx]
+        m = _mat_mul(parent, _trs_matrix(node))
+        if "mesh" in node and node["mesh"] < len(meshes):
+            for prim in meshes[node["mesh"]].get("primitives", []):
+                pos_idx = prim.get("attributes", {}).get("POSITION")
+                if pos_idx is None or prim.get("mode", 4) != 4:
+                    continue
+                base = len(verts)
+                for p in _accessor_values(doc, bin_chunk, pos_idx):
+                    verts.append(_apply(m, p))
+                if "indices" in prim:
+                    ind = [
+                        v[0]
+                        for v in _accessor_values(doc, bin_chunk, prim["indices"])
+                    ]
+                else:
+                    ind = list(range(len(verts) - base))
+                for k in range(0, len(ind) - 2, 3):
+                    faces.append(
+                        (base + ind[k], base + ind[k + 1], base + ind[k + 2])
+                    )
+        for child in node.get("children", []):
+            visit(child, m, depth + 1)
+
+    scene = doc.get("scene", 0)
+    scenes = doc.get("scenes", [])
+    roots = (
+        scenes[scene].get("nodes", [])
+        if scene < len(scenes)
+        else list(range(len(nodes)))
+    )
+    for r in roots:
+        visit(r, _IDENT, 0)
+    return {"vertices": verts, "faces": faces}
+
+
+def model_mesh(rel_path: str, data: bytes) -> dict:
+    """Full mesh for the nxs-role build artifact.  OBJ and
+    self-contained GLB decode pure-Python; .gltf with external buffers
+    and nexus containers stay honest NotImplementedError boundaries."""
+    ext = os.path.splitext(rel_path)[1].lower()
+    if ext == ".obj":
+        return obj_mesh(data)
+    if ext == ".glb":
+        return glb_mesh(data)
+    raise NotImplementedError(
+        f"mesh decode for {ext}: true nexus (.nxs/.nxz) multiresolution "
+        "encoding is a vendored C++ codec in the reference; .gltf with "
+        "external buffers needs sidecar fetch"
+    )
+
+
 # ------------------------------------------------------------ georef --
 
 _LAT_KEYS = ("latitude", "lat")

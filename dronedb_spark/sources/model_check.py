@@ -222,6 +222,145 @@ def _oracle() -> str:
         ORDER BY path"""
 
 
+# ------------------------------------------- nxs-role mesh build check --
+
+# Two root nodes share one 4-vertex quad mesh (positions float32,
+# indices u16 in the GLB BIN chunk): node A scales X by 2 then
+# translates +10 East; node B translates +5 North.  All coordinates are
+# small integers, so the transformed corners are EXACT in float32 →
+# float64 and the oracle can state every row literally.
+_MESH_POS = [(0.0, 0.0, 0.0), (1.0, 0.0, 0.0), (0.0, 1.0, 0.0), (1.0, 1.0, 0.0)]
+_MESH_IDX = [0, 1, 2, 2, 1, 3]
+_MESH_DOC = {
+    "asset": {"version": "2.0"},
+    "scene": 0,
+    "scenes": [{"nodes": [0, 1]}],
+    "nodes": [
+        {"mesh": 0, "translation": [10.0, 0.0, 0.0], "scale": [2.0, 1.0, 1.0]},
+        {"mesh": 0, "translation": [0.0, 5.0, 0.0]},
+    ],
+    "meshes": [
+        {"primitives": [{"attributes": {"POSITION": 0}, "indices": 1, "mode": 4}]}
+    ],
+    "accessors": [
+        {
+            "bufferView": 0,
+            "componentType": 5126,
+            "count": 4,
+            "type": "VEC3",
+            "min": [0.0, 0.0, 0.0],
+            "max": [1.0, 1.0, 0.0],
+        },
+        {"bufferView": 1, "componentType": 5123, "count": 6, "type": "SCALAR"},
+    ],
+    "bufferViews": [
+        {"buffer": 0, "byteOffset": 0, "byteLength": 48},
+        {"buffer": 0, "byteOffset": 48, "byteLength": 12},
+    ],
+    "buffers": [{"byteLength": 60}],
+}
+
+
+def _mesh_bin() -> bytes:
+    out = b"".join(struct.pack("<3f", *p) for p in _MESH_POS)
+    out += b"".join(struct.pack("<H", i) for i in _MESH_IDX)
+    return out
+
+
+def _glb_full_bytes(doc: dict, bin_chunk: bytes) -> bytes:
+    payload = json.dumps(doc).encode()
+    payload += b" " * ((4 - len(payload) % 4) % 4)
+    bin_padded = bin_chunk + b"\x00" * ((4 - len(bin_chunk) % 4) % 4)
+    total = 12 + 8 + len(payload) + 8 + len(bin_padded)
+    return (
+        b"glTF"
+        + struct.pack("<II", 2, total)
+        + struct.pack("<II", len(payload), 0x4E4F534A)
+        + payload
+        + struct.pack("<II", len(bin_padded), 0x004E4942)
+        + bin_padded
+    )
+
+
+def _mesh_expected() -> list[tuple]:
+    def xform_a(p):
+        return (p[0] * 2.0 + 10.0, p[1], p[2])
+
+    def xform_b(p):
+        return (p[0], p[1] + 5.0, p[2])
+
+    rows = []
+    fid = 0
+    for xf in (xform_a, xform_b):
+        verts = [xf(p) for p in _MESH_POS]
+        for k in range(0, len(_MESH_IDX), 3):
+            a, b, c = (verts[_MESH_IDX[k + j]] for j in range(3))
+            rows.append((fid,) + a + b + c)
+            fid += 1
+    return rows
+
+
+def _mesh_oracle() -> str:
+    cols = ["face_id"] + [f"{n}{ax}" for n in "abc" for ax in "xyz"]
+    values = ",\n            ".join(
+        "(" + ", ".join(_lit(float(v) if i else int(v)) for i, v in enumerate(r)) + ")"
+        for r in _mesh_expected()
+    )
+    sel = ", ".join(
+        f"CAST({c} AS {'BIGINT' if c == 'face_id' else 'DOUBLE'}) AS {c}"
+        for c in cols
+    )
+    return f"""
+        SELECT {sel} FROM (VALUES
+            {values}) AS t({", ".join(cols)})
+        ORDER BY face_id"""
+
+
+@check("model_mesh_build_table", oracle=_mesh_oracle())
+def q_model_mesh_build_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model→nxs-role build over a REAL self-contained GLB: the Arrow
+    build kernel decodes positions+indices from the BIN chunk, bakes
+    both nodes' TRS transforms per-vertex (Assimp root-frame
+    convention), assembles triangles, and writes the mesh table the
+    nexus LOD stage would consume (build.cpp:51-53 / 3d.cpp:289-325).
+    Every triangle corner is checked value-for-value."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from dronedb_spark.catalog.build import (
+        ARTIFACT_FILES,
+        _artifact_dir,
+        build_all,
+    )
+    from dronedb_spark.catalog.store import DatasetCatalog
+
+    root = tempfile.mkdtemp(prefix="mm_")
+    try:
+        p = os.path.join(root, "model.glb")
+        with open(p, "wb") as f:
+            f.write(_glb_full_bytes(_MESH_DOC, _mesh_bin()))
+        os.utime(p, (1700000000, 1700000000))
+        cat = DatasetCatalog.init(spark, root)
+        cat.add()
+        counts = build_all(cat)
+        assert counts == {"nxs": 1}, counts
+        h = {r["path"]: r["hash"] for r in cat.entries().collect()}["model.glb"]
+        mesh = pq.read_table(
+            os.path.join(_artifact_dir(root, h, "nxs"), ARTIFACT_FILES["nxs"])
+        )
+        rows = [tuple(r) for r in zip(*(mesh.column(i).to_pylist()
+                                        for i in range(mesh.num_columns)))]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    cols = ["face_id"] + [f"{n}{ax}" for n in "abc" for ax in "xyz"]
+    schema = ", ".join(
+        f"{c} {'long' if c == 'face_id' else 'double'}" for c in cols
+    )
+    return spark.createDataFrame(sorted(rows), schema).orderBy("face_id")
+
+
 @check("model_entry_props", oracle=_oracle())
 def q_model_entry_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL .obj/.gltf/.glb bytes + georef sidecars → distributed ingest

@@ -237,3 +237,71 @@ def test_incremental_build_tolerates_stale_and_glob_paths(spark, tmp_path):
     cat.add()
     (tmp_path / "c.splat").unlink()
     assert build_all(cat) == {}
+
+
+def test_vector_build_coproduces_mvt_and_partial_invalidates(spark, tmp_path):
+    """A Vector build writes vec/ AND mvt/ (vector.cpp:227-360); a
+    partial artifact (vec/ present, mvt/metadata.json missing) must
+    count as INCOMPLETE and rebuild (build.cpp:148 completeness)."""
+    import json
+    import os
+    import shutil
+
+    from dronedb_spark.catalog.build import _artifact_dir
+    from dronedb_spark.functions.mvt import decode_tile_pbf
+
+    gj = {
+        "type": "FeatureCollection",
+        "features": [
+            {"type": "Feature", "properties": {},
+             "geometry": {"type": "Point", "coordinates": [10.0, 20.0]}},
+        ],
+    }
+    (tmp_path / "lots.geojson").write_text(json.dumps(gj))
+    cat = DatasetCatalog.init(spark, str(tmp_path))
+    cat.add()
+    assert build_all(cat) == {"vec": 1}
+    h = {r["path"]: r["hash"] for r in cat.entries().collect()}["lots.geojson"]
+    mvt_dir = _artifact_dir(cat.root, h, "mvt")
+    meta = json.loads(open(os.path.join(mvt_dir, "metadata.json")).read())
+    # degenerate (zero-area) envelope -> cap zoom 18 (mvt.cpp:24-26)
+    assert meta["maxzoom"] == 18 and meta["features"] == 1
+    # a tile exists at every level and decodes to the single point
+    feats = decode_tile_pbf(
+        open(os.path.join(mvt_dir, "18", *_one_tile(mvt_dir, 18)), "rb").read()
+    )
+    assert len(feats) == 1 and feats[0]["extent"] == 4096
+    # wipe the sibling only: build must re-run for this entry
+    shutil.rmtree(mvt_dir)
+    assert build_all(cat) == {"vec": 1}
+    assert os.path.exists(os.path.join(mvt_dir, "metadata.json"))
+    assert build_all(cat) == {}
+
+
+def _one_tile(mvt_dir, z):
+    import os
+
+    zd = os.path.join(mvt_dir, str(z))
+    x = os.listdir(zd)[0]
+    y = os.listdir(os.path.join(zd, x))[0]
+    return x, y
+
+
+def test_model_build_boundaries(spark, tmp_path):
+    """OBJ builds a mesh table; a nexus container input stays an honest
+    NotImplementedError boundary (decode_failed, retried, never marked
+    complete)."""
+    import os
+
+    from dronedb_spark.catalog.build import ARTIFACT_FILES, _artifact_dir
+
+    (tmp_path / "m.obj").write_bytes(b"v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1 2 3\n")
+    (tmp_path / "old.nxz").write_bytes(b"\x20\x00nxs-opaque")
+    cat = DatasetCatalog.init(spark, str(tmp_path))
+    cat.add()
+    assert build_all(cat) == {"nxs": 1}  # only the OBJ builds
+    h = {r["path"]: r["hash"] for r in cat.entries().collect()}
+    assert os.path.exists(os.path.join(
+        _artifact_dir(cat.root, h["m.obj"], "nxs"), ARTIFACT_FILES["nxs"]))
+    # the nexus input stays pending (incomplete), never crashes the build
+    assert [p for p, _h, k in pending_builds(cat)] == ["old.nxz"]
