@@ -18,7 +18,7 @@ the DuckDB oracle verify the exact signature values.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dronedb_spark.suite import check
@@ -518,7 +518,12 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CAL_TAUS = (30, 50, 70)  # jaccard thresholds, in percent
 
 
-def lsh_calibration(docs: DataFrame, taus: tuple[int, ...] = _CAL_TAUS) -> DataFrame:
+def lsh_calibration(
+    docs: DataFrame,
+    taus: tuple[int, ...] = _CAL_TAUS,
+    sample_fraction: float | None = None,
+    max_df: int = 1000,
+) -> DataFrame:
     """Confusion counts of the banded-MinHash candidate set against
     EXACT n-gram Jaccard ground truth, per threshold — "what recall is
     my LSH actually buying at this banding?", the question every 100 TB
@@ -528,18 +533,49 @@ def lsh_calibration(docs: DataFrame, taus: tuple[int, ...] = _CAL_TAUS) -> DataF
     zero shingles have Jaccard 0 and never materialize), with the
     threshold test as the integer cross-multiplication
     ``n_inter·100 >= tau·n_union`` — no float crosses a decision
-    boundary.  At production scale this runs on a uniform SAMPLE (a
-    few 10^4 docs): ground truth is quadratic in document-frequency
-    mass and exists to CALIBRATE the banding, not to dedup; the
-    measured curve then applies to the full-corpus LSH run, whose own
-    cost stays the banded one.  Per tau: true pairs, LSH candidates,
-    hits (TP), spurious candidates (FP), and misses (FN).
+    boundary.  Per tau: true pairs, LSH candidates, hits (TP),
+    spurious candidates (FP), and misses (FN).
+
+    The truth join is quadratic in shingle document-frequency mass, so
+    the operator ENFORCES its own bounds rather than documenting them:
+
+    * ``max_df`` (default 1000) drops shingles present in more than
+      that many docs from the truth universe — one boilerplate shingle
+      shared by 10M docs would otherwise be a 10^14-pair bucket.
+      Jaccard is then measured over the informative-shingle universe
+      (sizes and intersections derive from the SAME capped set, so the
+      ratio stays self-consistent) — the winnowing MAX_DF discipline
+      (``winnow.py:37``).
+    * ``sample_fraction`` (optional) calibrates on a deterministic
+      md5-keyed uniform subsample of the docs (a few 10^4 suffice for
+      a stable curve); both the truth side and the LSH candidate side
+      see the same subsample, so the confusion counts stay coherent.
     """
+    if sample_fraction is not None:
+        if not 0.0 < sample_fraction <= 1.0:
+            raise ValueError("sample_fraction must be in (0, 1]")
+        # deterministic md5-keyed thinning (the PQ-training sampling
+        # discipline): no RNG, stable across runs and partitionings
+        docs = docs.filter(
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+            .cast("bigint")
+            < F.lit(int(sample_fraction * 0xFFFFFF))
+        )
     cand = neardup_pairs(docs).withColumn("is_cand", F.lit(1))
-    sh = (
+    sh_all = (
         _shingle_df(docs)
         .select("doc_id", F.explode("sh").alias("s"))
         .distinct()
+    )
+    # document-frequency cap: ONE window pass (COUNT OVER the shingle
+    # partition) — no groupBy + semi-join re-evaluation of the shingle
+    # subtree, and the partitioning pre-shuffles for the equi-self-join
+    sh = (
+        sh_all.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("s"))
+        )
+        .filter(F.col("df") <= max_df)
+        .drop("df")
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "s")

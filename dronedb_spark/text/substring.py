@@ -383,3 +383,143 @@ def q_substring_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT doc_id, text FROM documents UNION ALL {_SPLICE_SPARK}"
     )
     return substring_dedup_rewrite(corpus, K_TOKENS).orderBy("doc_id")
+
+
+# --------------------------------------------- incremental anchor store --
+
+_INC_STRIDE = 5000000
+
+
+def substring_anchor_store(docs: DataFrame, k: int = K_TOKENS) -> DataFrame:
+    """The persisted substring index: DISTINCT 60-bit anchor hashes of
+    the corpus — 8 bytes per distinct k-gram, what the daily pipeline
+    writes once per ingested batch (bucketed by ``ah`` on disk, the
+    ``band_store`` discipline) so tomorrow's probe equi-joins without
+    re-anchoring — or even re-reading — yesterday's text."""
+    return anchor_kgrams(docs, k).select("ah").distinct()
+
+
+def incremental_substring_spans(
+    batch: DataFrame, store: DataFrame, k: int = K_TOKENS
+) -> DataFrame:
+    """Duplicated spans of a NEW batch: a batch token position is
+    duplicated iff its covering k-gram is already in the corpus store
+    (the store holds ≥1 occurrence, the batch adds another) OR occurs
+    ≥2 times within the batch itself.  Equivalent to re-running
+    ``substring_dup_spans`` over store ∪ batch restricted to batch
+    docs (pytest-pinned), at the cost of anchoring ONLY the batch.
+
+    Plan shape: the ``ah`` equi-join against the store hash-partitions
+    the batch anchors by ``ah``, and the within-batch occurrence window
+    reuses exactly that partitioning — one anchor-side exchange total,
+    then the per-doc island pass."""
+    anchors = spread(anchor_kgrams(batch, k))
+    marked = anchors.join(
+        store.withColumn("in_store", F.lit(True)), "ah", "left"
+    )
+    dup_pos = (
+        marked.select(
+            "doc_id",
+            "pos",
+            "in_store",
+            F.count(F.lit(1)).over(Window.partitionBy("ah")).alias("n_occ"),
+        )
+        .filter(F.col("in_store").isNotNull() | (F.col("n_occ") >= 2))
+        .select("doc_id", "pos")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    brk = (
+        F.when(F.col("pos") - F.lag("pos").over(w) > k, 1).otherwise(0).alias("brk")
+    )
+    islands = dup_pos.select("doc_id", "pos", brk).select(
+        "doc_id",
+        "pos",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("island"),
+    )
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            F.col("span_start").cast("bigint").alias("span_start"),
+            F.col("span_end").cast("bigint").alias("span_end"),
+            (F.col("span_end") - F.col("span_start") + 1)
+            .cast("bigint")
+            .alias("span_tokens"),
+        )
+    )
+
+
+@check(
+    "substring_dedup_incremental",
+    oracle=f"""
+        WITH store_docs AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+        batch AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT doc_id + {_INC_STRIDE} AS doc_id, text
+            FROM store_docs WHERE doc_id % 7 = 1),
+        stoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM store_docs),
+        store AS (
+            SELECT DISTINCT CAST(CAST('0x' || substr(md5(
+                       array_to_string(t[p.pos : p.pos + {K_TOKENS - 1}], ' ')
+                   ), 1, 15) AS BIGINT) AS BIGINT) AS ah
+            FROM stoks,
+                 LATERAL (SELECT unnest(range(1, len(t) - {K_TOKENS - 1} + 1)) AS pos) p),
+        btoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM batch),
+        banchors AS (
+            SELECT doc_id, p.pos,
+                   CAST(CAST('0x' || substr(md5(
+                       array_to_string(t[p.pos : p.pos + {K_TOKENS - 1}], ' ')
+                   ), 1, 15) AS BIGINT) AS BIGINT) AS ah
+            FROM btoks,
+                 LATERAL (SELECT unnest(range(1, len(t) - {K_TOKENS - 1} + 1)) AS pos) p),
+        dup_pos AS (
+            SELECT doc_id, pos FROM (
+                SELECT b.doc_id, b.pos,
+                       COUNT(*) OVER (PARTITION BY b.ah) AS n_occ,
+                       s.ah IS NOT NULL AS in_store
+                FROM banchors b LEFT JOIN store s ON s.ah = b.ah) x
+            WHERE in_store OR n_occ >= 2),
+        marked AS (
+            SELECT doc_id, pos,
+                   CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                             > {K_TOKENS} THEN 1 ELSE 0 END AS brk
+            FROM dup_pos),
+        islands AS (
+            SELECT doc_id, pos,
+                   SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS island
+            FROM marked),
+        spans AS (
+            SELECT doc_id,
+                   CAST(MIN(pos) AS BIGINT) AS span_start,
+                   CAST(MAX(pos) + {K_TOKENS - 1} AS BIGINT) AS span_end
+            FROM islands GROUP BY doc_id, island)
+        SELECT doc_id, span_start, span_end,
+               CAST(span_end - span_start + 1 AS BIGINT) AS span_tokens
+        FROM spans
+        ORDER BY doc_id, span_start""",
+)
+def q_substring_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest shape for the substring family: store = anchors of
+    doc_id % 3 != 0; batch = the rest PLUS re-keyed full copies of some
+    store docs (doc_id % 7 == 1) — each copy must come back as ONE
+    full-coverage span (every anchor hits the store), while genuinely
+    new batch text only spans where it repeats the corpus or itself."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    store_docs = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0).unionByName(
+        store_docs.filter(F.col("doc_id") % 7 == 1).select(
+            (F.col("doc_id") + _INC_STRIDE).alias("doc_id"), "text"
+        )
+    )
+    store = substring_anchor_store(store_docs, K_TOKENS)
+    return incremental_substring_spans(batch, store, K_TOKENS).orderBy(
+        "doc_id", "span_start"
+    )

@@ -57,8 +57,35 @@ def _pts(embeddings: DataFrame) -> DataFrame:
     ).select("vec_id", "pos", F.col("v").cast("double").alias("val"))
 
 
-def binq_thresholds(embeddings: DataFrame) -> DataFrame:
-    """(pos, med): the per-dimension type-1 median — 64 rows out."""
+BINQ_FIT_MAX = 100_000  # corpus size above which the median fit samples
+
+
+def binq_thresholds(
+    embeddings: DataFrame, fit_max: int | None = BINQ_FIT_MAX
+) -> DataFrame:
+    """(pos, med): the per-dimension type-1 median — 64 rows out.
+
+    The fit is model TRAINING, not serving: above ``fit_max`` vectors
+    the medians are fitted on a DETERMINISTIC md5-keyed sample of
+    ~``fit_max`` rows (the smallest-hash-prefix discipline — no RNG,
+    stable across runs/partitionings).  A 10B-vector corpus would
+    otherwise push 10B rows through each of the 64 single-partition
+    rank windows below; a 10^5-vector sample pins each median to well
+    inside the quantization noise floor while the fit becomes a
+    constant-cost job.  ``fit_max=None`` forces the exact full-corpus
+    fit (the oracle-parity form — also what small corpora get
+    automatically, so the driver check is exact end to end)."""
+    if fit_max is not None:
+        n = embeddings.count()
+        if n > fit_max:
+            cut = int(0xFFFFFF * (fit_max / n))
+            embeddings = embeddings.filter(
+                F.conv(
+                    F.substring(F.md5(F.col("vec_id").cast("string")), 1, 6),
+                    16, 10,
+                ).cast("bigint")
+                < F.lit(cut)
+            )
     pts = _pts(embeddings)
     w = Window.partitionBy("pos")
     rk = F.row_number().over(w.orderBy("val", "vec_id"))

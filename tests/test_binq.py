@@ -111,3 +111,54 @@ def test_store_probe_matches_memory_and_reads_no_floats(spark, sf_dir, tmp_path)
     f = formatted(q)
     read_schema = [ln for ln in f.splitlines() if "ReadSchema" in ln]
     assert read_schema and all("embedding" not in ln for ln in read_schema)
+
+
+def test_sampled_threshold_fit_recall(spark, sf_dir):
+    """The scale path (md5-keyed sampled median fit) must track the
+    exact fit: thresholds stay near the per-dimension median (bits stay
+    roughly balanced) and Hamming recall@10 vs the exact-fit search
+    stays high.  Forcing fit_max below the fixture size exercises the
+    sampling branch the driver check's small corpus skips."""
+    emb = _emb(spark, sf_dir)
+    n = emb.count()
+    fit_max = max(10, n // 3)
+    th_exact = binq_thresholds(emb, fit_max=None)
+    th_samp = binq_thresholds(emb, fit_max=fit_max)
+    assert th_samp.count() == 64
+    # determinism: the sampled fit is identical across invocations
+    a = sorted(tuple(r) for r in th_samp.collect())
+    b = sorted(tuple(r) for r in binq_thresholds(emb, fit_max=fit_max).collect())
+    assert a == b
+    # sampled thresholds keep bits roughly balanced over the FULL corpus
+    bits = (
+        _pts(emb)
+        .join(F.broadcast(th_samp), "pos")
+        .select("pos", (F.col("val") > F.col("med")).cast("int").alias("b"))
+        .groupBy("pos")
+        .agg(F.avg("b").alias("frac"))
+    )
+    fracs = [r["frac"] for r in bits.collect()]
+    assert all(0.2 <= f <= 0.8 for f in fracs), sorted(fracs)[:3]
+    # recall@10 of sampled-fit Hamming search vs exact-fit search
+    from dronedb_spark.vectors.binq import binq_codes as _codes
+
+    def top10(th):
+        codes = _codes(emb, th)
+        q = codes.filter(F.col("vec_id") == 0).select(
+            F.col("lo").alias("qlo"), F.col("hi").alias("qhi")
+        )
+        return {
+            r["vec_id"]
+            for r in codes.filter(F.col("vec_id") != 0)
+            .crossJoin(F.broadcast(q))
+            .select(
+                "vec_id",
+                (F.expr("bit_count(lo ^ qlo)") + F.expr("bit_count(hi ^ qhi)"))
+                .alias("h"),
+            )
+            .orderBy("h", "vec_id")
+            .limit(10)
+            .collect()
+        }
+    overlap = len(top10(th_exact) & top10(th_samp))
+    assert overlap >= 6, overlap

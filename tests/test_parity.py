@@ -147,3 +147,49 @@ def test_lsh_calibration_identities(spark):
     assert out[30]["n_true"] >= out[70]["n_true"]
     assert out[30]["n_true"] == 3   # (1,2), (2,4), (1,4)
     assert out[70]["n_true"] == 1   # only the exact dup (1,4)
+
+
+def test_lsh_calibration_enforces_caps(spark):
+    """The truth join's quadratic guards are IN-OPERATOR: a boilerplate
+    shingle shared by every doc is dropped by max_df (so it neither
+    materializes the all-pairs bucket nor counts toward Jaccard), and
+    sample_fraction deterministically thins the doc set on both the
+    truth and candidate sides."""
+    from dronedb_spark.text.dedup import lsh_calibration
+
+    # 40 docs: all share one boilerplate 3-gram ("the same header");
+    # only docs 0/1 share real content beyond it
+    rows = [(0, "the same header alpha beta gamma delta epsilon zeta"),
+            (1, "the same header alpha beta gamma delta epsilon eta")]
+    rows += [
+        (i, f"the same header u{i} v{i} w{i} x{i} y{i} z{i}")
+        for i in range(2, 40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # capped: boilerplate (df=40 > 10) is dropped — the only true pairs
+    # come from genuinely shared content, NOT the 780-pair header bucket
+    out = {r["tau_pct"]: r for r in
+           lsh_calibration(docs, max_df=10).collect()}
+    assert out[30]["n_true"] == 1          # docs 0/1 only
+    # uncapped (max_df above the corpus) the header mass is back: every
+    # pair shares >= 1 shingle, so low-tau truth explodes
+    raw = {r["tau_pct"]: r for r in
+           lsh_calibration(docs, max_df=10_000).collect()}
+    assert raw[30]["n_true"] == 1          # 1 shared gram of ~14 is < 30%
+    assert raw[70]["n_true"] <= raw[30]["n_true"]
+    # sampling: deterministic subset -> counts can only shrink, and the
+    # same fraction gives identical results across invocations
+    s1 = sorted(tuple(r) for r in
+                lsh_calibration(docs, sample_fraction=0.5).collect())
+    s2 = sorted(tuple(r) for r in
+                lsh_calibration(docs, sample_fraction=0.5).collect())
+    assert s1 == s2
+    full = {r["tau_pct"]: r for r in lsh_calibration(docs).collect()}
+    samp = {r[0]: r for r in s1}
+    for t in samp:
+        assert samp[t][1] <= full[t]["n_true"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        lsh_calibration(docs, sample_fraction=0.0)

@@ -1057,3 +1057,46 @@ def test_mad_outliers_robust_to_spike(spark):
     r = mad_outlier_rollup(ev).collect()[0]
     assert r["n_outliers"] == 1 and r["sum_outlier_ids"] == 99
     assert 10.0 <= r["med"] <= 12.0 and r["mad"] <= 2.0
+
+
+def test_substring_incremental_store_never_rereads_corpus(spark, tmp_path):
+    """The anchor-store probe must anchor ONLY the batch: with the store
+    persisted to Parquet, the probe plan's single Parquet scan is the
+    8-byte hash store (no corpus text scan, no second md5 anchor
+    subtree), the store join is an equi-join, and the result equals a
+    full recompute over store ∪ batch restricted to batch docs."""
+    from dronedb_spark.text.substring import (
+        incremental_substring_spans,
+        substring_anchor_store,
+        substring_dup_spans,
+    )
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    store_docs = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0).unionByName(
+        store_docs.filter(F.col("doc_id") % 7 == 1).select(
+            (F.col("doc_id") + 5000000).alias("doc_id"), "text"
+        )
+    )
+    sp = str(tmp_path / "anchor_store")
+    substring_anchor_store(store_docs).write.parquet(sp)
+    # batch rows pinned local so the ONLY file scan left is the store
+    batch_local = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in batch.collect()],
+        "doc_id long, text string",
+    )
+    probe = incremental_substring_spans(batch_local, spark.read.parquet(sp))
+    plan = physical_plan(probe)
+    assert plan.count("Scan parquet") == 1          # the store, nothing else
+    assert "ReadSchema: struct<ah:bigint>" in plan  # 8-byte hashes, no text
+    assert not has_cartesian(probe)
+    got = sorted(tuple(r) for r in probe.collect())
+    # equivalence: full recompute over store ∪ batch, batch docs only
+    full = substring_dup_spans(store_docs.unionByName(batch))
+    batch_ids = {r["doc_id"] for r in batch_local.select("doc_id").collect()}
+    want = sorted(
+        tuple(r) for r in full.collect() if r["doc_id"] in batch_ids
+    )
+    assert got == want and len(got) > 0
