@@ -65,12 +65,12 @@ _ROUND9_PRIORITY = [
     "binq_rerank_top10",
     "ivfpq_residual_top10",           # ADVICE: oracle seed from N_CENTROIDS
     "robots_url_verdicts",            # ADVICE: effective-group crawl delay
-    # --- r9 breadth debuts (filled as built this round) ----------------
+    # --- r9 breadth debuts ---------------------------------------------
     "model_mesh_build_table",
     "sessionize_gap_windows",
     "saturation_scaling_curve",
     "ngram_novelty_profile",
-    "minhash_band_store_probe",
+    "cross_source_overlap",
     "tfidf_topterms",
     "reservoir_sample_fixed",
     # ================= 50-slot budget line (r10 window starts here) ====
@@ -210,6 +210,10 @@ def load_all() -> dict[str, Check]:
     import dronedb_spark.text.crawlcorpus  # noqa: F401  (crawl-to-corpus funnel, new in r8)
     import dronedb_spark.catalog.profile  # noqa: F401  (ANALYZE-style stats, new in r8)
     import dronedb_spark.sources.model_check  # noqa: F401  (S5 Model entry props, new in r9)
+    import dronedb_spark.operators.sessionize  # noqa: F401  (gap sessionization, new in r9)
+    import dronedb_spark.text.corpusstats  # noqa: F401  (saturation/novelty/overlap, new in r9)
+    import dronedb_spark.text.tfidf  # noqa: F401  (rational TF-IDF top terms, new in r9)
+    import dronedb_spark.text.reservoir  # noqa: F401  (deterministic fixed sample, new in r9)
     # (text.substring also registers substring_dedup_rewrite; text.quality
     # registers mixture_quota_twophase — imported above)
     # --- green rows in CORRECTNESS_r01: register after ------------------

@@ -1100,3 +1100,22 @@ def test_substring_incremental_store_never_rereads_corpus(spark, tmp_path):
         tuple(r) for r in full.collect() if r["doc_id"] in batch_ids
     )
     assert got == want and len(got) > 0
+
+
+def test_reservoir_sample_is_take_ordered_not_global_sort(spark):
+    """The deterministic sample plans as TakeOrderedAndProject
+    (per-partition top-N + N-row merge), never a global Sort+Exchange
+    of the corpus; and the same (seed, N) names identical rows across
+    different partitionings."""
+    from dronedb_spark.text.reservoir import reservoir_sample
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "source"
+    )
+    q = reservoir_sample(docs, n=20)
+    plan = physical_plan(q)
+    assert "TakeOrderedAndProject" in plan
+    a = [tuple(r) for r in q.collect()]
+    b = [tuple(r) for r in reservoir_sample(
+        docs.repartition(13), n=20).collect()]
+    assert a == b and len(a) == 20
