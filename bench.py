@@ -195,6 +195,17 @@ HEADLINE = [
     "rolling_active_users",
     "mad_outliers",
     "domain_triangles",
+    # round-9 breadth: the incremental substring-anchor probe, user
+    # sessionization, corpus-composition stats (saturation / novelty /
+    # source overlap), rational TF-IDF and the deterministic sample
+    # (model/build checks stay unbenched: scratch-dir builds per run)
+    "substring_dedup_incremental",
+    "sessionize_gap_windows",
+    "saturation_scaling_curve",
+    "ngram_novelty_profile",
+    "cross_source_overlap",
+    "tfidf_topterms",
+    "reservoir_sample_fixed",
 ]
 
 _SMALL_RESULT = {

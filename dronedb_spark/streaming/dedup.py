@@ -261,3 +261,128 @@ def stream_paragraph_dedup(
     if event_time:
         return fresh.dropDuplicatesWithinWatermark(["phash"])
     return fresh.dropDuplicates(["phash"])
+
+
+def stream_substring_probe(
+    batch_stream: DataFrame,
+    store: DataFrame,
+    k: int | None = None,
+    event_time: str | None = None,
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Substring-level dedup as a continuous operator — the streaming
+    runtime of ``text/substring.py:incremental_substring_spans``'s
+    store side: arriving documents anchor their overlapping k-grams per
+    microbatch (stateless narrow work — split, zip_with slices, md5),
+    and positions whose anchor is already in the persisted corpus
+    anchor store emit via a STREAM-STATIC inner join (the 8-byte-hash
+    store never recomputes and, bucketed on ``ah``, never reshuffles
+    per trigger).  Emits duplicated (doc_id, pos) rows; the island
+    merge into maximal spans is a per-doc ORDERED window and runs
+    downstream in the batch layer — exactly where the batch twin
+    assembles spans (the minhash triple-probe discipline above).
+
+    Within-stream repetition (a gram arriving twice tonight, never
+    indexed before) is not counted here — occurrence counting over a
+    hash window is not streaming-expressible; the nightly batch
+    re-probe catches it, and the duplicate-emit guard is the
+    watermarked dropDuplicates on (doc_id, pos) when ``event_time`` is
+    passed (state bounded by the horizon; without it, bounded replays
+    only)."""
+    from dronedb_spark.text.substring import K_TOKENS, _kgram_col
+
+    kk = k if k is not None else K_TOKENS
+    carry = (event_time,) if event_time else ()
+    if event_time:
+        batch_stream = batch_stream.withWatermark(event_time, delay)
+    toks = batch_stream.select(
+        "doc_id", *carry, F.split("text", " ").alias("toks")
+    )
+    anchors = toks.select(
+        "doc_id", *carry, F.posexplode(_kgram_col(kk)).alias("p0", "gram")
+    ).select(
+        "doc_id",
+        *carry,
+        (F.col("p0") + 1).alias("pos"),
+        F.expr("CAST(conv(substr(md5(gram), 1, 15), 16, 10) AS BIGINT)").alias("ah"),
+    )
+    hits = anchors.join(store, "ah").select("doc_id", "pos", *carry)
+    if event_time:
+        return hits.dropDuplicatesWithinWatermark(["doc_id", "pos"])
+    return hits.dropDuplicates(["doc_id", "pos"])
+
+
+def _register_substring_check() -> None:
+    from pyspark.sql import SparkSession
+
+    from dronedb_spark.suite import check
+    from dronedb_spark.tables import load
+    from dronedb_spark.text.substring import K_TOKENS
+
+    _ANCHOR_DUCK = f"""
+            SELECT doc_id, p.pos,
+                   CAST(CAST('0x' || substr(md5(
+                       array_to_string(t[p.pos : p.pos + {K_TOKENS - 1}], ' ')
+                   ), 1, 15) AS BIGINT) AS BIGINT) AS ah
+            FROM {{src}},
+                 LATERAL (SELECT unnest(range(1, len(t) - {K_TOKENS - 1} + 1)) AS pos) p"""
+
+    @check(
+        "stream_substring_probe_twin",
+        oracle=f"""
+            WITH store_docs AS (
+                SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+            batch AS (
+                SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+                UNION ALL
+                SELECT doc_id + 5000000 AS doc_id, text
+                FROM store_docs WHERE doc_id % 7 = 1),
+            store AS (
+                SELECT DISTINCT ah FROM (
+                    {_ANCHOR_DUCK.format(src="(SELECT doc_id, string_split(text, ' ') AS t FROM store_docs) s")}) a),
+            banchors AS (
+                {_ANCHOR_DUCK.format(src="(SELECT doc_id, string_split(text, ' ') AS t FROM batch) b")}),
+            hits AS (
+                SELECT DISTINCT b.doc_id, b.pos
+                FROM banchors b JOIN store s ON s.ah = b.ah)
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_hits,
+                   CAST(MIN(pos) AS BIGINT) AS min_pos,
+                   CAST(MAX(pos) AS BIGINT) AS max_pos
+            FROM hits GROUP BY doc_id ORDER BY doc_id""",
+    )
+    def q_stream_substring_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Batch twin of stream_substring_probe (the stream==batch
+        equivalence is pytest-pinned in tests/test_streaming.py): per
+        batch doc, the count and extent of token positions whose
+        covering k-gram is already in the corpus anchor store."""
+        from dronedb_spark.text.substring import (
+            anchor_kgrams,
+            substring_anchor_store,
+        )
+
+        docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+        store_docs = docs.filter(F.col("doc_id") % 3 != 0)
+        batch = docs.filter(F.col("doc_id") % 3 == 0).unionByName(
+            store_docs.filter(F.col("doc_id") % 7 == 1).select(
+                (F.col("doc_id") + 5000000).alias("doc_id"), "text"
+            )
+        )
+        hits = (
+            anchor_kgrams(batch)
+            .join(substring_anchor_store(store_docs), "ah")
+            .select("doc_id", "pos")
+            .distinct()
+        )
+        return (
+            hits.groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+                F.min("pos").cast("bigint").alias("min_pos"),
+                F.max("pos").cast("bigint").alias("max_pos"),
+            )
+            .orderBy("doc_id")
+        )
+
+
+_register_substring_check()

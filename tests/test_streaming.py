@@ -404,3 +404,53 @@ def test_stream_paragraph_dedup_matches_batch(spark, sf_dir, tmp_path):
         .collect()
     }
     assert set(got) == want and len(want) > 0
+
+
+def test_stream_substring_probe_matches_batch(spark, sf_dir, tmp_path):
+    """Streamed anchor-store hits (availableNow over file chunks) carry
+    exactly the batch probe's duplicated (doc_id, pos) set: positions
+    covered by a corpus-indexed k-gram emit once, everything else never."""
+    from pyspark.sql import functions as F
+
+    from dronedb_spark.streaming.dedup import stream_substring_probe
+    from dronedb_spark.tables import load
+    from dronedb_spark.text.substring import (
+        anchor_kgrams,
+        substring_anchor_store,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    store_docs = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0).unionByName(
+        store_docs.filter(F.col("doc_id") % 7 == 1).select(
+            (F.col("doc_id") + 5000000).alias("doc_id"), "text"
+        )
+    )
+    store = substring_anchor_store(store_docs)
+
+    src = str(tmp_path / "substr_stream_src")
+    batch.repartition(3).write.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (
+        stream_substring_probe(stream, store)
+        .writeStream.format("memory")
+        .queryName("substr_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = [
+        (r["doc_id"], r["pos"])
+        for r in spark.sql("SELECT doc_id, pos FROM substr_stream").collect()
+    ]
+    assert len(got) == len(set(got))  # each hit position exactly once
+    want = {
+        (r["doc_id"], r["pos"])
+        for r in anchor_kgrams(batch)
+        .join(store, "ah")
+        .select("doc_id", "pos")
+        .distinct()
+        .collect()
+    }
+    assert set(got) == want and len(want) > 0
