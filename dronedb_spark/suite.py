@@ -75,7 +75,8 @@ _ROUND9_PRIORITY = [
     "reservoir_sample_fixed",
     # ================= 50-slot budget line (r10 window starts here) ====
     # r9 overflow: locally verified this round, debut in the r10 gate
-    "stream_substring_probe_twin",
+    "stream_substring_probe_twin", "domain_components",
+    "stratified_length_sample", "bpe_fertility_profile",
     # refresh band: families with a single green or pre-r8 last green
     "catalog_workflow_lifecycle", "catalog_rescan_types",
     "push_needed_files", "pull_delta_plan",

@@ -321,3 +321,83 @@ def q_bpe_encode_corpus_10x(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("freq") * F.size("tokens")).cast("bigint").alias("total_tokens"),
         F.count(F.lit(1)).cast("bigint").alias("vocab_words"),
     )
+
+
+# ------------------------------------------------- fertility profile --
+
+
+def bpe_fertility_profile(docs: DataFrame) -> DataFrame:
+    """(source, n_words, n_bpe_tokens, fertility_micro,
+    chars_per_token_micro): tokenizer fertility per source — BPE tokens
+    per whitespace word and characters per BPE token, the two numbers a
+    training run budgets sequence lengths and cost-per-byte by (a
+    source whose fertility spikes is hostile to the tokenizer: wrong
+    language, wrong domain, or junk).
+
+    Composition, not new machinery: the per-word token counts come
+    from the vocabulary-bounded ``encode_words`` pass (the 100-TB
+    property — encode cost scales with DISTINCT words), joined to a
+    per-(source, word) frequency table; ratios are integer
+    micro-quotients, bit-deterministic."""
+    sw = (
+        spread(docs)
+        .select("source", F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    enc = encode_words(
+        sw.groupBy("word").agg(F.sum("freq").alias("freq")), BPE_MERGES
+    ).select("word", F.size("tokens").alias("n_tok"), F.length("word").alias("n_chr"))
+    j = sw.join(enc, "word")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.sum("freq").cast("bigint").alias("n_words"),
+            F.sum(F.col("freq") * F.col("n_tok")).cast("bigint").alias("n_bpe_tokens"),
+            F.sum(F.col("freq") * F.col("n_chr")).cast("bigint").alias("_chars"),
+        )
+        .select(
+            "source",
+            "n_words",
+            "n_bpe_tokens",
+            F.expr("(n_bpe_tokens * 1000000) DIV n_words").alias("fertility_micro"),
+            F.expr("(_chars * 1000000) DIV n_bpe_tokens").alias(
+                "chars_per_token_micro"
+            ),
+        )
+    )
+
+
+@check(
+    "bpe_fertility_profile",
+    oracle=f"""
+    WITH sw AS (
+        SELECT source, word, COUNT(*) AS freq
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+              FROM documents)
+        WHERE word <> '' GROUP BY source, word),
+    enc AS (
+        SELECT word, len({_encode_sql('word')}) AS n_tok,
+               length(word) AS n_chr
+        FROM (SELECT DISTINCT word FROM sw) w),
+    j AS (SELECT s.source, s.freq, e.n_tok, e.n_chr
+          FROM sw s JOIN enc e ON e.word = s.word),
+    sums AS (
+        SELECT source,
+               CAST(SUM(freq) AS BIGINT) AS n_words,
+               CAST(SUM(freq * n_tok) AS BIGINT) AS n_bpe_tokens,
+               CAST(SUM(freq * n_chr) AS BIGINT) AS chars
+        FROM j GROUP BY source)
+    SELECT source, n_words, n_bpe_tokens,
+           CAST((n_bpe_tokens * 1000000) // n_words AS BIGINT)
+               AS fertility_micro,
+           CAST((chars * 1000000) // n_bpe_tokens AS BIGINT)
+               AS chars_per_token_micro
+    FROM sums ORDER BY source""",
+)
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source tokenizer fertility under the pinned BPE merges:
+    BPE-tokens-per-word and chars-per-token as integer micro ratios."""
+    docs = load(spark, sf_dir, "documents").select("source", "text")
+    return bpe_fertility_profile(docs).orderBy("source")

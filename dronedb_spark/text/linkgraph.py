@@ -281,3 +281,135 @@ def q_domain_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return triangle_counts(_colink_edges(docs)).orderBy("domain")
+
+
+# ------------------------------------------------ connected components --
+
+N_CC_ITER = 8
+
+
+def components_over_edges(und: DataFrame, n_iter: int = N_CC_ITER) -> DataFrame:
+    """(domain, component): connected components by min-label
+    propagation over an undirected (u < v) edge table — the third
+    member of the webgraph family (PageRank ranks, triangles flag link
+    farms, components partition the crawl into isolated clusters for
+    per-cluster curation and mirror detection).
+
+    Each superstep every node takes the MIN of its own label and its
+    neighbors' (string min — bit-deterministic, no float anywhere);
+    after K supersteps every node within K hops of its component's
+    minimum has converged, the Pregel/HashMin DataFrame shape.  K is
+    fixed so the plan is static and the oracle an unrolled CTE chain;
+    per-superstep ``localCheckpoint`` truncates lineage exactly as the
+    PageRank loop does (measured 2× there).  At web scale the standard
+    refinement is large-star/small-star (fewer rounds on high-diameter
+    graphs); host graphs have tiny diameters and the plain HashMin
+    superstep is the honest, shuffle-minimal choice."""
+    from dronedb_spark.tables import barrier_persist
+
+    edges = barrier_persist(
+        und.select("u", "v").union(
+            und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+    )
+    nodes = edges.select(F.col("u").alias("domain")).distinct().localCheckpoint()
+    labels = nodes.select("domain", F.col("domain").alias("component"))
+    for _ in range(n_iter):
+        nbr = (
+            edges.join(labels.withColumnRenamed("domain", "v"), "v")
+            .select(F.col("u").alias("domain"), "component")
+            .groupBy("domain")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr, "domain", "left")
+            .select(
+                "domain",
+                F.least(
+                    "component", F.coalesce("nbr_min", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+    return labels
+
+
+def _partitioned_edges(docs: DataFrame) -> DataFrame:
+    """Derived multi-component host graph: node k connects to k+4 and
+    k+8 (mod n) — with 4 | n the graph splits into exactly gcd(4, n)
+    residue-class components (4 components of 5 on the 20-source
+    fixture)."""
+    ks = docs.select(
+        F.expr("CAST(substr(source, 4) AS INT)").alias("k")
+    ).distinct()
+    nsrc = ks.count()
+    offs = ks.select(
+        "k", F.explode(F.array(F.lit(4), F.lit(8))).alias("d")
+    )
+    pairs = offs.select(
+        F.concat(F.lit("h"), F.col("k")).alias("x"),
+        F.concat(F.lit("h"), (F.col("k") + F.col("d")) % nsrc).alias("y"),
+    ).filter(F.col("x") != F.col("y"))
+    return pairs.select(
+        F.least("x", "y").alias("u"), F.greatest("x", "y").alias("v")
+    ).distinct()
+
+
+def _cc_oracle() -> str:
+    steps = []
+    prev = "l0"
+    for i in range(1, N_CC_ITER + 1):
+        steps.append(f"""
+        l{i} AS (
+            SELECT n.domain,
+                   least(p.component,
+                         COALESCE(m.nbr_min, p.component)) AS component
+            FROM nodes n
+            JOIN {prev} p ON p.domain = n.domain
+            LEFT JOIN (
+                SELECT e.u AS domain, MIN(p2.component) AS nbr_min
+                FROM bedges e JOIN {prev} p2 ON p2.domain = e.v
+                GROUP BY e.u) m ON m.domain = n.domain)""")
+        prev = f"l{i}"
+    chain = ",".join(steps)
+    return f"""
+        WITH ks AS (
+            SELECT DISTINCT CAST(substr(source, 4) AS INT) AS k
+            FROM documents),
+        n AS (SELECT COUNT(*) AS n FROM ks),
+        offs AS (SELECT k, unnest([4, 8]) AS d FROM ks),
+        pairs AS (
+            SELECT 'h' || k AS x,
+                   'h' || ((k + d) % (SELECT n FROM n)) AS y
+            FROM offs),
+        und AS (
+            SELECT DISTINCT least(x, y) AS u, greatest(x, y) AS v
+            FROM pairs WHERE x <> y),
+        bedges AS (
+            SELECT u, v FROM und UNION SELECT v AS u, u AS v FROM und),
+        nodes AS (SELECT DISTINCT u AS domain FROM bedges),
+        l0 AS (SELECT domain, domain AS component FROM nodes),
+        {chain}
+        SELECT f.domain, f.component,
+               CAST(COUNT(*) OVER (PARTITION BY f.component) AS BIGINT)
+                   AS component_size
+        FROM {prev} f ORDER BY f.domain"""
+
+
+@check("domain_components", oracle=_cc_oracle())
+def q_domain_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HashMin connected components over the derived 4-component host
+    graph: every host labeled with its component's lexicographic-min
+    member plus the component size (must come back 4 × 5 hosts)."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    labels = components_over_edges(_partitioned_edges(docs))
+    return labels.select(
+        "domain",
+        "component",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("component"))
+        .cast("bigint")
+        .alias("component_size"),
+    ).orderBy("domain")

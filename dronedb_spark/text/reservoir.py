@@ -63,3 +63,83 @@ def q_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The deterministic 100-document audit sample: same (seed, N) →
     same rows on any engine, any partitioning — ranked by hash order."""
     return reservoir_sample(load(spark, sf_dir, "documents")).orderBy("rank")
+
+
+# ----------------------------------------------- stratified sampling --
+
+N_STRATA = 5
+PER_STRATUM = 20
+
+
+def stratified_length_sample(
+    docs: DataFrame,
+    n_strata: int = N_STRATA,
+    per_stratum: int = PER_STRATUM,
+    seed: str = SEED,
+) -> DataFrame:
+    """(stratum, rank, doc_id, n_chars): a length-matched eval/audit
+    sample — ``per_stratum`` deterministic hash-order docs from each of
+    ``n_strata`` length strata, so the sample's length distribution
+    mirrors the corpus instead of over-representing the short-doc mass.
+
+    Strata are VALUE-based exact quantile ranges over the collapsed
+    ``n_chars`` histogram: ``stratum(v) = (docs_shorter_than_v ·
+    n_strata) DIV N`` — every doc of one length lands in one stratum
+    (no arbitrary tie split), integer arithmetic end to end, and the
+    histogram (bounded by the length domain, not the corpus) is the
+    only globally-ordered structure.  Per-stratum selection is the
+    ``domain_cap`` hash-order rank; at extreme per-stratum volume the
+    same two-phase cutoff-hash refinement applies."""
+    hist = docs.groupBy("n_chars").agg(F.count(F.lit(1)).alias("cnt"))
+    strata = hist.select(
+        "n_chars",
+        F.expr(
+            f"((sum(cnt) OVER (ORDER BY n_chars ROWS BETWEEN UNBOUNDED "
+            f"PRECEDING AND CURRENT ROW) - cnt) * {n_strata}) DIV "
+            f"sum(cnt) OVER (ORDER BY n_chars ROWS BETWEEN UNBOUNDED "
+            f"PRECEDING AND UNBOUNDED FOLLOWING)"
+        ).cast("bigint").alias("stratum"),
+    )
+    tagged = docs.select("doc_id", "n_chars").join(
+        F.broadcast(strata), "n_chars"
+    )
+    h = F.md5(F.concat(F.lit(seed + ":"), F.col("doc_id").cast("string")))
+    ws = Window.partitionBy("stratum").orderBy(h, "doc_id")
+    return (
+        tagged.withColumn("rank", F.row_number().over(ws).cast("bigint"))
+        .filter(F.col("rank") <= per_stratum)
+        .select("stratum", "rank", "doc_id", F.col("n_chars").cast("bigint"))
+    )
+
+
+@check(
+    "stratified_length_sample",
+    oracle=f"""
+        WITH hist AS (
+            SELECT n_chars, COUNT(*) AS cnt FROM documents GROUP BY n_chars),
+        strata AS (
+            SELECT n_chars,
+                   CAST(((SUM(cnt) OVER (ORDER BY n_chars ROWS BETWEEN
+                          UNBOUNDED PRECEDING AND CURRENT ROW) - cnt)
+                         * {N_STRATA})
+                        // SUM(cnt) OVER () AS BIGINT) AS stratum
+            FROM hist),
+        tagged AS (
+            SELECT d.doc_id, d.n_chars, s.stratum
+            FROM documents d JOIN strata s ON s.n_chars = d.n_chars),
+        ranked AS (
+            SELECT stratum, doc_id, n_chars,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY stratum
+                        ORDER BY md5('{SEED}:' || CAST(doc_id AS VARCHAR)),
+                                 doc_id) AS BIGINT) AS rank
+            FROM tagged)
+        SELECT stratum, rank, doc_id, CAST(n_chars AS BIGINT) AS n_chars
+        FROM ranked WHERE rank <= {PER_STRATUM}
+        ORDER BY stratum, rank""",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-stratified deterministic sample: 20 hash-order docs from
+    each of 5 exact length-quantile strata — the length-matched eval
+    draw."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return stratified_length_sample(docs).orderBy("stratum", "rank")
