@@ -34,12 +34,13 @@ def tfidf_topterms(docs: DataFrame, k: int = TOP_K) -> DataFrame:
     tf = toks.groupBy("source", "tok").agg(
         F.count(F.lit(1)).cast("bigint").alias("tf")
     )
-    df = tf.groupBy("tok").agg(
-        F.count(F.lit(1)).cast("bigint").alias("df")
-    )
-    scored = tf.join(df, "tok").withColumn(
-        "score_micro", F.expr("(tf * 1000000) DIV df")
-    )
+    # df as ONE window pass over the tf rows (COUNT OVER the token
+    # partition) — a groupBy + join back would re-evaluate the tf
+    # subtree once per join side and cost an extra exchange (the
+    # package's measured DF-cap lesson)
+    scored = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("tok")).cast("bigint")
+    ).withColumn("score_micro", F.expr("(tf * 1000000) DIV df"))
     w = Window.partitionBy("source").orderBy(
         F.desc("score_micro"), F.asc("tok")
     )
