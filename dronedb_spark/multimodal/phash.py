@@ -522,3 +522,101 @@ def _gen_ph_png_mod(ids: DataFrame) -> DataFrame:
             ]
         ),
     )
+
+
+# --------------------------------------------- dup-cluster assignment --
+
+_CL_GROUPS = 12  # group g holds (g % 3) + 1 variants of one image
+
+
+def _cl_pixels(i: int) -> "np.ndarray":
+    """Group g raises the box columns named by the set bits of g+1 by
+    +60 — distinct column subsets keep inter-group hamming ≥ 8 (> the
+    6 threshold; a plain ramp-offset family collides at 12 groups),
+    while the +3 per-variant shift keeps intra-group hamming at 0."""
+    g, m = divmod(i, 3)
+    v = np.fromfunction(
+        lambda y, x: (g * 37 + y * 5 + x * 11) % 160 + m * 3
+        + 60.0 * ((g + 1) >> (x // 4).astype(int) & 1),
+        (_PH_H, _PH_W),
+    )
+    return np.repeat(v.astype(np.uint8)[:, :, None], 3, axis=2)
+
+
+def image_dup_clusters(pairs: DataFrame) -> DataFrame:
+    """(img, cluster, cluster_size) over the near-dup pair graph — the
+    step AFTER pair detection every dedup pipeline needs (keep one
+    representative per CLUSTER, not per pair: A~B and B~C must collapse
+    to one group even when A~C never surfaced).  Reuses the HashMin
+    superstep loop shared with the webgraph family
+    (``text/linkgraph.py:components_over_edges``) — pair edges in,
+    min-member labels out, multi-hop transitivity pytest-pinned there."""
+    from pyspark.sql import Window
+
+    from dronedb_spark.text.linkgraph import components_over_edges
+
+    und = pairs.select(
+        F.col("img_a").alias("u"), F.col("img_b").alias("v")
+    ).distinct()
+    labels = components_over_edges(und)
+    return labels.select(
+        F.col("domain").alias("img"),
+        F.col("component").alias("cluster"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("component"))
+        .cast("bigint")
+        .alias("cluster_size"),
+    )
+
+
+def _cl_expected_rows() -> list[tuple[int, int, int]]:
+    rows = []
+    for g in range(_CL_GROUPS):
+        s = (g % 3) + 1
+        if s >= 2:
+            rows += [(3 * g + m, 3 * g, s) for m in range(s)]
+    return rows
+
+
+@check(
+    "image_dup_clusters",
+    oracle="""
+        SELECT CAST(img AS BIGINT) AS img,
+               CAST(cluster AS BIGINT) AS cluster,
+               CAST(cluster_size AS BIGINT) AS cluster_size
+        FROM (VALUES {values}) AS t(img, cluster, cluster_size)
+        ORDER BY img""".format(
+        values=", ".join(f"({i}, {c}, {s})" for i, c, s in _cl_expected_rows())
+    ),
+)
+def q_image_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG bytes → decode → dHash → banded pairs → HashMin
+    clusters: variant groups of size 2 and 3 (brightness-shifted
+    copies, singletons absent from the pair graph) must come back as
+    min-member-labeled clusters with exact sizes — the group structure
+    is closed-form from the fixture, stated literally by the oracle."""
+    ids = spark.range(3 * _CL_GROUPS).filter(
+        F.expr("id % 3 < (id DIV 3) % 3 + 1")
+    )
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from dronedb_spark.sources.png import encode_png
+
+        for pdf in it:
+            rows = [
+                {"media_id": int(i), "content": encode_png(_cl_pixels(int(i)))}
+                for i in pdf["id"]
+            ]
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = spread(ids).mapInPandas(
+        gen,
+        schema=T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("content", T.BinaryType()),
+            ]
+        ),
+    )
+    pairs = dhash_neardup(dhash_images(media), max_hamming=6, max_df=_PH_MAX_DF)
+    return image_dup_clusters(pairs).orderBy("img")

@@ -102,3 +102,128 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged rows' id checksum (~85 outliers per type on the fixture's
     heavy-tailed values)."""
     return mad_outlier_rollup(load(spark, sf_dir, "events")).orderBy("event_type")
+
+
+# ---------------------------------------------------- CUSUM changepoint --
+
+CUSUM_BUCKET_S = 3600
+
+
+def event_rate_cusum(events: DataFrame, bucket_s: int = CUSUM_BUCKET_S) -> DataFrame:
+    """(event_type, n_buckets, total, max_cusum, max_at_s, min_cusum):
+    CUSUM drift detection on per-type event rates — the classic
+    changepoint statistic (Page 1954): the running sum of deviations
+    from the type's mean rate peaks exactly where the rate regime
+    shifts; a flat series random-walks near zero.
+
+    EXACT INTEGERS end to end: with B buckets and T total events, the
+    prefix CUSUM scaled by B is ``S_i = B·(Σ_{j≤i} cnt_j) − i·T`` —
+    no mean division ever happens, so both engines agree bit-for-bit.
+    Empty hours COUNT (the grid generates like ``resample_ffill``):
+    a type that stops emitting drifts downward, which observed-bucket-
+    only statistics are blind to.  max_at_s is the earliest bucket
+    attaining the max (deterministic ties).
+
+    Shape: the count aggregate is map-side-combinable; the grid is
+    generated, never shuffled from data; the prefix sum is one window
+    per type over TIME-sized rows (hours, not events)."""
+    us = bucket_s * 1_000_000
+    bucketed = events.select(
+        "event_type",
+        (F.expr(f"unix_micros(ts) DIV {us}") * bucket_s).alias("bucket"),
+    )
+    counts = bucketed.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    span = bucketed.agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+    grid = (
+        bucketed.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(span))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.lit(bucket_s).cast("bigint"))
+            ).alias("bucket"),
+        )
+    )
+    filled = grid.join(counts, ["event_type", "bucket"], "left").select(
+        "event_type", "bucket", F.coalesce("cnt", F.lit(0)).alias("cnt")
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy("event_type")
+    cusum = filled.select(
+        "event_type",
+        "bucket",
+        (
+            F.count(F.lit(1)).over(wall) * F.sum("cnt").over(w)
+            - F.row_number()
+            .over(Window.partitionBy("event_type").orderBy("bucket"))
+            * F.sum("cnt").over(wall)
+        ).alias("s"),
+        F.count(F.lit(1)).over(wall).alias("nb"),
+        F.sum("cnt").over(wall).alias("total"),
+    )
+    flagged = cusum.withColumn("max_s", F.max("s").over(wall))
+    return flagged.groupBy("event_type").agg(
+        F.first("nb").cast("bigint").alias("n_buckets"),
+        F.first("total").cast("bigint").alias("total"),
+        F.first("max_s").cast("bigint").alias("max_cusum"),
+        F.min(F.when(F.col("s") == F.col("max_s"), F.col("bucket")))
+        .cast("bigint")
+        .alias("max_at_s"),
+        F.min("s").cast("bigint").alias("min_cusum"),
+    )
+
+
+@check(
+    "event_rate_cusum",
+    oracle=f"""
+        WITH b AS (
+            SELECT event_type,
+                   (epoch_us(ts) // {CUSUM_BUCKET_S * 1_000_000})
+                       * {CUSUM_BUCKET_S} AS bucket
+            FROM events),
+        counts AS (
+            SELECT event_type, bucket, COUNT(*) AS cnt
+            FROM b GROUP BY event_type, bucket),
+        span AS (SELECT MIN(bucket) AS lo, MAX(bucket) AS hi FROM b),
+        grid AS (
+            SELECT t.event_type, CAST(g.g AS BIGINT) AS bucket
+            FROM (SELECT DISTINCT event_type FROM b) t,
+                 span,
+                 LATERAL (SELECT unnest(range(span.lo, span.hi + 1,
+                                              {CUSUM_BUCKET_S})) AS g) g),
+        filled AS (
+            SELECT g.event_type, g.bucket, COALESCE(c.cnt, 0) AS cnt
+            FROM grid g LEFT JOIN counts c
+              ON c.event_type = g.event_type AND c.bucket = g.bucket),
+        cusum AS (
+            SELECT event_type, bucket,
+                   COUNT(*) OVER (PARTITION BY event_type)
+                       * SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY bucket)
+                       * SUM(cnt) OVER (PARTITION BY event_type) AS s,
+                   COUNT(*) OVER (PARTITION BY event_type) AS nb,
+                   SUM(cnt) OVER (PARTITION BY event_type) AS total
+            FROM filled),
+        mx AS (
+            SELECT event_type, MAX(s) AS max_s FROM cusum GROUP BY event_type)
+        SELECT c.event_type,
+               CAST(ANY_VALUE(c.nb) AS BIGINT) AS n_buckets,
+               CAST(ANY_VALUE(c.total) AS BIGINT) AS total,
+               CAST(ANY_VALUE(m.max_s) AS BIGINT) AS max_cusum,
+               CAST(MIN(CASE WHEN c.s = m.max_s THEN c.bucket END) AS BIGINT)
+                   AS max_at_s,
+               CAST(MIN(c.s) AS BIGINT) AS min_cusum
+        FROM cusum c JOIN mx m ON m.event_type = c.event_type
+        GROUP BY c.event_type ORDER BY c.event_type""",
+)
+def q_event_rate_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type CUSUM drift statistics over the hourly event grid
+    (empty hours included): scaled max/min cumulative deviation and the
+    earliest hour attaining the max — all exact integer arithmetic."""
+    return event_rate_cusum(load(spark, sf_dir, "events")).orderBy("event_type")
