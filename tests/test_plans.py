@@ -783,10 +783,16 @@ def test_barrier_persist_collision_guard(spark):
     got = tables.barrier_persist(a)
     assert got is not b
     assert [r["x"] for r in got.orderBy("id").collect()][:3] == [0, 2, 4]
-    # genuine re-use still hits the cache
+    # the COLLIDED entry keeps its slot (it may be live in an earlier
+    # caller — evicting would silently drop its cached data); the new
+    # frame stays persisted for this caller but untracked, so an
+    # a-equivalent plan collides again and gets another fresh persist
+    assert tables._BARRIER_CACHE[key] is b
     again = tables.barrier_persist(spark.range(10).selectExpr("id", "id * 2 AS x"))
-    assert again is got
+    assert again is not b and again is not got
+    assert tables._BARRIER_CACHE[key] is b  # still undisturbed
     got.unpersist()
+    again.unpersist()
     tables._BARRIER_CACHE.pop(key, None)
 
 
