@@ -77,7 +77,7 @@ _ROUND9_PRIORITY = [
     # r9 overflow: locally verified this round, debut in the r10 gate
     "stream_substring_probe_twin", "domain_components",
     "stratified_length_sample", "bpe_fertility_profile",
-    "image_dup_clusters", "event_rate_cusum",
+    "image_dup_clusters", "event_rate_cusum", "jaccard_ssjoin_pairs",
     # refresh band: families with a single green or pre-r8 last green
     "catalog_workflow_lifecycle", "catalog_rescan_types",
     "push_needed_files", "pull_delta_plan",
@@ -218,6 +218,7 @@ def load_all() -> dict[str, Check]:
     import dronedb_spark.text.corpusstats  # noqa: F401  (saturation/novelty/overlap, new in r9)
     import dronedb_spark.text.tfidf  # noqa: F401  (rational TF-IDF top terms, new in r9)
     import dronedb_spark.text.reservoir  # noqa: F401  (deterministic fixed sample, new in r9)
+    import dronedb_spark.text.ssjoin  # noqa: F401  (exact prefix-filter ssjoin, new in r9)
     # (text.substring also registers substring_dedup_rewrite; text.quality
     # registers mixture_quota_twophase — imported above)
     # --- green rows in CORRECTNESS_r01: register after ------------------

@@ -112,3 +112,49 @@ def test_reservoir_consistent_under_growth(spark):
     # old sample (evictions only by hash order)
     assert len(small & grown) >= 5
     assert len(grown) == 10
+
+
+def test_ssjoin_exact_and_prunes(spark):
+    """Prefix filtering is EXACT (result == brute force) and actually
+    prunes (candidate pairs < all sharing-a-gram pairs)."""
+    from pyspark.sql import functions as F
+
+    from dronedb_spark.text.ssjoin import _doc_arrays, jaccard_ssjoin
+
+    base = [f"w{i}" for i in range(30)]
+    rows = [(0, " ".join(base)),
+            (1, " ".join(base[:24] + [f"x{i}" for i in range(6)])),  # high J
+            (2, " ".join(base[:10] + [f"y{i}" for i in range(20)])),  # low J
+            (3, " ".join(f"z{i}" for i in range(30)))]               # disjoint
+    rows += [(10 + i, " ".join(f"u{i}_{j}" for j in range(25))) for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["doc_a"], r["doc_b"]) for r in jaccard_ssjoin(docs, 50).collect()}
+    # brute force over the same gram sets
+    arrs = _doc_arrays(docs)
+    g = arrs.select("doc_id", "n", F.explode("toks").alias("tok"))
+    a = g.select(F.col("doc_id").alias("da"), F.col("n").alias("na"), "tok")
+    b = g.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"), "tok")
+    inter = (
+        a.join(b, "tok").filter(F.col("da") < F.col("db"))
+        .groupBy("da", "db", "na", "nb").count()
+    )
+    want = {
+        (r["da"], r["db"]) for r in inter.collect()
+        if r["count"] * 100 >= 50 * (r["na"] + r["nb"] - r["count"])
+    }
+    assert got == want and (0, 1) in got and (0, 2) not in got
+    # pruning: the prefix-candidate set is strictly smaller than the
+    # share-any-gram pair set on this fixture
+    from dronedb_spark.text.ssjoin import TAU_PCT  # noqa: F401
+
+    all_sharing = inter.count()
+    pre = arrs.select(
+        "doc_id", "n",
+        F.explode(F.expr(
+            "slice(toks, 1, CAST(n - ((n * 50 + 99) DIV 100) + 1 AS INT))"
+        )).alias("ptok"))
+    pa = pre.select(F.col("doc_id").alias("da"), "ptok")
+    pb = pre.select(F.col("doc_id").alias("db"), "ptok")
+    cand = pa.join(pb, "ptok").filter(F.col("da") < F.col("db")) \
+             .select("da", "db").distinct().count()
+    assert cand < all_sharing
