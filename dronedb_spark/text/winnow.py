@@ -26,7 +26,7 @@ training-data operator set.  Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dronedb_spark.suite import check
@@ -165,4 +165,119 @@ def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         winnow_overlap(corpus)
         .filter(F.col("n_shared") >= 3)
         .orderBy("doc_a", "doc_b")
+    )
+
+
+# --------------------------------------------- incremental store probe --
+
+
+def winnow_store(docs: DataFrame, max_df: int = MAX_DF) -> DataFrame:
+    """The persisted passage-reuse index: (fp, doc_id) fingerprint
+    postings of the corpus with the boilerplate df cap applied AT WRITE
+    (a fingerprint in more than ``max_df`` docs indexes nothing) —
+    what the daily pipeline appends per ingested batch, bucketed by
+    ``fp`` on disk so tomorrow's probe joins without reshuffling it."""
+    fps = winnow_fingerprints(docs)
+    capped = (
+        fps.withColumn(
+            "df",
+            F.count(F.lit(1)).over(Window.partitionBy("fp")),
+        )
+        .filter(F.col("df") <= max_df)
+        .select("fp", "doc_id")
+    )
+    return capped
+
+
+def incremental_winnow_probe(
+    batch: DataFrame, store: DataFrame, min_shared: int = 3
+) -> DataFrame:
+    """(batch_doc, doc_id, n_shared): which corpus documents each NEW
+    batch document reuses passages from — only the batch fingerprints
+    compute; the store side of the fp equi-join never reshuffles when
+    bucketed.  Same ≥ ``min_shared`` coincidence floor as the batch
+    overlap operator."""
+    bf = winnow_fingerprints(batch).withColumnRenamed("doc_id", "batch_doc")
+    return (
+        bf.join(store, "fp")
+        .groupBy("batch_doc", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+@check(
+    "winnow_store_probe",
+    oracle=f"""
+        WITH store_docs AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+        batch_docs AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT doc_id + {_WIN_OFFSET} AS doc_id, 'xx yy zz ' || text AS text
+            FROM store_docs WHERE doc_id % 5 = 1),
+        swords AS (SELECT doc_id, string_split(text, ' ') AS w FROM store_docs),
+        shs AS (
+            SELECT doc_id,
+                   list_transform(
+                       list_transform(range(1, greatest(len(w) - 1, 1)),
+                                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]),
+                       s -> md5(s)) AS hs
+            FROM swords),
+        swins AS (
+            SELECT doc_id,
+                   CASE WHEN len(hs) >= {W}
+                        THEN list_transform(range(1, len(hs) - {W - 2}),
+                                            i -> list_min(hs[i:i+{W - 1}]))
+                        WHEN len(hs) > 0 THEN [list_min(hs)]
+                        ELSE [] END AS wins
+            FROM shs),
+        sfps AS (SELECT DISTINCT doc_id, unnest(wins) AS fp FROM swins),
+        store AS (
+            SELECT fp, doc_id FROM (
+                SELECT fp, doc_id, COUNT(*) OVER (PARTITION BY fp) AS df
+                FROM sfps) x
+            WHERE df <= {MAX_DF}),
+        bwords AS (SELECT doc_id, string_split(text, ' ') AS w FROM batch_docs),
+        bhs AS (
+            SELECT doc_id,
+                   list_transform(
+                       list_transform(range(1, greatest(len(w) - 1, 1)),
+                                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]),
+                       s -> md5(s)) AS hs
+            FROM bwords),
+        bwins AS (
+            SELECT doc_id,
+                   CASE WHEN len(hs) >= {W}
+                        THEN list_transform(range(1, len(hs) - {W - 2}),
+                                            i -> list_min(hs[i:i+{W - 1}]))
+                        WHEN len(hs) > 0 THEN [list_min(hs)]
+                        ELSE [] END AS wins
+            FROM bhs),
+        bfps AS (SELECT DISTINCT doc_id AS batch_doc, unnest(wins) AS fp
+                 FROM bwins)
+        SELECT b.batch_doc, s.doc_id,
+               CAST(COUNT(1) AS BIGINT) AS n_shared
+        FROM bfps b JOIN store s ON s.fp = b.fp
+        GROUP BY b.batch_doc, s.doc_id
+        HAVING COUNT(1) >= 3
+        ORDER BY batch_doc, doc_id""",
+)
+def q_winnow_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest shape for the passage-reuse family: store =
+    df-capped fingerprint postings of doc_id % 3 != 0; batch = the rest
+    PLUS prefix-spliced re-keyed copies of some store docs (positions
+    shift by 3 — winnowing must still match).  Each copy must probe
+    back to its original; genuinely new docs only where they reuse
+    corpus passages."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    store_docs = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0).unionByName(
+        store_docs.filter(F.col("doc_id") % 5 == 1).select(
+            (F.col("doc_id") + _WIN_OFFSET).alias("doc_id"),
+            F.concat(F.lit("xx yy zz "), F.col("text")).alias("text"),
+        )
+    )
+    return incremental_winnow_probe(batch, winnow_store(store_docs)).orderBy(
+        "batch_doc", "doc_id"
     )
