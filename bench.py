@@ -206,6 +206,16 @@ HEADLINE = [
     "cross_source_overlap",
     "tfidf_topterms",
     "reservoir_sample_fixed",
+    # round-9 late breadth (r10-gate debuts): components, stratified
+    # sampling, fertility, CUSUM, the exact prefix-filter ssjoin, the
+    # winnow store probe and the substring stream twin
+    "domain_components",
+    "stratified_length_sample",
+    "bpe_fertility_profile",
+    "event_rate_cusum",
+    "jaccard_ssjoin_pairs",
+    "winnow_store_probe",
+    "stream_substring_probe_twin",
 ]
 
 _SMALL_RESULT = {

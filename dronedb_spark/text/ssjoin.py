@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 from dronedb_spark.suite import check
 from dronedb_spark.tables import load, spread
 
-TAU_PCT = 50
+TAU_PCT = 80
 
 
 def _doc_arrays(docs: DataFrame) -> DataFrame:
@@ -153,7 +153,7 @@ def jaccard_ssjoin(docs: DataFrame, tau_pct: int = TAU_PCT) -> DataFrame:
         ORDER BY doc_a, doc_b""",
 )
 def q_jaccard_ssjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact Jaccard-≥-50% pairs over distinct 3-GRAM sets by prefix
+    """Exact Jaccard-≥-80% pairs over distinct 3-GRAM sets by prefix
     filtering — the oracle is the BRUTE-FORCE all-shared-gram join,
     so any false negative of the prefix theorem's implementation (or
     false positive of the verify) breaks parity."""
