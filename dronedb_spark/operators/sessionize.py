@@ -1,9 +1,12 @@
-"""Gap-based user sessionization over the event stream — the classic
-product-analytics primitive (a session ends after ``GAP_S`` of
-inactivity) the event family (resample/funnel/cohorts/rolling actives)
-still lacked.  Complements ``operators/sessions.py`` (flight sessions
-over the CATALOG with a haversine gate): this one is the pure
-time-gap algebra over ``events``.
+"""Per-user engagement rollups over gap-based sessions — the summary
+layer ABOVE the session table: ``streaming/stateful.py`` produces the
+session rows themselves (batch twin ``events_sessionize`` +
+``applyInPandasWithState`` streaming runtime) and
+``operators/sessions.py`` sessionizes the CATALOG with a haversine
+gate; this module answers the per-USER questions product analytics
+asks of those sessions (how many, how large, how long), with the
+rollup reusing the sessionization window's partitioning so the whole
+profile costs one exchange.
 
 Exactness: all arithmetic is integer epoch-microseconds
 (``unix_micros``; DuckDB ``epoch_us``), ordering is (ts, event_id) —
