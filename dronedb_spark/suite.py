@@ -78,7 +78,7 @@ _ROUND9_PRIORITY = [
     "stream_substring_probe_twin", "domain_components",
     "stratified_length_sample", "bpe_fertility_profile",
     "image_dup_clusters", "event_rate_cusum", "jaccard_ssjoin_pairs",
-    "winnow_store_probe", "video_fp_incremental",
+    "winnow_store_probe", "video_fp_incremental", "eval_set_pipeline_rollup",
     # refresh band: families with a single green or pre-r8 last green
     "catalog_workflow_lifecycle", "catalog_rescan_types",
     "push_needed_files", "pull_delta_plan",

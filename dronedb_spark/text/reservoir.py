@@ -143,3 +143,117 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     draw."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
     return stratified_length_sample(docs).orderBy("stratum", "rank")
+
+
+# ------------------------------------------- eval-set construction --
+
+
+def eval_set_pipeline(docs: DataFrame) -> DataFrame:
+    """(stratum, n_candidates, n_kept, n_dedup_dropped, sample_ids_sum):
+    the eval-set construction composition — exact dedup (keep-first by
+    content hash) → length-stratified deterministic sample — with
+    per-stage accounting per stratum, the corpus-card row an eval
+    release ships with.  Composes library stages (the dedup window, the
+    histogram strata, the hash-order rank): each piece is separately
+    driver-gated; this check pins the COMPOSITION's bookkeeping."""
+    hashed = docs.select("doc_id", "n_chars", F.md5("text").alias("ch"))
+    w = Window.partitionBy("ch").orderBy("doc_id")
+    flagged = hashed.withColumn(
+        "is_first", F.row_number().over(w) == 1
+    )
+    kept = flagged.filter("is_first").select("doc_id", "n_chars")
+    sample = stratified_length_sample(kept)
+    # candidates per stratum = ALL docs (pre-dedup) whose length falls
+    # in the stratum — strata edges come from the KEPT distribution
+    # (the sampled population), so the accounting states both stages
+    hist = kept.groupBy("n_chars").agg(F.count(F.lit(1)).alias("cnt"))
+    strata = hist.select(
+        "n_chars",
+        F.expr(
+            f"((sum(cnt) OVER (ORDER BY n_chars ROWS BETWEEN UNBOUNDED "
+            f"PRECEDING AND CURRENT ROW) - cnt) * {N_STRATA}) DIV "
+            f"sum(cnt) OVER (ORDER BY n_chars ROWS BETWEEN UNBOUNDED "
+            f"PRECEDING AND UNBOUNDED FOLLOWING)"
+        ).cast("bigint").alias("stratum"),
+    )
+    staged = flagged.join(F.broadcast(strata), "n_chars", "left").select(
+        F.coalesce("stratum", F.lit(-1)).alias("stratum"),
+        F.col("is_first").cast("int").alias("kept"),
+    )
+    acct = staged.groupBy("stratum").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+        F.sum("kept").cast("bigint").alias("n_kept"),
+        (F.count(F.lit(1)) - F.sum("kept")).cast("bigint").alias("n_dedup_dropped"),
+    )
+    samp = sample.groupBy("stratum").agg(
+        F.sum("doc_id").cast("bigint").alias("sample_ids_sum")
+    )
+    return acct.join(samp, "stratum", "left").select(
+        "stratum", "n_candidates", "n_kept", "n_dedup_dropped",
+        F.coalesce("sample_ids_sum", F.lit(-1)).alias("sample_ids_sum"),
+    )
+
+
+@check(
+    "eval_set_pipeline_rollup",
+    oracle=f"""
+        WITH corpus AS (
+            SELECT doc_id, n_chars, text FROM documents
+            UNION ALL
+            SELECT doc_id + 10000 AS doc_id, n_chars, text
+            FROM documents WHERE doc_id % 9 = 0),
+        hashed AS (
+            SELECT doc_id, n_chars, md5(text) AS ch FROM corpus),
+        flagged AS (
+            SELECT doc_id, n_chars,
+                   ROW_NUMBER() OVER (PARTITION BY ch ORDER BY doc_id) = 1
+                       AS is_first
+            FROM hashed),
+        kept AS (SELECT doc_id, n_chars FROM flagged WHERE is_first),
+        hist AS (SELECT n_chars, COUNT(*) AS cnt FROM kept GROUP BY n_chars),
+        strata AS (
+            SELECT n_chars,
+                   CAST(((SUM(cnt) OVER (ORDER BY n_chars ROWS BETWEEN
+                          UNBOUNDED PRECEDING AND CURRENT ROW) - cnt)
+                         * {N_STRATA})
+                        // SUM(cnt) OVER () AS BIGINT) AS stratum
+            FROM hist),
+        tagged AS (
+            SELECT k.doc_id, s.stratum
+            FROM kept k JOIN strata s ON s.n_chars = k.n_chars),
+        ranked AS (
+            SELECT stratum, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY stratum
+                        ORDER BY md5('{SEED}:' || CAST(doc_id AS VARCHAR)),
+                                 doc_id) AS rank
+            FROM tagged),
+        samp AS (
+            SELECT stratum, SUM(doc_id) AS sample_ids_sum
+            FROM ranked WHERE rank <= {PER_STRATUM} GROUP BY stratum),
+        acct AS (
+            SELECT COALESCE(s.stratum, -1) AS stratum,
+                   COUNT(*) AS n_candidates,
+                   SUM(CASE WHEN f.is_first THEN 1 ELSE 0 END) AS n_kept
+            FROM flagged f LEFT JOIN strata s ON s.n_chars = f.n_chars
+            GROUP BY COALESCE(s.stratum, -1))
+        SELECT a.stratum,
+               CAST(a.n_candidates AS BIGINT) AS n_candidates,
+               CAST(a.n_kept AS BIGINT) AS n_kept,
+               CAST(a.n_candidates - a.n_kept AS BIGINT) AS n_dedup_dropped,
+               CAST(COALESCE(m.sample_ids_sum, -1) AS BIGINT) AS sample_ids_sum
+        FROM acct a LEFT JOIN samp m ON m.stratum = a.stratum
+        ORDER BY a.stratum""",
+)
+def q_eval_set_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set construction end to end over a corpus with PLANTED
+    re-keyed exact copies (doc_id % 9): keep-first dedup must drop every
+    copy, then the length-stratified deterministic 5×20 sample draws
+    from the survivors — per-stratum candidate/kept/dropped accounting
+    plus the sampled-id checksum pinning WHICH docs were drawn."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars", "text")
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 9 == 0).select(
+            (F.col("doc_id") + 10000).alias("doc_id"), "n_chars", "text"
+        )
+    )
+    return eval_set_pipeline(corpus).orderBy("stratum")
