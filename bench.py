@@ -216,6 +216,9 @@ HEADLINE = [
     "jaccard_ssjoin_pairs",
     "winnow_store_probe",
     "stream_substring_probe_twin",
+    "image_dup_clusters",
+    "video_fp_incremental",
+    "eval_set_pipeline_rollup",
 ]
 
 _SMALL_RESULT = {
