@@ -80,7 +80,7 @@ _ROUND9_PRIORITY = [
     "image_dup_clusters", "event_rate_cusum", "jaccard_ssjoin_pairs",
     "winnow_store_probe", "video_fp_incremental", "eval_set_pipeline_rollup",
     "classifier_roc_auc", "classifier_calibration_bins",
-    "inverted_phrase_query", "ohlc_downsample",
+    "inverted_phrase_query", "ohlc_downsample", "ivf_recall_curve",
     # refresh band: families with a single green or pre-r8 last green
     "catalog_workflow_lifecycle", "catalog_rescan_types",
     "push_needed_files", "pull_delta_plan",
@@ -225,6 +225,7 @@ def load_all() -> dict[str, Check]:
     import dronedb_spark.text.evalmetrics  # noqa: F401  (exact ROC-AUC + calibration, new in r9)
     import dronedb_spark.text.invindex  # noqa: F401  (positional phrase query, new in r9)
     import dronedb_spark.operators.ohlc  # noqa: F401  (candlestick downsample, new in r9)
+    import dronedb_spark.vectors.recalleval  # noqa: F401  (IVF recall calibration, new in r9)
     # (text.substring also registers substring_dedup_rewrite; text.quality
     # registers mixture_quota_twophase — imported above)
     # --- green rows in CORRECTNESS_r01: register after ------------------
