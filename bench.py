@@ -219,6 +219,12 @@ HEADLINE = [
     "image_dup_clusters",
     "video_fp_incremental",
     "eval_set_pipeline_rollup",
+    "classifier_roc_auc",
+    "inverted_phrase_query",
+    "ohlc_downsample",
+    "ivf_recall_curve",
+    "sitemap_frontier_plan",
+    "zorder_layout_skipping",
 ]
 
 _SMALL_RESULT = {

@@ -75,9 +75,11 @@ def ohlc_bars(
             F.min("value").alias("low"),
             F.max("close").alias("close"),
             F.sum("w").cast("bigint").alias("vol"),
-            F.expr("CAST(SUM(value_micro * w) DIV SUM(w) AS BIGINT)").alias(
-                "vwap_micro"
-            ),
+            # zero-weight bars (every event's k payload 0) sentinel to -1
+            F.expr(
+                "CASE WHEN SUM(w) = 0 THEN CAST(-1 AS BIGINT)"
+                " ELSE CAST(SUM(value_micro * w) DIV SUM(w) AS BIGINT) END"
+            ).alias("vwap_micro"),
         )
         .select(
             F.col("k").alias(key),
@@ -116,7 +118,9 @@ def ohlc_bars(
                MAX(op) AS open, MAX(value) AS high, MIN(value) AS low,
                MAX(cl) AS close,
                CAST(SUM(w) AS BIGINT) AS vol,
-               CAST(SUM(value_micro * w) // SUM(w) AS BIGINT) AS vwap_micro
+               CASE WHEN SUM(w) = 0 THEN CAST(-1 AS BIGINT)
+                    ELSE CAST(SUM(value_micro * w) // SUM(w) AS BIGINT) END
+                   AS vwap_micro
         FROM ends GROUP BY 1, 2 ORDER BY 1, 2""",
 )
 def q_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
