@@ -76,7 +76,38 @@ def phrase_query(postings: DataFrame, phrase: list[str]) -> DataFrame:
     )
 
 
+def kwic_snippets(
+    docs: DataFrame, postings: DataFrame, term: str, ctx: int = 3
+) -> DataFrame:
+    """(doc_id, first_pos, n_occurrences, snippet): keyword-in-context
+    lines for every document containing ``term`` — the search-result
+    presentation layer over the positional index.  The postings probe
+    is a pushed-down single-token filter (partition-pruned on a
+    token-bucketed store); the snippet extraction joins only the
+    MATCHING docs back to their text and slices ``±ctx`` tokens around
+    the first occurrence in-row (no explode)."""
+    hits = postings.filter(F.col("tok") == term).select(
+        "doc_id",
+        F.element_at("positions", 1).cast("bigint").alias("first_pos"),
+        F.size("positions").cast("bigint").alias("n_occurrences"),
+    )
+    joined = hits.join(docs.select("doc_id", "text"), "doc_id")
+    # 1-based window [max(1, p+1-ctx), p+1+ctx]; slice clamps the tail
+    start = F.greatest(F.lit(1), F.col("first_pos") + 1 - ctx).cast("int")
+    length = (F.col("first_pos").cast("int") + 1 + ctx) - start + 1
+    return joined.select(
+        "doc_id",
+        "first_pos",
+        "n_occurrences",
+        F.array_join(
+            F.slice(F.split("text", " "), start, length), " "
+        ).alias("snippet"),
+    )
+
+
 _PHRASE = ["stream", "table", "hash"]
+_KWIC_TERM = "merge"
+_KWIC_CTX = 3
 
 
 @check(
@@ -108,3 +139,35 @@ def q_phrase_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     via the positional index + anchor trick."""
     docs = load(spark, sf_dir, "documents")
     return phrase_query(positional_postings(docs), _PHRASE).orderBy("doc_id")
+
+
+@check(
+    "kwic_snippets",
+    oracle=f"""
+        WITH words AS (
+            SELECT doc_id, text, string_split(text, ' ') AS w
+            FROM documents),
+        flat AS (
+            SELECT doc_id, w[i] AS tok, CAST(i - 1 AS BIGINT) AS pos
+            FROM words, UNNEST(range(1, len(w) + 1)) AS r(i)
+            WHERE w[i] <> ''),
+        hits AS (
+            SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS first_pos,
+                   CAST(COUNT(1) AS BIGINT) AS n_occurrences
+            FROM flat WHERE tok = '{_KWIC_TERM}' GROUP BY doc_id)
+        SELECT h.doc_id, h.first_pos, h.n_occurrences,
+               array_to_string(list_slice(d.w,
+                   CAST(GREATEST(1, h.first_pos + 1 - {_KWIC_CTX}) AS BIGINT),
+                   CAST(h.first_pos + 1 + {_KWIC_CTX} AS BIGINT)), ' ')
+                   AS snippet
+        FROM hits h JOIN words d ON d.doc_id = h.doc_id
+        ORDER BY h.doc_id""",
+)
+def q_kwic_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """±3-token keyword-in-context snippet around the first "merge" in
+    every matching document, plus occurrence counts — clamped at both
+    document boundaries."""
+    docs = load(spark, sf_dir, "documents")
+    return kwic_snippets(
+        docs, positional_postings(docs), _KWIC_TERM, ctx=_KWIC_CTX
+    ).orderBy("doc_id")
