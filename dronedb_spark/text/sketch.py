@@ -216,3 +216,102 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("tok", "true_cnt", "est")
         .orderBy(F.desc("true_cnt"), "tok")
     )
+
+
+# ----------------------------------------------- mergeable daily HLL --
+
+
+def merge_registers(register_tables: list[DataFrame]) -> DataFrame:
+    """Element-wise max across register tables — the HLL merge
+    (sketch(A) ⊔ sketch(B) = sketch(A ∪ B)): a union + the SAME
+    groupBy(bucket).max shape as building, so daily sketches combine
+    into weekly/monthly ones without touching the raw streams."""
+    u = register_tables[0]
+    for t in register_tables[1:]:
+        u = u.unionByName(t)
+    return u.groupBy("bucket").agg(F.max("max_rho").alias("max_rho"))
+
+
+_HLL_DAYS = 3
+
+
+def _d_regs(src: str) -> str:
+    """DuckDB register CTE body over document relation ``src``."""
+    return f"""
+        SELECT CAST('0x' || substr(md5(tok), 1, 2) AS BIGINT) AS bucket,
+               MAX(CASE WHEN CAST('0x' || substr(md5(tok), 3, 15) AS BIGINT) = 0
+                        THEN 61
+                        ELSE 61 - length(bin(CAST('0x' || substr(md5(tok), 3, 15)
+                                                 AS BIGINT))) END) AS max_rho
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM {src})
+        WHERE tok <> '' GROUP BY 1"""
+
+
+@check(
+    "hll_merge_daily",
+    oracle=f"""
+        WITH d0 AS ({_d_regs("(SELECT text FROM documents WHERE doc_id % 3 = 0)")}),
+        d1 AS ({_d_regs("(SELECT text FROM documents WHERE doc_id % 3 = 1)")}),
+        d2 AS ({_d_regs("(SELECT text FROM documents WHERE doc_id % 3 = 2)")}),
+        full_regs AS ({_d_regs("documents")}),
+        buckets AS (
+            SELECT DISTINCT bucket FROM (
+                SELECT bucket FROM d0 UNION ALL SELECT bucket FROM d1
+                UNION ALL SELECT bucket FROM d2)),
+        merged AS (
+            SELECT b.bucket,
+                   CAST(COALESCE(d0.max_rho, -1) AS INT) AS rho_d0,
+                   CAST(COALESCE(d1.max_rho, -1) AS INT) AS rho_d1,
+                   CAST(COALESCE(d2.max_rho, -1) AS INT) AS rho_d2,
+                   CAST(GREATEST(COALESCE(d0.max_rho, 0),
+                                 COALESCE(d1.max_rho, 0),
+                                 COALESCE(d2.max_rho, 0)) AS INT) AS merged_rho
+            FROM buckets b
+            LEFT JOIN d0 ON d0.bucket = b.bucket
+            LEFT JOIN d1 ON d1.bucket = b.bucket
+            LEFT JOIN d2 ON d2.bucket = b.bucket)
+        SELECT m.bucket, m.rho_d0, m.rho_d1, m.rho_d2, m.merged_rho,
+               CAST(CASE WHEN m.merged_rho = f.max_rho THEN 1 ELSE 0 END
+                    AS BIGINT) AS equals_full
+        FROM merged m JOIN full_regs f ON f.bucket = m.bucket
+        ORDER BY m.bucket""",
+)
+def q_hll_merge_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three 'daily' corpus slices (doc_id % 3) sketch independently
+    and merge by element-wise register max; the merged state must
+    equal the whole-corpus sketch bucket for bucket (equals_full = 1
+    everywhere) — the mergeability a 100 TB rollup relies on."""
+    docs = load(spark, sf_dir, "documents")
+    days = [
+        hll_token_registers(docs.filter(F.col("doc_id") % _HLL_DAYS == d))
+        for d in range(_HLL_DAYS)
+    ]
+    tagged = [
+        d.select("bucket", F.col("max_rho").alias(f"rho_d{i}"))
+        for i, d in enumerate(days)
+    ]
+    wide = tagged[0].join(tagged[1], "bucket", "full").join(
+        tagged[2], "bucket", "full"
+    )
+    merged = merge_registers(days).select(
+        "bucket", F.col("max_rho").alias("merged_rho")
+    )
+    full_regs = hll_token_registers(docs).select(
+        "bucket", F.col("max_rho").alias("full_rho")
+    )
+    return (
+        wide.join(merged, "bucket")
+        .join(full_regs, "bucket")
+        .select(
+            "bucket",
+            *[
+                F.coalesce(f"rho_d{i}", F.lit(-1)).cast("int").alias(f"rho_d{i}")
+                for i in range(_HLL_DAYS)
+            ],
+            F.col("merged_rho").cast("int").alias("merged_rho"),
+            (F.col("merged_rho") == F.col("full_rho"))
+            .cast("bigint")
+            .alias("equals_full"),
+        )
+        .orderBy("bucket")
+    )
