@@ -225,6 +225,10 @@ HEADLINE = [
     "ivf_recall_curve",
     "sitemap_frontier_plan",
     "zorder_layout_skipping",
+    "event_autocorrelation",
+    "kwic_snippets",
+    "hll_merge_daily",
+    "join_skew_profile",
 ]
 
 _SMALL_RESULT = {
