@@ -229,6 +229,9 @@ HEADLINE = [
     "kwic_snippets",
     "hll_merge_daily",
     "join_skew_profile",
+    "preference_pair_build",
+    "scd2_state_intervals",
+    "table_constraint_audit",
 ]
 
 _SMALL_RESULT = {
