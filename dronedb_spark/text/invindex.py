@@ -171,3 +171,55 @@ def q_kwic_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kwic_snippets(
         docs, positional_postings(docs), _KWIC_TERM, ctx=_KWIC_CTX
     ).orderBy("doc_id")
+
+
+_10X_OFFSET = 100_000
+
+
+@check(
+    "inverted_phrase_query_10x",
+    oracle=f"""
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + {_10X_OFFSET} * c AS doc_id, text
+            FROM documents, UNNEST(range(1, 10)) AS r(c)),
+        words AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+        flat AS (
+            SELECT doc_id, w[i] AS tok, CAST(i - 1 AS BIGINT) AS pos
+            FROM words, UNNEST(range(1, len(w) + 1)) AS r(i)
+            WHERE w[i] <> ''),
+        slots AS (
+            SELECT * FROM (VALUES (0, '{_PHRASE[0]}'), (1, '{_PHRASE[1]}'),
+                                  (2, '{_PHRASE[2]}')) AS s(slot, tok)),
+        hits AS (
+            SELECT f.doc_id, s.slot, f.pos - s.slot AS anchor
+            FROM flat f JOIN slots s ON s.tok = f.tok
+            WHERE f.pos - s.slot >= 0),
+        anchors AS (
+            SELECT doc_id, anchor
+            FROM hits GROUP BY doc_id, anchor
+            HAVING COUNT(DISTINCT slot) = {len(_PHRASE)})
+        SELECT doc_id, CAST(COUNT(1) AS BIGINT) AS n_occurrences,
+               CAST(MIN(anchor) AS BIGINT) AS first_pos
+        FROM anchors GROUP BY doc_id ORDER BY doc_id""",
+)
+def q_phrase_query_10x(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 10x load twin: every phrase token's postings inflate 10-fold
+    (one hot anchor partition per original doc), and each copy must
+    match independently with remapped ids — the anchor groupBy is the
+    pressure point the position-offset design must survive."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.join(
+        F.broadcast(
+            docs.sparkSession.createDataFrame(
+                [(c,) for c in range(1, 10)], "c int"
+            )
+        )
+    ).select(
+        (F.col("doc_id") + F.lit(_10X_OFFSET) * F.col("c")).alias("doc_id"),
+        "text",
+    )
+    corpus = docs.unionByName(copies)
+    return phrase_query(positional_postings(corpus), _PHRASE).orderBy("doc_id")

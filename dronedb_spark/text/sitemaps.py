@@ -52,14 +52,18 @@ _ENTRY_SCHEMA = (
 
 def _lastmod_epoch_s(text: str | None) -> int:
     """W3C date (YYYY-MM-DD; time-of-day variants truncate to the day)
-    → UTC-midnight epoch seconds; missing/unparseable → −1."""
+    → UTC-midnight epoch seconds; missing/unparseable/pre-epoch → −1
+    (a pre-1970 lastmod is garbage data, and a negative epoch would
+    collide with the missing sentinel the ranking treats as oldest —
+    hypothesis-found, tests/test_fuzz_sitemaps.py)."""
     if not text:
         return -1
     try:
         d = _dt.date.fromisoformat(text.strip()[:10])
     except ValueError:
         return -1
-    return (d.toordinal() - _dt.date(1970, 1, 1).toordinal()) * 86400
+    s = (d.toordinal() - _dt.date(1970, 1, 1).toordinal()) * 86400
+    return s if s >= 0 else -1
 
 
 def parse_sitemap_text(host: str, file_name: str, text: str) -> list[dict]:
