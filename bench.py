@@ -232,6 +232,9 @@ HEADLINE = [
     "preference_pair_build",
     "scd2_state_intervals",
     "table_constraint_audit",
+    "events_pivot_daily",
+    "events_cube_counts",
+    "inverted_phrase_query_10x",
 ]
 
 _SMALL_RESULT = {
