@@ -235,6 +235,9 @@ HEADLINE = [
     "events_pivot_daily",
     "events_cube_counts",
     "inverted_phrase_query_10x",
+    "ab_wilson_readout",
+    "leakage_free_split",
+    "quantile_normalize_scores",
 ]
 
 _SMALL_RESULT = {
