@@ -217,3 +217,109 @@ def q_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("layout", "n_files", "files_scanned", "rows_scanned", "rows_matching")
         .orderBy("layout")
     )
+
+
+# ------------------------------------------- incremental maintenance --
+
+
+def zorder_rewrite_plan(
+    stats: DataFrame, new_batch: DataFrame, x: str, y: str, n_files: int = N_FILES
+) -> DataFrame:
+    """(file_id, n_rows, n_new, action): the incremental OPTIMIZE plan —
+    which clustered files an appended batch dirties (the daily-ingest
+    shape of the z-order family: never re-cluster the corpus, rewrite
+    only files whose z-range the new data lands in).
+
+    A new row belongs to file ``z·N DIV 2³²`` under the EXISTING layout
+    bounds (carried on ``stats`` as _xmin.._ymax — production persists
+    them with the stats); files receiving new rows are 'rewrite', the
+    rest 'keep'.  Cost: one zero-shuffle projection over the batch +
+    one files-sized aggregate — the corpus is never read."""
+    bx = f"(({x} - _xmin) * 65535) DIV (_xmax - _xmin)"
+    by = f"(({y} - _ymin) * 65535) DIV (_ymax - _ymin)"
+    z = _interleave_sql(
+        f"LEAST(65535, GREATEST(0, {bx}))", f"LEAST(65535, GREATEST(0, {by}))", "DIV"
+    )
+    assigned = new_batch.withColumn(
+        "file_id",
+        F.expr(f"CAST(CAST({z} AS BIGINT) * {n_files} DIV {1 << 32} AS BIGINT)"),
+    )
+    new_counts = assigned.groupBy("file_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_new")
+    )
+    return (
+        stats.select("file_id", "n_rows")
+        .join(new_counts, "file_id", "left")
+        .select(
+            "file_id",
+            "n_rows",
+            F.coalesce("n_new", F.lit(0)).cast("bigint").alias("n_new"),
+            F.when(F.coalesce("n_new", F.lit(0)) > 0, F.lit("rewrite"))
+            .otherwise(F.lit("keep"))
+            .alias("action"),
+        )
+    )
+
+
+@check(
+    "zorder_rewrite_plan",
+    oracle=f"""
+        WITH mm AS (
+            SELECT CAST(MIN(l_partkey) AS BIGINT) AS xmin,
+                   CAST(MAX(l_partkey) AS BIGINT) AS xmax,
+                   CAST(MIN(l_suppkey) AS BIGINT) AS ymin,
+                   CAST(MAX(l_suppkey) AS BIGINT) AS ymax
+            FROM lineitem),
+        laid AS (
+            SELECT l_orderkey, l_partkey AS x, l_suppkey AS y,
+                   CAST(({_interleave_sql(
+                       "((l_partkey - xmin) * 65535) // (xmax - xmin)",
+                       "((l_suppkey - ymin) * 65535) // (ymax - ymin)",
+                       "//")}) AS BIGINT) AS zval
+            FROM lineitem, mm),
+        assigned AS (
+            SELECT l_orderkey, x, y,
+                   CAST(zval * {N_FILES} // {1 << 32} AS BIGINT) AS file_id
+            FROM laid),
+        stats AS (
+            SELECT file_id, CAST(COUNT(1) AS BIGINT) AS n_rows
+            FROM assigned WHERE l_orderkey % 37 <> 0 GROUP BY file_id),
+        new_counts AS (
+            SELECT file_id, CAST(COUNT(1) AS BIGINT) AS n_new
+            FROM assigned WHERE l_orderkey % 37 = 0 GROUP BY file_id)
+        SELECT s.file_id, s.n_rows,
+               CAST(COALESCE(n.n_new, 0) AS BIGINT) AS n_new,
+               CASE WHEN COALESCE(n.n_new, 0) > 0 THEN 'rewrite'
+                    ELSE 'keep' END AS action
+        FROM stats s LEFT JOIN new_counts n ON n.file_id = s.file_id
+        ORDER BY s.file_id""",
+)
+def q_zorder_rewrite_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental OPTIMIZE: the corpus minus every 37th order is the
+    clustered store (per-file stats + layout bounds persisted); the
+    held-out rows arrive as the appended batch and the plan marks
+    exactly the files their z-values land in — corpus never re-read.
+    The oracle derives the same split/layout independently."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    existing = li.filter(F.col("l_orderkey") % 37 != 0)
+    batch = li.filter(F.col("l_orderkey") % 37 == 0)
+    # build the store from the FULL corpus bounds (the persisted layout
+    # metadata) but only existing rows' stats
+    mm = li.agg(
+        F.min("l_partkey").cast("bigint").alias("_xmin"),
+        F.max("l_partkey").cast("bigint").alias("_xmax"),
+        F.min("l_suppkey").cast("bigint").alias("_ymin"),
+        F.max("l_suppkey").cast("bigint").alias("_ymax"),
+    )
+    laid = zorder_layout(li, "l_partkey", "l_suppkey").filter(
+        F.col("l_orderkey") % 37 != 0
+    )
+    stats = laid.groupBy("file_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+    plan = zorder_rewrite_plan(
+        stats, batch.join(F.broadcast(mm)), "l_partkey", "l_suppkey"
+    )
+    return plan.orderBy("file_id")

@@ -86,7 +86,7 @@ _ROUND9_PRIORITY = [
     "join_skew_profile", "table_constraint_audit", "scd2_state_intervals",
     "preference_pair_build", "events_pivot_daily", "events_cube_counts",
     "inverted_phrase_query_10x", "leakage_free_split", "ab_wilson_readout",
-    "quantile_normalize_scores",
+    "quantile_normalize_scores", "zorder_rewrite_plan",
     # refresh band: families with a single green or pre-r8 last green
     "catalog_workflow_lifecycle", "catalog_rescan_types",
     "push_needed_files", "pull_delta_plan",

@@ -45,3 +45,68 @@ def test_zorder_prunes_more_than_linear(spark, sf_dir):
     assert l["rows_scanned"] >= l["rows_matching"]
     # the point of z-ordering: a 2-D box touches fewer files
     assert z["files_scanned"] < l["files_scanned"]
+
+
+def test_rewrite_plan_dirties_only_touched_files(spark):
+    from pyspark.sql import functions as F
+
+    from dronedb_spark.catalog.zorder import (
+        file_stats,
+        zorder_layout,
+        zorder_rewrite_plan,
+    )
+
+    # a uniform 2-D grid corpus, then a batch confined to one corner
+    corpus = spark.createDataFrame(
+        [(x, y) for x in range(64) for y in range(64)], "x bigint, y bigint"
+    )
+    laid = zorder_layout(corpus, "x", "y", n_files=16)
+    stats = laid.groupBy("file_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+    mm = corpus.agg(
+        F.min("x").cast("bigint").alias("_xmin"),
+        F.max("x").cast("bigint").alias("_xmax"),
+        F.min("y").cast("bigint").alias("_ymin"),
+        F.max("y").cast("bigint").alias("_ymax"),
+    )
+    batch = spark.createDataFrame(
+        [(x, y) for x in range(4) for y in range(4)], "x bigint, y bigint"
+    ).join(F.broadcast(mm))
+    plan = zorder_rewrite_plan(stats, batch, "x", "y", n_files=16).collect()
+    rewrites = [r for r in plan if r["action"] == "rewrite"]
+    keeps = [r for r in plan if r["action"] == "keep"]
+    # a corner batch touches exactly one z-range file; the rest keep
+    assert len(rewrites) == 1
+    assert sum(r["n_new"] for r in rewrites) == 16
+    assert len(keeps) == 15 and all(r["n_new"] == 0 for r in keeps)
+
+
+def test_rewrite_plan_clamps_out_of_bounds_batch(spark):
+    from pyspark.sql import functions as F
+
+    from dronedb_spark.catalog.zorder import zorder_layout, zorder_rewrite_plan
+
+    corpus = spark.createDataFrame(
+        [(x, x) for x in range(10, 50)], "x bigint, y bigint"
+    )
+    laid = zorder_layout(corpus, "x", "y", n_files=8)
+    stats = laid.groupBy("file_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+    mm = corpus.agg(
+        F.min("x").cast("bigint").alias("_xmin"),
+        F.max("x").cast("bigint").alias("_xmax"),
+        F.min("y").cast("bigint").alias("_ymin"),
+        F.max("y").cast("bigint").alias("_ymax"),
+    )
+    # batch values OUTSIDE the persisted layout bounds clamp to the
+    # edge buckets instead of corrupting the z-value
+    batch = spark.createDataFrame(
+        [(0, 0), (99, 99)], "x bigint, y bigint"
+    ).join(F.broadcast(mm))
+    plan = zorder_rewrite_plan(stats, batch, "x", "y", n_files=8).collect()
+    assert sum(r["n_new"] for r in plan) == 2
+    dirty = sorted(r["file_id"] for r in plan if r["n_new"] > 0)
+    assert dirty[0] == min(r["file_id"] for r in plan)
+    assert dirty[-1] == max(r["file_id"] for r in plan)
