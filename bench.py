@@ -238,6 +238,7 @@ HEADLINE = [
     "ab_wilson_readout",
     "leakage_free_split",
     "quantile_normalize_scores",
+    "zorder_rewrite_plan",
 ]
 
 _SMALL_RESULT = {
