@@ -86,7 +86,7 @@ _ROUND9_PRIORITY = [
     "join_skew_profile", "table_constraint_audit", "scd2_state_intervals",
     "preference_pair_build", "events_pivot_daily", "events_cube_counts",
     "inverted_phrase_query_10x", "leakage_free_split", "ab_wilson_readout",
-    "quantile_normalize_scores", "zorder_rewrite_plan",
+    "quantile_normalize_scores", "zorder_rewrite_plan", "slo_burn_alerts",
     # refresh band: families with a single green or pre-r8 last green
     "catalog_workflow_lifecycle", "catalog_rescan_types",
     "push_needed_files", "pull_delta_plan",
@@ -243,6 +243,7 @@ def load_all() -> dict[str, Check]:
     import dronedb_spark.text.splits  # noqa: F401  (leakage-free splits, new in r9)
     import dronedb_spark.operators.abtest  # noqa: F401  (Wilson A/B readout, new in r9)
     import dronedb_spark.text.qnorm  # noqa: F401  (quantile normalization, new in r9)
+    import dronedb_spark.operators.slo  # noqa: F401  (burn-rate alerts, new in r9)
     # (text.substring also registers substring_dedup_rewrite; text.quality
     # registers mixture_quota_twophase — imported above)
     # --- green rows in CORRECTNESS_r01: register after ------------------
