@@ -239,6 +239,7 @@ HEADLINE = [
     "leakage_free_split",
     "quantile_normalize_scores",
     "zorder_rewrite_plan",
+    "slo_burn_alerts",
 ]
 
 _SMALL_RESULT = {
