@@ -9,9 +9,16 @@ style engine.
 Scale shape:
 
 * The index is ONE posexplode + groupBy(tok, doc_id) pass —
-  corpus-sized once, at build time.  Persisted bucketed by ``tok`` so
-  a query's postings read is partition-pruned (the store discipline of
-  the vector/fingerprint families).
+  corpus-sized once, at build time.  ``write_postings_store`` persists
+  it PARTITIONED BY a 64-way md5 token bucket (the store discipline of
+  the vector/fingerprint families: ``vectors/ivfpq.py:
+  write_ivfpq_store``, ``text/substring.py:substring_anchor_store``),
+  so a probe's postings read is directory-level partition-pruned to
+  the query tokens' buckets — the bucket is re-derivable driver-side
+  from the token bytes alone (md5 prefix), no lookup job.
+  ``phrase_probe_store``/``kwic_probe_store`` read ONLY the store
+  (never the corpus) — pytest pins the probe plan's single file scan
+  and its PartitionFilters.
 * The phrase probe is the POSITION-OFFSET trick: occurrences of
   phrase token i at position p all share the anchor ``p − i``, so ONE
   ``groupBy(doc_id, anchor)`` counting distinct token slots replaces
@@ -24,7 +31,7 @@ Scale shape:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dronedb_spark.suite import check
@@ -82,8 +89,9 @@ def kwic_snippets(
     """(doc_id, first_pos, n_occurrences, snippet): keyword-in-context
     lines for every document containing ``term`` — the search-result
     presentation layer over the positional index.  The postings probe
-    is a pushed-down single-token filter (partition-pruned on a
-    token-bucketed store); the snippet extraction joins only the
+    is a pushed-down single-token filter (partition-pruned to one
+    bucket when ``postings`` comes from the persisted store — see
+    ``kwic_probe_store``); the snippet extraction joins only the
     MATCHING docs back to their text and slices ``±ctx`` tokens around
     the first occurrence in-row (no explode)."""
     hits = postings.filter(F.col("tok") == term).select(
@@ -223,3 +231,129 @@ def q_phrase_query_10x(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = docs.unionByName(copies)
     return phrase_query(positional_postings(corpus), _PHRASE).orderBy("doc_id")
+
+
+# ------------------------------------------------------- serving store --
+
+N_TOKEN_BUCKETS = 64
+
+
+def _token_bucket(tok: str, n_buckets: int = N_TOKEN_BUCKETS) -> int:
+    """Driver-side twin of the store's bucket column: md5-prefix mod
+    n_buckets — re-derivable from the token BYTES alone (hashlib.md5 ==
+    F.md5), so a probe prunes partitions with zero lookup jobs."""
+    import hashlib
+
+    return int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:6], 16) % n_buckets
+
+
+def _bucket_col(n_buckets: int = N_TOKEN_BUCKETS) -> Column:
+    return (
+        F.conv(F.substring(F.md5("tok"), 1, 6), 16, 10).cast("bigint")
+        % n_buckets
+    ).cast("int")
+
+
+def write_postings_store(
+    docs: DataFrame, path: str, n_buckets: int = N_TOKEN_BUCKETS
+) -> None:
+    """Persist the positional inverted index PARTITIONED BY ``bkt``
+    (md5 token bucket): one corpus-sized build pass, then every probe
+    reads only its query tokens' bucket directories.  At 10B docs the
+    alternative — re-anchoring the corpus per phrase query — is a full
+    posexplode per query; the store makes a probe's input
+    |postings(query tokens)|-sized, independent of corpus size."""
+    postings = positional_postings(docs)
+    (
+        postings.withColumn("bkt", _bucket_col(n_buckets))
+        .repartition("bkt")
+        .write.partitionBy("bkt")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def phrase_probe_store(
+    spark: SparkSession,
+    path: str,
+    phrase: list[str],
+    n_buckets: int = N_TOKEN_BUCKETS,
+) -> DataFrame:
+    """Exact phrase matches reading ONLY the persisted store: the
+    probe's single file scan partition-prunes to the phrase tokens'
+    buckets (driver-derived, no job) and pushes the token IN-filter
+    into the scan; the anchor trick then runs on phrase-token postings
+    only.  Output schema == ``phrase_query``."""
+    buckets = sorted({_token_bucket(t, n_buckets) for t in phrase})
+    postings = (
+        spark.read.parquet(path)
+        .filter(F.col("bkt").isin(buckets))
+        .filter(F.col("tok").isin(list(set(phrase))))
+        .select("tok", "doc_id", "positions")
+    )
+    return phrase_query(postings, phrase)
+
+
+def kwic_probe_store(
+    spark: SparkSession,
+    path: str,
+    docs: DataFrame,
+    term: str,
+    ctx: int = 3,
+    n_buckets: int = N_TOKEN_BUCKETS,
+) -> DataFrame:
+    """KWIC snippets whose postings probe reads ONE bucket directory of
+    the store (single-token partition prune); only the matching docs
+    join back to their text for the snippet slice."""
+    postings = (
+        spark.read.parquet(path)
+        .filter(F.col("bkt") == _token_bucket(term, n_buckets))
+        .select("tok", "doc_id", "positions")
+    )
+    return kwic_snippets(docs, postings, term, ctx)
+
+
+@check(
+    "inverted_store_probe",
+    oracle=f"""
+        WITH words AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        flat AS (
+            SELECT doc_id, w[i] AS tok, CAST(i - 1 AS BIGINT) AS pos
+            FROM words, UNNEST(range(1, len(w) + 1)) AS r(i)
+            WHERE w[i] <> ''),
+        slots AS (
+            SELECT * FROM (VALUES (0, '{_PHRASE[0]}'), (1, '{_PHRASE[1]}'),
+                                  (2, '{_PHRASE[2]}')) AS s(slot, tok)),
+        hits AS (
+            SELECT f.doc_id, s.slot, f.pos - s.slot AS anchor
+            FROM flat f JOIN slots s ON s.tok = f.tok
+            WHERE f.pos - s.slot >= 0),
+        anchors AS (
+            SELECT doc_id, anchor
+            FROM hits GROUP BY doc_id, anchor
+            HAVING COUNT(DISTINCT slot) = {len(_PHRASE)})
+        SELECT doc_id, CAST(COUNT(1) AS BIGINT) AS n_occurrences,
+               CAST(MIN(anchor) AS BIGINT) AS first_pos
+        FROM anchors GROUP BY doc_id ORDER BY doc_id""",
+)
+def q_inverted_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write the token-bucket-partitioned postings store, then answer
+    the phrase query READING ONLY THE STORE — must hash-match the
+    in-memory phrase query's oracle.  Scratch-dir check: collected
+    in-function."""
+    import tempfile
+
+    docs = load(spark, sf_dir, "documents")
+    with tempfile.TemporaryDirectory() as td:
+        path = td + "/postings_store"
+        write_postings_store(docs, path)
+        rows = [
+            (r["doc_id"], r["n_occurrences"], r["first_pos"])
+            for r in phrase_probe_store(spark, path, _PHRASE)
+            .orderBy("doc_id")
+            .collect()
+        ]
+    return spark.createDataFrame(
+        rows, "doc_id bigint, n_occurrences bigint, first_pos bigint"
+    )

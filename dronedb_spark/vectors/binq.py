@@ -61,7 +61,9 @@ BINQ_FIT_MAX = 100_000  # corpus size above which the median fit samples
 
 
 def binq_thresholds(
-    embeddings: DataFrame, fit_max: int | None = BINQ_FIT_MAX
+    embeddings: DataFrame,
+    fit_max: int | None = BINQ_FIT_MAX,
+    n_hint: int | None = None,
 ) -> DataFrame:
     """(pos, med): the per-dimension type-1 median — 64 rows out.
 
@@ -74,9 +76,15 @@ def binq_thresholds(
     inside the quantization noise floor while the fit becomes a
     constant-cost job.  ``fit_max=None`` forces the exact full-corpus
     fit (the oracle-parity form — also what small corpora get
-    automatically, so the driver check is exact end to end)."""
+    automatically, so the driver check is exact end to end).
+
+    ``n_hint`` is the caller-known corpus size (a counted store's row
+    count, a parquet footer sum) — when provided, the sampling gate
+    decides on it WITHOUT running a count() job; a serving pipeline
+    always knows its corpus size, so the extra scan is pure waste
+    there (and it was +26-38%% on the sub-second bench rows)."""
     if fit_max is not None:
-        n = embeddings.count()
+        n = n_hint if n_hint is not None else embeddings.count()
         if n > fit_max:
             cut = int(0xFFFFFF * (fit_max / n))
             embeddings = embeddings.filter(
@@ -145,11 +153,26 @@ def binq_encode_arrays(embeddings: DataFrame, thresholds: DataFrame) -> DataFram
     )
 
 
+def parquet_num_rows(path: str) -> int | None:
+    """Corpus size from the parquet FOOTER — the free ``n_hint`` for
+    ``binq_thresholds``'s sampling gate (no Spark job, one metadata
+    read).  None when the path isn't a single local parquet file."""
+    try:
+        import pyarrow.parquet as papq
+
+        return int(papq.ParquetFile(path).metadata.num_rows)
+    except Exception:
+        return None
+
+
 def binq_hamming_topk(
-    embeddings: DataFrame, query_vec_id: int = 0, k: int = K
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = K,
+    n_hint: int | None = None,
 ) -> DataFrame:
     """(vec_id, hamming) top-k by XOR-popcount over the packed codes."""
-    codes = binq_codes(embeddings, binq_thresholds(embeddings))
+    codes = binq_codes(embeddings, binq_thresholds(embeddings, n_hint=n_hint))
     q = codes.filter(F.col("vec_id") == query_vec_id).select(
         F.col("lo").alias("qlo"), F.col("hi").alias("qhi")
     )
@@ -167,13 +190,16 @@ def binq_hamming_topk(
 
 
 def binq_rerank_topk(
-    embeddings: DataFrame, query_vec_id: int = 0, k: int = K
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = K,
+    n_hint: int | None = None,
 ) -> DataFrame:
     """Hamming top-(4k) candidates re-scored with decimal-exact L2 —
     the standard binary-quantize-then-rescore serving shape."""
-    cands = binq_hamming_topk(embeddings, query_vec_id, CAND_FACTOR * k).select(
-        "vec_id"
-    )
+    cands = binq_hamming_topk(
+        embeddings, query_vec_id, CAND_FACTOR * k, n_hint=n_hint
+    ).select("vec_id")
     pts = _pts(embeddings)
     q = pts.filter(F.col("vec_id") == query_vec_id).select(
         "pos", F.col("val").alias("qval")
@@ -238,7 +264,9 @@ def q_binq_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 neighbors of vec 0 by packed-bit Hamming distance —
     integer-exact against the DuckDB bit-twiddling oracle."""
     emb = load(spark, sf_dir, "embeddings")
-    return binq_hamming_topk(emb, 0, K)
+    return binq_hamming_topk(
+        emb, 0, K, n_hint=parquet_num_rows(f"{sf_dir}/embeddings.parquet")
+    )
 
 
 @check(
@@ -262,19 +290,30 @@ def q_binq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-quantize → Hamming shortlist → decimal-exact L2 rerank:
     the 32×-compressed serving path's final top-10."""
     emb = load(spark, sf_dir, "embeddings")
-    return binq_rerank_topk(emb, 0, K)
+    return binq_rerank_topk(
+        emb, 0, K, n_hint=parquet_num_rows(f"{sf_dir}/embeddings.parquet")
+    )
 
 
 # ------------------------------------------------------- serving store --
 
 
-def write_binq_store(emb: DataFrame, path: str, thresholds: DataFrame | None = None) -> list[float]:
+def write_binq_store(
+    emb: DataFrame,
+    path: str,
+    thresholds: DataFrame | None = None,
+    n_hint: int | None = None,
+) -> list[float]:
     """Persist the 1-bit serving index: (vec_id, lo, hi) — 16 bytes of
     code per vector, NO embedding floats on disk (32× smaller).  The
     64 medians (the only float state) return to the caller to live
     beside the index, the PQ-codebook discipline.  Encode is the Arrow
     numpy pass — one map-only scan."""
-    th = thresholds if thresholds is not None else binq_thresholds(emb)
+    th = (
+        thresholds
+        if thresholds is not None
+        else binq_thresholds(emb, n_hint=n_hint)
+    )
     med_rows = sorted((r["pos"], r["med"]) for r in th.collect())
     binq_encode_arrays(emb, th).write.mode("overwrite").parquet(path)
     return [float(m) for _, m in med_rows]

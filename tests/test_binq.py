@@ -162,3 +162,42 @@ def test_sampled_threshold_fit_recall(spark, sf_dir):
         }
     overlap = len(top10(th_exact) & top10(th_samp))
     assert overlap >= 6, overlap
+
+
+def test_n_hint_skips_count_and_matches_counted_gate(spark, sf_dir):
+    """`n_hint` must make the sampling gate decide WITHOUT a count()
+    job and reach bit-identical thresholds on both sides of the gate:
+    an over-fit_max hint takes the same sampled branch the counted
+    gate takes, an under-fit_max hint the exact branch — and the
+    footer helper reads the true row count with zero Spark jobs."""
+    from dronedb_spark.vectors.binq import parquet_num_rows
+
+    emb = _emb(spark, sf_dir)
+    n = emb.count()
+    assert parquet_num_rows(f"{sf_dir}/embeddings.parquet") == n
+    assert parquet_num_rows("/nonexistent/nope.parquet") is None
+    fit_max = max(10, n // 3)
+    counted = sorted(
+        tuple(r) for r in binq_thresholds(emb, fit_max=fit_max).collect()
+    )
+    hinted = sorted(
+        tuple(r)
+        for r in binq_thresholds(emb, fit_max=fit_max, n_hint=n).collect()
+    )
+    assert counted == hinted
+    # an under-threshold hint selects the exact full-corpus fit
+    exact = sorted(
+        tuple(r) for r in binq_thresholds(emb, fit_max=None).collect()
+    )
+    hinted_small = sorted(
+        tuple(r)
+        for r in binq_thresholds(emb, fit_max=n + 1, n_hint=n).collect()
+    )
+    assert exact == hinted_small
+    # the job gate itself: n_hint runs ZERO jobs before the fit action
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    df = binq_thresholds(emb, fit_max=fit_max, n_hint=n)  # lazy — no count()
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before
+    assert df.count() == 64
