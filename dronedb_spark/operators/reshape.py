@@ -134,3 +134,51 @@ def q_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cube_counts(load(spark, sf_dir, "events")).orderBy(
         "gid", "event_type", "week"
     )
+
+
+def rollup_counts(events: DataFrame) -> DataFrame:
+    """(event_type, week, n, gid): the HIERARCHICAL grouping sets of
+    (type, week) — cell, per-type subtotal, grand total — in one
+    shuffle; the drill-down twin of ``cube_counts`` (a rollup emits the
+    prefix sets only, half the cube's output for k=2)."""
+    base = events.select(
+        "event_type",
+        F.expr("unix_micros(ts) DIV 604800000000").alias("week"),
+    )
+    return (
+        base.rollup("event_type", "week")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.grouping_id().cast("bigint").alias("gid"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("*")).alias("event_type"),
+            F.coalesce("week", F.lit(-1)).cast("bigint").alias("week"),
+            "n",
+            "gid",
+        )
+    )
+
+
+@check(
+    "events_rollup_counts",
+    oracle="""
+        WITH base AS (
+            SELECT event_type,
+                   CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS week
+            FROM events)
+        SELECT COALESCE(event_type, '*') AS event_type,
+               CAST(COALESCE(week, -1) AS BIGINT) AS week,
+               CAST(COUNT(1) AS BIGINT) AS n,
+               CAST(GROUPING(event_type) * 2 + GROUPING(week) AS BIGINT)
+                   AS gid
+        FROM base GROUP BY ROLLUP(event_type, week)
+        ORDER BY 4, 1, 2""",
+)
+def q_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hierarchy's three grouping sets — (type, week) cells,
+    per-type subtotals, grand total — from one rollup shuffle, gid
+    disambiguating the levels."""
+    return rollup_counts(load(spark, sf_dir, "events")).orderBy(
+        "gid", "event_type", "week"
+    )

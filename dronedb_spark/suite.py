@@ -234,6 +234,7 @@ def load_all() -> dict[str, Check]:
     import dronedb_spark.vectors.recalleval  # noqa: F401  (IVF recall calibration, new in r9)
     import dronedb_spark.text.sitemaps  # noqa: F401  (sitemap -> crawl frontier, new in r9)
     import dronedb_spark.catalog.zorder  # noqa: F401  (z-order layout + skipping, new in r9)
+    import dronedb_spark.catalog.maintenance  # noqa: F401  (compact+zorder composed plan, new in r10)
     import dronedb_spark.operators.autocorr  # noqa: F401  (rate autocorrelation, new in r9)
     import dronedb_spark.operators.skewprof  # noqa: F401  (join-skew profile, new in r9)
     import dronedb_spark.catalog.constraints  # noqa: F401  (constraint audit, new in r9)

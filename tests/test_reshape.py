@@ -52,3 +52,20 @@ def test_cube_levels_are_consistent(spark, sf_dir):
     # rolled-up labels sentinel
     assert all(r["event_type"] == "*" for r in by_week)
     assert all(r["week"] == -1 for r in by_type)
+
+
+def test_rollup_is_the_cube_prefix_subset(spark, sf_dir):
+    """Rollup(type, week) emits exactly the cube's prefix grouping sets:
+    gid 0 (cells) and 1 never appear rolled on type alone... concretely:
+    rollup rows == cube rows with gid in {0, 1, 3}, and the per-type
+    subtotal level (gid=1) sums to the grand total (gid=3)."""
+    from dronedb_spark.operators.reshape import cube_counts, rollup_counts
+    from dronedb_spark.tables import load
+
+    ev = load(spark, sf_dir, "events")
+    roll = {tuple(r) for r in rollup_counts(ev).collect()}
+    cube = {tuple(r) for r in cube_counts(ev).collect()}
+    assert roll == {r for r in cube if r[3] in (0, 1, 3)}
+    per_type = sum(r[2] for r in roll if r[3] == 1)
+    grand = [r[2] for r in roll if r[3] == 3]
+    assert grand == [per_type] and per_type > 0

@@ -110,3 +110,53 @@ def test_rewrite_plan_clamps_out_of_bounds_batch(spark):
     dirty = sorted(r["file_id"] for r in plan if r["n_new"] > 0)
     assert dirty[0] == min(r["file_id"] for r in plan)
     assert dirty[-1] == max(r["file_id"] for r in plan)
+
+
+def test_maintenance_plan_composes_rewrite_and_packing(spark, sf_dir):
+    """The composed worklist: every 'rewrite' file gets a packing group,
+    every 'keep' file gets -1, groups are contiguous from 0, and no
+    group exceeds target once it has >1 member (the packing law: a file
+    starts a new group only when the bytes before it fill the
+    target)."""
+    from dronedb_spark.catalog.maintenance import (
+        PACK_TARGET,
+        ROW_BYTES,
+        maintenance_plan,
+    )
+    from dronedb_spark.catalog.zorder import zorder_layout
+    from dronedb_spark.tables import load
+    from pyspark.sql import functions as F
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    batch = li.filter(F.col("l_orderkey") % 37 == 0)
+    mm = li.agg(
+        F.min("l_partkey").cast("bigint").alias("_xmin"),
+        F.max("l_partkey").cast("bigint").alias("_xmax"),
+        F.min("l_suppkey").cast("bigint").alias("_ymin"),
+        F.max("l_suppkey").cast("bigint").alias("_ymax"),
+    )
+    laid = zorder_layout(li, "l_partkey", "l_suppkey").filter(
+        F.col("l_orderkey") % 37 != 0
+    )
+    stats = laid.groupBy("file_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+    rows = maintenance_plan(
+        stats, batch.join(F.broadcast(mm)), "l_partkey", "l_suppkey"
+    ).collect()
+    rew = sorted(
+        (r["file_id"], r["n_rows"], r["n_new"], r["group_no"])
+        for r in rows
+        if r["action"] == "rewrite"
+    )
+    assert all(r["group_no"] == -1 for r in rows if r["action"] == "keep")
+    assert rew, "fixture must dirty at least one file"
+    groups = sorted({g for _, _, _, g in rew})
+    assert groups == list(range(len(groups)))  # contiguous from 0
+    # packing law: cumulative bytes BEFORE a file // target == its group
+    cum = 0
+    for _fid, n_rows, n_new, g in rew:
+        assert g == cum // PACK_TARGET
+        cum += (n_rows + n_new) * ROW_BYTES
