@@ -374,17 +374,27 @@ def main() -> None:
         total += results[name]
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": results,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_sec",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": results,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        }
     )
+    print(line)
+    # Persist the COMPLETE per-query record beside the repo: the driver
+    # keeps only a 2000-char stdout tail, which loses the queries map —
+    # round-over-round comparison needs the full line on disk.
+    try:
+        out = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_SELF.json"
+        )
+        with open(out, "w") as fh:
+            fh.write(line + "\n")
+    except OSError:
+        pass
 
 
 if __name__ == "__main__":
