@@ -30,51 +30,16 @@ def check(name: str, oracle: str | None = None):
     return deco
 
 
-# Round-9 gating order under the driver's HARD 50-check budget
-# (every CORRECTNESS_r0* holds exactly 50 rows).  Slots 1-35 are the
-# r8 overflow window EXACTLY as drafted below r8's "50-slot budget
-# line" (all locally verified + judge-verified, zero driver rows —
-# the r8 verdict's #1 instruction).  Slots 36-50: the r9 verdict
-# deliverables (new checks) and re-gates of every family whose code
-# was touched this round.
-_ROUND9_PRIORITY = [
-    # --- r8 overflow debuts (1-35, verbatim order) ---------------------
-    "ivfpq_rerank_top10", "audio_fp_incremental",
-    "image_dhash_incremental", "ccnet_perplexity_buckets",
-    "cluster_quality_keep", "video_fp_neardup",
-    "image_text_alignment", "length_quantiles_exact",
-    "stream_url_dedup_twin", "unicode_normalize_cases",
-    "unicode_normalize_corpus", "jsonl_roundtrip",
-    "dsir_doc_logweights_10x", "url_canonical_dedup_10x",
-    "paragraph_dedup_10x", "heavy_hitters_exact_10x",
-    "bigram_lift_topk", "csv_roundtrip", "orc_roundtrip",
-    "embedding_drift_deciles", "dataset_diff_rollup", "binq_store_probe",
-    "events_resample_ffill", "cohort_retention", "rolling_active_users",
-    "domain_triangles", "mad_outliers", "crawl_fetch_plan",
-    "crawl_to_corpus_rollup", "web_curation_rollup_10x",
-    "embedding_drift_ks", "table_stats_profile",
-    "funnel_conversion_latency", "anchor_pagerank",
-    "image_whash_neardup",
-    # --- r9 verdict deliverables (new checks) --------------------------
-    "model_entry_props",              # #2: Model (.obj/.glTF) properties
-    "build_derivatives_real",         # #3/#6: mvt/ + nxs-role artifacts re-gate
-    "substring_dedup_incremental",    # #7: substring daily-ingest store
-    # --- touched-family re-gates ---------------------------------------
-    "lsh_calibration",                # #4: enforced sampling/max_df cap
-    "binq_hamming_top10",             # #5: sampled threshold fit default
-    "binq_rerank_top10",
-    "ivfpq_residual_top10",           # ADVICE: oracle seed from N_CENTROIDS
-    "robots_url_verdicts",            # ADVICE: effective-group crawl delay
-    # --- r9 breadth debuts ---------------------------------------------
-    "model_mesh_build_table",
-    "sessionize_gap_windows",
-    "saturation_scaling_curve",
-    "ngram_novelty_profile",
-    "cross_source_overlap",
-    "tfidf_topterms",
-    "reservoir_sample_fixed",
-    # ================= 50-slot budget line (r10 window starts here) ====
-    # r9 overflow: locally verified this round, debut in the r10 gate
+# Round-10 gating order under the driver's HARD 50-check budget
+# (every CORRECTNESS_r0* holds exactly 50 rows).  Slots 1-32 are the
+# r9 overflow window EXACTLY as drafted below r9's "50-slot budget
+# line" (all locally verified + judge-sim verified 32/32 at sf0.01 in
+# the r9 verdict, zero driver rows — the r9 verdict's #1 instruction).
+# Slots 33-35: the r10 verdict deliverables (new checks).  Slots
+# 36-43: re-gates of every family whose code was touched this round.
+# Slots 44-50: the refresh band the verdict named (pre-r5 last-gates).
+_ROUND10_PRIORITY = [
+    # --- r9 overflow debuts (1-32, verbatim order) ---------------------
     "stream_substring_probe_twin", "domain_components",
     "stratified_length_sample", "bpe_fertility_profile",
     "image_dup_clusters", "event_rate_cusum", "jaccard_ssjoin_pairs",
@@ -87,16 +52,37 @@ _ROUND9_PRIORITY = [
     "preference_pair_build", "events_pivot_daily", "events_cube_counts",
     "inverted_phrase_query_10x", "leakage_free_split", "ab_wilson_readout",
     "quantile_normalize_scores", "zorder_rewrite_plan", "slo_burn_alerts",
-    # refresh band: families with a single green or pre-r8 last green
+    # --- r10 verdict deliverables (new checks) --------------------------
+    "inverted_store_probe",           # #2: persisted postings store probe
+    "maintenance_compact_zorder",     # #7: composed compact+zorder plan
+    "events_rollup_counts",           # #7: rollup twin of the cube
+    # --- touched-family re-gates ----------------------------------------
+    "binq_hamming_top10",             # #4: n_hint fit gate (no count job)
+    "binq_rerank_top10",
+    "binq_store_probe",
+    "compact_plan_groups",            # compact_plan consumed by maintenance
+    # (inverted_phrase_query/_10x, kwic_snippets, scd2_state_intervals,
+    #  zorder_rewrite_plan already re-gate above as overflow debuts)
+    # --- refresh band (pre-r5 last-gates, verdict-named) ----------------
+    "zonal_volume_polygon",
+    "stockpile_mass_balance",
+    "contour_segment_counts",
+    "meta_restore_merge",
+    "dedup_jaccard_pairs",
+    "winnow_overlap_pairs",
+    "ivfpq_store_probe",
+    # ================= 50-slot budget line (r11 window starts here) ====
+    # r10 breadth added after the window filled: debut in the r11 gate
+    # (judge-sim verified this round, zero driver rows yet)
+    # --- back-fill: families with older last-greens ---------------------
     "catalog_workflow_lifecycle", "catalog_rescan_types",
     "push_needed_files", "pull_delta_plan",
     "clone_plan_downloads", "delta_adds", "apply_delta_classify",
-    "meta_rollup", "meta_restore_merge", "stamp_checksum",
+    "meta_rollup", "stamp_checksum",
     "sqlite_catalog_entries", "vector_query_page", "vector_describe",
     "mvt_tile_features", "raster_area_stats",
-    "dedup_jaccard_pairs", "dedup_cluster_ids", "winnow_overlap_pairs",
-    "stac_item_proj_fields",
-    "pq_adc_top10", "ivfpq_adc_top10", "ivfpq_store_probe",
+    "dedup_cluster_ids", "stac_item_proj_fields",
+    "pq_adc_top10", "ivfpq_adc_top10",
     "bpe_encode_corpus", "bpe_encode_corpus_10x", "doc_chunks_overlap",
     "doc_chunks_overlap_10x", "video_scene_cuts", "shard_shuffle_assign",
     "aspect_bucket_batches", "hard_negative_mining",
@@ -107,7 +93,7 @@ _ROUND9_PRIORITY = [
 def load_all() -> dict[str, Check]:
     """Import every operator module so its checks register, then reorder
     the registry so the checks that still need a driver CORRECTNESS row
-    (``_ROUND9_PRIORITY``) come first — the driver walks in order under a
+    (``_ROUND10_PRIORITY``) come first — the driver walks in order under a
     ~50-check budget and the already-green families can cede their slots.
     """
     # --- never-gated in round 1: register first -------------------------
@@ -262,7 +248,7 @@ def load_all() -> dict[str, Check]:
     import dronedb_spark.text.segdedup  # noqa: F401
     import dronedb_spark.text.repetition  # noqa: F401
 
-    ordered = {n: REGISTRY[n] for n in _ROUND9_PRIORITY if n in REGISTRY}
+    ordered = {n: REGISTRY[n] for n in _ROUND10_PRIORITY if n in REGISTRY}
     ordered.update((n, c) for n, c in REGISTRY.items() if n not in ordered)
     REGISTRY.clear()
     REGISTRY.update(ordered)
