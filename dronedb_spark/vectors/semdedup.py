@@ -1,21 +1,21 @@
-"""SemDeDup — semantic (embedding-space) deduplication via cluster-then-
-prune (beyond the reference; public method: Abbas et al., "SemDeDup:
-Data-efficient learning at web-scale through semantic deduplication").
+"""Semantic deduplication (SemDeDup, Abbas et al. 2023) — remove
+embedding-space near-duplicates WITHIN coarse clusters: the pair search
+runs inside IVF cells only (``vectors/ivf.py:ivf_assign``), never
+globally, which is the paper's trick for making semantic dedup linear —
+at 100 TB the cell is the partition key, each cell's pair matrix is
+cell-bounded, and no all-pairs join ever forms across cells.
 
-The method that makes embedding dedup tractable at corpus scale: an
-ALL-pairs cosine pass is O(n²); clustering first (here the IVF coarse
-quantizer, ``vectors/ivf.py``) confines the pairwise pass to within-
-cluster candidates — O(Σ nᵢ²) with nᵢ ≈ n/k — and each cluster's pass
-is an equi-self-join on the cell id, so the whole prune is one shuffle
-keyed by cell.  Within a cluster, every vector whose cosine similarity
-to a LOWER-id member reaches the threshold is dropped; the minimum id
-of each duplicate group survives as its representative (deterministic,
-no iteration).
+Keep rule: a vector is REMOVED when any LOWER vec_id in its cell is
+within the cosine threshold (greedy keep-first — deterministic, no
+component computation; the id order is the arrival order a daily
+pipeline has).  Scoring is the dimension-sequential Arrow kernel of
+``vectors/recalleval.py`` emitting micro-integer cosines, so the
+remove set is bit-deterministic across engines.
 
-At 100 TB: cell is the partitioning column (same layout the IVF index
-already wants), the self-join never crosses cells, and a skewed mega-
-cell is exactly the case AQE's skew-join split handles — or raise
-N_CENTROIDS, which shrinks every nᵢ quadratically.
+The fixture corpus has no natural near-dups (max pairwise cosine
+≈ 0.51), so the check plants them: scaled copies (× 1.25) of every
+10th vector — cosine is scale-invariant, both engines compute the
+identical scaled doubles, and the copies must be the removed set.
 """
 
 from __future__ import annotations
@@ -25,84 +25,143 @@ from pyspark.sql import functions as F
 
 from dronedb_spark.suite import check
 from dronedb_spark.tables import load
-from dronedb_spark.vectors.ivf import _D_ASSIGN, ivf_assign
-from dronedb_spark.vectors.knn import _dot, _norm
+from dronedb_spark.vectors.ivf import (
+    N_CENTROIDS,
+    _D_DOT,
+    _D_NORM,
+    _d_packed,
+    ivf_assign,
+)
 
-SEM_THRESH = 0.95
+TAU_MICRO = 900_000  # cos >= 0.9 → semantic duplicate
+_COPY_OFFSET = 10_000
 
 
-def semdedup(embeddings: DataFrame, thresh: float = SEM_THRESH) -> DataFrame:
-    """→ (vec_id, cell, kept): cluster with the IVF quantizer, prune
-    within-cell near-duplicates, keep each group's minimum id."""
-    vecs = ivf_assign(embeddings).select("vec_id", "cell").join(
-        embeddings.select("vec_id", "embedding"), "vec_id"
-    )
-    a = vecs.select(
-        "cell", F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb")
-    )
-    b = vecs.select(
-        "cell", F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb")
-    )
-    cos = _dot("a_emb", "b_emb") / (_norm("a_emb") * _norm("b_emb"))
-    dropped = (
-        a.join(b, "cell")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .filter(F.round(cos, 6) >= thresh)
-        .select(F.col("b_id").alias("vec_id"))
-        .distinct()
-        .withColumn("_drop", F.lit(1))
-    )
-    return (
-        ivf_assign(embeddings)
-        .join(dropped, "vec_id", "left")
-        .select(
-            "vec_id", "cell", F.col("_drop").isNull().alias("kept")
+def semdedup_flags(embeddings: DataFrame, tau_micro: int = TAU_MICRO) -> DataFrame:
+    """(cell, vec_id, is_dup): the per-vector keep/remove decision.
+    One IVF assignment pass, then a per-cell Arrow pair kernel —
+    dimension-sequential accumulation (the list_dot_product op order),
+    micro-integer threshold, remove on any nearer LOWER id."""
+    import numpy as np
+    import pandas as pd
+
+    cells = ivf_assign(embeddings).select("vec_id", "cell")
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).join(cells, "vec_id")
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        n = len(pdf)
+        if n == 0:
+            return pd.DataFrame(columns=["cell", "vec_id", "is_dup"]).astype(
+                {"cell": "int32", "vec_id": "int64", "is_dup": "int64"}
+            )
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+        dot = mat[:, 0][:, None] * mat[:, 0][None, :]
+        ss = mat[:, 0] * mat[:, 0]
+        for i in range(1, mat.shape[1]):
+            dot = dot + mat[:, i][:, None] * mat[:, i][None, :]
+            ss = ss + mat[:, i] * mat[:, i]
+        nrm = np.sqrt(ss)
+        cos = dot / (nrm[:, None] * nrm[None, :])
+        micro = np.floor(cos * 1000000.0 + 0.5).astype(np.int64)
+        near = micro >= tau_micro
+        # strictly-lower triangle: J removed if any I < J (vec_id order)
+        is_dup = np.array(
+            [bool(near[j, :j].any()) for j in range(n)], dtype=np.int64
         )
+        return pd.DataFrame(
+            {
+                "cell": pdf["cell"],
+                "vec_id": pdf["vec_id"].astype("int64"),
+                "is_dup": is_dup,
+            }
+        )
+
+    return e.groupBy("cell").applyInPandas(
+        kern, schema="cell int, vec_id bigint, is_dup bigint"
     )
 
 
-# ------------------------------------------------------------------ check
+def semdedup_rollup(embeddings: DataFrame, tau_micro: int = TAU_MICRO) -> DataFrame:
+    """(cell, n_vecs, n_removed, removed_id_sum): the per-cell dedup
+    accounting — removed_id_sum pins WHICH vectors were removed, not
+    just how many."""
+    flags = semdedup_flags(embeddings, tau_micro)
+    return flags.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum("is_dup").cast("bigint").alias("n_removed"),
+        F.coalesce(
+            F.sum(F.when(F.col("is_dup") == 1, F.col("vec_id"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("removed_id_sum"),
+    )
 
-# The synthetic embeddings carry no organic high-cosine pairs (max
-# within-cell cos ≈ 0.49), so the scored corpus injects EXACT duplicates
-# of every 5th vector at vec_id+10000 — cos 1.0 with their originals,
-# same cell by construction — and the check pins that exactly those
-# copies are pruned while every organic vector survives.
-_SEM_CORPUS = """
-    SELECT vec_id, embedding, label FROM embeddings
-    UNION ALL
-    SELECT vec_id + 10000 AS vec_id, embedding, label
-    FROM embeddings WHERE vec_id % 5 = 0
-"""
+
+def _with_planted_copies(embeddings: DataFrame) -> DataFrame:
+    """Corpus ∪ ×1.25-scaled copies of every 10th vector (new ids
+    +10000): cosine-invariant plants, identical doubles both engines."""
+    base = embeddings.select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    copies = base.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + _COPY_OFFSET).alias("vec_id"),
+        "label",
+        F.transform("embedding", lambda x: x * F.lit(1.25)).alias("embedding"),
+    )
+    return base.unionByName(copies)
 
 
 @check(
-    "semdedup_cell_prune",
-    # DuckDB rejects a CTE that shadows the base table it reads, so the
-    # assignment CTE text is re-pointed at the injected corpus by name
+    "semdedup_cell_rollup",
     oracle=f"""
-        WITH sem_corpus AS ({_SEM_CORPUS}),
-        {_D_ASSIGN.replace("FROM embeddings", "FROM sem_corpus")},
-        v AS (SELECT a.vec_id, a.cell, e.embedding
-              FROM assign a JOIN sem_corpus e USING (vec_id)),
-        dropped AS (
-            SELECT DISTINCT b.vec_id
-            FROM v a JOIN v b ON a.cell = b.cell AND a.vec_id < b.vec_id
-            WHERE ROUND(
-                list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-                / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-                   * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
-                6) >= {SEM_THRESH}
-        )
-        SELECT a.vec_id, a.cell, (d.vec_id IS NULL) AS kept
-        FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vec_id
-        ORDER BY a.vec_id""",
+        WITH base AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+            FROM embeddings
+            UNION ALL
+            SELECT vec_id + {_COPY_OFFSET},
+                   list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.25)
+            FROM embeddings WHERE vec_id % 10 = 0),
+        c AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS c_emb
+              FROM base WHERE vec_id < {N_CENTROIDS}),
+        scored AS (
+            SELECT e.vec_id,
+                   {_d_packed(_D_DOT.format(a='e.embedding', b='c.c_emb')
+                              + ' / (' + _D_NORM.format(v='e.embedding')
+                              + ' * ' + _D_NORM.format(v='c.c_emb') + ')',
+                              'c.cid')} AS packed
+            FROM base e CROSS JOIN c),
+        assign AS (
+            SELECT s.vec_id,
+                   CAST(substr(MIN(s.packed), 10, 2) AS INT) AS cell
+            FROM scored s GROUP BY s.vec_id),
+        e AS (
+            SELECT a.vec_id, a.cell, b.embedding
+            FROM assign a JOIN base b USING (vec_id)),
+        dup AS (
+            SELECT DISTINCT x.vec_id
+            FROM e x JOIN e y
+              ON y.cell = x.cell AND y.vec_id < x.vec_id
+            WHERE CAST(ROUND({_D_DOT.format(a='x.embedding', b='y.embedding')}
+                  / ({_D_NORM.format(v='x.embedding')}
+                     * {_D_NORM.format(v='y.embedding')})
+                  * 1000000) AS BIGINT) >= {TAU_MICRO})
+        SELECT e.cell,
+               CAST(COUNT(1) AS BIGINT) AS n_vecs,
+               CAST(COUNT(d.vec_id) AS BIGINT) AS n_removed,
+               CAST(COALESCE(SUM(d.vec_id), 0) AS BIGINT) AS removed_id_sum
+        FROM e LEFT JOIN dup d ON d.vec_id = e.vec_id
+        GROUP BY e.cell ORDER BY e.cell""",
 )
-def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
-    corpus = emb.unionByName(
-        emb.filter(F.col("vec_id") % 5 == 0).withColumn(
-            "vec_id", F.col("vec_id") + 10000
-        )
-    )
-    return semdedup(corpus).orderBy("vec_id")
+def q_semdedup_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the corpus with planted ×1.25 copies: every copy
+    must be removed inside its original's cell (scale-invariant cosine
+    = 1.0), nothing else is near enough (max natural pair ≈ 0.51) —
+    the oracle re-derives assignment, pair search, and the keep rule
+    independently."""
+    corpus = _with_planted_copies(load(spark, sf_dir, "embeddings"))
+    return semdedup_rollup(corpus).orderBy("cell")
