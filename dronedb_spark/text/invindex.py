@@ -357,3 +357,71 @@ def q_inverted_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "doc_id bigint, n_occurrences bigint, first_pos bigint"
     )
+
+
+def update_postings_store(
+    docs_batch: DataFrame, path: str, n_buckets: int = N_TOKEN_BUCKETS
+) -> None:
+    """The daily-ingest increment: APPEND the new batch's postings into
+    the existing bucket directories.  Postings rows are keyed
+    (tok, doc_id) and a batch brings NEW doc_ids, so the append is
+    additive — no read-merge-rewrite of yesterday's postings, the
+    corpus is never re-anchored, and a probe over the updated store
+    sees old + new documents through the same partition-pruned scan
+    (the incremental discipline of the substring/band stores)."""
+    postings = positional_postings(docs_batch)
+    (
+        postings.withColumn("bkt", _bucket_col(n_buckets))
+        .repartition("bkt")
+        .write.partitionBy("bkt")
+        .mode("append")
+        .parquet(path)
+    )
+
+
+@check(
+    "inverted_store_incremental",
+    oracle=f"""
+        WITH words AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        flat AS (
+            SELECT doc_id, w[i] AS tok, CAST(i - 1 AS BIGINT) AS pos
+            FROM words, UNNEST(range(1, len(w) + 1)) AS r(i)
+            WHERE w[i] <> ''),
+        slots AS (
+            SELECT * FROM (VALUES (0, '{_PHRASE[0]}'), (1, '{_PHRASE[1]}'),
+                                  (2, '{_PHRASE[2]}')) AS s(slot, tok)),
+        hits AS (
+            SELECT f.doc_id, s.slot, f.pos - s.slot AS anchor
+            FROM flat f JOIN slots s ON s.tok = f.tok
+            WHERE f.pos - s.slot >= 0),
+        anchors AS (
+            SELECT doc_id, anchor
+            FROM hits GROUP BY doc_id, anchor
+            HAVING COUNT(DISTINCT slot) = {len(_PHRASE)})
+        SELECT doc_id, CAST(COUNT(1) AS BIGINT) AS n_occurrences,
+               CAST(MIN(anchor) AS BIGINT) AS first_pos
+        FROM anchors GROUP BY doc_id ORDER BY doc_id""",
+)
+def q_inverted_store_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the store from 80% of the corpus, APPEND the held-out 20%
+    as the daily batch, probe the phrase over the updated store: must
+    equal the whole-corpus phrase query — yesterday's postings were
+    never rewritten or re-anchored.  Scratch-dir check: collected
+    in-function."""
+    import tempfile
+
+    docs = load(spark, sf_dir, "documents")
+    with tempfile.TemporaryDirectory() as td:
+        path = td + "/postings_store"
+        write_postings_store(docs.filter(F.col("doc_id") % 5 != 0), path)
+        update_postings_store(docs.filter(F.col("doc_id") % 5 == 0), path)
+        rows = [
+            (r["doc_id"], r["n_occurrences"], r["first_pos"])
+            for r in phrase_probe_store(spark, path, _PHRASE)
+            .orderBy("doc_id")
+            .collect()
+        ]
+    return spark.createDataFrame(
+        rows, "doc_id bigint, n_occurrences bigint, first_pos bigint"
+    )

@@ -151,3 +151,40 @@ def test_bucket_col_matches_driver_side_bucket(spark):
     )
     for r in df.collect():
         assert r["bkt"] == _token_bucket(r["tok"]), r["tok"]
+
+
+def test_incremental_append_equals_full_rebuild(spark, sf_dir, tmp_path):
+    """Store(old) + append(batch) answers every probe exactly like
+    store(full) — and the batch append never rewrote an existing
+    bucket file (old files survive byte-identical)."""
+    import os
+
+    from dronedb_spark.tables import load
+    from dronedb_spark.text.invindex import (
+        _PHRASE,
+        phrase_probe_store,
+        update_postings_store,
+        write_postings_store,
+    )
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents")
+    inc = str(tmp_path / "inc")
+    full = str(tmp_path / "full")
+    write_postings_store(docs.filter(F.col("doc_id") % 5 != 0), inc)
+    before = {
+        os.path.join(d, f): os.path.getsize(os.path.join(d, f))
+        for d, _, fs in os.walk(inc)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    update_postings_store(docs.filter(F.col("doc_id") % 5 == 0), inc)
+    after = {
+        p: os.path.getsize(p)
+        for p in before
+    }
+    assert after == before  # old postings files untouched
+    write_postings_store(docs, full)
+    got = {tuple(r) for r in phrase_probe_store(spark, inc, _PHRASE).collect()}
+    want = {tuple(r) for r in phrase_probe_store(spark, full, _PHRASE).collect()}
+    assert got == want and len(got) > 0
