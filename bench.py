@@ -240,9 +240,22 @@ HEADLINE = [
     "quantile_normalize_scores",
     "zorder_rewrite_plan",
     "slo_burn_alerts",
+    # round-10 additions: postings store probes, composed maintenance,
+    # rollup grouping sets, SemDeDup Arrow rollup, sqrt-token mixture
+    "inverted_store_probe",
+    "inverted_store_incremental",
+    "maintenance_compact_zorder",
+    "events_rollup_counts",
+    "semdedup_cell_rollup",
+    "mixture_temperature_plan",
 ]
 
 _SMALL_RESULT = {
+    "inverted_store_probe",
+    "inverted_store_incremental",
+    "semdedup_cell_rollup",
+    "mixture_temperature_plan",
+    "events_rollup_counts",
     "q3_top_revenue_orders",
     "stac_items_page",
     "knn_cosine_top10",
