@@ -75,7 +75,7 @@ _ROUND10_PRIORITY = [
     # r10 breadth added after the window filled: debut in the r11 gate
     # (locally verified at sf0.001+sf0.01 this round, zero driver rows)
     "semdedup_cell_rollup", "inverted_store_incremental",
-    "mixture_temperature_plan",
+    "mixture_temperature_plan", "ewma_daily_close", "filtered_ivf_top10",
     # --- back-fill: families with older last-greens ---------------------
     "catalog_workflow_lifecycle", "catalog_rescan_types",
     "push_needed_files", "pull_delta_plan",
@@ -224,7 +224,9 @@ def load_all() -> dict[str, Check]:
     import dronedb_spark.catalog.zorder  # noqa: F401  (z-order layout + skipping, new in r9)
     import dronedb_spark.catalog.maintenance  # noqa: F401  (compact+zorder composed plan, new in r10)
     import dronedb_spark.vectors.semdedup  # noqa: F401  (SemDeDup in-cell near-dup removal, new in r10)
-    import dronedb_spark.text.mixture  # noqa: F401  (temperature mixture plan, new in r10)
+    import dronedb_spark.text.mixture  # noqa: F401  (sqrt-token mixture plan added r10)
+    import dronedb_spark.operators.ewma  # noqa: F401  (integer EWMA fold, new in r10)
+    import dronedb_spark.vectors.filtered  # noqa: F401  (filtered ANN probe widening, new in r10)
     import dronedb_spark.operators.autocorr  # noqa: F401  (rate autocorrelation, new in r9)
     import dronedb_spark.operators.skewprof  # noqa: F401  (join-skew profile, new in r9)
     import dronedb_spark.catalog.constraints  # noqa: F401  (constraint audit, new in r9)

@@ -1,0 +1,73 @@
+"""Filtered-ANN probe-widening laws (vectors/filtered.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dronedb_spark.tables import load
+from dronedb_spark.vectors.filtered import filtered_ivf_search
+from dronedb_spark.vectors.ivf import ivf_assign
+from dronedb_spark.vectors.knn import _dot, _norm
+
+
+def test_every_result_matches_filter_and_k_respected(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    got = filtered_ivf_search(emb, 0, 3, 10).collect()
+    assert len(got) == 10
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in emb.select("vec_id", "label").collect()
+    }
+    assert all(labels[r["vec_id"]] == 3 for r in got)
+    assert 0 not in {r["vec_id"] for r in got}
+
+
+def test_rare_label_widens_to_every_needed_cell(spark, sf_dir):
+    """Keep only 6 label-3 vectors corpus-wide (< k): the widening rule
+    must open every cell that still lacks candidates, so ALL survivors
+    return — the filtered search degrades to exact brute force over the
+    label instead of silently truncating."""
+    emb = load(spark, sf_dir, "embeddings")
+    keep = emb.filter(
+        (F.col("label") != 3) | (F.col("vec_id") % 7 == 0)
+    )
+    n_label = keep.filter(F.col("label") == 3).count()
+    assert 0 < n_label < 10
+    got = {r["vec_id"] for r in filtered_ivf_search(keep, 0, 3, 10).collect()}
+    want = {
+        r["vec_id"]
+        for r in keep.filter(F.col("label") == 3)
+        .filter(F.col("vec_id") != 0)
+        .collect()
+    }
+    assert got == want
+
+
+def test_widened_probe_matches_brute_force_topk_when_enough_probed(spark, sf_dir):
+    """Sanity vs exact: the widened-probe result can only differ from
+    label-filtered brute force by vectors OUTSIDE the probe set; with
+    the fixture's label spread the top-1 from brute force must sit in a
+    probed cell whenever its cell ranks first for the query."""
+    emb = load(spark, sf_dir, "embeddings")
+    got = [r["vec_id"] for r in filtered_ivf_search(emb, 0, 3, 10).collect()]
+    # exact brute-force top-10 over the label
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+    brute = [
+        r["vec_id"]
+        for r in emb.filter((F.col("label") == 3) & (F.col("vec_id") != 0))
+        .join(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                _dot("embedding", "q_emb") / (_norm("embedding") * _norm("q_emb")), 6
+            ).alias("c"),
+        )
+        .orderBy(F.desc("c"), "vec_id")
+        .limit(10)
+        .collect()
+    ]
+    # results are a subset of the label's vectors and ordered by score;
+    # overlap with brute force must be non-trivial (probe covers >= k)
+    assert len(set(got) & set(brute)) >= 5
