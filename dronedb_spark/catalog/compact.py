@@ -94,3 +94,122 @@ def q_compact_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     group count, file count, and the heaviest group's bytes all
     value-checked against the window closed form."""
     return compact_summary(entries_df(spark, sf_dir)).orderBy("folder")
+
+
+ROWS_TARGET = 5_000  # execution check packs by row count (reproducible
+# across engines — byte sizes depend on parquet encoding, row counts
+# derive from the data)
+
+
+def execute_compaction(
+    slices: DataFrame, slice_col: str, plan: DataFrame, out_dir: str
+) -> None:
+    """EXECUTE a compaction plan: every input slice's rows land in its
+    group's directory, repartitioned so each group writes exactly one
+    packed file.  One shuffle on the group id — the rewrite cost is the
+    rewritten bytes, never a per-group job."""
+    mapping = plan.select(
+        F.col("path").alias("_p"), F.col("group_no").alias("grp")
+    )
+    keyed = slices.withColumn(
+        "_p", F.concat(F.lit("li/"), F.lpad(F.col(slice_col).cast("string"), 4, "0"))
+    )
+    (
+        keyed.join(F.broadcast(mapping), "_p")
+        .drop("_p")
+        .repartition("grp")
+        .write.partitionBy("grp")
+        .mode("overwrite")
+        .parquet(out_dir)
+    )
+
+
+@check(
+    "compact_execute_groups",
+    oracle=f"""
+        WITH slices AS (
+            SELECT l_orderkey % 40 AS slice, COUNT(1) AS n_rows
+            FROM lineitem GROUP BY 1),
+        entries AS (
+            SELECT lpad(CAST(slice AS VARCHAR), 4, '0') AS p, n_rows
+            FROM slices),
+        packed AS (
+            SELECT p, n_rows,
+                   CAST(CAST(COALESCE(SUM(n_rows) OVER (
+                       ORDER BY p
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) // {ROWS_TARGET} AS BIGINT) AS group_no
+            FROM entries)
+        SELECT group_no,
+               CAST(COUNT(1) AS BIGINT) AS n_members,
+               CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+               CAST(SUM(n_rows) AS BIGINT) AS rows_written,
+               CAST(1 AS BIGINT) AS n_files
+        FROM packed GROUP BY group_no ORDER BY group_no""",
+)
+def q_compact_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan → EXECUTE → verify, all in one check: 40 row-count-sized
+    catalog slices pack into 5000-row groups via the window
+    plan, the rewrite runs (one shuffle, one packed file per group),
+    and the packed store is RE-READ to prove conservation — rows out
+    == rows planned, exactly one file per group directory.
+    Scratch-dir check: collected in-function."""
+    import os
+    import tempfile
+
+    from dronedb_spark.tables import load
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", (F.col("l_orderkey") % 40).alias("slice")
+    )
+    entries = (
+        li.groupBy("slice")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .select(
+            F.concat(
+                F.lit("li/"), F.lpad(F.col("slice").cast("string"), 4, "0")
+            ).alias("path"),
+            "size",
+            F.lit(0).alias("type"),
+        )
+    )
+    plan = compact_plan(entries, ROWS_TARGET)
+    planned = {
+        r["path"]: r["group_no"] for r in plan.collect()
+    }
+    with tempfile.TemporaryDirectory() as td:
+        out = td + "/packed"
+        execute_compaction(li, "slice", plan, out)
+        written = {
+            r["grp"]: r["n"]
+            for r in spark.read.parquet(out)
+            .groupBy("grp")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        files_per_group = {
+            int(d.split("=", 1)[1]): len(
+                [f for f in os.listdir(os.path.join(out, d))
+                 if f.endswith(".parquet")]
+            )
+            for d in os.listdir(out)
+            if d.startswith("grp=")
+        }
+    sizes = {r["path"]: r["size"] for r in entries.collect()}
+    rows = []
+    for g in sorted(set(planned.values())):
+        members = [p for p, gg in planned.items() if gg == g]
+        rows.append(
+            (
+                int(g),
+                len(members),
+                int(sum(sizes[p] for p in members)),
+                int(written.get(g, 0)),
+                int(files_per_group.get(g, 0)),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "group_no bigint, n_members bigint, n_rows bigint,"
+        " rows_written bigint, n_files bigint",
+    )

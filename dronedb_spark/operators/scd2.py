@@ -130,3 +130,75 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_intervals(ev, "user_id", F.expr(_TIER)).orderBy(
         "user_id", "valid_from_us"
     )
+
+
+def scd2_asof_enrichment(events: DataFrame, state: Column) -> DataFrame:
+    """(state, n_purchases, n_users, event_id_sum): purchases enriched
+    with the tier VALID AT their time — the composed warehouse query
+    the SCD2 history exists for ("what was the user's tier when the
+    order happened"): build the episode table, as-of join the fact rows
+    to it (``operators/asof.py`` union-merge — one shuffle shared with
+    the history's own key partitioning), roll up by tier.
+    event_id_sum pins WHICH purchases landed in each tier, not just how
+    many."""
+    from dronedb_spark.operators.asof import asof_join
+
+    eps = scd2_intervals(events, "user_id", state).select(
+        "user_id", "valid_from_us", "state"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.expr("unix_micros(ts)").alias("t_us"),
+        "event_id",
+    )
+    enriched = asof_join(
+        purchases, eps, "user_id", "t_us", "valid_from_us", ["state"]
+    )
+    return enriched.groupBy("state").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.sum("event_id").cast("bigint").alias("event_id_sum"),
+    )
+
+
+@check(
+    "scd2_asof_enrichment",
+    oracle=f"""
+        WITH base AS (
+            SELECT user_id AS k, epoch_us(ts) AS t_us, event_id,
+                   {_TIER} AS state
+            FROM events),
+        flagged AS (
+            SELECT k, t_us, event_id, state,
+                   CASE WHEN lag(state) OVER w IS NULL
+                          OR lag(state) OVER w <> state
+                        THEN 1 ELSE 0 END AS chg
+            FROM base
+            WINDOW w AS (PARTITION BY k ORDER BY t_us, event_id)),
+        islands AS (
+            SELECT k, t_us, state,
+                   SUM(chg) OVER (PARTITION BY k ORDER BY t_us, event_id
+                       ROWS UNBOUNDED PRECEDING) AS island
+            FROM flagged),
+        eps AS (
+            SELECT k AS user_id, MIN(state) AS state,
+                   CAST(MIN(t_us) AS BIGINT) AS valid_from_us
+            FROM islands GROUP BY k, island),
+        purchases AS (
+            SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS t_us, event_id
+            FROM events WHERE event_type = 'purchase')
+        SELECT e.state,
+               CAST(COUNT(1) AS BIGINT) AS n_purchases,
+               CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS n_users,
+               CAST(SUM(p.event_id) AS BIGINT) AS event_id_sum
+        FROM purchases p
+        ASOF JOIN eps e
+          ON p.user_id = e.user_id AND p.t_us >= e.valid_from_us
+        GROUP BY e.state ORDER BY e.state""",
+)
+def q_scd2_asof_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCD2 history consumed by its as-of join: every purchase gets
+    the tier whose episode contains it (DuckDB's native ASOF JOIN is
+    the independent oracle), rolled up per tier."""
+    ev = load(spark, sf_dir, "events")
+    return scd2_asof_enrichment(ev, F.expr(_TIER)).orderBy("state")
