@@ -194,3 +194,94 @@ def q_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_neardup_pairs(load(spark, sf_dir, "embeddings"))
+
+
+# ------------------------------------------------- multi-probe LSH ----
+
+
+def _py_bucket(embedding) -> str:
+    """Driver-side twin of ``_bucket_col``: the same sequential
+    multiply-add fold over the same float64 values picks the identical
+    sign bit per plane (pytest-pinned against the Spark column)."""
+    bits = []
+    for j in range(N_PLANES):
+        acc = 0.0
+        for x, s in zip(embedding, PLANES[j]):
+            acc = acc + float(x) * s
+        bits.append("1" if acc > 0 else "0")
+    return "".join(bits)
+
+
+def ann_multiprobe_search(
+    embeddings: DataFrame, query_vec_id: int, k: int = 5
+) -> DataFrame:
+    """Top-k cosine probing the query's bucket AND every Hamming-1
+    neighbor bucket (Lv et al. 2007 multi-probe LSH): the sign pattern
+    a near neighbor most likely lands in when it misses the query's own
+    bucket differs in exactly one plane, so probing the N_PLANES
+    one-bit flips buys most of a second hash table's recall for zero
+    extra index storage.  The probe set derives DRIVER-SIDE from the
+    query embedding (the bucket fold is replayed in Python — no lookup
+    job), so a bucket-partitioned store serves this with
+    1 + N_PLANES pruned directory reads."""
+    from dronedb_spark.vectors.knn import _dot, _norm
+
+    q_emb = embeddings.filter(F.col("vec_id") == query_vec_id).collect()[0][
+        "embedding"
+    ]
+    qb = _py_bucket(q_emb)
+    probes = [qb] + [
+        qb[:j] + ("0" if qb[j] == "1" else "1") + qb[j + 1 :]
+        for j in range(N_PLANES)
+    ]
+    withb = embeddings.withColumn("bucket", _bucket_col())
+    q = embeddings.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_emb")
+    )
+    cand = (
+        withb.filter(F.col("bucket").isin(probes))
+        .filter(F.col("vec_id") != query_vec_id)
+        .join(F.broadcast(q))
+    )
+    scored = cand.select(
+        "vec_id",
+        "label",
+        F.round(
+            _dot("embedding", "q_emb") / (_norm("embedding") * _norm("q_emb")), 6
+        ).alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), "vec_id").limit(k)
+
+
+@check(
+    "ann_multiprobe_top5",
+    # the oracle states the probe set SEMANTICALLY: a candidate's bucket
+    # is within Hamming distance 1 of the query's (== the 1+N_PLANES
+    # one-bit flips the Spark side materializes driver-side)
+    oracle=f"""
+        WITH b AS (SELECT e.*, {_duck_bucket('e')} AS bucket FROM embeddings e),
+        q AS (SELECT embedding AS q_emb, bucket AS q_bucket FROM b WHERE vec_id = 0),
+        cand AS (
+            SELECT e.vec_id, e.label, e.embedding, q.q_emb
+            FROM b e, q
+            WHERE e.vec_id <> 0
+              AND ({" + ".join(
+                  f"(CASE WHEN substr(e.bucket, {j + 1}, 1)"
+                  f" <> substr(q.q_bucket, {j + 1}, 1) THEN 1 ELSE 0 END)"
+                  for j in range(N_PLANES)
+              )}) <= 1)
+        SELECT vec_id, label,
+               ROUND(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(q_emb AS DOUBLE[]))
+                     / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                              CAST(embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(CAST(q_emb AS DOUBLE[]),
+                                                CAST(q_emb AS DOUBLE[])))),
+                     6) AS cos_sim
+        FROM cand ORDER BY cos_sim DESC, vec_id LIMIT 5""",
+)
+def q_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe top-5 for vec 0: the widened candidate set (own
+    bucket + 6 one-bit flips) and the exact rescoring both re-derived
+    by the oracle's Hamming-distance restatement."""
+    return ann_multiprobe_search(load(spark, sf_dir, "embeddings"), 0, 5)

@@ -71,3 +71,28 @@ def test_widened_probe_matches_brute_force_topk_when_enough_probed(spark, sf_dir
     # results are a subset of the label's vectors and ordered by score;
     # overlap with brute force must be non-trivial (probe covers >= k)
     assert len(set(got) & set(brute)) >= 5
+
+
+def test_multiprobe_bucket_twin_and_superset_recall(spark, sf_dir):
+    """The Python bucket fold equals the Spark column on every vector,
+    and multi-probe's candidate set strictly contains the single-bucket
+    search's — recall can only go up."""
+    from dronedb_spark.vectors.ann import (
+        _bucket_col,
+        _py_bucket,
+        ann_multiprobe_search,
+        ann_search,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    rows = emb.withColumn("b", _bucket_col()).select(
+        "vec_id", "embedding", "b"
+    ).collect()
+    for r in rows[:50]:
+        assert _py_bucket(r["embedding"]) == r["b"], r["vec_id"]
+    single = {r["vec_id"]: r["cos_sim"] for r in ann_search(emb, 0, 5).collect()}
+    multi = {r["vec_id"]: r["cos_sim"] for r in ann_multiprobe_search(emb, 0, 5).collect()}
+    # multi-probe's top-5 is at least as similar, element for element
+    assert sorted(multi.values(), reverse=True) >= sorted(
+        single.values(), reverse=True
+    )
