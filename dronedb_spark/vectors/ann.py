@@ -285,3 +285,105 @@ def q_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket + 6 one-bit flips) and the exact rescoring both re-derived
     by the oracle's Hamming-distance restatement."""
     return ann_multiprobe_search(load(spark, sf_dir, "embeddings"), 0, 5)
+
+
+def write_ann_store(embeddings: DataFrame, path: str) -> None:
+    """Persist the LSH serving index PARTITIONED BY bucket: the sign
+    pattern is the directory key, so a (multi-)probe reads exactly its
+    probe buckets' directories — the store discipline of the
+    binq/ivfpq/postings families.  One map-only bucket pass at write."""
+    (
+        embeddings.withColumn("bucket", _bucket_col())
+        .repartition("bucket")
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def ann_store_multiprobe(
+    spark: SparkSession,
+    path: str,
+    query_emb,
+    k: int = 5,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """Multi-probe top-k reading ONLY the store: the probe set (own
+    bucket + one-bit flips) derives driver-side from the query
+    embedding, the scan partition-prunes to those directories, and the
+    exact rescoring runs on the pruned candidates."""
+    from dronedb_spark.vectors.knn import _dot, _norm
+
+    qb = _py_bucket(query_emb)
+    probes = [qb] + [
+        qb[:j] + ("0" if qb[j] == "1" else "1") + qb[j + 1 :]
+        for j in range(N_PLANES)
+    ]
+    q = F.broadcast(
+        spark.createDataFrame(
+            [([float(v) for v in query_emb],)], "q_emb array<double>"
+        )
+    )
+    cand = spark.read.parquet(path).filter(F.col("bucket").isin(probes))
+    if exclude_vec_id is not None:
+        cand = cand.filter(F.col("vec_id") != exclude_vec_id)
+    cand = cand.join(q)
+    return (
+        cand.select(
+            "vec_id",
+            "label",
+            F.round(
+                _dot("embedding", "q_emb") / (_norm("embedding") * _norm("q_emb")),
+                6,
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(k)
+    )
+
+
+@check(
+    "ann_store_multiprobe",
+    oracle=f"""
+        WITH b AS (SELECT e.*, {_duck_bucket('e')} AS bucket FROM embeddings e),
+        q AS (SELECT embedding AS q_emb, bucket AS q_bucket FROM b WHERE vec_id = 0),
+        cand AS (
+            SELECT e.vec_id, e.label, e.embedding, q.q_emb
+            FROM b e, q
+            WHERE e.vec_id <> 0
+              AND ({" + ".join(
+                  f"(CASE WHEN substr(e.bucket, {j + 1}, 1)"
+                  f" <> substr(q.q_bucket, {j + 1}, 1) THEN 1 ELSE 0 END)"
+                  for j in range(N_PLANES)
+              )}) <= 1)
+        SELECT vec_id, label,
+               ROUND(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(q_emb AS DOUBLE[]))
+                     / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                              CAST(embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(CAST(q_emb AS DOUBLE[]),
+                                                CAST(q_emb AS DOUBLE[])))),
+                     6) AS cos_sim
+        FROM cand ORDER BY cos_sim DESC, vec_id LIMIT 5""",
+)
+def q_ann_store_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write the bucket-partitioned LSH store, multi-probe it for vec
+    0's neighbors reading only the store (query's own row dropped by
+    vec_id): must hash-match the in-memory multi-probe oracle.
+    Scratch-dir check: collected in-function."""
+    import tempfile
+
+    emb = load(spark, sf_dir, "embeddings")
+    q_emb = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    with tempfile.TemporaryDirectory() as td:
+        path = td + "/ann_store"
+        write_ann_store(emb, path)
+        rows = [
+            (r["vec_id"], r["label"], r["cos_sim"])
+            for r in ann_store_multiprobe(
+                spark, path, q_emb, 5, exclude_vec_id=0
+            ).collect()
+        ]
+    return spark.createDataFrame(
+        rows, "vec_id bigint, label bigint, cos_sim double"
+    )

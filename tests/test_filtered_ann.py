@@ -96,3 +96,30 @@ def test_multiprobe_bucket_twin_and_superset_recall(spark, sf_dir):
     assert sorted(multi.values(), reverse=True) >= sorted(
         single.values(), reverse=True
     )
+
+
+def test_ann_store_probe_prunes_partitions(spark, sf_dir, tmp_path):
+    """The persisted LSH store answers multi-probe identically to the
+    in-memory search, reads ONLY the store, and partition-prunes to the
+    probe buckets."""
+    from dronedb_spark.plans.inspect import formatted
+    from dronedb_spark.vectors.ann import (
+        ann_multiprobe_search,
+        ann_store_multiprobe,
+        write_ann_store,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ann_store")
+    write_ann_store(emb, path)
+    q_emb = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    probe = ann_store_multiprobe(spark, path, q_emb, 5, exclude_vec_id=0)
+    got = {tuple(r) for r in probe.collect()}
+    want = {tuple(r) for r in ann_multiprobe_search(emb, 0, 5).collect()}
+    assert got == want and len(got) == 5
+    f = formatted(probe)
+    locs = [ln for ln in f.splitlines() if "Location:" in ln]
+    assert locs and all("ann_store" in ln for ln in locs), locs
+    assert "embeddings.parquet" not in f
+    part = f[f.index("PartitionFilters"):]
+    assert "bucket" in part[:250]
