@@ -180,3 +180,73 @@ def q_domain_capped_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     capped = domain_cap(load(spark, sf_dir, "documents"))
     return temperature_budgets(capped.select("source")).orderBy("source")
+
+
+TOP_N_DOMAINS = 8
+
+
+def top_domains_with_other(docs: DataFrame, n: int = TOP_N_DOMAINS) -> DataFrame:
+    """(bucket, rank, n_docs, n_tokens): the cardinality-capped
+    dashboard rollup — the top-``n`` domains by document count keep
+    their identity (deterministic ties by domain name), everything else
+    collapses into ONE 'other' row (rank n+1) so a high-cardinality
+    dimension can feed a fixed-size report.  One aggregate + one
+    domains-sized rank window; the overflow regroup is a second
+    domains-sized aggregate, never a data pass."""
+    per = with_domain(docs).select(
+        "domain", F.size(F.split("text", " ")).cast("bigint").alias("n_tok")
+    )
+    agg = per.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+    )
+    w = Window.orderBy(F.desc("n_docs"), "domain")
+    ranked = agg.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.select(
+            F.when(F.col("rk") <= n, F.col("domain"))
+            .otherwise(F.lit("other"))
+            .alias("bucket"),
+            F.when(F.col("rk") <= n, F.col("rk"))
+            .otherwise(F.lit(n + 1))
+            .cast("bigint")
+            .alias("rank"),
+            "n_docs",
+            "n_tokens",
+        )
+        .groupBy("bucket", "rank")
+        .agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+@check(
+    "top_domains_other",
+    oracle=f"""
+        WITH per AS (
+            SELECT {_domain_sql("duckdb")} AS domain,
+                   len(string_split(text, ' ')) AS n_tok
+            FROM documents),
+        agg AS (
+            SELECT domain, CAST(COUNT(1) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+            FROM per GROUP BY domain),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (ORDER BY n_docs DESC, domain) AS rk
+            FROM agg)
+        SELECT CASE WHEN rk <= {TOP_N_DOMAINS} THEN domain
+                    ELSE 'other' END AS bucket,
+               CAST(CASE WHEN rk <= {TOP_N_DOMAINS} THEN rk
+                         ELSE {TOP_N_DOMAINS + 1} END AS BIGINT) AS rank,
+               CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+        FROM ranked GROUP BY 1, 2 ORDER BY rank, bucket""",
+)
+def q_top_domains_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-8 domains by document count plus the 'other' overflow row —
+    identity, rank, and both mass columns value-checked."""
+    return top_domains_with_other(load(spark, sf_dir, "documents")).orderBy(
+        "rank", "bucket"
+    )
