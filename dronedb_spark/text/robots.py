@@ -397,3 +397,110 @@ def q_crawl_fetch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fetch_plan(_url_host_path(docs), rules, agent="fixturebot").orderBy(
         "host"
     )
+
+
+N_CRAWL_WORKERS = 4
+
+
+def crawl_worker_schedule(
+    urls: DataFrame,
+    rules: DataFrame,
+    agent: str = "*",
+    n_workers: int = N_CRAWL_WORKERS,
+) -> DataFrame:
+    """(worker, n_hosts, n_urls, serial_s, min_wall_s): the fetch plan
+    sharded across crawl workers with hosts PINNED to workers (the
+    politeness invariant: per-host crawl-delay spacing only holds when
+    exactly one worker owns a host).  Assignment is the md5-prefix
+    consistent hash of the host (stable as the frontier grows);
+    ``serial_s`` is the worker's one-host-at-a-time bound (Σ makespans),
+    ``min_wall_s`` its interleaved lower bound (max makespan) — the two
+    numbers a crawl scheduler sizes its per-worker concurrency between.
+    Hosts-sized arithmetic on top of the fetch plan — no second data
+    pass."""
+    plan = fetch_plan(urls, rules, agent)
+    withw = plan.withColumn(
+        "worker",
+        (
+            F.conv(F.substring(F.md5("host"), 1, 6), 16, 10).cast("bigint")
+            % n_workers
+        ).cast("bigint"),
+    )
+    return withw.groupBy("worker").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hosts"),
+        F.sum("n_urls").cast("bigint").alias("n_urls"),
+        F.sum("makespan_s").cast("bigint").alias("serial_s"),
+        F.max("makespan_s").cast("bigint").alias("min_wall_s"),
+    )
+
+
+def _worker_schedule_oracle() -> str:
+    return f"""
+        WITH urls AS (
+            SELECT doc_id, {_derived_url_sql("duckdb")} AS url FROM documents),
+        rests AS (
+            SELECT doc_id,
+                   string_split(string_split(url, '#')[1], '://')[2] AS rest
+            FROM urls),
+        parts AS (
+            SELECT doc_id,
+                   lower(string_split(string_split(rest, '/')[1], ':')[1]) AS host,
+                   string_split(
+                       substr(rest, length(string_split(rest, '/')[1]) + 1),
+                       '?')[1] AS path
+            FROM rests),
+        rules(host, rule, rule_path) AS (VALUES {_rules_values_sql()}),
+        cand AS (
+            SELECT p.doc_id, p.host, p.path, r.rule,
+                   length(r.rule_path) AS plen
+            FROM parts p LEFT JOIN rules r
+              ON r.host = p.host AND starts_with(p.path, r.rule_path)),
+        best AS (
+            SELECT doc_id, host,
+                   MAX(CASE WHEN rule IS NOT NULL THEN
+                       plen * 2 + CASE WHEN rule = 'allow' THEN 1 ELSE 0 END
+                       END) AS score,
+                   MAX(CASE WHEN rule = 'allow'
+                            THEN plen * 2 + 1 END) AS best_allow
+            FROM cand GROUP BY doc_id, host),
+        allowed AS (
+            SELECT doc_id, host FROM best
+            WHERE score IS NULL OR best_allow = score),
+        delays(host, delay_s) AS (VALUES {", ".join(
+            f"('site{n}.example.com', {2 + n})" for n in _RB_SITES)}),
+        plan AS (
+            SELECT a.host,
+                   COUNT(*) AS n_urls,
+                   COALESCE(ANY_VALUE(d.delay_s), {DEFAULT_DELAY_S}) AS delay_s,
+                   (COUNT(*) - 1)
+                       * COALESCE(ANY_VALUE(d.delay_s), {DEFAULT_DELAY_S})
+                       AS makespan_s
+            FROM allowed a LEFT JOIN delays d ON d.host = a.host
+            GROUP BY a.host),
+        withw AS (
+            SELECT *,
+                   CAST('0x' || substr(md5(host), 1, 6) AS BIGINT)
+                       % {N_CRAWL_WORKERS} AS worker
+            FROM plan)
+        SELECT CAST(worker AS BIGINT) AS worker,
+               CAST(COUNT(1) AS BIGINT) AS n_hosts,
+               CAST(SUM(n_urls) AS BIGINT) AS n_urls,
+               CAST(SUM(makespan_s) AS BIGINT) AS serial_s,
+               CAST(MAX(makespan_s) AS BIGINT) AS min_wall_s
+        FROM withw GROUP BY worker ORDER BY worker"""
+
+
+@check("crawl_worker_schedule", oracle=_worker_schedule_oracle())
+def q_crawl_worker_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The politeness-sharded crawl schedule: hosts consistent-hash to
+    4 workers, per-worker URL load and both wall-clock bounds — every
+    number re-derived by the oracle."""
+    from dronedb_spark.sources.bridge import scan_binaries
+    from dronedb_spark.tables import spread
+
+    files = scan_binaries(spark, _robots_root(), "*.robots.txt")
+    rules = parse_robots(spread(files))
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return crawl_worker_schedule(
+        _url_host_path(docs), rules, agent="fixturebot"
+    ).orderBy("worker")
