@@ -160,3 +160,36 @@ def stream_sessionize(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def stream_sessionize_native(
+    events_stream: DataFrame,
+    gap_s: int = GAP_S,
+    delay: str = "1 hour",
+) -> DataFrame:
+    """The BUILT-IN runtime: Spark's ``session_window`` gap aggregation
+    — (user_id, n_events, start_us, end_us) per closed session, where
+    ``end_us`` is the last event (the native window's end minus the
+    gap).  Prefer this when session NUMBERING isn't needed: it is pure
+    JVM aggregation (no Python state fold), merges partial sessions
+    map-side, and the watermark closes sessions exactly like the
+    custom runtime.  The custom ``stream_sessionize`` above exists for
+    the extras the built-in can't express: per-key session numbers and
+    deterministic (event_time, event_id) tie order.  Pytest pins
+    native == batch on the full corpus."""
+    from pyspark.sql import functions as F
+
+    gap_us = gap_s * 1_000_000
+    agged = (
+        events_stream.withWatermark("ts", delay)
+        .groupBy("user_id", F.session_window("ts", f"{gap_s} seconds"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
+    return agged.select(
+        "user_id",
+        "n_events",
+        F.expr("unix_micros(session_window.start)").alias("start_us"),
+        (F.expr("unix_micros(session_window.end)") - gap_us)
+        .cast("bigint")
+        .alias("end_us"),
+    )

@@ -89,3 +89,50 @@ def test_out_of_order_and_idle_timeout_flush(spark, tmp_path):
     run_file([(5, ts(50000), 1, 0.0)])
     run_file([(92, ts(102000), 9, 0.0)])
     assert {t for t in emitted if t[0] == 1} == got
+
+
+def test_native_session_window_matches_batch(spark, sf_dir, tmp_path):
+    """The built-in session_window runtime closes the same sessions as
+    the batch build (counts, first and last event times) once the
+    watermark passes them."""
+    import datetime as dt
+
+    from dronedb_spark.streaming.sessionize import stream_sessionize_native
+
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    max_ts = events.agg({"ts": "max"}).collect()[0][0]
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    emitted = []
+
+    def run(df):
+        df.coalesce(1).write.mode("append").parquet(src)
+        q = (
+            stream_sessionize_native(
+                spark.readStream.schema(df.schema).parquet(src), gap_s=1800
+            )
+            .writeStream.foreachBatch(
+                lambda d, _eid: emitted.extend(tuple(r) for r in d.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+
+    run(events)
+    run(
+        spark.createDataFrame(
+            [(9_000_001, max_ts + dt.timedelta(days=40), -1, 0.0)],
+            events.schema,
+        )
+    )
+    got = {t for t in emitted if t[0] != -1}
+    want = {
+        (r["user_id"], r["n_events"], r["start_us"], r["end_us"])
+        for r in sessionize(events).collect()
+    }
+    assert got == want and len(want) > 100
