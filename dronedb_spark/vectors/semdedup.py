@@ -254,3 +254,219 @@ def q_semdedup_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     independently."""
     corpus = _with_planted_copies(load(spark, sf_dir, "embeddings"))
     return semdedup_rollup(corpus).orderBy("cell")
+
+
+# ------------------------------------------- daily-ingest increment --
+
+
+def write_semdedup_store(
+    embeddings: DataFrame, path: str, centroids: DataFrame
+) -> None:
+    """Persist the KEPT corpus partitioned by IVF cell — the semantic
+    dedup family's serving store (cell dirs = partition pruning for the
+    batch probe, the ivfpq/ann-store discipline).  ``centroids`` is the
+    carried quantizer state: store and batch MUST assign against the
+    same centroids or their cells disagree."""
+    from dronedb_spark.vectors.ivf import _assign_cells
+
+    cells = _assign_cells(
+        embeddings.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        ),
+        centroids,
+    )
+    (
+        embeddings.select("vec_id", "embedding")
+        .join(cells, "vec_id")
+        .repartition("cell")
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def incremental_semdedup(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    centroids: DataFrame,
+    tau_micro: int = TAU_MICRO,
+) -> DataFrame:
+    """(cell, n_batch, n_removed, removed_id_sum): the daily increment —
+    new vectors assign to cells (broadcast argmin against the carried
+    centroids), read ONLY their cells' store directories, and a batch
+    vector is removed when the STORE already holds a vector within the
+    threshold (corpus-wins keep-first) or a LOWER batch id is.  The
+    corpus is never re-scored against itself; the pair pass is
+    (batch × cell slice)-sized."""
+    import numpy as np
+    import pandas as pd
+
+    from dronedb_spark.vectors.ivf import _assign_cells
+
+    b = batch.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    assigned = _assign_cells(b, centroids).select("vec_id", "cell")
+    bcells = sorted(
+        r["cell"] for r in assigned.select("cell").distinct().collect()
+    )
+    store = (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin(bcells))
+        .select("vec_id", "embedding", "cell", F.lit(1).alias("is_store"))
+    )
+    both = (
+        b.join(assigned, "vec_id")
+        .select("vec_id", "embedding", "cell", F.lit(0).alias("is_store"))
+        .unionByName(store)
+    )
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["is_store", "vec_id"], ascending=[False, True])
+        pdf = pdf.reset_index(drop=True)
+        n = len(pdf)
+        batch_mask = (pdf["is_store"] == 0).to_numpy()
+        if n == 0 or not batch_mask.any():
+            return pd.DataFrame(
+                columns=["cell", "vec_id", "is_dup"]
+            ).astype({"cell": "int32", "vec_id": "int64", "is_dup": "int64"})
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+        dot = mat[:, 0][:, None] * mat[:, 0][None, :]
+        ss = mat[:, 0] * mat[:, 0]
+        for i in range(1, mat.shape[1]):
+            dot = dot + mat[:, i][:, None] * mat[:, i][None, :]
+            ss = ss + mat[:, i] * mat[:, i]
+        nrm = np.sqrt(ss)
+        micro = np.floor(dot / (nrm[:, None] * nrm[None, :]) * 1000000.0 + 0.5)
+        near = micro.astype(np.int64) >= tau_micro
+        vids = pdf["vec_id"].to_numpy()
+        rows = []
+        for j in range(n):
+            if not batch_mask[j]:
+                continue
+            # removed if near ANY store vector, or any LOWER-id batch one
+            dup = bool(
+                (near[j, ~batch_mask]).any()
+                or any(
+                    near[j, i]
+                    for i in range(n)
+                    if batch_mask[i] and vids[i] < vids[j]
+                )
+            )
+            rows.append(
+                {"cell": pdf["cell"].iloc[j], "vec_id": vids[j],
+                 "is_dup": int(dup)}
+            )
+        return pd.DataFrame(rows)
+
+    flags = both.groupBy("cell").applyInPandas(
+        kern, schema="cell int, vec_id bigint, is_dup bigint"
+    )
+    return flags.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_batch"),
+        F.sum("is_dup").cast("bigint").alias("n_removed"),
+        F.coalesce(
+            F.sum(F.when(F.col("is_dup") == 1, F.col("vec_id"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("removed_id_sum"),
+    )
+
+
+@check(
+    "semdedup_incremental",
+    oracle=f"""
+        WITH store_base AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+            FROM embeddings WHERE vec_id % 4 <> 0),
+        batch_base AS (
+            SELECT vec_id + {_COPY_OFFSET} AS vec_id,
+                   list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.25)
+                       AS embedding
+            FROM embeddings WHERE vec_id % 20 = 0
+            UNION ALL
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+            FROM embeddings WHERE vec_id % 4 = 0 AND vec_id >= {N_CENTROIDS}),
+        c AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS c_emb
+              FROM embeddings WHERE vec_id < {N_CENTROIDS}),
+        allv AS (
+            SELECT vec_id, embedding, 1 AS is_store FROM store_base
+            UNION ALL
+            SELECT vec_id, embedding, 0 AS is_store FROM batch_base),
+        scored AS (
+            SELECT v.vec_id,
+                   {_d_packed("list_dot_product(v.embedding, CAST(c.c_emb AS DOUBLE[]))"
+                              " / (sqrt(list_dot_product(v.embedding, v.embedding))"
+                              " * sqrt(list_dot_product(CAST(c.c_emb AS DOUBLE[]), CAST(c.c_emb AS DOUBLE[]))))",
+                              "c.cid")} AS packed
+            FROM allv v CROSS JOIN c),
+        assign AS (
+            SELECT vec_id, CAST(substr(MIN(packed), 10, 2) AS INT) AS cell
+            FROM scored GROUP BY vec_id),
+        e AS (
+            SELECT v.vec_id, v.embedding, v.is_store, a.cell
+            FROM allv v JOIN assign a USING (vec_id)),
+        dup AS (
+            SELECT DISTINCT x.vec_id
+            FROM e x JOIN e y
+              ON y.cell = x.cell
+             AND (y.is_store = 1 OR y.vec_id < x.vec_id)
+            WHERE x.is_store = 0
+              AND CAST(ROUND(list_dot_product(x.embedding, y.embedding)
+                  / (sqrt(list_dot_product(x.embedding, x.embedding))
+                     * sqrt(list_dot_product(y.embedding, y.embedding)))
+                  * 1000000) AS BIGINT) >= {TAU_MICRO})
+        SELECT e.cell,
+               CAST(COUNT(1) AS BIGINT) AS n_batch,
+               CAST(COUNT(d.vec_id) AS BIGINT) AS n_removed,
+               CAST(COALESCE(SUM(d.vec_id), 0) AS BIGINT) AS removed_id_sum
+        FROM e LEFT JOIN dup d ON d.vec_id = e.vec_id
+        WHERE e.is_store = 0
+        GROUP BY e.cell ORDER BY e.cell""",
+)
+def q_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily SemDeDup: the store is 3/4 of the corpus (cell-partitioned
+    on disk), the batch is the held-out quarter plus ×1.25 copies of
+    every 20th store vector — the copies MUST be removed (their
+    originals sit in the store), held-out originals survive, and the
+    corpus is never re-scored.  Scratch-dir check: collected
+    in-function."""
+    import tempfile
+
+    from dronedb_spark.vectors.ivf import _centroids
+
+    emb = load(spark, sf_dir, "embeddings")
+    store_docs = emb.filter(F.col("vec_id") % 4 != 0)
+    batch = (
+        emb.filter(F.col("vec_id") % 20 == 0)
+        .select(
+            (F.col("vec_id") + _COPY_OFFSET).alias("vec_id"),
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: x * F.lit(1.25),
+            ).alias("embedding"),
+        )
+        .unionByName(
+            emb.filter(
+                (F.col("vec_id") % 4 == 0) & (F.col("vec_id") >= N_CENTROIDS)
+            ).select(
+                "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+            )
+        )
+    )
+    cents = _centroids(emb).select(
+        "cid", F.col("c_emb").cast("array<double>").alias("c_emb")
+    )
+    with tempfile.TemporaryDirectory() as td:
+        path = td + "/sem_store"
+        write_semdedup_store(store_docs, path, cents)
+        rows = [
+            (r["cell"], r["n_batch"], r["n_removed"], r["removed_id_sum"])
+            for r in incremental_semdedup(spark, path, batch, cents)
+            .orderBy("cell")
+            .collect()
+        ]
+    return spark.createDataFrame(
+        rows, "cell int, n_batch bigint, n_removed bigint, removed_id_sum bigint"
+    )
