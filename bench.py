@@ -248,9 +248,30 @@ HEADLINE = [
     "events_rollup_counts",
     "semdedup_cell_rollup",
     "mixture_temperature_plan",
+    "ewma_daily_close",
+    "filtered_ivf_top10",
+    "ann_multiprobe_top5",
+    "ann_store_multiprobe",
+    "scd2_asof_enrichment",
+    "compact_execute_groups",
+    "top_domains_other",
+    "crawl_worker_schedule",
+    "salted_join_rollup",
+    "sft_mask_rollup",
+    "semdedup_incremental",
 ]
 
 _SMALL_RESULT = {
+    "ewma_daily_close",
+    "filtered_ivf_top10",
+    "ann_multiprobe_top5",
+    "ann_store_multiprobe",
+    "scd2_asof_enrichment",
+    "compact_execute_groups",
+    "top_domains_other",
+    "crawl_worker_schedule",
+    "salted_join_rollup",
+    "semdedup_incremental",
     "inverted_store_probe",
     "inverted_store_incremental",
     "semdedup_cell_rollup",
