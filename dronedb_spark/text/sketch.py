@@ -315,3 +315,124 @@ def q_hll_merge_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------- HLL set algebra --
+
+
+def hll_user_registers(events: DataFrame, event_type: str | None) -> DataFrame:
+    """(bucket, max_rho) over the USER-ID stream of one event type
+    (None = all types) — duplicates can't move a max, so the raw event
+    stream needs no distinct."""
+    src = events if event_type is None else events.filter(
+        F.col("event_type") == event_type
+    )
+    u = src.select(F.col("user_id").cast("string").alias("k"))
+    bucket = F.expr("CAST(conv(substr(md5(k), 1, 2), 16, 10) AS BIGINT)")
+    rho = F.expr(
+        "CASE WHEN CAST(conv(substr(md5(k), 3, 15), 16, 10) AS BIGINT) = 0"
+        " THEN 61 ELSE 61 - length(bin(CAST(conv(substr(md5(k), 3, 15), 16, 10)"
+        " AS BIGINT))) END"
+    )
+    return (
+        u.select(bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def _hll_state(registers: DataFrame, set_name: str) -> DataFrame:
+    """(set_name, s_inv, n_zero): the EXACT sketch state — the harmonic
+    sum Σ 2^(-rho) scaled by 2^61 so it is an integer (zeros contribute
+    2^61 each), then cast once to double (identical on both engines
+    because the integer is identical).  The raw HLL estimate is
+    α·m²·2^61 / s_inv — derivable without any engine-ordered float
+    sum; set ALGEBRA (|A∩B| = |A|+|B|−|A∪B|) composes these states by
+    inclusion-exclusion."""
+    agg = registers.agg(
+        F.sum(F.expr("CAST(shiftleft(CAST(1 AS BIGINT), 61 - max_rho) AS DECIMAL(38,0))")).alias("s_obs"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+    return agg.select(
+        F.lit(set_name).alias("set_name"),
+        F.expr(
+            f"CAST(s_obs + CAST({M} - n_obs AS DECIMAL(38,0))"
+            " * CAST(2305843009213693952 AS DECIMAL(38,0)) AS DOUBLE)"
+        ).alias("s_inv"),
+        (F.lit(M) - F.col("n_obs")).cast("bigint").alias("n_zero"),
+    )
+
+
+def hll_set_algebra(events: DataFrame, type_a: str, type_b: str) -> DataFrame:
+    """(set_name, s_inv, n_zero, exact_distinct): the sketch states of
+    the A users, B users, and A∪B users, each beside its EXACT
+    distinct count — the union state is byte-derivable from the two
+    daily states (register max-merge, the `hll_merge_daily` law), and
+    the intersection estimate follows by inclusion-exclusion without a
+    third sketch."""
+    out = []
+    for name, et in (("a", type_a), ("b", type_b)):
+        regs = hll_user_registers(events, et)
+        exact = (
+            events.filter(F.col("event_type") == et)
+            .agg(F.countDistinct("user_id").cast("bigint").alias("d"))
+        )
+        out.append(_hll_state(regs, name).join(exact))
+    regs_u = hll_user_registers(
+        events.filter(F.col("event_type").isin([type_a, type_b])), None
+    )
+    exact_u = (
+        events.filter(F.col("event_type").isin([type_a, type_b]))
+        .agg(F.countDistinct("user_id").cast("bigint").alias("d"))
+    )
+    out.append(_hll_state(regs_u, "union").join(exact_u))
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res.select(
+        "set_name", "s_inv", "n_zero", F.col("d").alias("exact_distinct")
+    )
+
+
+def _d_user_regs(where: str) -> str:
+    return f"""
+        SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2))
+                    AS BIGINT) AS bucket,
+               MAX(CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 15)) AS BIGINT) = 0
+                        THEN 61
+                        ELSE 61 - length(bin(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 15)) AS BIGINT)))
+                   END) AS max_rho
+        FROM events WHERE {where}
+        GROUP BY 1"""
+
+
+def _d_state(name: str, where: str) -> str:
+    return f"""
+        SELECT '{name}' AS set_name,
+               CAST(SUM(CAST(1 AS BIGINT) << (61 - max_rho))
+                    + ({M} - COUNT(1)) * CAST(2305843009213693952 AS HUGEINT)
+                    AS DOUBLE) AS s_inv,
+               CAST({M} - COUNT(1) AS BIGINT) AS n_zero,
+               (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT)
+                FROM events WHERE {where}) AS exact_distinct
+        FROM ({_d_user_regs(where)}) r"""
+
+
+@check(
+    "hll_set_algebra",
+    oracle=f"""
+        {_d_state('a', "event_type = 'purchase'")}
+        UNION ALL
+        {_d_state('b', "event_type = 'error'")}
+        UNION ALL
+        {_d_state('union', "event_type IN ('purchase', 'error')")}
+        ORDER BY set_name""",
+)
+def q_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch states of purchase users, error users, and their union —
+    exact-integer harmonic sums (so the raw estimates and the
+    inclusion-exclusion intersection derive with zero engine-ordered
+    float arithmetic) beside the exact distinct truths."""
+    return hll_set_algebra(
+        load(spark, sf_dir, "events"), "purchase", "error"
+    ).orderBy("set_name")

@@ -90,3 +90,60 @@ def test_cms_counters_merge_by_sum(spark, sf_dir):
     got = {(r["row"], r["col"], r["cnt"]) for r in merged.collect()}
     want = {(r["row"], r["col"], r["cnt"]) for r in whole.collect()}
     assert got == want and len(want) > 100
+
+
+def test_hll_set_algebra_estimates_and_union_law(spark, sf_dir):
+    """The exact-integer harmonic states support (a) raw estimates
+    within HLL's error envelope of the exact truths and (b) the
+    inclusion-exclusion intersection — and the union state equals the
+    max-merge of the two sides' registers."""
+    import math
+
+    from dronedb_spark.tables import load
+    from dronedb_spark.text.sketch import (
+        M,
+        hll_set_algebra,
+        hll_user_registers,
+        merge_registers,
+    )
+    from pyspark.sql import functions as F
+
+    ev = load(spark, sf_dir, "events")
+    rows = {r["set_name"]: r for r in hll_set_algebra(ev, "purchase", "error").collect()}
+    alpha = 0.7213 / (1 + 1.079 / M)
+    C = alpha * M * M * 2.0**61
+
+    def est(r):
+        e = C / r["s_inv"]
+        if e <= 2.5 * M and r["n_zero"] > 0:  # linear counting regime
+            e = M * math.log(M / r["n_zero"])
+        return e
+
+    for name in ("a", "b", "union"):
+        r = rows[name]
+        e = est(r)
+        # raw-estimate envelope (no small-range correction): generous
+        # 3x the ~1.04/sqrt(m) standard error
+        assert abs(e - r["exact_distinct"]) <= 3 * 1.04 / math.sqrt(M) * r["exact_distinct"] + 3
+    inter_est = est(rows["a"]) + est(rows["b"]) - est(rows["union"])
+    exact_inter = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .intersect(ev.filter(F.col("event_type") == "error").select("user_id"))
+        .count()
+    )
+    assert abs(inter_est - exact_inter) <= 0.35 * rows["union"]["exact_distinct"]
+    # union state == max-merge of the two register tables
+    merged = {
+        (r["bucket"], r["max_rho"])
+        for r in merge_registers(
+            [hll_user_registers(ev, "purchase"), hll_user_registers(ev, "error")]
+        ).collect()
+    }
+    direct = {
+        (r["bucket"], r["max_rho"])
+        for r in hll_user_registers(
+            ev.filter(F.col("event_type").isin(["purchase", "error"])), None
+        ).collect()
+    }
+    assert merged == direct
