@@ -386,3 +386,36 @@ def _register_substring_check() -> None:
 
 
 _register_substring_check()
+
+
+def stream_image_probe(
+    batch_media_stream: DataFrame, store: DataFrame, max_hamming: int = 6
+) -> DataFrame:
+    """The IMAGE fingerprint family's continuous daily-ingest runtime
+    (the minhash `stream_incremental_probe` shape for
+    `multimodal/phash.py`): new images decode and band per microbatch
+    (the dHash kernel is a mapInPandas — streaming-safe), and the band
+    probe is a STREAM-STATIC join against the persisted capped store
+    (`dhash_band_store`) — stored images never re-decode, the store
+    side never shuffles per trigger when bucketed on (band, bv).
+    Output is the (img, store_id, hamming) hit triple table; per-image
+    rollups (countDistinct + the miss left-fill) happen downstream
+    exactly where the batch twin `image_dhash_incremental` computes
+    them.  tests/test_streaming.py pins stream triples == batch."""
+    from dronedb_spark.multimodal.phash import _hash_bands, dhash_images
+
+    probe = _hash_bands(dhash_images(batch_media_stream)).select(
+        F.col("media_id").alias("img"),
+        F.col("h1").alias("h1p"),
+        F.col("h2").alias("h2p"),
+        "band",
+        "bv",
+    )
+    ham = F.expr("bit_count(h1p ^ h1) + bit_count(h2p ^ h2)")
+    return (
+        probe.join(store, ["band", "bv"])
+        .select(
+            "img", F.col("media_id").alias("store_id"), ham.alias("hamming")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

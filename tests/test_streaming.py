@@ -454,3 +454,51 @@ def test_stream_substring_probe_matches_batch(spark, sf_dir, tmp_path):
         .collect()
     }
     assert set(got) == want and len(want) > 0
+
+
+def test_stream_image_probe_matches_batch(spark, tmp_path):
+    """Streaming dHash probe (stream-static band join) emits exactly
+    the batch probe's hit triples on the same store/batch split."""
+    from dronedb_spark.multimodal.phash import (
+        _PH_MAX_DF,
+        _PH_N_PAIR,
+        _PH_NOVEL,
+        _gen_ph_png,
+        dhash_band_store,
+    )
+    from dronedb_spark.streaming.dedup import stream_image_probe
+    from dronedb_spark.tables import spread
+
+    store_ids = [i for i in range(2 * _PH_N_PAIR) if i % 2 == 0]
+    batch_ids = [i for i in range(2 * _PH_N_PAIR) if i % 2 == 1] + [
+        100 + j for j in range(_PH_NOVEL)
+    ]
+    store_media = _gen_ph_png(
+        spread(spark.createDataFrame([(int(i),) for i in store_ids], "id long"))
+    )
+    batch_media = _gen_ph_png(
+        spread(spark.createDataFrame([(int(i),) for i in batch_ids], "id long"))
+    )
+    store = dhash_band_store(store_media, max_df=_PH_MAX_DF)
+
+    src = str(tmp_path / "media")
+    batch_media.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    out = stream_image_probe(stream, store)
+    got = []
+    q = (
+        out.writeStream.foreachBatch(
+            lambda d, _eid: got.extend(tuple(r) for r in d.collect())
+        )
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+
+    # the same plan runs batch when fed static frames — that IS the twin
+    want = {tuple(r) for r in stream_image_probe(batch_media, store).collect()}
+    assert set(got) == want and len(want) > 0
