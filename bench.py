@@ -259,9 +259,13 @@ HEADLINE = [
     "salted_join_rollup",
     "sft_mask_rollup",
     "semdedup_incremental",
+    "hll_set_algebra",
+    "semdedup_cell_rollup_10x",
 ]
 
 _SMALL_RESULT = {
+    "hll_set_algebra",
+    "semdedup_cell_rollup_10x",
     "ewma_daily_close",
     "filtered_ivf_top10",
     "ann_multiprobe_top5",

@@ -470,3 +470,82 @@ def q_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "cell int, n_batch bigint, n_removed bigint, removed_id_sum bigint"
     )
+
+
+# ------------------------------------------------------ 10x load twin --
+
+_10X_COPIES = 10
+_10X_STRIDE = 100_000
+
+
+def _with_10x_copies(embeddings: DataFrame) -> DataFrame:
+    """Ten ×(1 + c/8) scalings of every vector under remapped ids — the
+    'same corpus re-embedded ten times' degenerate-heavy case: scaling
+    is cosine-invariant, so every cell fills with 10-member identical
+    directions and the pair kernel runs at 100× its per-cell load while
+    the expected answer stays closed-form (keep the lowest id per
+    group)."""
+    spark = embeddings.sparkSession
+    copies = F.broadcast(
+        spark.createDataFrame(
+            [(c,) for c in range(_10X_COPIES)], "c int"
+        )
+    )
+    return embeddings.join(copies).select(
+        (F.col("vec_id") + F.col("c").cast("bigint") * _10X_STRIDE).alias(
+            "vec_id"
+        ),
+        "label",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: x * (F.lit(1.0) + F.col("c") / F.lit(8.0)),
+        ).alias("embedding"),
+    )
+
+
+@check(
+    "semdedup_cell_rollup_10x",
+    oracle=f"""
+        WITH base AS (
+            SELECT e.vec_id + c.c * {_10X_STRIDE} AS vec_id,
+                   list_transform(CAST(e.embedding AS DOUBLE[]),
+                                  x -> x * (1.0 + c.c / 8.0)) AS embedding
+            FROM embeddings e,
+                 (SELECT unnest(range(0, {_10X_COPIES})) AS c) c),
+        c AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS c_emb
+              FROM base WHERE vec_id < {N_CENTROIDS}),
+        scored AS (
+            SELECT e.vec_id,
+                   {_d_packed(_D_DOT.format(a='e.embedding', b='c.c_emb')
+                              + ' / (' + _D_NORM.format(v='e.embedding')
+                              + ' * ' + _D_NORM.format(v='c.c_emb') + ')',
+                              'c.cid')} AS packed
+            FROM base e CROSS JOIN c),
+        assign AS (
+            SELECT s.vec_id,
+                   CAST(substr(MIN(s.packed), 10, 2) AS INT) AS cell
+            FROM scored s GROUP BY s.vec_id),
+        e AS (
+            SELECT a.vec_id, a.cell, b.embedding
+            FROM assign a JOIN base b USING (vec_id)),
+        dup AS (
+            SELECT DISTINCT x.vec_id
+            FROM e x JOIN e y
+              ON y.cell = x.cell AND y.vec_id < x.vec_id
+            WHERE CAST(ROUND({_D_DOT.format(a='x.embedding', b='y.embedding')}
+                  / ({_D_NORM.format(v='x.embedding')}
+                     * {_D_NORM.format(v='y.embedding')})
+                  * 1000000) AS BIGINT) >= {TAU_MICRO})
+        SELECT e.cell,
+               CAST(COUNT(1) AS BIGINT) AS n_vecs,
+               CAST(COUNT(d.vec_id) AS BIGINT) AS n_removed,
+               CAST(COALESCE(SUM(d.vec_id), 0) AS BIGINT) AS removed_id_sum
+        FROM e LEFT JOIN dup d ON d.vec_id = e.vec_id
+        GROUP BY e.cell ORDER BY e.cell""",
+)
+def q_semdedup_10x(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pair kernel at 100× per-cell load: ten cosine-invariant
+    scalings of the corpus — every direction group must collapse to its
+    lowest id, oracle re-derives every cell's accounting."""
+    corpus = _with_10x_copies(load(spark, sf_dir, "embeddings"))
+    return semdedup_rollup(corpus).orderBy("cell")
