@@ -261,9 +261,11 @@ HEADLINE = [
     "semdedup_incremental",
     "hll_set_algebra",
     "semdedup_cell_rollup_10x",
+    "value_percentiles",
 ]
 
 _SMALL_RESULT = {
+    "value_percentiles",
     "hll_set_algebra",
     "semdedup_cell_rollup_10x",
     "ewma_daily_close",

@@ -76,7 +76,7 @@ _ROUND10_PRIORITY = [
     # (locally verified at sf0.001+sf0.01 this round, zero driver rows)
     "semdedup_cell_rollup", "inverted_store_incremental",
     "mixture_temperature_plan", "ewma_daily_close", "filtered_ivf_top10",
-    "scd2_asof_enrichment", "compact_execute_groups", "ann_multiprobe_top5", "ann_store_multiprobe", "top_domains_other", "crawl_worker_schedule", "salted_join_rollup", "sft_mask_rollup", "semdedup_incremental", "hll_set_algebra", "semdedup_cell_rollup_10x",
+    "scd2_asof_enrichment", "compact_execute_groups", "ann_multiprobe_top5", "ann_store_multiprobe", "top_domains_other", "crawl_worker_schedule", "salted_join_rollup", "sft_mask_rollup", "semdedup_incremental", "hll_set_algebra", "semdedup_cell_rollup_10x", "value_percentiles",
     # --- back-fill: families with older last-greens ---------------------
     "catalog_workflow_lifecycle", "catalog_rescan_types",
     "push_needed_files", "pull_delta_plan",
@@ -230,6 +230,7 @@ def load_all() -> dict[str, Check]:
     import dronedb_spark.vectors.filtered  # noqa: F401  (filtered ANN probe widening, new in r10)
     import dronedb_spark.operators.salting  # noqa: F401  (skew-salted join, new in r10)
     import dronedb_spark.text.sft  # noqa: F401  (SFT turn masking, new in r10)
+    import dronedb_spark.operators.percentiles  # noqa: F401  (exact P50/95/99, new in r10)
     import dronedb_spark.operators.autocorr  # noqa: F401  (rate autocorrelation, new in r9)
     import dronedb_spark.operators.skewprof  # noqa: F401  (join-skew profile, new in r9)
     import dronedb_spark.catalog.constraints  # noqa: F401  (constraint audit, new in r9)
