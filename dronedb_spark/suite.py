@@ -76,7 +76,11 @@ _ROUND10_PRIORITY = [
     # (locally verified at sf0.001+sf0.01 this round, zero driver rows)
     "semdedup_cell_rollup", "inverted_store_incremental",
     "mixture_temperature_plan", "ewma_daily_close", "filtered_ivf_top10",
-    "scd2_asof_enrichment", "compact_execute_groups", "ann_multiprobe_top5", "ann_store_multiprobe", "top_domains_other", "crawl_worker_schedule", "salted_join_rollup", "sft_mask_rollup", "semdedup_incremental", "hll_set_algebra", "semdedup_cell_rollup_10x", "value_percentiles",
+    "scd2_asof_enrichment", "compact_execute_groups",
+    "ann_multiprobe_top5", "ann_store_multiprobe", "top_domains_other",
+    "crawl_worker_schedule", "salted_join_rollup", "sft_mask_rollup",
+    "semdedup_incremental", "hll_set_algebra", "semdedup_cell_rollup_10x",
+    "value_percentiles",
     # --- back-fill: families with older last-greens ---------------------
     "catalog_workflow_lifecycle", "catalog_rescan_types",
     "push_needed_files", "pull_delta_plan",
