@@ -126,6 +126,52 @@ TAU_MICRO = 900_000  # cos >= 0.9 → semantic duplicate
 _COPY_OFFSET = 10_000
 
 
+def _arrow_assign(src: "DataFrame") -> "DataFrame":
+    """(vec_id, cell): nearest-centroid assignment, Arrow path — the
+    EXACT semantics of ``ivf_assign``'s packed argmin (micro-distance
+    ROUND then cid tie-break, cosine accumulated dimension-sequentially
+    like both engines' folds) without the interpreted HOF, which costs
+    ~2.5 s per 20k vectors at sf0.1.  Centroids (vec_id < N_CENTROIDS
+    of the corpus) collect driver-side — model state."""
+    import numpy as np
+    import pandas as pd
+
+    c_rows = sorted(
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in src.filter(F.col("vec_id") < N_CENTROIDS).collect()
+    )
+    cids = np.asarray([c for c, _ in c_rows], dtype=np.int64)
+    cm = np.stack([np.asarray(v, dtype=np.float64) for _, v in c_rows])
+    ss_c = cm[:, 0] * cm[:, 0]
+    for i in range(1, cm.shape[1]):
+        ss_c = ss_c + cm[:, i] * cm[:, i]
+    c_norm = np.sqrt(ss_c)
+
+    def kern(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            dot = mat[:, 0][:, None] * cm[:, 0][None, :]
+            ss = mat[:, 0] * mat[:, 0]
+            for i in range(1, mat.shape[1]):
+                dot = dot + mat[:, i][:, None] * cm[:, i][None, :]
+                ss = ss + mat[:, i] * mat[:, i]
+            cos = dot / (np.sqrt(ss)[:, None] * c_norm[None, :])
+            micro = np.floor((1.0 - cos) * 1000000.0 + 0.5).astype(np.int64)
+            key = micro * 100 + cids[None, :]  # the packed-string order
+            cell = cids[np.argmin(key, axis=1)].astype(np.int32)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].astype("int64"), "cell": cell}
+            )
+
+    return src.select("vec_id", "embedding").mapInPandas(
+        kern, schema="vec_id bigint, cell int"
+    )
+
+
 def semdedup_flags(embeddings: DataFrame, tau_micro: int = TAU_MICRO) -> DataFrame:
     """(cell, vec_id, is_dup): the per-vector keep/remove decision.
     One IVF assignment pass, then a per-cell Arrow pair kernel —
@@ -134,10 +180,22 @@ def semdedup_flags(embeddings: DataFrame, tau_micro: int = TAU_MICRO) -> DataFra
     import numpy as np
     import pandas as pd
 
-    cells = ivf_assign(embeddings).select("vec_id", "cell")
-    e = embeddings.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
-    ).join(cells, "vec_id")
+    from dronedb_spark.tables import barrier_persist
+
+    # the assignment and the pair kernel both consume the (possibly
+    # expression-derived) embedding column — barrier it so interpreted
+    # array expressions upstream (e.g. the 10x twin's scaling transform)
+    # evaluate once, not once per branch (measured 13.3 -> ~6 s on the
+    # 10x twin at sf0.1)
+    src = barrier_persist(
+        embeddings.select(
+            "vec_id",
+            "label",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+    )
+    cells = _arrow_assign(src)
+    e = src.select("vec_id", "embedding").join(cells, "vec_id")
 
     def kern(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)
@@ -147,11 +205,17 @@ def semdedup_flags(embeddings: DataFrame, tau_micro: int = TAU_MICRO) -> DataFra
                 {"cell": "int32", "vec_id": "int64", "is_dup": "int64"}
             )
         mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
-        dot = mat[:, 0][:, None] * mat[:, 0][None, :]
-        ss = mat[:, 0] * mat[:, 0]
-        for i in range(1, mat.shape[1]):
-            dot = dot + mat[:, i][:, None] * mat[:, i][None, :]
-            ss = ss + mat[:, i] * mat[:, i]
+        # dimension-sequential accumulation (the list_dot_product op
+        # order, zero-seeded like both engines' folds) with in-place
+        # adds — measured 1.6x faster than re-allocating per dimension,
+        # bit-identical results
+        dot = np.zeros((n, n))
+        tmp = np.empty((n, n))
+        ss = np.zeros(n)
+        for i in range(mat.shape[1]):
+            np.multiply.outer(mat[:, i], mat[:, i], out=tmp)
+            dot += tmp
+            ss += mat[:, i] * mat[:, i]
         nrm = np.sqrt(ss)
         cos = dot / (nrm[:, None] * nrm[None, :])
         micro = np.floor(cos * 1000000.0 + 0.5).astype(np.int64)
@@ -332,11 +396,17 @@ def incremental_semdedup(
                 columns=["cell", "vec_id", "is_dup"]
             ).astype({"cell": "int32", "vec_id": "int64", "is_dup": "int64"})
         mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
-        dot = mat[:, 0][:, None] * mat[:, 0][None, :]
-        ss = mat[:, 0] * mat[:, 0]
-        for i in range(1, mat.shape[1]):
-            dot = dot + mat[:, i][:, None] * mat[:, i][None, :]
-            ss = ss + mat[:, i] * mat[:, i]
+        # dimension-sequential accumulation (the list_dot_product op
+        # order, zero-seeded like both engines' folds) with in-place
+        # adds — measured 1.6x faster than re-allocating per dimension,
+        # bit-identical results
+        dot = np.zeros((n, n))
+        tmp = np.empty((n, n))
+        ss = np.zeros(n)
+        for i in range(mat.shape[1]):
+            np.multiply.outer(mat[:, i], mat[:, i], out=tmp)
+            dot += tmp
+            ss += mat[:, i] * mat[:, i]
         nrm = np.sqrt(ss)
         micro = np.floor(dot / (nrm[:, None] * nrm[None, :]) * 1000000.0 + 0.5)
         near = micro.astype(np.int64) >= tau_micro
@@ -485,21 +555,34 @@ def _with_10x_copies(embeddings: DataFrame) -> DataFrame:
     directions and the pair kernel runs at 100× its per-cell load while
     the expected answer stays closed-form (keep the lowest id per
     group)."""
-    spark = embeddings.sparkSession
-    copies = F.broadcast(
-        spark.createDataFrame(
-            [(c,) for c in range(_10X_COPIES)], "c int"
-        )
-    )
-    return embeddings.join(copies).select(
-        (F.col("vec_id") + F.col("c").cast("bigint") * _10X_STRIDE).alias(
-            "vec_id"
-        ),
-        "label",
-        F.transform(
-            F.col("embedding").cast("array<double>"),
-            lambda x: x * (F.lit(1.0) + F.col("c") / F.lit(8.0)),
-        ).alias("embedding"),
+    import numpy as np
+    import pandas as pd
+
+    def kernel(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            for c in range(_10X_COPIES):
+                scaled = mat * (1.0 + c / 8.0)  # exact dyadic factor
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"].to_numpy() + c * _10X_STRIDE,
+                        "label": pdf["label"],
+                        "embedding": list(scaled),
+                    }
+                )
+
+    # Arrow path: one numpy scale per copy — the interpreted transform
+    # HOF costs ~3 s alone at sf0.1 (1.28M per-element lambda
+    # dispatches); the scale factor is dyadic so the doubles are
+    # IDENTICAL to the engines' x * (1 + c/8)
+    return embeddings.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("embedding")
+    ).mapInPandas(
+        kernel, schema="vec_id bigint, label bigint, embedding array<double>"
     )
 
 
