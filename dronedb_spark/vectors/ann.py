@@ -387,3 +387,19 @@ def q_ann_store_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "vec_id bigint, label bigint, cos_sim double"
     )
+
+
+def update_ann_store(batch: DataFrame, path: str) -> None:
+    """The daily-ingest increment for the LSH store: a new batch's
+    banded rows APPEND into the existing bucket directories — sign
+    buckets derive from vector bytes alone, so no read-merge-rewrite
+    of yesterday's index and a probe over the updated store sees old +
+    new vectors through the same partition-pruned scan (the
+    ``update_postings_store`` discipline)."""
+    (
+        batch.withColumn("bucket", _bucket_col())
+        .repartition("bucket")
+        .write.partitionBy("bucket")
+        .mode("append")
+        .parquet(path)
+    )

@@ -123,3 +123,39 @@ def test_ann_store_probe_prunes_partitions(spark, sf_dir, tmp_path):
     assert "embeddings.parquet" not in f
     part = f[f.index("PartitionFilters"):]
     assert "bucket" in part[:250]
+
+
+def test_ann_store_incremental_append_equals_full(spark, sf_dir, tmp_path):
+    """Store(old) + append(batch) answers multi-probe exactly like
+    store(full), and old bucket files survive byte-identical."""
+    import os
+
+    from dronedb_spark.vectors.ann import (
+        ann_store_multiprobe,
+        update_ann_store,
+        write_ann_store,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    inc = str(tmp_path / "inc")
+    full = str(tmp_path / "full")
+    write_ann_store(emb.filter(F.col("vec_id") % 5 != 0), inc)
+    before = {
+        os.path.join(d, f): os.path.getsize(os.path.join(d, f))
+        for d, _, fs in os.walk(inc)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    update_ann_store(emb.filter(F.col("vec_id") % 5 == 0), inc)
+    assert {p: os.path.getsize(p) for p in before} == before
+    write_ann_store(emb, full)
+    q_emb = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    got = {
+        tuple(r)
+        for r in ann_store_multiprobe(spark, inc, q_emb, 5, exclude_vec_id=0).collect()
+    }
+    want = {
+        tuple(r)
+        for r in ann_store_multiprobe(spark, full, q_emb, 5, exclude_vec_id=0).collect()
+    }
+    assert got == want and len(got) == 5
