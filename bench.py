@@ -264,6 +264,28 @@ HEADLINE = [
     "value_percentiles",
 ]
 
+
+def _ever_gated_names() -> list[str]:
+    """Union of every committed driver CORRECTNESS artifact's keys — the
+    set of checks that ever earned a driver gate row.  Bench coverage ==
+    gate coverage (r10 verdict): the 2× regression gate can only see a
+    query it times, so every ever-gated check gets a bench row; names
+    not in the live registry (renamed/retired) are filtered by the
+    caller."""
+    import glob as _glob
+
+    names: set[str] = set()
+    pat = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "CORRECTNESS_r*.json"
+    )
+    for f in sorted(_glob.glob(pat)):
+        try:
+            with open(f) as fh:
+                names |= set(json.load(fh).keys())
+        except Exception:
+            pass
+    return sorted(names)
+
 _SMALL_RESULT = {
     "value_percentiles",
     "hll_set_algebra",
@@ -335,6 +357,16 @@ def main() -> None:
 
     spark = get_spark("dronedb_spark_bench", cpus=cpus)
     registry = load_all()
+
+    # Append every ever-gated check missing from the curated list (in
+    # name order, AFTER it, so committed per-query history lines up) —
+    # bench coverage == gate coverage, automatically, as new driver
+    # rounds land new CORRECTNESS rows.
+    seen = set(HEADLINE)
+    for name in _ever_gated_names():
+        if name not in seen and name in registry:
+            HEADLINE.append(name)
+            seen.add(name)
 
     # Warm-up: JVM JIT + whole-stage-codegen class cache + parquet footers.
     # Each headline query runs once at the smallest SF so the measured pass

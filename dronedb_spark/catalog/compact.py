@@ -102,21 +102,45 @@ ROWS_TARGET = 5_000  # execution check packs by row count (reproducible
 
 
 def execute_compaction(
-    slices: DataFrame, slice_col: str, plan: DataFrame, out_dir: str
+    slices: DataFrame,
+    slice_col: str,
+    plan: DataFrame,
+    out_dir: str,
+    path_of=None,
 ) -> None:
     """EXECUTE a compaction plan: every input slice's rows land in its
     group's directory, repartitioned so each group writes exactly one
     packed file.  One shuffle on the group id — the rewrite cost is the
-    rewritten bytes, never a per-group job."""
+    rewritten bytes, never a per-group job.
+
+    ``path_of`` maps the slice column to the plan's ``path`` key (a
+    Column → Column callable); the default is the catalog scheme the
+    ``compact_execute_groups`` check uses (``li/<slice lpad 4>``).
+    Any slice row whose derived path is NOT in the plan raises inside
+    the write (per-row ``raise_error`` on the left join's null side) —
+    a mismatched path scheme fails loudly instead of silently writing
+    an empty store."""
+    if path_of is None:
+        path_of = lambda c: F.concat(  # noqa: E731
+            F.lit("li/"), F.lpad(c.cast("string"), 4, "0")
+        )
     mapping = plan.select(
         F.col("path").alias("_p"), F.col("group_no").alias("grp")
     )
-    keyed = slices.withColumn(
-        "_p", F.concat(F.lit("li/"), F.lpad(F.col(slice_col).cast("string"), 4, "0"))
+    keyed = slices.withColumn("_p", path_of(F.col(slice_col)))
+    joined = keyed.join(F.broadcast(mapping), "_p", "left").withColumn(
+        "grp",
+        F.when(F.col("grp").isNotNull(), F.col("grp")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("execute_compaction: slice path not in plan: "),
+                    F.col("_p"),
+                )
+            )
+        ),
     )
     (
-        keyed.join(F.broadcast(mapping), "_p")
-        .drop("_p")
+        joined.drop("_p")
         .repartition("grp")
         .write.partitionBy("grp")
         .mode("overwrite")

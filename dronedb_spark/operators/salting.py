@@ -38,7 +38,22 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """fact ⋈ dim on ``key`` with an ``n_salt``-way salt: identical
-    rows to the plain join, hot keys spread across ``n_salt`` tasks."""
+    rows to the plain join, hot keys spread across ``n_salt`` tasks.
+
+    ``how`` is restricted to the fact-preserving join types.  The dim
+    side is replicated ``n_salt``×, so a dim row with NO fact match
+    would surface ``n_salt`` duplicate rows under right/full outer —
+    violating the identity this operator promises.  Fact-side outer
+    types are safe: an unmatched fact row carries exactly one salt.
+    """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports fact-preserving joins only {sorted(allowed)}; "
+            f"got {how!r} — right/full outer would emit n_salt duplicates of "
+            "unmatched dim rows (the dim side is replicated per salt)"
+        )
     salted_fact = fact.withColumn(
         "_salt",
         (

@@ -68,6 +68,14 @@ def _make_fold(origin_idx: int, p: int, q: int, bucket_s: int):
             for pdf in pdfs:
                 for t_us in pdf["t_us"].to_numpy():
                     b = int(t_us) // bu
+                    # late-row guard (mirrors _scd2_reorder_fold): a row
+                    # whose bucket already folded would sit in `pend`
+                    # forever — the fold loop never revisits idx <=
+                    # last_idx — leaking state if Spark's late filter
+                    # ever lets one through (watermark updates lag a
+                    # microbatch).
+                    if b <= last_idx:
+                        continue
                     pend[b] = pend.get(b, 0) + 1
         # a bucket b is FINAL once wm passes its end: (b+1)·bu <= wm —
         # fold EVERY final index from the frontier, zeros included (the

@@ -41,6 +41,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from dronedb_spark.streaming.reorder import buf_columns, split_ready
+
 EPISODE_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),
@@ -162,23 +164,18 @@ def _scd2_reorder_fold(
         buf = list(zip(bt, be, bs))
     else:
         cur, vfrom, n, buf = None, None, 0, []
-    # a buffered event folds only once the watermark STRICTLY passes its
-    # event time: every event with time t arrives while wm <= t (Spark
-    # drops t < wm input) and all of them fold together, (t, event_id)-
-    # sorted, in the first batch with wm > t — deterministic under any
-    # reordering bounded by the delay
-    ready = sorted((t, e, s) for t, e, s in buf if t < wm_us)
-    pend = [(t, e, s) for t, e, s in buf if t >= wm_us]
-    for pdf in pdfs:
+    # shared reorder front (streaming/reorder.py): buffered events fold
+    # only once the watermark STRICTLY passes their event time, in
+    # (t, event_id) order — deterministic under any reordering bounded
+    # by the delay; behind-watermark input is guarded out
+    arrivals = (
+        (int(t_us), int(eid), st)
+        for pdf in pdfs
         for t_us, eid, st in zip(
             pdf["t_us"].to_numpy(), pdf["event_id"].to_numpy(), pdf["state"]
-        ):
-            t_us = int(t_us)
-            if t_us >= wm_us:
-                pend.append((t_us, int(eid), st))
-            # else: later than the watermark delay — dropped (Spark's
-            # late filter already removes these; this guard keeps the
-            # kernel correct even if it ever saw one)
+        )
+    )
+    ready, pend = split_ready(buf, arrivals, wm_us)
     closed: list[dict] = []
     for t_us, _eid, st in ready:
         if cur is None:
@@ -196,16 +193,7 @@ def _scd2_reorder_fold(
                 }
             )
             cur, vfrom, n = st, t_us, 1
-    state.update(
-        (
-            cur,
-            vfrom,
-            n,
-            [t for t, _, _ in pend],
-            [e for _, e, _ in pend],
-            [s for _, _, s in pend],
-        )
-    )
+    state.update((cur, vfrom, n, *buf_columns(pend, 3)))
     yield pd.DataFrame(closed) if closed else _EMPTY_EPISODES
 
 

@@ -33,6 +33,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from dronedb_spark.operators.sessionize import GAP_S
+from dronedb_spark.streaming.reorder import buf_columns, split_ready
 
 SESSION_SCHEMA = T.StructType(
     [
@@ -72,16 +73,17 @@ def _make_fold(gap_us: int):
             buf = list(zip(bt, be))
         else:
             n_closed, ostart, olast, on, buf = 0, None, None, 0, []
-        if not state.hasTimedOut:
-            for pdf in pdfs:
-                for t_us, eid in zip(
-                    pdf["t_us"].to_numpy(), pdf["event_id"].to_numpy()
-                ):
-                    t_us = int(t_us)
-                    if t_us >= wm_us:  # later rows: watermark-dropped
-                        buf.append((t_us, int(eid)))
-        ready = sorted((t, e) for t, e in buf if t < wm_us)
-        pend = [(t, e) for t, e in buf if t >= wm_us]
+        # shared reorder front (streaming/reorder.py): fold in
+        # (event_time, event_id) order once the watermark passes;
+        # behind-watermark input is guarded out
+        arrivals = (
+            (int(t_us), int(eid))
+            for pdf in ([] if state.hasTimedOut else pdfs)
+            for t_us, eid in zip(
+                pdf["t_us"].to_numpy(), pdf["event_id"].to_numpy()
+            )
+        )
+        ready, pend = split_ready(buf, arrivals, wm_us)
         closed: list[dict] = []
 
         def close_open():
@@ -112,16 +114,7 @@ def _make_fold(gap_us: int):
         # t >= wm) can extend a session once wm passes last + gap
         if ostart is not None and wm_us > olast + gap_us:
             close_open()
-        state.update(
-            (
-                n_closed,
-                ostart,
-                olast,
-                on,
-                [t for t, _ in pend],
-                [e for _, e in pend],
-            )
-        )
+        state.update((n_closed, ostart, olast, on, *buf_columns(pend, 2)))
         # wake this key again at the earliest event-time that can change
         # its output: the open session's close horizon, or the first
         # pending event becoming foldable

@@ -30,77 +30,64 @@ def check(name: str, oracle: str | None = None):
     return deco
 
 
-# Round-10 gating order under the driver's HARD 50-check budget
-# (every CORRECTNESS_r0* holds exactly 50 rows).  Slots 1-32 are the
-# r9 overflow window EXACTLY as drafted below r9's "50-slot budget
-# line" (all locally verified + judge-sim verified 32/32 at sf0.01 in
-# the r9 verdict, zero driver rows — the r9 verdict's #1 instruction).
-# Slots 33-35: the r10 verdict deliverables (new checks).  Slots
-# 36-43: re-gates of every family whose code was touched this round.
-# Slots 44-50: the refresh band the verdict named (pre-r5 last-gates).
-_ROUND10_PRIORITY = [
-    # --- r9 overflow debuts (1-32, verbatim order) ---------------------
-    "stream_substring_probe_twin", "domain_components",
-    "stratified_length_sample", "bpe_fertility_profile",
-    "image_dup_clusters", "event_rate_cusum", "jaccard_ssjoin_pairs",
-    "winnow_store_probe", "video_fp_incremental", "eval_set_pipeline_rollup",
-    "classifier_roc_auc", "classifier_calibration_bins",
-    "inverted_phrase_query", "ohlc_downsample", "ivf_recall_curve",
-    "sitemap_frontier_plan", "zorder_layout_skipping",
-    "event_autocorrelation", "kwic_snippets", "hll_merge_daily",
-    "join_skew_profile", "table_constraint_audit", "scd2_state_intervals",
-    "preference_pair_build", "events_pivot_daily", "events_cube_counts",
-    "inverted_phrase_query_10x", "leakage_free_split", "ab_wilson_readout",
-    "quantile_normalize_scores", "zorder_rewrite_plan", "slo_burn_alerts",
-    # --- r10 verdict deliverables (new checks) --------------------------
-    "inverted_store_probe",           # #2: persisted postings store probe
-    "maintenance_compact_zorder",     # #7: composed compact+zorder plan
-    "events_rollup_counts",           # #7: rollup twin of the cube
-    # --- touched-family re-gates ----------------------------------------
-    "binq_hamming_top10",             # #4: n_hint fit gate (no count job)
-    "binq_rerank_top10",
-    "binq_store_probe",
-    "compact_plan_groups",            # compact_plan consumed by maintenance
-    # (inverted_phrase_query/_10x, kwic_snippets, scd2_state_intervals,
-    #  zorder_rewrite_plan already re-gate above as overflow debuts)
-    # --- refresh band (pre-r5 last-gates, verdict-named) ----------------
-    "zonal_volume_polygon",
-    "stockpile_mass_balance",
-    "contour_segment_counts",
-    "meta_restore_merge",
-    "dedup_jaccard_pairs",
-    "winnow_overlap_pairs",
-    "ivfpq_store_probe",
-    # ================= 50-slot budget line (r11 window starts here) ====
-    # r10 breadth added after the window filled: debut in the r11 gate
-    # (locally verified at sf0.001+sf0.01 this round, zero driver rows)
-    "semdedup_cell_rollup", "inverted_store_incremental",
-    "mixture_temperature_plan", "ewma_daily_close", "filtered_ivf_top10",
-    "scd2_asof_enrichment", "compact_execute_groups",
-    "ann_multiprobe_top5", "ann_store_multiprobe", "top_domains_other",
+# Round-11 gating order under the driver's HARD 50-check budget
+# (every CORRECTNESS_r0* holds exactly 50 rows).  Slots 1-13 are the
+# 13 r10-overflow debuts EXACTLY as the r10 verdict's #1 instruction
+# names them (sim-verified 13/13 at sf0.01 by the judge, zero driver
+# rows).  Next: the r11 verdict-deliverable checks (new this round),
+# then re-gates of every family whose code was touched by the r11
+# fixes (SemDeDup guard, EWMA late-row guard, salted-join how
+# restriction, compact path parameterization, HLL empty-state fix,
+# shared reorder-front extraction), then the back-fill band of the
+# oldest last-greens (r1/r2 families) to fill the 50.
+_ROUND11_PRIORITY = [
+    # --- r10 overflow debuts (1-13, verdict #1 verbatim) ----------------
+    "semdedup_cell_rollup_10x", "semdedup_incremental",
+    "filtered_ivf_top10", "ann_multiprobe_top5", "ann_store_multiprobe",
+    "scd2_asof_enrichment", "compact_execute_groups", "top_domains_other",
     "crawl_worker_schedule", "salted_join_rollup", "sft_mask_rollup",
-    "semdedup_incremental", "hll_set_algebra", "semdedup_cell_rollup_10x",
-    "value_percentiles",
-    # --- back-fill: families with older last-greens ---------------------
-    "catalog_workflow_lifecycle", "catalog_rescan_types",
-    "push_needed_files", "pull_delta_plan",
-    "clone_plan_downloads", "delta_adds", "apply_delta_classify",
-    "meta_rollup", "stamp_checksum",
-    "sqlite_catalog_entries", "vector_query_page", "vector_describe",
-    "mvt_tile_features", "raster_area_stats",
-    "dedup_cluster_ids", "stac_item_proj_fields",
-    "pq_adc_top10", "ivfpq_adc_top10",
-    "bpe_encode_corpus", "bpe_encode_corpus_10x", "doc_chunks_overlap",
-    "doc_chunks_overlap_10x", "video_scene_cuts", "shard_shuffle_assign",
-    "aspect_bucket_batches", "hard_negative_mining",
-    "embedding_eval_decontam", "flight_session_rollup",
+    "hll_set_algebra", "value_percentiles",
+    # --- r11 deliverables (new checks this round) ------------------------
+    "sft_pack_batches",               # verdict #6a: sequence packing
+    "stream_hll_registers_twin",      # verdict #6b: streaming HLL twin
+    # (more r11 breadth appended below as it lands)
+    # --- touched-family re-gates (r11 fixes touched these modules) -------
+    "semdedup_cell_rollup",           # #2: max_cell_rows guard in semdedup.py
+    "ewma_daily_close",               # ADVICE: late-row guard in streaming/ewma.py
+    "maintenance_compact_zorder",     # ADVICE: compact.py path parameterization
+    "compact_plan_groups",
+    "hll_merge_daily",                # ADVICE: empty-state COALESCE in sketch.py
+    "scd2_state_intervals",           # #4: shared reorder front extraction
+    "sessionize_gap_windows",
+    "inverted_store_incremental",     # r10-gated sibling of the touched store
+    "mixture_temperature_plan",
+    # --- back-fill band: oldest last-greens (r1/r2 families) -------------
+    "q1_pricing_summary", "q2_min_cost_supplier", "q4_order_priority",
+    "q5_region_revenue", "q6_forecast_revenue",
+    "dataset_counts", "temporal_extent", "spatial_extent",
+    "entries_meta_join", "entry_info", "tag_parse", "status_classify",
+    "delta_adds", "delta_removes", "apply_delta_classify",
+    "catalog_list_folder", "catalog_missing_folders",
+    "catalog_type_filter_paging", "meta_rollup",
+    "dedup_exact_groups", "dedup_corpus_segments",
+    "text_lang_id", "text_quality_metrics", "text_repetition_metrics",
+    "text_fingerprint", "vocab_top_tokens",
+    "events_hourly", "events_rollup", "events_topk_per_user",
+    "customer_acct_percentiles", "customer_segment_distinct",
+    "parts_topk_per_brand", "interval_join_windows", "salted_event_counts",
+    "stac_asset_fields",
+    # ================= 50-slot budget line (r12 window starts here) ====
+    "align_shift_recovery", "ann_bucket_histogram", "ann_lsh_top5",
+    "colormap_gray_hist", "contour_crossings", "copc_zorder_pages",
+    "embedding_neardup_pairs", "embedding_norm_stats",
+    "formula_engine_sweep", "formula_ndvi_vari_stats",
 ]
 
 
 def load_all() -> dict[str, Check]:
     """Import every operator module so its checks register, then reorder
     the registry so the checks that still need a driver CORRECTNESS row
-    (``_ROUND10_PRIORITY``) come first — the driver walks in order under a
+    (``_ROUND11_PRIORITY``) come first — the driver walks in order under a
     ~50-check budget and the already-green families can cede their slots.
     """
     # --- never-gated in round 1: register first -------------------------
@@ -262,7 +249,7 @@ def load_all() -> dict[str, Check]:
     import dronedb_spark.text.segdedup  # noqa: F401
     import dronedb_spark.text.repetition  # noqa: F401
 
-    ordered = {n: REGISTRY[n] for n in _ROUND10_PRIORITY if n in REGISTRY}
+    ordered = {n: REGISTRY[n] for n in _ROUND11_PRIORITY if n in REGISTRY}
     ordered.update((n, c) for n, c in REGISTRY.items() if n not in ordered)
     REGISTRY.clear()
     REGISTRY.update(ordered)

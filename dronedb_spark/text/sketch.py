@@ -353,10 +353,14 @@ def _hll_state(registers: DataFrame, set_name: str) -> DataFrame:
         F.sum(F.expr("CAST(shiftleft(CAST(1 AS BIGINT), 61 - max_rho) AS DECIMAL(38,0))")).alias("s_obs"),
         F.count(F.lit(1)).alias("n_obs"),
     )
+    # COALESCE: SUM over zero register rows is NULL, and NULL + the
+    # zeros term stays NULL — the EMPTY set must still produce the
+    # exact all-zero-register state M·2^61, not an unusable NULL
     return agg.select(
         F.lit(set_name).alias("set_name"),
         F.expr(
-            f"CAST(s_obs + CAST({M} - n_obs AS DECIMAL(38,0))"
+            f"CAST(COALESCE(s_obs, CAST(0 AS DECIMAL(38,0)))"
+            f" + CAST({M} - n_obs AS DECIMAL(38,0))"
             " * CAST(2305843009213693952 AS DECIMAL(38,0)) AS DOUBLE)"
         ).alias("s_inv"),
         (F.lit(M) - F.col("n_obs")).cast("bigint").alias("n_zero"),
@@ -409,7 +413,7 @@ def _d_user_regs(where: str) -> str:
 def _d_state(name: str, where: str) -> str:
     return f"""
         SELECT '{name}' AS set_name,
-               CAST(SUM(CAST(1 AS BIGINT) << (61 - max_rho))
+               CAST(COALESCE(SUM(CAST(1 AS BIGINT) << (61 - max_rho)), 0)
                     + ({M} - COUNT(1)) * CAST(2305843009213693952 AS HUGEINT)
                     AS DOUBLE) AS s_inv,
                CAST({M} - COUNT(1) AS BIGINT) AS n_zero,

@@ -16,6 +16,15 @@ At 100 TB: cell is the partitioning column (same layout the IVF index
 already wants), the self-join never crosses cells, and a skewed mega-
 cell is exactly the case AQE's skew-join split handles — or raise
 N_CENTROIDS, which shrinks every nᵢ quadratically.
+
+The Arrow pair kernels additionally enforce an IN-OPERATOR cell-size
+guard (``MAX_CELL_ROWS``): ``groupBy().applyInPandas`` hands the whole
+cell to one task, so an unguarded n×n scratch matrix on a skewed
+mega-cell would OOM before AQE can help.  Past the guard the pair loop
+tiles in fixed-size row blocks — scratch stays ≤ max_cell_rows²
+doubles, every dot product accumulates in the SAME dimension-
+sequential order, so results are bit-identical to the full-matrix
+path (pytest plants an oversized cell and pins equality).
 """
 
 from __future__ import annotations
@@ -125,6 +134,44 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 TAU_MICRO = 900_000  # cos >= 0.9 → semantic duplicate
 _COPY_OFFSET = 10_000
 
+# In-operator cell-size guard: cells up to this many rows use one full
+# n×n pass (two scratch matrices ≈ 2·max² doubles ≈ 256 MiB at 4096);
+# larger cells tile the pair loop in row blocks sized so each block's
+# (B × n) scratch never exceeds the same max² budget.  Bit-identical
+# either way — the guard changes MEMORY shape, never values.
+MAX_CELL_ROWS = 4_096
+
+
+def _near_blocks(mat, tau_micro: int, max_cell_rows: int, start: int = 0):
+    """Yield (lo, hi, near) blocks of the pair predicate micro-cosine ≥
+    tau over rows [start, n) × all rows — the full matrix in one block
+    when n ≤ max_cell_rows, else fixed-size row tiles whose (B × n)
+    scratch stays within the max_cell_rows² budget.  Accumulation is
+    dimension-sequential with in-place adds in BOTH shapes, so the
+    doubles (and the rounded micro integers) are identical."""
+    import numpy as np
+
+    n = mat.shape[0]
+    ss = np.zeros(n)
+    for i in range(mat.shape[1]):
+        ss += mat[:, i] * mat[:, i]
+    nrm = np.sqrt(ss)
+    if n <= max_cell_rows:
+        block = n - start if n > start else 1
+    else:
+        block = max(1, (max_cell_rows * max_cell_rows) // max(n, 1))
+    for lo in range(start, n, block):
+        hi = min(lo + block, n)
+        dot = np.zeros((hi - lo, n))
+        tmp = np.empty((hi - lo, n))
+        for i in range(mat.shape[1]):
+            np.multiply.outer(mat[lo:hi, i], mat[:, i], out=tmp)
+            dot += tmp
+        micro = np.floor(
+            dot / (nrm[lo:hi, None] * nrm[None, :]) * 1000000.0 + 0.5
+        ).astype(np.int64)
+        yield lo, hi, micro >= tau_micro
+
 
 def _arrow_assign(src: "DataFrame") -> "DataFrame":
     """(vec_id, cell): nearest-centroid assignment, Arrow path — the
@@ -172,11 +219,17 @@ def _arrow_assign(src: "DataFrame") -> "DataFrame":
     )
 
 
-def semdedup_flags(embeddings: DataFrame, tau_micro: int = TAU_MICRO) -> DataFrame:
+def semdedup_flags(
+    embeddings: DataFrame,
+    tau_micro: int = TAU_MICRO,
+    max_cell_rows: int = MAX_CELL_ROWS,
+) -> DataFrame:
     """(cell, vec_id, is_dup): the per-vector keep/remove decision.
     One IVF assignment pass, then a per-cell Arrow pair kernel —
     dimension-sequential accumulation (the list_dot_product op order),
-    micro-integer threshold, remove on any nearer LOWER id."""
+    micro-integer threshold, remove on any nearer LOWER id.  Cells past
+    ``max_cell_rows`` tile the pair loop (bit-identical, bounded
+    scratch — the mega-cell OOM guard)."""
     import numpy as np
     import pandas as pd
 
@@ -207,23 +260,13 @@ def semdedup_flags(embeddings: DataFrame, tau_micro: int = TAU_MICRO) -> DataFra
         mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
         # dimension-sequential accumulation (the list_dot_product op
         # order, zero-seeded like both engines' folds) with in-place
-        # adds — measured 1.6x faster than re-allocating per dimension,
-        # bit-identical results
-        dot = np.zeros((n, n))
-        tmp = np.empty((n, n))
-        ss = np.zeros(n)
-        for i in range(mat.shape[1]):
-            np.multiply.outer(mat[:, i], mat[:, i], out=tmp)
-            dot += tmp
-            ss += mat[:, i] * mat[:, i]
-        nrm = np.sqrt(ss)
-        cos = dot / (nrm[:, None] * nrm[None, :])
-        micro = np.floor(cos * 1000000.0 + 0.5).astype(np.int64)
-        near = micro >= tau_micro
-        # strictly-lower triangle: J removed if any I < J (vec_id order)
-        is_dup = np.array(
-            [bool(near[j, :j].any()) for j in range(n)], dtype=np.int64
-        )
+        # adds, block-tiled past max_cell_rows — bit-identical results
+        # in both shapes
+        is_dup = np.zeros(n, dtype=np.int64)
+        for lo, hi, near in _near_blocks(mat, tau_micro, max_cell_rows):
+            # strictly-lower triangle: J removed if any I < J (vec_id order)
+            for j in range(lo, hi):
+                is_dup[j] = int(bool(near[j - lo, :j].any()))
         return pd.DataFrame(
             {
                 "cell": pdf["cell"],
@@ -237,11 +280,15 @@ def semdedup_flags(embeddings: DataFrame, tau_micro: int = TAU_MICRO) -> DataFra
     )
 
 
-def semdedup_rollup(embeddings: DataFrame, tau_micro: int = TAU_MICRO) -> DataFrame:
+def semdedup_rollup(
+    embeddings: DataFrame,
+    tau_micro: int = TAU_MICRO,
+    max_cell_rows: int = MAX_CELL_ROWS,
+) -> DataFrame:
     """(cell, n_vecs, n_removed, removed_id_sum): the per-cell dedup
     accounting — removed_id_sum pins WHICH vectors were removed, not
     just how many."""
-    flags = semdedup_flags(embeddings, tau_micro)
+    flags = semdedup_flags(embeddings, tau_micro, max_cell_rows)
     return flags.groupBy("cell").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
         F.sum("is_dup").cast("bigint").alias("n_removed"),
@@ -355,6 +402,7 @@ def incremental_semdedup(
     batch: DataFrame,
     centroids: DataFrame,
     tau_micro: int = TAU_MICRO,
+    max_cell_rows: int = MAX_CELL_ROWS,
 ) -> DataFrame:
     """(cell, n_batch, n_removed, removed_id_sum): the daily increment —
     new vectors assign to cells (broadcast argmin against the carried
@@ -362,7 +410,8 @@ def incremental_semdedup(
     vector is removed when the STORE already holds a vector within the
     threshold (corpus-wins keep-first) or a LOWER batch id is.  The
     corpus is never re-scored against itself; the pair pass is
-    (batch × cell slice)-sized."""
+    (batch × cell slice)-sized, block-tiled past ``max_cell_rows``
+    (bounded scratch on a skewed mega-cell, bit-identical results)."""
     import numpy as np
     import pandas as pd
 
@@ -398,36 +447,29 @@ def incremental_semdedup(
         mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
         # dimension-sequential accumulation (the list_dot_product op
         # order, zero-seeded like both engines' folds) with in-place
-        # adds — measured 1.6x faster than re-allocating per dimension,
-        # bit-identical results
-        dot = np.zeros((n, n))
-        tmp = np.empty((n, n))
-        ss = np.zeros(n)
-        for i in range(mat.shape[1]):
-            np.multiply.outer(mat[:, i], mat[:, i], out=tmp)
-            dot += tmp
-            ss += mat[:, i] * mat[:, i]
-        nrm = np.sqrt(ss)
-        micro = np.floor(dot / (nrm[:, None] * nrm[None, :]) * 1000000.0 + 0.5)
-        near = micro.astype(np.int64) >= tau_micro
+        # adds, block-tiled past max_cell_rows — bit-identical results
+        # in both shapes.  Rows sorted store-first then vec_id, so only
+        # the batch tail [j0, n) needs pair rows at all.
         vids = pdf["vec_id"].to_numpy()
+        j0 = int(np.argmax(batch_mask))  # first batch row (store sorts first)
         rows = []
-        for j in range(n):
-            if not batch_mask[j]:
-                continue
-            # removed if near ANY store vector, or any LOWER-id batch one
-            dup = bool(
-                (near[j, ~batch_mask]).any()
-                or any(
-                    near[j, i]
-                    for i in range(n)
-                    if batch_mask[i] and vids[i] < vids[j]
+        for lo, hi, near in _near_blocks(mat, tau_micro, max_cell_rows, start=j0):
+            for j in range(lo, hi):
+                if not batch_mask[j]:
+                    continue
+                # removed if near ANY store vector, or any LOWER-id batch one
+                dup = bool(
+                    (near[j - lo, ~batch_mask]).any()
+                    or any(
+                        near[j - lo, i]
+                        for i in range(n)
+                        if batch_mask[i] and vids[i] < vids[j]
+                    )
                 )
-            )
-            rows.append(
-                {"cell": pdf["cell"].iloc[j], "vec_id": vids[j],
-                 "is_dup": int(dup)}
-            )
+                rows.append(
+                    {"cell": pdf["cell"].iloc[j], "vec_id": vids[j],
+                     "is_dup": int(dup)}
+                )
         return pd.DataFrame(rows)
 
     flags = both.groupBy("cell").applyInPandas(
