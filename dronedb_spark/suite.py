@@ -222,6 +222,7 @@ def load_all() -> dict[str, Check]:
     import dronedb_spark.operators.salting  # noqa: F401  (skew-salted join, new in r10)
     import dronedb_spark.text.sft  # noqa: F401  (SFT turn masking, new in r10)
     import dronedb_spark.operators.percentiles  # noqa: F401  (exact P50/95/99, new in r10)
+    import dronedb_spark.streaming.hll  # noqa: F401  (streaming HLL registers, new in r11)
     import dronedb_spark.operators.autocorr  # noqa: F401  (rate autocorrelation, new in r9)
     import dronedb_spark.operators.skewprof  # noqa: F401  (join-skew profile, new in r9)
     import dronedb_spark.catalog.constraints  # noqa: F401  (constraint audit, new in r9)
