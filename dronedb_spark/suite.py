@@ -47,10 +47,16 @@ _ROUND11_PRIORITY = [
     "scd2_asof_enrichment", "compact_execute_groups", "top_domains_other",
     "crawl_worker_schedule", "salted_join_rollup", "sft_mask_rollup",
     "hll_set_algebra", "value_percentiles",
-    # --- r11 deliverables (new checks this round) ------------------------
+    # --- r11 deliverables (new checks this round, all locally verified
+    #     at sf0.001 + sf0.01 against their DuckDB oracles) ---------------
     "sft_pack_batches",               # verdict #6a: sequence packing
     "stream_hll_registers_twin",      # verdict #6b: streaming HLL twin
-    # (more r11 breadth appended below as it lands)
+    "ivf_migration_plan",             # index-maintenance migration matrix
+    "range_partition_plan",           # exact-rank range layout planning
+    "moments_merge_daily",            # mergeable-moments law
+    "annotator_kappa",                # exact-rational Cohen's kappa
+    "kanonymity_audit",               # QI group-size privacy audit
+    "precedence_merge",               # source-priority canonical merge
     # --- touched-family re-gates (r11 fixes touched these modules) -------
     "semdedup_cell_rollup",           # #2: max_cell_rows guard in semdedup.py
     "ewma_daily_close",               # ADVICE: late-row guard in streaming/ewma.py
@@ -61,22 +67,23 @@ _ROUND11_PRIORITY = [
     "sessionize_gap_windows",
     "inverted_store_incremental",     # r10-gated sibling of the touched store
     "mixture_temperature_plan",
-    # --- back-fill band: oldest last-greens (r1/r2 families) -------------
+    # --- back-fill band: oldest last-greens (r1 families) ----------------
     "q1_pricing_summary", "q2_min_cost_supplier", "q4_order_priority",
     "q5_region_revenue", "q6_forecast_revenue",
     "dataset_counts", "temporal_extent", "spatial_extent",
     "entries_meta_join", "entry_info", "tag_parse", "status_classify",
     "delta_adds", "delta_removes", "apply_delta_classify",
-    "catalog_list_folder", "catalog_missing_folders",
-    "catalog_type_filter_paging", "meta_rollup",
-    "dedup_exact_groups", "dedup_corpus_segments",
-    "text_lang_id", "text_quality_metrics", "text_repetition_metrics",
+    "catalog_list_folder", "catalog_missing_folders", "meta_rollup",
+    "dedup_exact_groups", "text_lang_id",
+    # ================= 50-slot budget line (r12 window starts here) ====
+    # remaining r1/r2 refresh band — next round's back-fill
+    "catalog_type_filter_paging", "dedup_corpus_segments",
+    "text_quality_metrics", "text_repetition_metrics",
     "text_fingerprint", "vocab_top_tokens",
     "events_hourly", "events_rollup", "events_topk_per_user",
     "customer_acct_percentiles", "customer_segment_distinct",
     "parts_topk_per_brand", "interval_join_windows", "salted_event_counts",
     "stac_asset_fields",
-    # ================= 50-slot budget line (r12 window starts here) ====
     "align_shift_recovery", "ann_bucket_histogram", "ann_lsh_top5",
     "colormap_gray_hist", "contour_crossings", "copc_zorder_pages",
     "embedding_neardup_pairs", "embedding_norm_stats",
@@ -223,6 +230,12 @@ def load_all() -> dict[str, Check]:
     import dronedb_spark.text.sft  # noqa: F401  (SFT turn masking, new in r10)
     import dronedb_spark.operators.percentiles  # noqa: F401  (exact P50/95/99, new in r10)
     import dronedb_spark.streaming.hll  # noqa: F401  (streaming HLL registers, new in r11)
+    import dronedb_spark.vectors.maintenance  # noqa: F401  (IVF migration plan, new in r11)
+    import dronedb_spark.operators.rangeplan  # noqa: F401  (range layout planning, new in r11)
+    import dronedb_spark.operators.varmerge  # noqa: F401  (mergeable moments, new in r11)
+    import dronedb_spark.text.agreement  # noqa: F401  (Cohen's kappa, new in r11)
+    import dronedb_spark.text.kanon  # noqa: F401  (k-anonymity audit, new in r11)
+    import dronedb_spark.text.precedence  # noqa: F401  (source-precedence merge, new in r11)
     import dronedb_spark.operators.autocorr  # noqa: F401  (rate autocorrelation, new in r9)
     import dronedb_spark.operators.skewprof  # noqa: F401  (join-skew profile, new in r9)
     import dronedb_spark.catalog.constraints  # noqa: F401  (constraint audit, new in r9)
