@@ -57,6 +57,9 @@ _ROUND11_PRIORITY = [
     "annotator_kappa",                # exact-rational Cohen's kappa
     "kanonymity_audit",               # QI group-size privacy audit
     "precedence_merge",               # source-priority canonical merge
+    "cdc_snapshot_compact",           # latest-row-wins changelog fold
+    "seasonal_hod_profile",           # integer seasonal decomposition
+    "retrieval_mrr",                  # exact-integer MRR@10
     # --- touched-family re-gates (r11 fixes touched these modules) -------
     "semdedup_cell_rollup",           # #2: max_cell_rows guard in semdedup.py
     "ewma_daily_close",               # ADVICE: late-row guard in streaming/ewma.py
@@ -73,10 +76,10 @@ _ROUND11_PRIORITY = [
     "dataset_counts", "temporal_extent", "spatial_extent",
     "entries_meta_join", "entry_info", "tag_parse", "status_classify",
     "delta_adds", "delta_removes", "apply_delta_classify",
-    "catalog_list_folder", "catalog_missing_folders", "meta_rollup",
-    "dedup_exact_groups", "text_lang_id",
+    "catalog_list_folder", "meta_rollup",
     # ================= 50-slot budget line (r12 window starts here) ====
     # remaining r1/r2 refresh band — next round's back-fill
+    "catalog_missing_folders", "dedup_exact_groups", "text_lang_id",
     "catalog_type_filter_paging", "dedup_corpus_segments",
     "text_quality_metrics", "text_repetition_metrics",
     "text_fingerprint", "vocab_top_tokens",
@@ -236,6 +239,9 @@ def load_all() -> dict[str, Check]:
     import dronedb_spark.text.agreement  # noqa: F401  (Cohen's kappa, new in r11)
     import dronedb_spark.text.kanon  # noqa: F401  (k-anonymity audit, new in r11)
     import dronedb_spark.text.precedence  # noqa: F401  (source-precedence merge, new in r11)
+    import dronedb_spark.operators.cdc  # noqa: F401  (CDC snapshot compaction, new in r11)
+    import dronedb_spark.operators.seasonal  # noqa: F401  (seasonal profile, new in r11)
+    import dronedb_spark.vectors.mrr  # noqa: F401  (exact-integer MRR, new in r11)
     import dronedb_spark.operators.autocorr  # noqa: F401  (rate autocorrelation, new in r9)
     import dronedb_spark.operators.skewprof  # noqa: F401  (join-skew profile, new in r9)
     import dronedb_spark.catalog.constraints  # noqa: F401  (constraint audit, new in r9)

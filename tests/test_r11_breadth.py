@@ -150,3 +150,94 @@ def test_sft_packing_conserves_and_orders(spark, sf_dir):
     for b in batches[:-1]:
         cum += b[2]
         assert cum >= (b[0] + 1) * PACK_BUDGET
+
+
+def test_cdc_last_writer_wins(spark, sf_dir):
+    """The snapshot op per key equals the type of that key's maximum
+    (t_us, event_id) event — replay-order semantics, independently
+    re-derived driver-side."""
+    from dronedb_spark.operators.cdc import N_KEYS, cdc_compaction_rollup
+
+    ev = load(spark, sf_dir, "events").select(
+        (F.col("user_id") % N_KEYS).alias("key"),
+        "event_type",
+        F.expr("unix_micros(ts)").alias("t_us"),
+        "event_id",
+    )
+    rows = ev.collect()
+    last = {}
+    for r in rows:
+        cur = last.get(r["key"])
+        stamp = (r["t_us"], r["event_id"])
+        if cur is None or stamp > cur[0]:
+            last[r["key"]] = (stamp, r["event_type"])
+    want_live = sum(1 for _, t in last.values() if t != "error")
+    want_dead = len(last) - want_live
+    got = {r["op"]: r for r in cdc_compaction_rollup(
+        load(spark, sf_dir, "events")).collect()}
+    assert got.get("U", {"n_keys": 0})["n_keys"] == want_live
+    assert got.get("D", {"n_keys": 0})["n_keys"] == want_dead
+    assert sum(r["last_id_sum"] for r in got.values()) == sum(
+        s[1] for s, _ in last.values()
+    )
+
+
+def test_seasonal_profile_flat_series_is_zero(spark):
+    """A constant hourly series has zero residual everywhere — the
+    decomposition must not invent seasonality."""
+    import datetime as dt
+
+    from dronedb_spark.operators.seasonal import seasonal_profile
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(hours=h), 1, 0.0, "tick")
+        for h in range(24 * 5)
+        for i in [h]
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, value double,"
+        " event_type string"
+    )
+    prof = seasonal_profile(ev).collect()
+    assert len(prof) == 24
+    assert all(r["seas_sum"] == 0 for r in prof)
+
+
+def test_seasonal_profile_daily_spike_shows_at_its_hour(spark):
+    """Doubling hour 9 every day must put positive residual mass at
+    hod 9 and negative elsewhere (the window redistributes it)."""
+    import datetime as dt
+
+    from dronedb_spark.operators.seasonal import seasonal_profile
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h in range(24 * 5):
+        n = 2 if h % 24 == 9 else 1
+        for _ in range(n):
+            rows.append((eid, base + dt.timedelta(hours=h), 1, 0.0, "tick"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, value double,"
+        " event_type string"
+    )
+    prof = {r["hod"]: r["seas_sum"] for r in seasonal_profile(ev).collect()}
+    assert prof[9] > 0
+    assert sum(1 for h, s in prof.items() if h != 9 and s < 0) > 0
+
+
+def test_mrr_ranks_are_consistent_with_brute_force(spark, sf_dir):
+    from dronedb_spark.vectors.mrr import _LCM, TOP_K, retrieval_mrr
+
+    rows = retrieval_mrr(load(spark, sf_dir, "embeddings")).collect()
+    assert len(rows) == 20
+    for r in rows:
+        if r["first_rel_rank"] == -1:
+            assert r["rr_scaled"] == 0
+        else:
+            assert 1 <= r["first_rel_rank"] <= TOP_K
+            assert r["rr_scaled"] == _LCM // r["first_rel_rank"]
+    # at least one query must find a same-label neighbor in the top-10
+    assert any(r["first_rel_rank"] != -1 for r in rows)
