@@ -78,6 +78,10 @@ _ROUND11_PRIORITY = [
     "delta_adds", "delta_removes", "apply_delta_classify",
     "catalog_list_folder", "meta_rollup",
     # ================= 50-slot budget line (r12 window starts here) ====
+    # late-r11 debuts (sim-verified at sf0.001 + sf0.01, zero driver rows)
+    "weighted_priority_sample", "benford_price_audit", "gini_source_balance",
+    "rbo_prefix_stability", "containment_subset_pairs",
+    "stream_topk_counts_twin",
     # remaining r1/r2 refresh band — next round's back-fill
     "catalog_missing_folders", "dedup_exact_groups", "text_lang_id",
     "catalog_type_filter_paging", "dedup_corpus_segments",
@@ -242,6 +246,12 @@ def load_all() -> dict[str, Check]:
     import dronedb_spark.operators.cdc  # noqa: F401  (CDC snapshot compaction, new in r11)
     import dronedb_spark.operators.seasonal  # noqa: F401  (seasonal profile, new in r11)
     import dronedb_spark.vectors.mrr  # noqa: F401  (exact-integer MRR, new in r11)
+    import dronedb_spark.text.wsample  # noqa: F401  (weighted priority sampling, new in r11)
+    import dronedb_spark.operators.benford  # noqa: F401  (Benford first-digit audit, new in r11)
+    import dronedb_spark.text.balance  # noqa: F401  (Gini mixture-balance audit, new in r11)
+    import dronedb_spark.vectors.rbo  # noqa: F401  (rank-biased overlap eval, new in r11)
+    import dronedb_spark.text.containment  # noqa: F401  (asymmetric containment dedup, new in r11)
+    import dronedb_spark.streaming.topk  # noqa: F401  (streaming top-k leaderboard twin, new in r11)
     import dronedb_spark.operators.autocorr  # noqa: F401  (rate autocorrelation, new in r9)
     import dronedb_spark.operators.skewprof  # noqa: F401  (join-skew profile, new in r9)
     import dronedb_spark.catalog.constraints  # noqa: F401  (constraint audit, new in r9)

@@ -1,0 +1,140 @@
+"""Containment near-dup detection — the ASYMMETRIC similarity Jaccard
+misses: an excerpt quoted inside a longer page has tiny Jaccard (the
+union is dominated by the host) but containment
+C(a→b) = |S(a) ∩ S(b)| / |S(a)| ≈ 1, and training-data curation wants
+exactly these subset/quote/excerpt relations (Broder 1997 defines both
+resemblance AND containment; only resemblance gets most of the
+attention).
+
+Semantics: word 3-gram shingle sets (the ``text/dedup.py`` shingles),
+distinct per document; shingles present in more than ``max_df``
+documents are dropped BEFORE pairing (the ssjoin/LSH df-cap discipline
+— boilerplate n-grams would otherwise pair everyone with everyone);
+the denominator is the document's surviving shingle count, so the
+score is fully determined by (corpus, max_df) — identical on both
+engines.  Directed pairs with containment ≥ 80% emit as exact micros.
+
+Fixture: every 10th document contributes an excerpt row (a middle
+slice of its text, id-offset by 10^9) — the planted subset relations
+the operator must find, amid the organic cross-doc noise.
+
+Scale shape: one distinct-shingle aggregate, one broadcast-able df
+filter, one shuffle on the shingle key for the pair join — the
+inverted-index plan; the df cap bounds every posting list, so the
+pair fan-out per shingle is ≤ max_df² regardless of corpus size.
+
+Beyond the reference (no text pipeline there); siblings:
+``jaccard_ssjoin_pairs`` (symmetric), ``substring_dup_spans`` (exact
+spans), ``paragraph_dedup`` (block-level).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dronedb_spark.suite import check
+from dronedb_spark.tables import load
+from dronedb_spark.text.dedup import _shingle_df
+
+MAX_DF = 20
+MIN_CONTAIN_MICRO = 800_000
+EXCERPT_OFFSET = 1_000_000_000
+
+
+def containment_pairs(
+    docs: DataFrame,
+    max_df: int = MAX_DF,
+    min_contain_micro: int = MIN_CONTAIN_MICRO,
+) -> DataFrame:
+    """(src_id, dst_id, n_common, n_src, containment_micro): directed
+    pairs where ≥ min_contain of src's (df-capped) shingles appear in
+    dst."""
+    sh = (
+        _shingle_df(docs)
+        .select("doc_id", F.explode("sh").alias("s"))
+        .distinct()
+    )
+    df_ok = (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("s")
+    )
+    kept = sh.join(df_ok, "s")
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_src"))
+    pairs = (
+        kept.alias("a")
+        .join(kept.alias("b"), "s")
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("src_id"),
+            F.col("b.doc_id").alias("dst_id"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("doc_id", "src_id"), "src_id")
+        .select(
+            "src_id",
+            "dst_id",
+            "n_common",
+            F.col("n_src").cast("bigint").alias("n_src"),
+            F.expr("n_common * 1000000 DIV n_src").cast("bigint").alias(
+                "containment_micro"
+            ),
+        )
+        .filter(F.col("containment_micro") >= min_contain_micro)
+    )
+
+
+def _with_excerpts(docs: DataFrame) -> DataFrame:
+    """Originals plus the planted excerpt corpus: every 10th doc's
+    middle slice as a new document (id offset by 10^9)."""
+    excerpts = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + EXCERPT_OFFSET).alias("doc_id"),
+        F.expr("substr(text, 30, 160)").alias("text"),
+    )
+    return docs.select("doc_id", "text").unionByName(excerpts)
+
+
+@check(
+    "containment_subset_pairs",
+    oracle=f"""
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + {EXCERPT_OFFSET} AS doc_id,
+                   substr(text, 30, 160) AS text
+            FROM documents WHERE doc_id % 10 = 0),
+        words AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+        sh AS (
+            SELECT DISTINCT doc_id, s FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+                FROM words)),
+        df_ok AS (
+            SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= {MAX_DF}),
+        kept AS (SELECT sh.doc_id, sh.s FROM sh JOIN df_ok USING (s)),
+        sizes AS (
+            SELECT doc_id, COUNT(*) AS n_src FROM kept GROUP BY doc_id),
+        pairs AS (
+            SELECT a.doc_id AS src_id, b.doc_id AS dst_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_common
+            FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id <> b.doc_id
+            GROUP BY a.doc_id, b.doc_id)
+        SELECT p.src_id, p.dst_id, p.n_common,
+               CAST(z.n_src AS BIGINT) AS n_src,
+               CAST(p.n_common * 1000000 // z.n_src AS BIGINT)
+                   AS containment_micro
+        FROM pairs p JOIN sizes z ON z.doc_id = p.src_id
+        WHERE p.n_common * 1000000 // z.n_src >= {MIN_CONTAIN_MICRO}
+        ORDER BY src_id, dst_id""",
+)
+def q_containment_subset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed ≥80% containment pairs over originals + planted
+    excerpts — every excerpt must point at its host page."""
+    docs = _with_excerpts(load(spark, sf_dir, "documents"))
+    return containment_pairs(docs).orderBy("src_id", "dst_id")

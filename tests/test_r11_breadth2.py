@@ -1,0 +1,196 @@
+"""Law pins for the second round-11 breadth batch: priority-sampling
+weight monotonicity and determinism, Benford share conservation, and
+Gini bounds / invariance laws."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dronedb_spark.tables import load
+
+
+# ------------------------------------------------ weighted sampling --
+
+
+def test_priority_sample_is_partition_invariant(spark, sf_dir):
+    from dronedb_spark.text.wsample import weighted_priority_sample
+
+    docs = load(spark, sf_dir, "documents")
+    a = weighted_priority_sample(docs).collect()
+    b = weighted_priority_sample(docs.repartition(13, "source")).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_priority_sample_favors_weight(spark, sf_dir):
+    """Inclusion odds scale with weight: the sampled docs' mean n_chars
+    must exceed the corpus mean (priority = u DIV w shrinks with w)."""
+    from dronedb_spark.text.wsample import weighted_priority_sample
+
+    docs = load(spark, sf_dir, "documents")
+    sample_mean = (
+        weighted_priority_sample(docs).agg(F.avg("weight")).first()[0]
+    )
+    corpus_mean = docs.agg(F.avg("n_chars")).first()[0]
+    assert sample_mean > corpus_mean
+
+
+def test_priority_sample_uniform_weight_equals_reservoir_order(spark, sf_dir):
+    """With all weights equal the priority order is the hash order —
+    weighted sampling degrades to the unweighted reservoir exactly
+    (same u, constant divisor preserves ordering up to ties)."""
+    from dronedb_spark.text.wsample import weighted_priority_sample
+
+    docs = load(spark, sf_dir, "documents").withColumn("w1", F.lit(1))
+    got = weighted_priority_sample(docs, weight_col="w1", k=50).collect()
+    # priority == u exactly when w == 1: re-derive u and compare
+    u = docs.select(
+        "doc_id",
+        F.expr(
+            "CAST(conv(substr(md5('wsample-v1:' || CAST(doc_id AS STRING)),"
+            " 1, 15), 16, 10) AS BIGINT)"
+        ).alias("u"),
+    )
+    want = [r["doc_id"] for r in u.orderBy("u", "doc_id").limit(50).collect()]
+    assert [r["doc_id"] for r in got] == want
+
+
+# ---------------------------------------------------------- benford --
+
+
+def test_benford_shares_conserve_and_digits_bound(spark, sf_dir):
+    from dronedb_spark.operators.benford import benford_digit_audit
+
+    orders = load(spark, sf_dir, "orders")
+    rows = benford_digit_audit(orders, "o_totalprice").collect()
+    digits = {r["digit"] for r in rows}
+    assert digits <= set(range(1, 10))
+    n_total = sum(r["n_obs"] for r in rows)
+    assert n_total == orders.filter("o_totalprice >= 1").count()
+    # micro shares sum to 1e6 within the DIV truncation slack (≤ 9 rows)
+    s = sum(r["share_micro"] for r in rows)
+    assert 1_000_000 - 9 <= s <= 1_000_000
+
+
+def test_benford_flags_constant_feed(spark):
+    """A constant-amount feed concentrates one digit — the audit shape
+    the operator exists for."""
+    from dronedb_spark.operators.benford import benford_digit_audit
+
+    df = spark.range(1000).select((F.lit(42.0)).alias("amount"))
+    rows = benford_digit_audit(df, "amount").collect()
+    assert len(rows) == 1 and rows[0]["digit"] == 4
+    assert rows[0]["share_micro"] == 1_000_000
+
+
+# ------------------------------------------------------------- gini --
+
+
+def test_gini_bounds_and_equal_masses_zero(spark, sf_dir):
+    from dronedb_spark.text.balance import gini_source_balance
+
+    row = gini_source_balance(load(spark, sf_dir, "documents")).first()
+    assert 0 <= row["gini_num"] <= row["gini_den"]
+    # equal masses → gini exactly 0
+    eq = spark.createDataFrame(
+        [(f"s{i}", 7, 100) for i in range(5)],
+        "source string, doc_id int, n_chars bigint",
+    )
+    z = gini_source_balance(eq).first()
+    assert z["gini_num"] == 0 and z["max_share_micro"] == 200_000
+
+
+def test_gini_scale_invariance(spark, sf_dir):
+    """Gini is scale-free: doubling every document's mass doubles num
+    and den, leaving the rational value identical."""
+    from dronedb_spark.text.balance import gini_source_balance
+
+    docs = load(spark, sf_dir, "documents")
+    a = gini_source_balance(docs).first()
+    b = gini_source_balance(
+        docs.withColumn("n_chars", F.col("n_chars") * 2)
+    ).first()
+    assert a["gini_num"] * b["gini_den"] == b["gini_num"] * a["gini_den"]
+
+
+# -------------------------------------------------------------- rbo --
+
+
+def test_rbo_identical_rankings_hit_ceiling(spark):
+    """When the prefix IS the full vector (zeros beyond dim 16) the two
+    rankings coincide and RBO must equal the truncation ceiling
+    sum(d * C_d) — the O_d = d case."""
+    import numpy as np
+
+    from dronedb_spark.vectors.rbo import _C, rbo_prefix_stability
+
+    rng = np.random.RandomState(7)
+    rows = [
+        (i, [float(x) for x in rng.randn(16)] + [0.0] * 48)
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>"
+    )
+    out = rbo_prefix_stability(emb, n_queries=4).collect()
+    ceiling = sum(d * _C[d] for d in _C)
+    assert len(out) == 4
+    for r in out:
+        assert r["n_common"] == 10
+        assert r["rbo_num"] == ceiling
+
+
+def test_rbo_bounds(spark, sf_dir):
+    from dronedb_spark.vectors.rbo import _C, rbo_prefix_stability
+    from dronedb_spark.tables import load
+
+    out = rbo_prefix_stability(load(spark, sf_dir, "embeddings")).collect()
+    ceiling = sum(d * _C[d] for d in _C)
+    for r in out:
+        assert 1 <= r["n_common"] <= 10
+        assert 0 < r["rbo_num"] <= ceiling
+        assert r["rbo_den"] == 2520 * 10 ** 10
+
+
+# ------------------------------------------------------- containment --
+
+
+def test_containment_finds_planted_excerpts(spark, sf_dir):
+    """Every planted excerpt (long enough to carry shingles that
+    survive the df cap) must name its host page at high containment;
+    the reverse direction (host → excerpt) must NOT pass at 80%."""
+    from dronedb_spark.tables import load
+    from dronedb_spark.text.containment import (
+        EXCERPT_OFFSET,
+        _with_excerpts,
+        containment_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = containment_pairs(_with_excerpts(docs)).collect()
+    hits = {
+        (r["src_id"], r["dst_id"])
+        for r in pairs
+        if r["src_id"] >= EXCERPT_OFFSET
+    }
+    planted = [
+        (r["doc_id"] + EXCERPT_OFFSET, r["doc_id"])
+        for r in docs.filter("doc_id % 10 = 0 AND n_chars >= 220").collect()
+    ]
+    found = sum(1 for p in planted if p in hits)
+    assert found >= int(0.8 * len(planted)) and len(planted) > 0
+    # asymmetry: hosts are much longer than their excerpts
+    reverse = {(b, a) for a, b in planted}
+    assert not (reverse & {(r["src_id"], r["dst_id"]) for r in pairs})
+
+
+def test_containment_is_partition_invariant(spark, sf_dir):
+    from dronedb_spark.tables import load
+    from dronedb_spark.text.containment import (
+        _with_excerpts,
+        containment_pairs,
+    )
+
+    docs = _with_excerpts(load(spark, sf_dir, "documents"))
+    a = containment_pairs(docs).collect()
+    b = containment_pairs(docs.repartition(17)).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
