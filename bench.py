@@ -262,6 +262,26 @@ HEADLINE = [
     "hll_set_algebra",
     "semdedup_cell_rollup_10x",
     "value_percentiles",
+    # round-11 debuts: packing, streaming twins, maintenance plans,
+    # label/privacy/balance audits, ranking evals, containment dedup
+    "sft_pack_batches",
+    "stream_hll_registers_twin",
+    "ivf_migration_plan",
+    "range_partition_plan",
+    "moments_merge_daily",
+    "annotator_kappa",
+    "kanonymity_audit",
+    "precedence_merge",
+    "cdc_snapshot_compact",
+    "seasonal_hod_profile",
+    "retrieval_mrr",
+    "weighted_priority_sample",
+    "benford_price_audit",
+    "gini_source_balance",
+    "rbo_prefix_stability",
+    "containment_subset_pairs",
+    "stream_topk_counts_twin",
+    "cluster_precision_audit",
 ]
 
 
@@ -345,6 +365,24 @@ _SMALL_RESULT = {
     "langid_nb_predictions",
     "webdataset_roundtrip",
     "crawl_entry_rollup",
+    # r11 small-result debuts: plans, rollups, leaderboards, samples
+    "sft_pack_batches",
+    "stream_hll_registers_twin",
+    "ivf_migration_plan",
+    "range_partition_plan",
+    "moments_merge_daily",
+    "annotator_kappa",
+    "kanonymity_audit",
+    "precedence_merge",
+    "cdc_snapshot_compact",
+    "seasonal_hod_profile",
+    "retrieval_mrr",
+    "weighted_priority_sample",
+    "benford_price_audit",
+    "gini_source_balance",
+    "rbo_prefix_stability",
+    "stream_topk_counts_twin",
+    "cluster_precision_audit",
 }
 
 

@@ -55,11 +55,24 @@ def topk_trajectory(events: DataFrame, k: int = TOP_K) -> DataFrame:
         F.count(F.lit(1)).alias("n")
     )
     days = day_counts.select(F.col("day").alias("d")).distinct()
-    cum = (
-        day_counts.join(F.broadcast(days), F.col("day") <= F.col("d"))
-        .groupBy(F.col("d").alias("day_out"), F.col("user_id"))
-        .agg(F.sum("n").alias("n_events"))
+    # forward-fill by interval, not prefix-explosion: each user's running
+    # count is valid from its day until their next active day, so joining
+    # [day, next_day) against the day spine emits every (user, day) pair
+    # exactly ONCE — the rank window's exact input — instead of the
+    # triangular (all prior days re-summed per day) blow-up, and the
+    # second aggregate disappears.
+    wu = Window.partitionBy("user_id").orderBy("day")
+    cum_user = day_counts.select(
+        "user_id",
+        "day",
+        F.sum("n").over(wu).alias("n_events"),
+        F.lead("day").over(wu).alias("next_day"),
     )
+    cum = cum_user.join(
+        F.broadcast(days),
+        (F.col("day") <= F.col("d"))
+        & (F.col("d") < F.coalesce(F.col("next_day"), F.lit(1 << 62))),
+    ).select(F.col("d").alias("day_out"), "user_id", "n_events")
     w = Window.partitionBy("day_out").orderBy(
         F.desc("n_events"), "user_id"
     )

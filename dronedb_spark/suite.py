@@ -81,7 +81,7 @@ _ROUND11_PRIORITY = [
     # late-r11 debuts (sim-verified at sf0.001 + sf0.01, zero driver rows)
     "weighted_priority_sample", "benford_price_audit", "gini_source_balance",
     "rbo_prefix_stability", "containment_subset_pairs",
-    "stream_topk_counts_twin",
+    "stream_topk_counts_twin", "cluster_precision_audit",
     # remaining r1/r2 refresh band — next round's back-fill
     "catalog_missing_folders", "dedup_exact_groups", "text_lang_id",
     "catalog_type_filter_paging", "dedup_corpus_segments",
@@ -252,6 +252,7 @@ def load_all() -> dict[str, Check]:
     import dronedb_spark.vectors.rbo  # noqa: F401  (rank-biased overlap eval, new in r11)
     import dronedb_spark.text.containment  # noqa: F401  (asymmetric containment dedup, new in r11)
     import dronedb_spark.streaming.topk  # noqa: F401  (streaming top-k leaderboard twin, new in r11)
+    import dronedb_spark.text.clusteraudit  # noqa: F401  (LSH cluster precision audit, new in r11)
     import dronedb_spark.operators.autocorr  # noqa: F401  (rate autocorrelation, new in r9)
     import dronedb_spark.operators.skewprof  # noqa: F401  (join-skew profile, new in r9)
     import dronedb_spark.catalog.constraints  # noqa: F401  (constraint audit, new in r9)

@@ -194,3 +194,43 @@ def test_containment_is_partition_invariant(spark, sf_dir):
     a = containment_pairs(docs).collect()
     b = containment_pairs(docs.repartition(17)).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# ------------------------------------------------------ cluster audit --
+
+
+def test_cluster_audit_bounds_and_connectivity(spark, sf_dir):
+    """Every audited component: edges within [n−1, C(n,2)] (connected,
+    at most a clique), min ≤ mean ≤ 1e6 micro, weak count ≤ edges."""
+    from dronedb_spark.text.clusteraudit import cluster_precision_audit
+    from dronedb_spark.tables import load
+
+    rows = cluster_precision_audit(load(spark, sf_dir, "documents")).collect()
+    assert rows
+    for r in rows:
+        n, e = r["n_members"], r["n_edges"]
+        assert n >= 2
+        assert n - 1 <= e <= n * (n - 1) // 2
+        assert 0 <= r["min_jacc_micro"] <= 1_000_000
+        assert r["min_jacc_micro"] * e <= r["sum_jacc_micro"] <= 1_000_000 * e
+        assert 0 <= r["n_weak_edges"] <= e
+
+
+def test_cluster_audit_counts_match_cluster_ids(spark, sf_dir):
+    """The audit's membership column must agree with the cluster-id
+    operator it audits (same components, same sizes)."""
+    from collections import Counter
+
+    from dronedb_spark.text.clusteraudit import cluster_precision_audit
+    from dronedb_spark.text.dedup import neardup_clusters
+    from dronedb_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    audit = {
+        r["cluster_id"]: r["n_members"]
+        for r in cluster_precision_audit(docs).collect()
+    }
+    sizes = Counter(
+        r["cluster_id"] for r in neardup_clusters(docs).collect()
+    )
+    assert audit == dict(sizes)
