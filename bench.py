@@ -282,6 +282,8 @@ HEADLINE = [
     "containment_subset_pairs",
     "stream_topk_counts_twin",
     "cluster_precision_audit",
+    "containment_store_probe",
+    "cluster_survivor_rollup",
 ]
 
 
@@ -383,6 +385,8 @@ _SMALL_RESULT = {
     "rbo_prefix_stability",
     "stream_topk_counts_twin",
     "cluster_precision_audit",
+    "containment_store_probe",
+    "cluster_survivor_rollup",
 }
 
 

@@ -161,3 +161,114 @@ def q_cluster_precision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_precision_audit(load(spark, sf_dir, "documents")).orderBy(
         "cluster_id"
     )
+
+
+# ------------------------------------------------- survivor selection --
+
+
+def cluster_survivors(docs: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id, keep): the survivorship policy after
+    clustering — per near-dup component exactly ONE canonical document
+    survives, chosen by the packed MAX of (n_chars, −doc_id): the
+    longest member wins (the keep-the-most-content curation default),
+    ties to the smallest id.  Singleton docs (no LSH pair) keep
+    themselves.  One packed aggregate per cluster — no window over the
+    corpus."""
+    pairs = barrier_persist(neardup_pairs(docs))
+    labels = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+    tagged = docs.select("doc_id", "n_chars").join(
+        labels, "doc_id", "left"
+    ).select(
+        "doc_id",
+        "n_chars",
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+    )
+    # packed (n_chars, inverted doc_id) — MAX picks longest, ties low id
+    packed = tagged.select(
+        "doc_id",
+        "cluster_id",
+        F.concat(
+            F.lpad(F.col("n_chars").cast("string"), 12, "0"),
+            F.lpad(
+                (F.lit(999_999_999_999) - F.col("doc_id")).cast("string"),
+                12,
+                "0",
+            ),
+        ).alias("pk"),
+    )
+    winners = packed.groupBy("cluster_id").agg(F.max("pk").alias("wk"))
+    return (
+        packed.join(winners, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            (F.col("pk") == F.col("wk")).alias("keep"),
+        )
+    )
+
+
+def survivor_rollup(docs: DataFrame) -> DataFrame:
+    """One row (n_docs, n_clusters, n_kept, n_removed, kept_id_sum,
+    removed_chars): the rewrite accounting a dedup job reports."""
+    sv = cluster_survivors(docs).join(
+        docs.select("doc_id", "n_chars"), "doc_id"
+    )
+    return sv.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("cluster_id").cast("bigint").alias("n_clusters"),
+        F.sum(F.col("keep").cast("bigint")).alias("n_kept"),
+        F.sum((~F.col("keep")).cast("bigint")).alias("n_removed"),
+        F.sum(F.when(F.col("keep"), F.col("doc_id"))).cast("bigint").alias(
+            "kept_id_sum"
+        ),
+        F.coalesce(
+            F.sum(F.when(~F.col("keep"), F.col("n_chars"))), F.lit(0)
+        ).cast("bigint").alias("removed_chars"),
+    )
+
+
+@check(
+    "cluster_survivor_rollup",
+    oracle=f"""
+        WITH RECURSIVE sig AS ({_DUCK_SIG_BANDS}),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM sig a JOIN sig b
+              ON (a.band0 = b.band0 OR a.band1 = b.band1) AND a.doc_id < b.doc_id),
+        sym AS (SELECT doc_a AS node, doc_b AS peer FROM pairs
+                UNION ALL SELECT doc_b, doc_a FROM pairs),
+        reach(node, label) AS (
+            SELECT node, node FROM (SELECT DISTINCT node FROM sym) s
+            UNION
+            SELECT s.node, r.label FROM sym s JOIN reach r ON r.node = s.peer),
+        labels AS (
+            SELECT node AS doc_id, MIN(label) AS cluster_id
+            FROM reach GROUP BY node),
+        tagged AS (
+            SELECT d.doc_id, d.n_chars,
+                   COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+                   lpad(CAST(d.n_chars AS VARCHAR), 12, '0')
+                   || lpad(CAST(999999999999 - d.doc_id AS VARCHAR), 12, '0')
+                       AS pk
+            FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id),
+        winners AS (
+            SELECT cluster_id, MAX(pk) AS wk FROM tagged GROUP BY cluster_id),
+        sv AS (
+            SELECT t.doc_id, t.cluster_id, t.n_chars, t.pk = w.wk AS keep
+            FROM tagged t JOIN winners w ON w.cluster_id = t.cluster_id)
+        SELECT CAST(COUNT(1) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+               CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+               CAST(SUM(CASE WHEN keep THEN doc_id END) AS BIGINT) AS kept_id_sum,
+               CAST(COALESCE(SUM(CASE WHEN NOT keep THEN n_chars END), 0)
+                    AS BIGINT) AS removed_chars
+        FROM sv""",
+)
+def q_cluster_survivor_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup rewrite accounting: one canonical survivor per LSH
+    component (longest member, ties low id), singletons self-kept —
+    exact member and char-mass bookkeeping."""
+    return survivor_rollup(load(spark, sf_dir, "documents"))

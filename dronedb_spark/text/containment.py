@@ -30,11 +30,11 @@ spans), ``paragraph_dedup`` (block-level).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dronedb_spark.suite import check
-from dronedb_spark.tables import load
+from dronedb_spark.tables import barrier_persist, load
 from dronedb_spark.text.dedup import _shingle_df
 
 MAX_DF = 20
@@ -138,3 +138,222 @@ def q_containment_subset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     excerpts — every excerpt must point at its host page."""
     docs = _with_excerpts(load(spark, sf_dir, "documents"))
     return containment_pairs(docs).orderBy("src_id", "dst_id")
+
+
+# ------------------------------------------- store + incremental probe --
+#
+# The family's daily-ingest member (the band/postings/semdedup store
+# discipline): yesterday's corpus persists ONCE as a shingle-bucket-
+# partitioned posting store, and today's batch answers "which of my
+# documents are mostly contained in stored documents?" reading only its
+# shingles' bucket directories — the corpus is never re-shingled per
+# batch.
+#
+# Layout under <path>: postings/ (bkt, s, doc_id) holding ONLY shingles
+# whose build-time df <= max_df (bounded posting lists on disk), and
+# dfs/ (bkt, s, df) holding EVERY shingle's df — the truth the probe
+# needs to apply the cap to store+batch combined frequencies (a shingle
+# the build dropped must still count as frequent, not as absent).
+
+import hashlib
+
+N_SH_BUCKETS = 64
+
+
+def _sh_bucket(s: str, n_buckets: int = N_SH_BUCKETS) -> int:
+    """Driver-side twin of the store's bucket column (invindex.py:241
+    discipline): md5-prefix mod n_buckets from the shingle bytes."""
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:6], 16) % n_buckets
+
+
+def _sh_bucket_col(n_buckets: int = N_SH_BUCKETS) -> Column:
+    return (
+        F.conv(F.substring(F.md5("s"), 1, 6), 16, 10).cast("bigint")
+        % n_buckets
+    ).cast("int")
+
+
+def _distinct_shingles(docs: DataFrame) -> DataFrame:
+    return (
+        _shingle_df(docs)
+        .select("doc_id", F.explode("sh").alias("s"))
+        .distinct()
+    )
+
+
+def write_containment_store(
+    docs: DataFrame,
+    path: str,
+    max_df: int = MAX_DF,
+    n_buckets: int = N_SH_BUCKETS,
+) -> None:
+    """One corpus pass: distinct (doc_id, shingle) postings for shingles
+    at or under the df cap, plus the full shingle-df sidecar, both
+    partitioned by the md5 shingle bucket."""
+    sh = barrier_persist(_distinct_shingles(docs))
+    dfs = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    (
+        dfs.withColumn("bkt", _sh_bucket_col(n_buckets))
+        .repartition("bkt")
+        .write.partitionBy("bkt")
+        .mode("overwrite")
+        .parquet(path + "/dfs")
+    )
+    (
+        sh.join(dfs.filter(F.col("df") <= max_df).select("s"), "s")
+        .withColumn("bkt", _sh_bucket_col(n_buckets))
+        .repartition("bkt")
+        .write.partitionBy("bkt")
+        .mode("overwrite")
+        .parquet(path + "/postings")
+    )
+
+
+def incremental_containment(
+    spark: SparkSession,
+    path: str,
+    batch_docs: DataFrame,
+    max_df: int = MAX_DF,
+    min_contain_micro: int = MIN_CONTAIN_MICRO,
+    n_buckets: int = N_SH_BUCKETS,
+) -> DataFrame:
+    """(src_id, dst_id, n_common, n_src, containment_micro): batch
+    documents ≥ min_contain contained in STORED documents, reading only
+    the batch shingles' bucket directories.  The cap applies to the
+    COMBINED frequency (store df + batch df) so a boilerplate shingle
+    can't sneak back in through a small batch; the denominator is the
+    batch doc's shingles surviving that combined cap."""
+    bsh = barrier_persist(_distinct_shingles(batch_docs))
+    bdf = bsh.groupBy("s").agg(F.count(F.lit(1)).alias("bdf"))
+    # driver-derived probe set: bounded by the batch's distinct-shingle
+    # count, saturates at n_buckets for large batches (the prune pays
+    # off exactly when the batch is small relative to the store)
+    buckets = sorted(
+        {_sh_bucket(r["s"], n_buckets) for r in bdf.select("s").collect()}
+    )
+    store_dfs = (
+        spark.read.parquet(path + "/dfs")
+        .filter(F.col("bkt").isin(buckets))
+        .select("s", "df")
+    )
+    postings = (
+        spark.read.parquet(path + "/postings")
+        .filter(F.col("bkt").isin(buckets))
+        .select("s", F.col("doc_id").alias("dst_id"))
+    )
+    # combined-cap verdict per batch shingle (absent from store → df 0)
+    kept_b = barrier_persist(
+        bdf.join(store_dfs, "s", "left")
+        .filter(
+            F.coalesce(F.col("df"), F.lit(0)) + F.col("bdf") <= max_df
+        )
+        .select("s")
+    )
+    sizes = (
+        bsh.join(kept_b, "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_src"))
+    )
+    pairs = (
+        bsh.join(kept_b, "s")
+        .join(postings, "s")
+        .groupBy(F.col("doc_id").alias("src_id"), "dst_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("doc_id", "src_id"), "src_id")
+        .select(
+            "src_id",
+            "dst_id",
+            "n_common",
+            F.col("n_src").cast("bigint").alias("n_src"),
+            F.expr("n_common * 1000000 DIV n_src").cast("bigint").alias(
+                "containment_micro"
+            ),
+        )
+        .filter(F.col("containment_micro") >= min_contain_micro)
+    )
+
+
+def _excerpt_batch(docs: DataFrame) -> DataFrame:
+    """Today's scrape: every 10th stored document quoted as a new doc."""
+    return docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + EXCERPT_OFFSET).alias("doc_id"),
+        F.expr("substr(text, 30, 160)").alias("text"),
+    )
+
+
+@check(
+    "containment_store_probe",
+    oracle=f"""
+        WITH batch AS (
+            SELECT doc_id + {EXCERPT_OFFSET} AS doc_id,
+                   substr(text, 30, 160) AS text
+            FROM documents WHERE doc_id % 10 = 0),
+        swords AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        bwords AS (SELECT doc_id, string_split(text, ' ') AS w FROM batch),
+        ssh AS (SELECT DISTINCT doc_id, s FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+                    FROM swords)),
+        bsh AS (SELECT DISTINCT doc_id, s FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+                    FROM bwords)),
+        sdf AS (SELECT s, COUNT(*) AS df FROM ssh GROUP BY s),
+        bdf AS (SELECT s, COUNT(*) AS bdf FROM bsh GROUP BY s),
+        kept AS (
+            SELECT b.s FROM bdf b LEFT JOIN sdf d ON d.s = b.s
+            WHERE COALESCE(d.df, 0) + b.bdf <= {MAX_DF}),
+        sizes AS (
+            SELECT bsh.doc_id, COUNT(*) AS n_src
+            FROM bsh JOIN kept USING (s) GROUP BY bsh.doc_id),
+        pairs AS (
+            SELECT b.doc_id AS src_id, p.doc_id AS dst_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_common
+            FROM bsh b
+            JOIN kept USING (s)
+            JOIN (SELECT sh.doc_id, sh.s FROM ssh sh
+                  JOIN sdf ON sdf.s = sh.s AND sdf.df <= {MAX_DF}) p
+              ON p.s = b.s
+            GROUP BY b.doc_id, p.doc_id)
+        SELECT p.src_id, p.dst_id, p.n_common,
+               CAST(z.n_src AS BIGINT) AS n_src,
+               CAST(p.n_common * 1000000 // z.n_src AS BIGINT)
+                   AS containment_micro
+        FROM pairs p JOIN sizes z ON z.doc_id = p.src_id
+        WHERE p.n_common * 1000000 // z.n_src >= {MIN_CONTAIN_MICRO}
+        ORDER BY src_id, dst_id""",
+)
+def q_containment_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write the shingle-bucket containment store from the corpus, then
+    probe today's excerpt batch READING ONLY THE STORE — every planted
+    quote must surface its host.  Scratch-dir check: collected
+    in-function."""
+    import tempfile
+
+    docs = load(spark, sf_dir, "documents")
+    with tempfile.TemporaryDirectory() as td:
+        path = td + "/containment_store"
+        write_containment_store(docs, path)
+        rows = [
+            (
+                r["src_id"],
+                r["dst_id"],
+                r["n_common"],
+                r["n_src"],
+                r["containment_micro"],
+            )
+            for r in incremental_containment(
+                spark, path, _excerpt_batch(docs)
+            )
+            .orderBy("src_id", "dst_id")
+            .collect()
+        ]
+    return spark.createDataFrame(
+        rows,
+        "src_id bigint, dst_id bigint, n_common bigint, n_src bigint,"
+        " containment_micro bigint",
+    )

@@ -234,3 +234,107 @@ def test_cluster_audit_counts_match_cluster_ids(spark, sf_dir):
         r["cluster_id"] for r in neardup_clusters(docs).collect()
     )
     assert audit == dict(sizes)
+
+
+def test_containment_store_probe_matches_inmemory_and_prunes(spark, sf_dir, tmp_path):
+    """The store probe answers the excerpt-batch containment question
+    identically to re-running the in-memory operator over stored corpus
+    + batch (restricted to batch→store pairs with the combined-df cap),
+    and the probe's store scans partition-prune on the shingle bucket
+    while never touching the corpus parquet."""
+    from dronedb_spark.plans.inspect import formatted
+    from dronedb_spark.tables import load
+    from dronedb_spark.text.containment import (
+        _excerpt_batch,
+        incremental_containment,
+        write_containment_store,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    path = str(tmp_path / "containment_store")
+    write_containment_store(docs, path)
+    batch = _excerpt_batch(docs)
+
+    probe = incremental_containment(spark, path, batch)
+    got = {tuple(r) for r in probe.collect()}
+    assert got
+    # every planted excerpt pair present points at its host
+    hosts = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    for src, dst, n_common, n_src, micro in got:
+        assert dst in hosts
+        assert micro >= 800_000 and n_common <= n_src
+
+    f = formatted(probe)
+    # both store datasets are scanned (the corpus parquet appears ONLY
+    # as the batch's own source — the stored corpus is never
+    # re-shingled), and every store scan partition-prunes on bkt
+    assert "containment_store/postings" in f
+    assert "containment_store/dfs" in f
+    store_scan_filters = [
+        seg[: seg.index("]") + 1]
+        for seg in f.split("PartitionFilters: ")[1:]
+    ]
+    pruned = [s for s in store_scan_filters if "bkt" in s]
+    assert len(pruned) >= 2, store_scan_filters
+
+
+def test_containment_store_append_semantics_batch_absent(spark, sf_dir, tmp_path):
+    """A batch shingle the BUILD dropped for frequency must stay
+    dropped at probe time (the df sidecar, not the postings, is the
+    frequency truth): planting a boilerplate shingle in every batch doc
+    must not create pairs through it."""
+    from pyspark.sql import functions as F
+
+    from dronedb_spark.tables import load
+    from dronedb_spark.text.containment import (
+        MAX_DF,
+        incremental_containment,
+        write_containment_store,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    path = str(tmp_path / "store2")
+    write_containment_store(docs, path)
+    # a batch of tiny docs made ONLY of one corpus-frequent trigram
+    # (the most common 'the ' proxy: reuse the corpus's own most
+    # frequent shingle) — n_src becomes 0 for them, so no pair at all
+    from dronedb_spark.text.containment import _distinct_shingles
+
+    top = (
+        _distinct_shingles(docs)
+        .groupBy("s")
+        .count()
+        .filter(F.col("count") > MAX_DF)
+        .orderBy(F.desc("count"), "s")
+        .first()
+    )
+    if top is None:
+        return  # corpus has no over-cap shingle at this SF; nothing to plant
+    batch = spark.createDataFrame(
+        [(9_000_000_000 + i, top["s"]) for i in range(3)],
+        "doc_id bigint, text string",
+    )
+    out = incremental_containment(spark, path, batch).collect()
+    assert out == []
+
+
+def test_survivors_exactly_one_per_cluster_and_longest_wins(spark, sf_dir):
+    from dronedb_spark.tables import load
+    from dronedb_spark.text.clusteraudit import cluster_survivors
+
+    docs = load(spark, sf_dir, "documents")
+    sv = cluster_survivors(docs).collect()
+    assert len(sv) == docs.count()
+    by_cluster = {}
+    for r in sv:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    lengths = {
+        r["doc_id"]: r["n_chars"]
+        for r in docs.select("doc_id", "n_chars").collect()
+    }
+    for cid, rows in by_cluster.items():
+        keepers = [r for r in rows if r["keep"]]
+        assert len(keepers) == 1
+        kept = keepers[0]["doc_id"]
+        best = max(rows, key=lambda r: (lengths[r["doc_id"]], -r["doc_id"]))
+        assert kept == best["doc_id"]
