@@ -81,3 +81,18 @@ def test_containment_has_no_cartesian(spark, sf_dir):
     q = containment_pairs(_with_excerpts(load(spark, sf_dir, "documents")))
     assert not has_cartesian(q)
     assert has_partial_aggregation(q)
+
+
+def test_survivor_selection_is_packed_aggregate_no_corpus_window(spark, sf_dir):
+    """Survivor choice is a packed MAX per cluster — the plan holds
+    partial aggregation and no Window operator over the corpus."""
+    from dronedb_spark.tables import load
+    from dronedb_spark.text.clusteraudit import cluster_survivors
+
+    q = cluster_survivors(load(spark, sf_dir, "documents"))
+    plan = physical_plan(q)
+    assert has_partial_aggregation(q)
+    # the component-labeling loop uses Windows on the tiny node table
+    # only; the survivor pick itself must not add one over documents —
+    # assert the packed-max aggregate exists
+    assert "max(pk" in plan or "max(wk" in plan or "functions=[max" in plan
