@@ -284,6 +284,7 @@ HEADLINE = [
     "cluster_precision_audit",
     "containment_store_probe",
     "cluster_survivor_rollup",
+    "classifier_pr_curve",
 ]
 
 
@@ -387,6 +388,7 @@ _SMALL_RESULT = {
     "cluster_precision_audit",
     "containment_store_probe",
     "cluster_survivor_rollup",
+    "classifier_pr_curve",
 }
 
 

@@ -194,3 +194,71 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return calibration_bins(docs, _score_col(), F.col("lang") == "en").orderBy(
         "bin"
     )
+
+
+def pr_curve(
+    scored: DataFrame, score: Column, label: Column
+) -> DataFrame:
+    """(s, tp, fp, fn, precision_micro, recall_micro): the EXACT
+    precision/recall operating point at every distinct micro-score
+    threshold (predict positive when score ≥ s) — the curve a filter
+    owner reads to pick a cutoff, with none of the interpolation or
+    sampling sklearn-style curves introduce.  Suffix sums over the same
+    micro-score histogram ROC-AUC uses: the corpus collapses in ONE
+    data-sized shuffle, and the threshold sweep is a window over the
+    (distinct scores)-row histogram — at 100 TB the sweep costs the
+    same as a single aggregate."""
+    hist = score_histogram(scored, score, label)
+    w_geq = Window.orderBy(F.desc("s")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = hist.select(
+        "s",
+        F.sum("np_s").over(w_geq).cast("bigint").alias("tp"),
+        F.sum("nn_s").over(w_geq).cast("bigint").alias("fp"),
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    n_pos = F.max("tp").over(w_all)  # tp is cumulative: its max = n_pos
+    return cum.select(
+        "s",
+        "tp",
+        "fp",
+        (n_pos - F.col("tp")).cast("bigint").alias("fn"),
+        F.expr("tp * 1000000 DIV (tp + fp)").cast("bigint").alias(
+            "precision_micro"
+        ),
+        F.expr(
+            "tp * 1000000 DIV max(tp) OVER (ROWS BETWEEN UNBOUNDED"
+            " PRECEDING AND UNBOUNDED FOLLOWING)"
+        ).cast("bigint").alias("recall_micro"),
+    )
+
+
+@check(
+    "classifier_pr_curve",
+    oracle=f"""
+        WITH {_HIST_SQL},
+        cum AS (
+            SELECT s,
+                   CAST(SUM(np_s) OVER (ORDER BY s DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS tp,
+                   CAST(SUM(nn_s) OVER (ORDER BY s DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS fp,
+                   CAST(SUM(np_s) OVER () AS BIGINT) AS n_pos
+            FROM hist)
+        SELECT s, tp, fp,
+               CAST(n_pos - tp AS BIGINT) AS fn,
+               CAST(tp * 1000000 // (tp + fp) AS BIGINT) AS precision_micro,
+               CAST(tp * 1000000 // n_pos AS BIGINT) AS recall_micro
+        FROM cum ORDER BY s""",
+)
+def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full exact PR sweep of the distinct-token-ratio quality
+    signal as an en/not-en discriminator — one operating-point row per
+    distinct micro-score."""
+    docs = load(spark, sf_dir, "documents")
+    return pr_curve(docs, _score_col(), F.col("lang") == "en").orderBy("s")

@@ -338,3 +338,28 @@ def test_survivors_exactly_one_per_cluster_and_longest_wins(spark, sf_dir):
         kept = keepers[0]["doc_id"]
         best = max(rows, key=lambda r: (lengths[r["doc_id"]], -r["doc_id"]))
         assert kept == best["doc_id"]
+
+
+def test_pr_curve_monotone_and_consistent_with_auc_inputs(spark, sf_dir):
+    """Recall is non-increasing in the threshold, tp+fn is the constant
+    positive count, precision at the lowest threshold equals the base
+    rate, and every tp/fp is consistent with the histogram."""
+    from dronedb_spark.text.evalmetrics import _score_col, pr_curve, roc_auc
+
+    docs = load(spark, sf_dir, "documents")
+    label = F.col("lang") == "en"
+    rows = pr_curve(docs, _score_col(), label).orderBy("s").collect()
+    auc_row = roc_auc(docs, _score_col(), label).first()
+    n_pos, n_neg = auc_row["n_pos"], auc_row["n_neg"]
+    assert rows
+    last_recall = None
+    for r in rows:  # ascending s ⇒ tp non-increasing ⇒ recall non-increasing? no: ascending s means stricter threshold later
+        assert r["tp"] + r["fn"] == n_pos
+        assert 0 <= r["fp"] <= n_neg
+        assert 0 <= r["precision_micro"] <= 1_000_000
+        assert 0 <= r["recall_micro"] <= 1_000_000
+    recalls = [r["recall_micro"] for r in rows]
+    assert recalls == sorted(recalls, reverse=True)
+    # the loosest threshold (smallest s) accepts everything: recall 1
+    assert rows[0]["recall_micro"] == 1_000_000
+    assert rows[0]["tp"] == n_pos and rows[0]["fp"] == n_neg
