@@ -285,6 +285,7 @@ HEADLINE = [
     "containment_store_probe",
     "cluster_survivor_rollup",
     "classifier_pr_curve",
+    "simhash_neardup_pairs",
 ]
 
 
@@ -389,6 +390,7 @@ _SMALL_RESULT = {
     "containment_store_probe",
     "cluster_survivor_rollup",
     "classifier_pr_curve",
+    "simhash_neardup_pairs",
 }
 
 

@@ -83,7 +83,7 @@ _ROUND11_PRIORITY = [
     "rbo_prefix_stability", "containment_subset_pairs",
     "stream_topk_counts_twin", "cluster_precision_audit",
     "containment_store_probe", "cluster_survivor_rollup",
-    "classifier_pr_curve",
+    "classifier_pr_curve", "simhash_neardup_pairs",
     # remaining r1/r2 refresh band — next round's back-fill
     "catalog_missing_folders", "dedup_exact_groups", "text_lang_id",
     "catalog_type_filter_paging", "dedup_corpus_segments",

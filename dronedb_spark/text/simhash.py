@@ -83,13 +83,16 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
 
 
 def simhash_hamming(sig: DataFrame, max_dist: int = 16) -> DataFrame:
-    """Candidate near-dups by Hamming distance — JVM-side bit_count over
-    the parsed int64 signature (engine surface; not oracle-checked since
-    conv() has no DuckDB twin)."""
+    """EXHAUSTIVE near-dups by Hamming distance — the all-pairs
+    reference for thresholds where banding gives no guarantee.  The
+    distance is the digit-wise popcount(xor) sum (``_pair_hamming``) —
+    conv() returns STRING in Spark, so the former int64 xor never
+    resolved (latent until the banded==exhaustive law pinned it), and a
+    >2^63 signature would overflow a BIGINT cast to NULL anyway."""
     a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
     b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
     j = a.join(b, F.col("doc_a") < F.col("doc_b"))
-    dist = F.expr("bit_count(conv(ha, 16, 10) ^ conv(hb, 16, 10))")
+    dist = F.expr(_pair_hamming("spark"))
     return j.select("doc_a", "doc_b", dist.cast("int").alias("hamming")).filter(
         F.col("hamming") <= max_dist
     )
@@ -98,3 +101,108 @@ def simhash_hamming(sig: DataFrame, max_dist: int = 16) -> DataFrame:
 @check("text_simhash", oracle=_signature_select("duckdb"))
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_signatures(load(spark, sf_dir, "documents"))
+
+
+# ----------------------------------------------------- banded near-dup --
+
+N_BANDS = 4
+BAND_HEX = N_HEX // N_BANDS  # 4 hex chars = 16 bits per band
+HAM_MAX = 3
+
+
+def _pair_hamming(dialect: str) -> str:
+    """Hamming distance between two 16-hex signatures ha/hb as a
+    16-term digit-wise popcount(xor) sum — the same text in both
+    dialects (only xor spelling differs), so candidate verification is
+    oracle-checkable, unlike the conv()-based int64 path."""
+    xor = (
+        "({a} ^ {b})" if dialect == "spark" else "xor({a}, {b})"
+    )
+    pos = "instr" if dialect == "spark" else "strpos"
+    terms = []
+    for p in range(N_HEX):
+        da = f"({pos}('{_HEX}', substr(ha, {p + 1}, 1)) - 1)"
+        db = f"({pos}('{_HEX}', substr(hb, {p + 1}, 1)) - 1)"
+        terms.append(f"bit_count({xor.format(a=da, b=db)})")
+    return " + ".join(terms)
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame, max_dist: int = HAM_MAX
+) -> DataFrame:
+    """(doc_a, doc_b, hamming): EXACT SimHash near-dup pairs at
+    Hamming ≤ 3, found WITHOUT the doc × doc cross: the 64-bit
+    signature splits into 4 16-bit bands and by pigeonhole any pair
+    within distance 3 agrees on at least one whole band — so the
+    band equi-join's candidate set provably contains every answer,
+    and the 16-term digit Hamming filter makes it exact.  One
+    signature pass, one shuffle on (band, bv), candidate-sized
+    verification; the ``simhash_hamming`` cross-join stays only as
+    the exhaustive reference for higher thresholds."""
+    sig = simhash_signatures(docs)
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.substring(
+                            "simhash", b * BAND_HEX + 1, BAND_HEX
+                        ).alias("bv"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("s"),
+    ).select("doc_id", "simhash", "s.band", "s.bv")
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("ha"),
+        "band",
+        "bv",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("hb"),
+        "band",
+        "bv",
+    )
+    cand = (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb")
+        .distinct()
+    )
+    return (
+        cand.select(
+            "doc_a",
+            "doc_b",
+            F.expr(_pair_hamming("spark")).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_dist)
+    )
+
+
+@check(
+    "simhash_neardup_pairs",
+    oracle=f"""
+        WITH sig AS ({_signature_select("duckdb")}),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.simhash AS ha, b.simhash AS hb
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b,
+               CAST({_pair_hamming("duckdb")} AS INT) AS hamming
+        FROM pairs
+        WHERE {_pair_hamming("duckdb")} <= {HAM_MAX}
+        ORDER BY doc_a, doc_b""",
+)
+def q_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Hamming ≤ 3 SimHash pairs via the pigeonhole band join —
+    value-checked against the oracle's exhaustive pair scan (the oracle
+    MAY brute-force; the operator may not)."""
+    return simhash_neardup_pairs(load(spark, sf_dir, "documents")).orderBy(
+        "doc_a", "doc_b"
+    )

@@ -363,3 +363,28 @@ def test_pr_curve_monotone_and_consistent_with_auc_inputs(spark, sf_dir):
     # the loosest threshold (smallest s) accepts everything: recall 1
     assert rows[0]["recall_micro"] == 1_000_000
     assert rows[0]["tp"] == n_pos and rows[0]["fp"] == n_neg
+
+
+def test_simhash_banded_equals_exhaustive_at_threshold(spark, sf_dir):
+    """Pigeonhole exactness: the band join's Hamming ≤ 3 answer must
+    equal the exhaustive cross-join's (the banded path may not lose a
+    pair), and the banded plan must not contain a cartesian product."""
+    from dronedb_spark.plans.inspect import has_cartesian
+    from dronedb_spark.tables import load
+    from dronedb_spark.text.simhash import (
+        simhash_hamming,
+        simhash_neardup_pairs,
+        simhash_signatures,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    banded = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_neardup_pairs(docs).collect()
+    }
+    brute = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_hamming(simhash_signatures(docs), max_dist=3).collect()
+    }
+    assert banded == brute and banded
+    assert not has_cartesian(simhash_neardup_pairs(docs))
