@@ -32,11 +32,19 @@ from dronedb_spark.tables import load
 
 def benford_digit_audit(df: DataFrame, amount_col: str) -> DataFrame:
     """(digit, n_obs, share_micro, benford_micro): observed leading-digit
-    counts and exact-micro shares vs the Benford expectation."""
-    digits = df.filter(F.col(amount_col) >= 1).select(
-        F.substring(
-            F.floor(F.col(amount_col)).cast("bigint").cast("string"), 1, 1
-        )
+    counts and exact-micro shares vs the Benford expectation.
+
+    Dirty-feed guard (the module's stated purpose): only FINITE values
+    participate — in Spark ``NaN >= 1`` is true and ``CAST(NaN AS
+    BIGINT)`` is 0 (an out-of-range digit-0 row), and Infinity maps to
+    digit 9; DuckDB errors or differs on the same rows.  Both dialects
+    filter NaN/Inf up front so the audit is identical on both engines
+    no matter how broken the upstream generator is."""
+    v = F.col(amount_col).cast("double")
+    digits = df.filter(
+        (v >= 1) & ~F.isnan(v) & (v != F.lit(float("inf")))
+    ).select(
+        F.substring(F.floor(v).cast("bigint").cast("string"), 1, 1)
         .cast("int")
         .alias("digit")
     )
@@ -57,7 +65,9 @@ def benford_digit_audit(df: DataFrame, amount_col: str) -> DataFrame:
     oracle="""
         WITH digits AS (
             SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
-            FROM orders WHERE o_totalprice >= 1),
+            FROM orders
+            WHERE o_totalprice >= 1
+              AND isfinite(CAST(o_totalprice AS DOUBLE))),
         counts AS (
             SELECT digit, COUNT(*) AS n_obs FROM digits GROUP BY digit)
         SELECT digit, n_obs,

@@ -34,7 +34,12 @@ def stream_containment_probe(
 ) -> DataFrame:
     """(src_id, dst_id, s): every (new doc, stored doc) pair sharing a
     stored shingle — the raw evidence rows of the containment probe,
-    one stream-static join per trigger."""
+    one stream-static join per trigger.  ``postings`` may be the
+    containment store's postings table verbatim (``doc_id`` column) or
+    an already-renamed ``dst_id`` frame — the two halves of the family
+    compose without a manual rename."""
+    if "dst_id" not in postings.columns:
+        postings = postings.withColumnRenamed("doc_id", "dst_id")
     probe = _shingle_df(batch_stream).select(
         "doc_id", F.explode(F.array_distinct("sh")).alias("s")
     )

@@ -169,11 +169,14 @@ def q_cluster_precision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cluster_survivors(docs: DataFrame) -> DataFrame:
     """(doc_id, cluster_id, keep): the survivorship policy after
     clustering — per near-dup component exactly ONE canonical document
-    survives, chosen by the packed MAX of (n_chars, −doc_id): the
-    longest member wins (the keep-the-most-content curation default),
-    ties to the smallest id.  Singleton docs (no LSH pair) keep
-    themselves.  One packed aggregate per cluster — no window over the
-    corpus."""
+    survives, chosen by the lexicographic struct MAX of
+    (n_chars, −doc_id, doc_id): the longest member wins (the
+    keep-the-most-content curation default), ties to the smallest id.
+    Singleton docs (no LSH pair) keep themselves.  One struct aggregate
+    per cluster — no window over the corpus, and no magic-constant
+    string packing (the lpad variant this replaced silently inverted
+    the ordering for n_chars ≥ 10¹² or doc_id > 999 999 999 999 —
+    struct comparison is domain-safe for the full bigint range)."""
     pairs = barrier_persist(neardup_pairs(docs))
     labels = connected_components(pairs).select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
@@ -185,26 +188,21 @@ def cluster_survivors(docs: DataFrame) -> DataFrame:
         "n_chars",
         F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
     )
-    # packed (n_chars, inverted doc_id) — MAX picks longest, ties low id
-    packed = tagged.select(
-        "doc_id",
-        "cluster_id",
-        F.concat(
-            F.lpad(F.col("n_chars").cast("string"), 12, "0"),
-            F.lpad(
-                (F.lit(999_999_999_999) - F.col("doc_id")).cast("string"),
-                12,
-                "0",
-            ),
-        ).alias("pk"),
+    winners = tagged.groupBy("cluster_id").agg(
+        F.max(
+            F.struct(
+                F.col("n_chars").alias("n"),
+                (-F.col("doc_id")).alias("nid"),
+                F.col("doc_id").alias("id"),
+            )
+        )["id"].alias("win_id")
     )
-    winners = packed.groupBy("cluster_id").agg(F.max("pk").alias("wk"))
     return (
-        packed.join(winners, "cluster_id")
+        tagged.join(winners, "cluster_id")
         .select(
             "doc_id",
             "cluster_id",
-            (F.col("pk") == F.col("wk")).alias("keep"),
+            (F.col("doc_id") == F.col("win_id")).alias("keep"),
         )
     )
 
@@ -248,15 +246,16 @@ def survivor_rollup(docs: DataFrame) -> DataFrame:
             FROM reach GROUP BY node),
         tagged AS (
             SELECT d.doc_id, d.n_chars,
-                   COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
-                   lpad(CAST(d.n_chars AS VARCHAR), 12, '0')
-                   || lpad(CAST(999999999999 - d.doc_id AS VARCHAR), 12, '0')
-                       AS pk
+                   COALESCE(l.cluster_id, d.doc_id) AS cluster_id
             FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id),
         winners AS (
-            SELECT cluster_id, MAX(pk) AS wk FROM tagged GROUP BY cluster_id),
+            SELECT cluster_id,
+                   (MAX(struct_pack(n := n_chars, nid := -doc_id,
+                                    id := doc_id))).id AS win_id
+            FROM tagged GROUP BY cluster_id),
         sv AS (
-            SELECT t.doc_id, t.cluster_id, t.n_chars, t.pk = w.wk AS keep
+            SELECT t.doc_id, t.cluster_id, t.n_chars,
+                   t.doc_id = w.win_id AS keep
             FROM tagged t JOIN winners w ON w.cluster_id = t.cluster_id)
         SELECT CAST(COUNT(1) AS BIGINT) AS n_docs,
                CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,

@@ -173,6 +173,22 @@ def _sh_bucket_col(n_buckets: int = N_SH_BUCKETS) -> Column:
     ).cast("int")
 
 
+def probe_buckets(
+    shingles: DataFrame, n_buckets: int = N_SH_BUCKETS
+) -> list[int]:
+    """Engine-side probe-set derivation: the distinct BUCKET ids of a
+    batch's shingles — at most ``n_buckets`` rows ever reach the driver,
+    regardless of how many distinct shingles the batch holds (the
+    collect-the-shingles variant this replaced was driver-bound: one
+    Python string per distinct batch shingle)."""
+    return sorted(
+        r["b"]
+        for r in shingles.select(_sh_bucket_col(n_buckets).alias("b"))
+        .distinct()
+        .collect()
+    )
+
+
 def _distinct_shingles(docs: DataFrame) -> DataFrame:
     return (
         _shingle_df(docs)
@@ -225,12 +241,7 @@ def incremental_containment(
     batch doc's shingles surviving that combined cap."""
     bsh = barrier_persist(_distinct_shingles(batch_docs))
     bdf = bsh.groupBy("s").agg(F.count(F.lit(1)).alias("bdf"))
-    # driver-derived probe set: bounded by the batch's distinct-shingle
-    # count, saturates at n_buckets for large batches (the prune pays
-    # off exactly when the batch is small relative to the store)
-    buckets = sorted(
-        {_sh_bucket(r["s"], n_buckets) for r in bdf.select("s").collect()}
-    )
+    buckets = probe_buckets(bdf, n_buckets)
     store_dfs = (
         spark.read.parquet(path + "/dfs")
         .filter(F.col("bkt").isin(buckets))

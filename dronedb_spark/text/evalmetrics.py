@@ -220,18 +220,23 @@ def pr_curve(
     w_all = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
-    n_pos = F.max("tp").over(w_all)  # tp is cumulative: its max = n_pos
+    # tp is cumulative: its max = n_pos.  An all-negative corpus makes
+    # n_pos 0 — recall is then undefined; emit NULL explicitly in BOTH
+    # dialects (DuckDB's // raises on 0, Spark's DIV silently NULLs —
+    # without the CASE the engines diverge exactly when the metric is
+    # degenerate).
+    cum = cum.withColumn("n_pos", F.max("tp").over(w_all).cast("bigint"))
     return cum.select(
         "s",
         "tp",
         "fp",
-        (n_pos - F.col("tp")).cast("bigint").alias("fn"),
+        (F.col("n_pos") - F.col("tp")).cast("bigint").alias("fn"),
         F.expr("tp * 1000000 DIV (tp + fp)").cast("bigint").alias(
             "precision_micro"
         ),
         F.expr(
-            "tp * 1000000 DIV max(tp) OVER (ROWS BETWEEN UNBOUNDED"
-            " PRECEDING AND UNBOUNDED FOLLOWING)"
+            "CASE WHEN n_pos = 0 THEN NULL"
+            " ELSE tp * 1000000 DIV n_pos END"
         ).cast("bigint").alias("recall_micro"),
     )
 
@@ -253,7 +258,9 @@ def pr_curve(
         SELECT s, tp, fp,
                CAST(n_pos - tp AS BIGINT) AS fn,
                CAST(tp * 1000000 // (tp + fp) AS BIGINT) AS precision_micro,
-               CAST(tp * 1000000 // n_pos AS BIGINT) AS recall_micro
+               CAST(CASE WHEN n_pos = 0 THEN NULL
+                         ELSE tp * 1000000 // n_pos END
+                    AS BIGINT) AS recall_micro
         FROM cum ORDER BY s""",
 )
 def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
