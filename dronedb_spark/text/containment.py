@@ -140,6 +140,118 @@ def q_containment_subset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(docs).orderBy("src_id", "dst_id")
 
 
+# --------------------------------------------------- 10x load twin ----
+#
+# The family's hot-anchor discipline (segdedup/substring/semdedup all
+# carry one): the corpus ∪ excerpts replicated 10× with re-keyed ids —
+# every shingle's posting list inflates 10×, every replica pair is a
+# 100%-containment hit, and the df cap must keep the pair fan-out
+# bounded (boilerplate shingles cross the cap under replication, which
+# is exactly the cap's job).  The check result is a per-replica rollup
+# (10 rows), so the driver compare stays small while the full 10× pair
+# computation runs.
+
+_INFLATE = 10
+_INFLATE_STRIDE = 10_000_000_000  # > EXCERPT_OFFSET + any doc_id
+
+
+def _inflated_corpus(docs: DataFrame, copies: int = _INFLATE) -> DataFrame:
+    spark = docs.sparkSession
+    ks = F.broadcast(spark.range(copies).select(F.col("id").alias("k")))
+    return (
+        _with_excerpts(docs)
+        .crossJoin(ks)
+        .select(
+            (F.col("doc_id") + F.col("k") * _INFLATE_STRIDE).alias("doc_id"),
+            "text",
+        )
+    )
+
+
+@check(
+    "containment_subset_pairs_10x",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + {EXCERPT_OFFSET} AS doc_id,
+                   substr(text, 30, 160) AS text
+            FROM documents WHERE doc_id % 10 = 0),
+        corpus AS (
+            SELECT base.doc_id + k.k * {_INFLATE_STRIDE} AS doc_id, text
+            FROM base, (SELECT unnest(range(0, {_INFLATE})) AS k) k),
+        words AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+        sh AS (
+            SELECT DISTINCT doc_id, s FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+                FROM words)),
+        df_ok AS (
+            SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= {MAX_DF}),
+        kept AS (SELECT sh.doc_id, sh.s FROM sh JOIN df_ok USING (s)),
+        sizes AS (
+            SELECT doc_id, COUNT(*) AS n_src FROM kept GROUP BY doc_id),
+        pairs AS (
+            SELECT a.doc_id AS src_id, b.doc_id AS dst_id,
+                   COUNT(*) AS n_common
+            FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id <> b.doc_id
+            GROUP BY a.doc_id, b.doc_id),
+        hits AS (
+            SELECT p.src_id, p.dst_id,
+                   p.n_common * 1000000 // z.n_src AS cm
+            FROM pairs p JOIN sizes z ON z.doc_id = p.src_id
+            WHERE p.n_common * 1000000 // z.n_src >= {MIN_CONTAIN_MICRO})
+        SELECT CAST(src_id // {_INFLATE_STRIDE} AS BIGINT) AS src_k,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(CASE WHEN src_id % {_INFLATE_STRIDE}
+                                  = dst_id % {_INFLATE_STRIDE}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_replica_self,
+               CAST(SUM(CASE WHEN src_id % {_INFLATE_STRIDE}
+                                  >= {EXCERPT_OFFSET}
+                              AND dst_id % {_INFLATE_STRIDE}
+                                  = src_id % {_INFLATE_STRIDE}
+                                    - {EXCERPT_OFFSET}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_excerpt_hits,
+               CAST(SUM(cm) AS BIGINT) AS sum_contain_micro
+        FROM hits
+        GROUP BY 1 ORDER BY 1""",
+)
+def q_containment_subset_pairs_10x(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10×-replicated corpus ∪ excerpts through the df-capped
+    containment plan, rolled up per source replica: pair counts,
+    same-base-document replica hits, excerpt→host hits, containment
+    mass — linear-scaling evidence for the posting-list cap."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = containment_pairs(_inflated_corpus(docs))
+    src_base = F.col("src_id") % _INFLATE_STRIDE
+    dst_base = F.col("dst_id") % _INFLATE_STRIDE
+    return (
+        pairs.groupBy(
+            F.expr(f"src_id DIV {_INFLATE_STRIDE}")
+            .cast("bigint")
+            .alias("src_k")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum((src_base == dst_base).cast("bigint")).alias(
+                "n_replica_self"
+            ),
+            F.sum(
+                (
+                    (src_base >= EXCERPT_OFFSET)
+                    & (dst_base == src_base - EXCERPT_OFFSET)
+                ).cast("bigint")
+            ).alias("n_excerpt_hits"),
+            F.sum("containment_micro").cast("bigint").alias(
+                "sum_contain_micro"
+            ),
+        )
+        .orderBy("src_k")
+    )
+
+
 # ------------------------------------------- store + incremental probe --
 #
 # The family's daily-ingest member (the band/postings/semdedup store
