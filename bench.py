@@ -286,6 +286,15 @@ HEADLINE = [
     "cluster_survivor_rollup",
     "classifier_pr_curve",
     "simhash_neardup_pairs",
+    # round-12 debuts: composed 3-channel eval-decontamination report,
+    # containment family 10x load twin
+    "decontam_channel_report",
+    "containment_subset_pairs_10x",
+    "stream_decontam_hits_twin",
+    "source_datacard",
+    "krippendorff_alpha",
+    "decontam_removal_plan",
+    "multiclass_f1_report",
 ]
 
 
@@ -391,6 +400,13 @@ _SMALL_RESULT = {
     "cluster_survivor_rollup",
     "classifier_pr_curve",
     "simhash_neardup_pairs",
+    "decontam_channel_report",
+    "containment_subset_pairs_10x",
+    "stream_decontam_hits_twin",
+    "source_datacard",
+    "krippendorff_alpha",
+    "decontam_removal_plan",
+    "multiclass_f1_report",
 }
 
 
@@ -499,6 +515,14 @@ def main() -> None:
 
         run_once()  # warm at the measured SF (footers, codegen, shuffles)
         best = min(run_once(), run_once(), run_once())
+        # Sub-2s rows showed 2-3x cross-snapshot oscillation (r11 verdict
+        # #5: dedup_neardup_pairs 0.54/1.77/0.73 s across three committed
+        # snapshots of unchanged code) — local-mode scheduler hiccups
+        # dominate short queries.  Two extra min-runs tighten the
+        # steady-state estimate exactly where the noise lives, at ~2x the
+        # row's own (small) cost; long rows keep best-of-3.
+        if best < 2.0:
+            best = min(best, run_once(), run_once())
         # environment stall insurance, absolute AND relative: a sustained
         # host-level hiccup can inflate several consecutive runs
         # (observed: q1 at 8.5s across 3 runs, steady-state 0.9s); retry
