@@ -514,14 +514,17 @@ def main() -> None:
             return time.time() - t0
 
         run_once()  # warm at the measured SF (footers, codegen, shuffles)
-        best = min(run_once(), run_once(), run_once())
+        runs = [run_once(), run_once(), run_once()]
+        best = min(runs)
         # Sub-2s rows showed 2-3x cross-snapshot oscillation (r11 verdict
         # #5: dedup_neardup_pairs 0.54/1.77/0.73 s across three committed
         # snapshots of unchanged code) — local-mode scheduler hiccups
-        # dominate short queries.  Two extra min-runs tighten the
-        # steady-state estimate exactly where the noise lives, at ~2x the
-        # row's own (small) cost; long rows keep best-of-3.
-        if best < 2.0:
+        # dominate short queries.  ADAPTIVE extra min-runs: only a short
+        # row whose three runs already disagree (spread > 1.25x) pays for
+        # two more — stable rows add nothing, so the full 384-row pass
+        # stays inside the driver's bench budget (an unconditional
+        # best-of-5 pushed the wall past 50 minutes).
+        if best < 2.0 and max(runs) > 1.25 * best:
             best = min(best, run_once(), run_once())
         # environment stall insurance, absolute AND relative: a sustained
         # host-level hiccup can inflate several consecutive runs
