@@ -430,28 +430,18 @@ def main() -> None:
             HEADLINE.append(name)
             seen.add(name)
 
-    # Warm-up: JVM JIT + whole-stage-codegen class cache + parquet footers.
-    # Each headline query runs once at the smallest SF so the measured pass
-    # reflects steady-state engine throughput, not first-query compile cost.
+    # Warm-up: JVM JIT + whole-stage-codegen class cache.  The old global
+    # per-query warm pass at sf0.001 is gone: every row already takes an
+    # UNTIMED warm run at the measured SF immediately before its timed
+    # runs (footers, codegen, shuffle files — per-row, where it matters),
+    # so the global pass only duplicated ~10 minutes of wall on the
+    # 384-row registry without changing any steady-state number.
     spark.range(1000).count()
-    warm_dir = "/root/testdata/sf0.001"
-    if os.path.isdir(warm_dir):
-        for name in HEADLINE:
-            try:
-                wdf = registry[name].spark_fn(spark, warm_dir)
-                if name in _SMALL_RESULT:
-                    wdf.collect()
-                else:
-                    wdf.write.format("noop").mode("overwrite").save()
-            except Exception:
-                pass
 
-    # Drop the warm pass's leftovers before measuring: barrier_persist
-    # pins up to 8 persisted DataFrames (warm-SF plans, useless at the
-    # measured SF) and hundreds of warm jobs leave cached relations +
-    # un-GC'd broadcasts behind.  Measured on the 375-row headline: the
-    # early timed rows ran up to 2-3x their clean-session cost with the
-    # warm state still resident (stamp_checksum 1.45s vs 0.60s clean).
+    # Start the timed loop from a clean session: any persisted barriers,
+    # cached relations or un-GC'd broadcasts left by registry import /
+    # warm-up are dropped (the r11 finding: resident warm state inflated
+    # early timed rows 2-3x — stamp_checksum 1.45s vs 0.60s clean).
     # Clearing is steady-state hygiene, not a benchmark trick — a real
     # cluster job starts without another workload's cache residue.
     try:
