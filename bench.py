@@ -1,10 +1,23 @@
 """Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line with per-query seconds.
+JSON line.
 
 Queries are forced with the noop sink (full computation, no driver
 collect) except explicit top-k/paging queries where collect() is the
 realistic action.
+
+Two modes (r12 verdict #1 — the driver's bench budget and stdout tail
+are both bounded, so the official pass must stay compact):
+
+* default (driver pass): times the curated ``DRIVER_SUBSET`` (~67 rows,
+  every operator family represented; single-pass mass ~66 s, so
+  warm + best-of-3 stays well under 15 min wall) and prints a COMPACT
+  final JSON line — totals + the stable 24-row r1 headline map, sized
+  to survive the driver's 2000-char stdout tail.  The complete per-row
+  map for the pass is written to BENCH_SELF_DRIVER.json.
+* ``SPARK_GRAFT_BENCH_FULL=1`` (builder pass): the full ever-gated
+  registry (384+ rows, ~40 min) — the per-round BENCH_SELF.json
+  snapshot protocol, unchanged.
 """
 
 from __future__ import annotations
@@ -298,6 +311,66 @@ HEADLINE = [
 ]
 
 
+# The driver pass times this curated subset: the original 24-row r1
+# headline (longitudinal comparability with BENCH_r01 / BASELINE) plus
+# one-or-two representatives per operator family added since (codecs,
+# TPC-H extension, STAC, LM/text pipeline, every dedup family, ANN
+# serving, streaming twins, events/sessions, maintenance, eval, crawl,
+# the 10x scale twins, and the newest debuts).  Selection criterion:
+# family coverage at bounded mass — single-pass sum ~66 s at sf0.1 on
+# this host (BENCH_SELF_r12), so warm + best-of-3 + stall retries stays
+# far inside the driver's wall budget.  The scratch-dir store/build
+# checks and the by-design quadratic in-cell twins stay in the FULL
+# (builder) pass only.
+DRIVER_SUBSET = [
+    # original 24-row r1 headline — keep order, keep all 24
+    "q1_pricing_summary", "q3_top_revenue_orders", "q5_region_revenue",
+    "parts_topk_per_brand", "events_hourly", "asof_join_events",
+    "interval_join_windows", "catalog_search_like", "entries_meta_join",
+    "stac_items_page", "delta_adds", "stamp_checksum",
+    "dedup_minhash_signatures", "dedup_neardup_pairs",
+    "dedup_corpus_segments", "knn_cosine_top10", "text_quality_metrics",
+    "raster_area_stats", "zonal_volume_cutfill", "text_simhash",
+    "ann_lsh_top5", "formula_engine_sweep", "copc_zorder_pages",
+    "vector_query_page",
+    # real-codec representatives
+    "pointcloud_laz_stats", "media_jpeg_channel_stats",
+    "shapefile_parse_features", "mvt_pbf_roundtrip",
+    # TPC-H extension
+    "q8_market_share", "q18_large_orders",
+    # STAC
+    "stac_collection_doc", "stac_items_keyset",
+    # LM / text pipeline
+    "lm_doc_perplexity", "bpe_encode_corpus", "langid_nb_predictions",
+    "tfidf_topterms",
+    # one representative per dedup family
+    "paragraph_dedup", "substring_dup_spans", "url_canonical_dedup",
+    "simhash_neardup_pairs", "containment_subset_pairs",
+    "jaccard_ssjoin_pairs", "winnow_overlap_pairs", "semdedup_cell_rollup",
+    # ANN serving
+    "ivfpq_adc_top10", "binq_hamming_top10", "pq_adc_top10",
+    "filtered_ivf_top10",
+    # streaming batch twins
+    "stream_dedup_twin", "stream_topk_counts_twin",
+    "stream_decontam_hits_twin",
+    # events / sessions
+    "funnel_view_click_purchase", "sessionize_gap_windows",
+    "events_rollup_counts",
+    # maintenance / eval / crawl
+    "zorder_layout_skipping", "compact_plan_groups", "classifier_pr_curve",
+    "retrieval_mrr", "decontam_channel_report", "warc_text_extract",
+    "domain_pagerank",
+    # 10x scale twins (linear-scaling evidence in the official artifact)
+    "dedup_corpus_segments_10x", "delta_adds_10x", "heavy_hitters_exact_10x",
+    # newest debuts
+    "source_datacard", "sft_pack_batches", "mixture_quota_twophase",
+]
+
+# The stable longitudinal metric: the original r1 headline rows whose
+# per-query map is small enough to print in the driver-visible line.
+_HEADLINE24 = DRIVER_SUBSET[:24]
+
+
 def _ever_gated_names() -> list[str]:
     """Union of every committed driver CORRECTNESS artifact's keys — the
     set of checks that ever earned a driver gate row.  Bench coverage ==
@@ -417,18 +490,24 @@ def main() -> None:
     from dronedb_spark.session import get_spark
     from dronedb_spark.suite import load_all
 
+    full = os.environ.get("SPARK_GRAFT_BENCH_FULL", "") == "1"
+
     spark = get_spark("dronedb_spark_bench", cpus=cpus)
     registry = load_all()
 
-    # Append every ever-gated check missing from the curated list (in
-    # name order, AFTER it, so committed per-query history lines up) —
-    # bench coverage == gate coverage, automatically, as new driver
-    # rounds land new CORRECTNESS rows.
-    seen = set(HEADLINE)
-    for name in _ever_gated_names():
-        if name not in seen and name in registry:
-            HEADLINE.append(name)
-            seen.add(name)
+    if full:
+        # Builder pass: every ever-gated check missing from the curated
+        # list is appended (in name order, AFTER it, so committed
+        # per-query history lines up) — bench coverage == gate coverage.
+        rows = list(HEADLINE)
+        seen = set(rows)
+        for name in _ever_gated_names():
+            if name not in seen and name in registry:
+                rows.append(name)
+                seen.add(name)
+    else:
+        # Driver pass: the curated family-coverage subset, bounded wall.
+        rows = [n for n in DRIVER_SUBSET if n in registry]
 
     # Warm-up: JVM JIT + whole-stage-codegen class cache.  The old global
     # per-query warm pass at sf0.001 is gone: every row already takes an
@@ -492,7 +571,8 @@ def main() -> None:
     # warm runs is the steady-state number a cluster would see.
     results: dict[str, float] = {}
     total = 0.0
-    for name in HEADLINE:
+    t_start = time.time()
+    for name in rows:
         chk = registry[name]
         def run_once() -> float:
             t0 = time.time()
@@ -529,29 +609,75 @@ def main() -> None:
             extra += 1
         results[name] = round(best, 3)
         total += results[name]
+        # Per-row progress on stderr: a driver timeout becomes
+        # diagnosable (which row was running), and everything prints
+        # BEFORE the final JSON line so the stdout tail still ends
+        # with the parseable record.
+        print(
+            f"[bench {len(results)}/{len(rows)} t={time.time() - t_start:.0f}s]"
+            f" {name}: {results[name]}s",
+            file=sys.stderr, flush=True,
+        )
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    line = json.dumps(
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Host 1-min load average at finish (r12 verdict #5): the sandbox
+    # has documented external-load windows that inflate common rows
+    # 1.2-1.35x on unchanged code — recording the load makes a noisy
+    # snapshot self-documenting instead of a fake regression.
+    try:
+        loadavg = round(os.getloadavg()[0], 1)
+    except OSError:
+        loadavg = -1.0
+    full_record = json.dumps(
         {
             "metric": "headline_queries_total_sec",
             "value": round(total, 3),
             "unit": "sec",
             "queries": results,
-            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "sf": sf_val,
+            "load1m": loadavg,
         }
     )
-    print(line)
     # Persist the COMPLETE per-query record beside the repo: the driver
-    # keeps only a 2000-char stdout tail, which loses the queries map —
-    # round-over-round comparison needs the full line on disk.
+    # keeps only a 2000-char stdout tail, which cannot hold a large
+    # queries map — round-over-round comparison needs the full map on
+    # disk.  The builder's full-registry snapshot keeps its historical
+    # name; the driver pass writes its own file so a post-commit driver
+    # run never clobbers the committed full-registry artifact.
     try:
         out = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_SELF.json"
+            os.path.dirname(os.path.abspath(__file__)),
+            "BENCH_SELF.json" if full else "BENCH_SELF_DRIVER.json",
         )
         with open(out, "w") as fh:
-            fh.write(line + "\n")
+            fh.write(full_record + "\n")
     except OSError:
         pass
+
+    # The driver-visible line must be printed LAST and must FIT: the
+    # driver records a 2000-char stdout tail (BENCH_r07-r12 were all
+    # unparseable because the 384-row map overflowed it).  Emit totals
+    # plus only the stable 24-row r1 headline map (~800 chars); stop
+    # Spark FIRST so no executor/shutdown chatter prints after the line.
+    head24 = {k: results[k] for k in _HEADLINE24 if k in results}
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_sec",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": head24,
+            "headline24_total_sec": round(sum(head24.values()), 3),
+            "n_queries": len(results),
+            "sf": sf_val,
+            "load1m": loadavg,
+        }
+    )
+    try:
+        spark.stop()
+    except Exception:
+        pass
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -120,7 +120,7 @@ _XLAT, _XLON, _XALT = 12.5, -7.25, 340.0
 @check(
     "setexif_gps_roundtrip",
     oracle=f"""
-        SELECT path, CAST(type AS INT) AS type, lon, lat, alt FROM (VALUES
+        SELECT path, CAST(type AS INT) AS type, lat, lon, alt FROM (VALUES
             ('img_exif.jpg', 3, {_XLAT!r}, {_XLON!r}, {_XALT!r}),
             ('img_gps.jpg', 3, {_XLAT!r}, {_XLON!r}, {_XALT!r}),
             ('img_plain.jpg', 3, {_XLAT!r}, {_XLON!r}, {_XALT!r}),

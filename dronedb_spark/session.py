@@ -30,6 +30,10 @@ def get_spark(app_name: str = "dronedb_spark", cpus: int | None = None) -> Spark
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("DDB_SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
+        # No \r stage-progress spam: the bench driver records a bounded
+        # stdout tail, and progress bars were drowning the final JSON
+        # line out of it (BENCH_r12 tail was 100% progress-bar output).
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # A task occasionally stalls for seconds on block-manager cleanup
         # contention (local mode shares one JVM); speculation re-launches

@@ -48,9 +48,13 @@ def coder_ratings(docs: DataFrame) -> DataFrame:
     toks = F.size(F.filter(F.split("text", " "), lambda t: t != ""))
     return docs.select(
         "doc_id",
-        (F.col("lang") == "en").cast("int").alias("c1"),
-        (F.col("n_chars") >= CHAR_CUT).cast("int").alias("c2"),
-        (toks >= TOK_CUT).cast("int").alias("c3"),
+        # NULL-safe: (lang == 'en') is NULL for a NULL lang and would
+        # silently drop the unit from n_zero/n_one/s_disagree while
+        # n_units still counts it; the oracle's CASE WHEN yields 0, so
+        # both dialects must agree on NULL -> 0 (r12 advisory).
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("c1"),
+        F.when(F.col("n_chars") >= CHAR_CUT, 1).otherwise(0).alias("c2"),
+        F.when(toks >= TOK_CUT, 1).otherwise(0).alias("c3"),
     )
 
 

@@ -74,7 +74,7 @@ def gini_source_balance(docs: DataFrame) -> DataFrame:
                    CAST(ROW_NUMBER() OVER (ORDER BY mass, source) AS BIGINT) AS i
             FROM mass)
         SELECT COUNT(*) AS n_sources,
-               SUM(mass) AS total_mass,
+               CAST(SUM(mass) AS BIGINT) AS total_mass,
                CAST(2 * SUM(i * mass) - (COUNT(*) + 1) * SUM(mass) AS BIGINT) AS gini_num,
                CAST(COUNT(*) * SUM(mass) AS BIGINT) AS gini_den,
                CAST(MAX(mass) * 1000000 // SUM(mass) AS BIGINT) AS max_share_micro

@@ -44,6 +44,41 @@ def _rows_key(rows, cols):
     return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
 
 
+_INTEGRAL_SPARK = {"tinyint", "smallint", "int", "bigint"}
+_FLOATING_SPARK = {"float", "double"}
+
+
+def _lint_oracle_render(name, sdf, con, oracle):
+    """The two defect classes the r12 driver gate surfaced (gini /
+    setexif): (a) oracle column ORDER must equal the Spark column order
+    — the driver records schema order and the judge sim compares
+    positionally; (b) the driver renders the DuckDB side through
+    pandas, so an integral Spark column whose oracle twin comes back
+    float64 (e.g. an uncast SUM: BIGINT -> HUGEINT -> float64) hashes
+    as '149174.0' vs '149174' even though the values are equal — and
+    vice versa for a floating Spark column with an integer oracle twin."""
+    pdf = con.execute(oracle).df()
+    d_cols = [c.lower() for c in pdf.columns]
+    s_cols = [c.lower() for c in sdf.columns]
+    assert s_cols == d_cols, (
+        f"{name}: oracle column ORDER {d_cols} != spark order {s_cols}"
+    )
+    spark_types = {c.lower(): t for c, t in sdf.dtypes}
+    for col in pdf.columns:
+        kind = pdf[col].dtype.kind
+        st = spark_types[col.lower()]
+        if st in _INTEGRAL_SPARK and kind == "f" and not pdf[col].isna().any():
+            raise AssertionError(
+                f"{name}: integral spark column {col!r} ({st}) renders "
+                f"float64 from the oracle — add a CAST(... AS BIGINT)"
+            )
+        if st in _FLOATING_SPARK and kind in "iu":
+            raise AssertionError(
+                f"{name}: floating spark column {col!r} ({st}) renders "
+                f"integer from the oracle — cast the oracle to DOUBLE"
+            )
+
+
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_parity(name, spark, sf_dir):
     chk = REGISTRY[name]
@@ -66,6 +101,7 @@ def test_parity(name, spark, sf_dir):
     dk = _rows_key(d_rows, d_cols)
     mismatches = [(a, b) for a, b in zip(sk, dk) if a != b][:5]
     assert sk == dk, f"{name}: value mismatch, first diffs: {mismatches}"
+    _lint_oracle_render(name, sdf, con, chk.oracle)
 
 
 def test_ivf_kmeans_trains_and_covers_all_vectors(spark, sf_dir):
