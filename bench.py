@@ -308,6 +308,23 @@ HEADLINE = [
     "krippendorff_alpha",
     "decontam_removal_plan",
     "multiclass_f1_report",
+    # round-13 debuts: the source x eval-set contamination matrix, the
+    # streaming cosine decontam twin, Kneser-Ney smoothing, the blocked
+    # fuzzy-linkage family (+10x linear-scaling twin, streaming twin),
+    # Bradley-Terry preference strengths
+    # (fuzzy_store_probe is driver-gated but not benched: a scratch-dir
+    # store WRITE per run, like the other build/workflow checks)
+    "contamination_matrix",
+    "stream_cosine_decontam_twin",
+    "lm_kneser_ney",
+    "fuzzy_blocked_matches",
+    "fuzzy_blocked_matches_10x",
+    "stream_fuzzy_probe_twin",
+    "bradley_terry_strengths",
+    "attribution_report",
+    "conformal_coverage",
+    "ldiversity_audit",
+    "zipf_rank_frequency_fit",
 ]
 
 
@@ -364,6 +381,8 @@ DRIVER_SUBSET = [
     "dedup_corpus_segments_10x", "delta_adds_10x", "heavy_hitters_exact_10x",
     # newest debuts
     "source_datacard", "sft_pack_batches", "mixture_quota_twophase",
+    "lm_kneser_ney", "fuzzy_blocked_matches", "bradley_terry_strengths",
+    "contamination_matrix", "attribution_report", "conformal_coverage",
 ]
 
 # The stable longitudinal metric: the original r1 headline rows whose
@@ -480,6 +499,17 @@ _SMALL_RESULT = {
     "krippendorff_alpha",
     "decontam_removal_plan",
     "multiclass_f1_report",
+    # r13 small-result debuts
+    "contamination_matrix",
+    "stream_cosine_decontam_twin",
+    "fuzzy_blocked_matches",
+    "fuzzy_blocked_matches_10x",
+    "stream_fuzzy_probe_twin",
+    "bradley_terry_strengths",
+    "attribution_report",
+    "conformal_coverage",
+    "ldiversity_audit",
+    "zipf_rank_frequency_fit",
 }
 
 

@@ -59,16 +59,27 @@ _ROUND13_PRIORITY = [
     # --- r13 debuts (registered this round, oracle-checked) -------------
     "contamination_matrix",          # source x eval-set leakage grain
     "stream_cosine_decontam_twin",   # third decontam channel's runtime
+    "lm_kneser_ney",                 # the published KenLM smoothing
+    "fuzzy_blocked_matches",         # entity-resolution family debut
+    "fuzzy_store_probe",             # ... its block-partitioned store
+    "fuzzy_blocked_matches_10x",     # ... linear-scaling probe twin
+    "stream_fuzzy_probe_twin",       # ... arrival-time runtime
+    "bradley_terry_strengths",       # preference-eval MM fit
+    "attribution_report",            # multi-touch conversion credit
+    "conformal_coverage",            # split-conformal calibration
+    "ldiversity_audit",              # k-anonymity's diversity sibling
+    "zipf_rank_frequency_fit",       # per-source power-law OLS audit
     # --- back-fill band: every remaining check last gated in round 2 ----
     "geoproject_identity_grid", "haversine_to_origin",
     "ingest_format_props", "ivf_cell_counts", "ivf_kmeans_cells",
     "ivf_search_top5", "knn_cosine_top10", "las_catalog_tile_counts",
     "mask_border_interiors", "multiraster_area_stats",
-    "multispectral_align_merge", "mvt_zoom_budget", "overview_pyramid",
-    "pointcloud_tile_raster", "raster_band_stats", "raster_point_query",
+    "multispectral_align_merge", "mvt_zoom_budget",
+    # ================= 50-slot budget line (r14 window starts here) ====
+    "overview_pyramid", "pointcloud_tile_raster", "raster_band_stats",
+    "raster_point_query",
     "raster_tiff_stats", "spatial_join_counts", "text_simhash",
     "tiff_catalog_area_stats", "tile_pyramid_counts", "vector_describe",
-    # ================= 50-slot budget line (r14 window starts here) ====
     "vector_query_page", "webmercator_tiles_z12",
     "zonal_volume_bestfit", "zonal_volume_cutfill",
     # r3 band next: align_similarity_recovery, audio_features,
@@ -80,7 +91,7 @@ _ROUND13_PRIORITY = [
 def load_all() -> dict[str, Check]:
     """Import every operator module so its checks register, then reorder
     the registry so the checks that still need a driver CORRECTNESS row
-    (``_ROUND12_PRIORITY``) come first — the driver walks in order under a
+    (``_ROUND13_PRIORITY``) come first — the driver walks in order under a
     ~50-check budget and the already-green families can cede their slots.
     """
     # --- never-gated in round 1: register first -------------------------
@@ -239,6 +250,14 @@ def load_all() -> dict[str, Check]:
     import dronedb_spark.text.mclasseval  # noqa: F401  (multiclass F1 report, new in r12)
     import dronedb_spark.text.contamatrix  # noqa: F401  (source x eval-set leakage matrix, new in r13)
     import dronedb_spark.streaming.cosdecontam  # noqa: F401  (streaming cosine decontam probe, new in r13)
+    import dronedb_spark.text.fuzzy  # noqa: F401  (blocked fuzzy record linkage, new in r13)
+    import dronedb_spark.streaming.fuzzy  # noqa: F401  (streaming fuzzy probe, new in r13)
+    import dronedb_spark.text.btrank  # noqa: F401  (Bradley-Terry strengths, new in r13)
+    import dronedb_spark.text.conformal  # noqa: F401  (split-conformal coverage, new in r13)
+    import dronedb_spark.operators.attribution  # noqa: F401  (multi-touch attribution, new in r13)
+    import dronedb_spark.text.powerlaw  # noqa: F401  (Zipf rank-frequency OLS, new in r13)
+    # (text.lm also registers lm_kneser_ney; text.kanon registers
+    # ldiversity_audit — imported below)
     import dronedb_spark.operators.autocorr  # noqa: F401  (rate autocorrelation, new in r9)
     import dronedb_spark.operators.skewprof  # noqa: F401  (join-skew profile, new in r9)
     import dronedb_spark.catalog.constraints  # noqa: F401  (constraint audit, new in r9)

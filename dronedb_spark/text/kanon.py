@@ -75,3 +75,67 @@ def q_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     100-char-bucket) quasi-identifier — risky class and document counts
     re-derived by the oracle."""
     return kanonymity_audit(load(spark, sf_dir, "documents")).orderBy("source")
+
+
+# ---------------------------------------------------------- l-diversity --
+
+L_DIVERSE = 2
+
+
+def ldiversity_audit(
+    docs: DataFrame, l_min: int = L_DIVERSE, len_bucket: int = LEN_BUCKET
+) -> DataFrame:
+    """(source, n_classes, n_undiverse_classes, n_undiverse_docs,
+    min_diversity): the l-diversity companion to the k-anonymity audit
+    (Machanavajjhala et al. 2007) — a QI class where every record shares
+    ONE sensitive value leaks that value even when the class is k-large.
+    QI here is (source, length-bucket); the sensitive attribute is the
+    language.  Same shape as k-anonymity: two map-side-combinable
+    aggregates, no joins."""
+    classes = (
+        docs.select(
+            "source",
+            F.expr(f"n_chars DIV {len_bucket}").alias("lb"),
+            "lang",
+        )
+        .groupBy("source", "lb")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("sz"),
+            F.count_distinct("lang").cast("bigint").alias("ndiv"),
+        )
+    )
+    return classes.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.sum(F.when(F.col("ndiv") < l_min, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_undiverse_classes"),
+        F.sum(F.when(F.col("ndiv") < l_min, F.col("sz")).otherwise(0))
+        .cast("bigint")
+        .alias("n_undiverse_docs"),
+        F.min("ndiv").cast("bigint").alias("min_diversity"),
+    )
+
+
+@check(
+    "ldiversity_audit",
+    oracle=f"""
+        WITH classes AS (
+            SELECT source,
+                   CAST(n_chars // {LEN_BUCKET} AS BIGINT) AS lb,
+                   CAST(COUNT(1) AS BIGINT) AS sz,
+                   CAST(COUNT(DISTINCT lang) AS BIGINT) AS ndiv
+            FROM documents GROUP BY 1, 2)
+        SELECT source,
+               CAST(COUNT(1) AS BIGINT) AS n_classes,
+               CAST(SUM(CASE WHEN ndiv < {L_DIVERSE} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_undiverse_classes,
+               CAST(SUM(CASE WHEN ndiv < {L_DIVERSE} THEN sz ELSE 0 END) AS BIGINT)
+                   AS n_undiverse_docs,
+               CAST(MIN(ndiv) AS BIGINT) AS min_diversity
+        FROM classes GROUP BY source ORDER BY source""",
+)
+def q_ldiversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source l=2 diversity audit: QI classes whose records all
+    share one language (the sensitive attribute) and the documents
+    exposed in them."""
+    return ldiversity_audit(load(spark, sf_dir, "documents")).orderBy("source")

@@ -281,6 +281,143 @@ def q_lm_bigram_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# ------------------------------------------------ Kneser-Ney smoothing
+
+
+def kn_tables(train_docs: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """The four interpolated-KN model tables from one bigram-count pass
+    (Kneser & Ney 1995; the KenLM/CCNet smoothing):
+
+      * ``bi``    — (w1, w2, n12): raw bigram counts
+      * ``lefts`` — (w1, n1, fan1): left-context total + distinct-follower
+        fan-out N1+(w1·)
+      * ``conts`` — (w2, cont2): distinct-predecessor continuation count
+        N1+(·w2)
+      * ``tots``  — 1 row (t_types, v_total): distinct bigram types
+        N1+(··) and the unigram vocabulary size
+
+    All derive from the bigram count table by map-side-combinable
+    aggregates — the corpus is read once.
+    """
+    big = explode_bigrams(spread(train_docs)).groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("n12")
+    )
+    lefts = big.groupBy("w1").agg(
+        F.sum("n12").alias("n1"), F.count(F.lit(1)).alias("fan1")
+    )
+    conts = big.groupBy("w2").agg(F.count(F.lit(1)).alias("cont2"))
+    vocab = explode_tokens(spread(train_docs)).agg(
+        F.count_distinct("tok").alias("v_total")
+    )
+    tots = big.agg(F.count(F.lit(1)).alias("t_types")).crossJoin(vocab)
+    return big, lefts, conts, tots
+
+
+def doc_cross_entropy_kn(
+    docs: DataFrame, train_docs: DataFrame, discount: float = 0.75,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram cross-entropy, D fixed at 0.75:
+
+        p(w2|w1) = (max(n12 − D, 0) + D·fan1·p_cont(w2)) / n1   (seen w1)
+                 =  p_cont(w2)                                   (unseen w1)
+        p_cont(w2) = (cont2 + 1) / (t_types + v_total + 1)
+
+    The continuation distribution is add-one smoothed over the bigram
+    type count so an OOV word keeps a positive floor in BOTH engines —
+    the same +1 convention as the unigram filter.  Three equi-joins
+    (pair→counts, w1→left totals, w2→continuation) plus a 1-row
+    broadcast of the totals; the Zipf-hot keys ride AQE's skew-join
+    split, and every aggregate is map-side combinable, so the plan is
+    the same one-shuffle-per-grain shape as the JM scorer above.
+    """
+    big, lefts, conts, tots = kn_tables(train_docs)
+    pairs = explode_bigrams(spread(docs))
+    scored = (
+        pairs.join(big, ["w1", "w2"], "left")
+        .join(lefts, "w1", "left")
+        .join(conts, "w2", "left")
+        .crossJoin(F.broadcast(tots))
+    )
+    p_cont = (F.coalesce(F.col("cont2"), F.lit(0)) + 1.0) / (
+        F.col("t_types") + F.col("v_total") + 1.0
+    )
+    n12 = F.coalesce(F.col("n12"), F.lit(0))
+    p_seen = (
+        F.greatest(n12 - discount, F.lit(0.0))
+        + discount * F.col("fan1") * p_cont
+    ) / F.col("n1")
+    lp = F.log(F.when(F.col("n1").isNotNull(), p_seen).otherwise(p_cont))
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        (-F.sum(lp.cast("decimal(38,15)")).cast("double")).alias("nll"),
+    )
+    h = F.col("nll") / F.col("n_pairs")
+    return per_doc.select(
+        "doc_id", "n_pairs", h.alias("cross_entropy"), F.exp(h).alias("perplexity")
+    )
+
+
+_KN_ORACLE = """
+    WITH train AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+    tr_pairs AS (
+        SELECT t.w1, lead(t.w1) OVER (PARTITION BY t.doc_id ORDER BY t.pos) AS w2
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w1,
+                     generate_subscripts(string_split(text, ' '), 1) AS pos
+              FROM train) t
+    ),
+    bi AS (SELECT w1, w2, COUNT(*) AS n12 FROM tr_pairs WHERE w2 IS NOT NULL
+           GROUP BY w1, w2),
+    lefts AS (SELECT w1, SUM(n12) AS n1, COUNT(*) AS fan1 FROM bi GROUP BY w1),
+    conts AS (SELECT w2, COUNT(*) AS cont2 FROM bi GROUP BY w2),
+    tots AS (
+        SELECT (SELECT COUNT(*) FROM bi) AS t_types,
+               (SELECT COUNT(DISTINCT tok) FROM
+                   (SELECT unnest(string_split(text, ' ')) AS tok FROM train))
+                   AS v_total
+    ),
+    sc_pairs AS (
+        SELECT t.doc_id, t.w1,
+               lead(t.w1) OVER (PARTITION BY t.doc_id ORDER BY t.pos) AS w2
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w1,
+                     generate_subscripts(string_split(text, ' '), 1) AS pos
+              FROM documents) t
+    ),
+    scored AS (
+        SELECT p.doc_id,
+               ln(CASE WHEN l.n1 IS NOT NULL THEN
+                     (GREATEST(COALESCE(b.n12, 0) - 0.75, 0.0)
+                      + 0.75 * l.fan1 * (COALESCE(c.cont2, 0) + 1.0)
+                        / (tt.t_types + tt.v_total + 1.0)) / l.n1
+                  ELSE (COALESCE(c.cont2, 0) + 1.0)
+                       / (tt.t_types + tt.v_total + 1.0) END) AS lp
+        FROM sc_pairs p
+        LEFT JOIN bi b ON p.w1 = b.w1 AND p.w2 = b.w2
+        LEFT JOIN lefts l ON p.w1 = l.w1
+        LEFT JOIN conts c ON p.w2 = c.w2
+        CROSS JOIN tots tt
+        WHERE p.w2 IS NOT NULL
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(CAST(-SUM(CAST(lp AS DECIMAL(38,15))) AS DOUBLE) / COUNT(*), 9)
+               AS cross_entropy
+    FROM scored GROUP BY doc_id ORDER BY doc_id"""
+
+
+@check("lm_kneser_ney", oracle=_KN_ORACLE)
+def q_lm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram cross-entropy (D=0.75) trained on
+    the even half, scored corpus-wide — the published KenLM smoothing
+    the CCNet filter actually ships, completing the LM family next to
+    the add-one unigram and the Jelinek-Mercer bigram."""
+    docs = load(spark, sf_dir, "documents")
+    out = doc_cross_entropy_kn(docs, docs.filter(F.col("doc_id") % 2 == 0))
+    return out.select(
+        "doc_id",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.round("cross_entropy", 9).alias("cross_entropy"),
+    ).orderBy("doc_id")
+
+
 # --------------------------------------------------- 10x stress variant
 
 _LM10_COPIES = 10
