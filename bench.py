@@ -325,6 +325,13 @@ HEADLINE = [
     "conformal_coverage",
     "ldiversity_audit",
     "zipf_rank_frequency_fit",
+    "domain_hits",
+    "cuped_readout",
+    "km_user_survival",
+    "psi_length_drift",
+    # (simhash_store_probe / stream_simhash_probe_twin are driver-gated
+    # but not benched: scratch-dir store WRITES per run)
+    "attribution_report_10x",
 ]
 
 
@@ -383,6 +390,7 @@ DRIVER_SUBSET = [
     "source_datacard", "sft_pack_batches", "mixture_quota_twophase",
     "lm_kneser_ney", "fuzzy_blocked_matches", "bradley_terry_strengths",
     "contamination_matrix", "attribution_report", "conformal_coverage",
+    "km_user_survival", "domain_hits",
 ]
 
 # The stable longitudinal metric: the original r1 headline rows whose
@@ -510,6 +518,11 @@ _SMALL_RESULT = {
     "conformal_coverage",
     "ldiversity_audit",
     "zipf_rank_frequency_fit",
+    "domain_hits",
+    "cuped_readout",
+    "km_user_survival",
+    "psi_length_drift",
+    "attribution_report_10x",
 }
 
 

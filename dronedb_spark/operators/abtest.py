@@ -161,3 +161,125 @@ def q_ab_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical unrounded doubles from integer sufficient stats."""
     ev = load(spark, sf_dir, "events")
     return ab_readout(variant_conversions(ev)).orderBy("variant")
+
+
+# ------------------------------------------------------------------ CUPED
+
+
+T0 = "2024-02-01"  # pre/post split instant (fixture events start 2024-01-01)
+
+
+def cuped_user_metrics(events: DataFrame) -> DataFrame:
+    """(user_id, x, y): the pre-period covariate X = total event value
+    before T0, the experiment metric Y = purchase value from T0 on —
+    exact DECIMAL(18,2) sums per user, zero-filled so every exposed
+    user is in the panel."""
+    pre = (
+        events.filter(F.col("ts") < F.lit(T0).cast("timestamp"))
+        .groupBy("user_id")
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("x"))
+    )
+    post = (
+        events.filter(
+            (F.col("ts") >= F.lit(T0).cast("timestamp"))
+            & (F.col("event_type") == "purchase")
+        )
+        .groupBy("user_id")
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("y"))
+    )
+    users = events.select("user_id").distinct()
+    return users.join(pre, "user_id", "left").join(post, "user_id", "left").select(
+        "user_id",
+        F.coalesce("x", F.lit(0).cast("decimal(18,2)")).alias("x"),
+        F.coalesce("y", F.lit(0).cast("decimal(18,2)")).alias("y"),
+    )
+
+
+def cuped_readout(events: DataFrame, n_variants: int = N_VARIANTS) -> DataFrame:
+    """(variant, n, mean_y, mean_y_adj): CUPED-adjusted variant means
+    (Deng, Xu, Kohavi & Walker, WSDM 2013) — θ = Cov(X,Y)/Var(X) fit on
+    the FULL panel (pre-period data is assignment-independent, so one
+    global θ is the published recipe), then per-variant means of
+    Y − θ·(X − X̄).  Sufficient statistics are exact decimal sums of
+    exact per-user decimals; θ and the means are IEEE combines of those
+    casts, rounded 6 dp."""
+    panel = cuped_user_metrics(events)
+    stats = panel.agg(
+        F.count(F.lit(1)).cast("double").alias("n_all"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    ).select(
+        ((F.col("n_all") * F.col("sxy") - F.col("sx") * F.col("sy"))
+         / (F.col("n_all") * F.col("sxx") - F.col("sx") * F.col("sx"))).alias("theta"),
+        (F.col("sx") / F.col("n_all")).alias("x_bar"),
+    )
+    adj = panel.crossJoin(F.broadcast(stats))
+    return (
+        adj.groupBy((F.col("user_id") % n_variants).cast("bigint").alias("variant"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            (F.sum("y").cast("double") / F.count(F.lit(1))).alias("mean_y"),
+            # the adjusted terms are doubles, so the cross-row sum
+            # accumulates as DECIMAL(38,15) — partition-order-free
+            F.sum(
+                (
+                    F.col("y").cast("double")
+                    - F.col("theta") * (F.col("x").cast("double") - F.col("x_bar"))
+                ).cast("decimal(38,15)")
+            )
+            .cast("double")
+            .alias("sum_adj"),
+        )
+        .select(
+            "variant",
+            "n",
+            F.round("mean_y", 6).alias("mean_y"),
+            F.round(F.col("sum_adj") / F.col("n"), 6).alias("mean_y_adj"),
+        )
+    )
+
+
+_CUPED_ORACLE = f"""
+    WITH pre AS (
+        SELECT user_id, SUM(CAST(value AS DECIMAL(18,2))) AS x
+        FROM events WHERE ts < TIMESTAMP '{T0}' GROUP BY user_id),
+    post AS (
+        SELECT user_id, SUM(CAST(value AS DECIMAL(18,2))) AS y
+        FROM events WHERE ts >= TIMESTAMP '{T0}' AND event_type = 'purchase'
+        GROUP BY user_id),
+    panel AS (
+        SELECT u.user_id,
+               COALESCE(p.x, CAST(0 AS DECIMAL(18,2))) AS x,
+               COALESCE(q.y, CAST(0 AS DECIMAL(18,2))) AS y
+        FROM (SELECT DISTINCT user_id FROM events) u
+        LEFT JOIN pre p ON p.user_id = u.user_id
+        LEFT JOIN post q ON q.user_id = u.user_id),
+    st AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_all,
+               CAST(SUM(x) AS DOUBLE) AS sx,
+               CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(x * y) AS DOUBLE) AS sxy,
+               CAST(SUM(x * x) AS DOUBLE) AS sxx
+        FROM panel),
+    th AS (
+        SELECT (n_all * sxy - sx * sy) / (n_all * sxx - sx * sx) AS theta,
+               sx / n_all AS x_bar
+        FROM st)
+    SELECT CAST(p.user_id % {N_VARIANTS} AS BIGINT) AS variant,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(p.y) AS DOUBLE) / COUNT(*), 6) AS mean_y,
+           ROUND(CAST(SUM(CAST(CAST(p.y AS DOUBLE)
+                     - th.theta * (CAST(p.x AS DOUBLE) - th.x_bar)
+                     AS DECIMAL(38,15))) AS DOUBLE) / COUNT(*), 6) AS mean_y_adj
+    FROM panel p, th
+    GROUP BY 1, th.theta, th.x_bar ORDER BY variant"""
+
+
+@check("cuped_readout", oracle=_CUPED_ORACLE)
+def q_cuped_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced variant means next to the Wilson readout:
+    pre-2024-02-01 activity is the covariate, post-period purchase value
+    the metric, one global θ, per-variant adjusted means."""
+    return cuped_readout(load(spark, sf_dir, "events")).orderBy("variant")

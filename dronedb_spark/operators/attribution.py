@@ -169,3 +169,131 @@ def q_attribution_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First/last/linear-touch attribution of purchase conversions to
     the view/click/signup channels under journey-reset semantics."""
     return attribution_report(load(spark, sf_dir, "events")).orderBy("channel")
+
+
+# ------------------------------------------------- 10x load twin --------
+
+_AT10_COPIES = 10
+_AT10_USTRIDE = 1_000_000_000
+_AT10_ESTRIDE = 1_000_000_000
+
+
+def inflated_events(events: DataFrame, copies: int = _AT10_COPIES) -> DataFrame:
+    """The event log replicated ``copies`` times with strided user and
+    event ids (timestamps unchanged): copies never interact — journeys
+    are user-scoped — so the user-partitioned window must scale
+    LINEARLY in event mass, and every per-copy rollup must reproduce
+    the 1x report exactly."""
+    ks = F.broadcast(
+        events.sparkSession.range(copies).select(F.col("id").alias("k"))
+    )
+    return events.crossJoin(ks).select(
+        (F.col("event_id") + F.col("k") * _AT10_ESTRIDE).alias("event_id"),
+        "ts",
+        (F.col("user_id") + F.col("k") * _AT10_USTRIDE).alias("user_id"),
+        "event_type",
+    )
+
+
+@check(
+    "attribution_report_10x",
+    oracle=f"""
+        WITH ev AS (
+            SELECT user_id, event_id, ts, event_type FROM events
+            WHERE event_type IN ('view', 'click', 'signup', 'purchase')),
+        tagged AS (
+            SELECT *,
+                   MIN(CASE WHEN event_type = 'purchase'
+                            THEN ROW(ts, event_id) END)
+                       OVER (PARTITION BY user_id
+                             ORDER BY ts DESC, event_id DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS nxt
+            FROM ev),
+        touches AS (
+            SELECT user_id, nxt[2] AS conv_id, event_id, ts, event_type
+            FROM tagged
+            WHERE event_type <> 'purchase' AND nxt IS NOT NULL),
+        per_journey AS (
+            SELECT conv_id, event_type, COUNT(*) AS n_ch
+            FROM touches GROUP BY conv_id, event_type),
+        journey_tot AS (
+            SELECT conv_id, SUM(n_ch) AS n_tot FROM per_journey
+            GROUP BY conv_id),
+        ends AS (
+            SELECT conv_id,
+                   MIN(ROW(ts, event_id, event_type))[3] AS first_ch,
+                   MAX(ROW(ts, event_id, event_type))[3] AS last_ch
+            FROM touches GROUP BY conv_id),
+        one AS (
+            SELECT l.event_type AS channel,
+                   CAST(l.n_journeys AS BIGINT) AS n_journeys,
+                   CAST(COALESCE(f.first_touch, 0) AS BIGINT) AS first_touch,
+                   CAST(COALESCE(x.last_touch, 0) AS BIGINT) AS last_touch,
+                   l.linear_micro
+            FROM (SELECT p.event_type, COUNT(*) AS n_journeys,
+                         CAST(SUM(CAST(p.n_ch * 1000000 // t.n_tot AS BIGINT))
+                              AS BIGINT) AS linear_micro
+                  FROM per_journey p JOIN journey_tot t USING (conv_id)
+                  GROUP BY p.event_type) l
+            LEFT JOIN (SELECT first_ch, COUNT(*) AS first_touch FROM ends
+                       GROUP BY first_ch) f ON f.first_ch = l.event_type
+            LEFT JOIN (SELECT last_ch, COUNT(*) AS last_touch FROM ends
+                       GROUP BY last_ch) x ON x.last_ch = l.event_type)
+        SELECT CAST(k.k AS BIGINT) AS copy, o.channel, o.n_journeys,
+               o.first_touch, o.last_touch, o.linear_micro
+        FROM one o, (SELECT unnest(range(0, {_AT10_COPIES})) AS k) k
+        ORDER BY copy, channel""",
+)
+def q_attribution_report_10x(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution at 10x event mass: every replica's journeys run
+    through the real user-partitioned window; per-copy channel rollups
+    must reproduce the 1x report exactly (the oracle derives them
+    analytically — copies are id-shifted and journeys are user-scoped)."""
+    big = inflated_events(load(spark, sf_dir, "events"))
+    touches = assign_journeys(big).withColumn(
+        "copy", F.expr(f"user_id DIV {_AT10_USTRIDE}").cast("bigint")
+    )
+    per_journey = touches.groupBy("copy", "conv_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_ch")
+    )
+    journey_tot = per_journey.groupBy("copy", "conv_id").agg(
+        F.sum("n_ch").alias("n_tot")
+    )
+    ends = touches.groupBy("copy", "conv_id").agg(
+        F.min(F.struct("ts", "event_id", "event_type"))
+        .getField("event_type")
+        .alias("first_ch"),
+        F.max(F.struct("ts", "event_id", "event_type"))
+        .getField("event_type")
+        .alias("last_ch"),
+    )
+    linear = (
+        per_journey.join(journey_tot, ["copy", "conv_id"])
+        .groupBy("copy", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_journeys"),
+            F.sum(F.expr("CAST(n_ch * 1000000 DIV n_tot AS BIGINT)"))
+            .cast("bigint")
+            .alias("linear_micro"),
+        )
+    )
+    firsts = ends.groupBy("copy", F.col("first_ch").alias("event_type")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("first_touch")
+    )
+    lasts = ends.groupBy("copy", F.col("last_ch").alias("event_type")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("last_touch")
+    )
+    return (
+        linear.join(firsts, ["copy", "event_type"], "left")
+        .join(lasts, ["copy", "event_type"], "left")
+        .select(
+            "copy",
+            F.col("event_type").alias("channel"),
+            "n_journeys",
+            F.coalesce("first_touch", F.lit(0)).cast("bigint").alias("first_touch"),
+            F.coalesce("last_touch", F.lit(0)).cast("bigint").alias("last_touch"),
+            "linear_micro",
+        )
+        .orderBy("copy", "channel")
+    )

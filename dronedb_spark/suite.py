@@ -69,13 +69,20 @@ _ROUND13_PRIORITY = [
     "conformal_coverage",            # split-conformal calibration
     "ldiversity_audit",              # k-anonymity's diversity sibling
     "zipf_rank_frequency_fit",       # per-source power-law OLS audit
+    "domain_hits",                   # integerized Kleinberg HITS
+    "cuped_readout",                 # CUPED variance-reduced readout
+    "km_user_survival",              # Kaplan-Meier retention curve
+    "psi_length_drift",              # population stability index
+    "simhash_store_probe",           # simhash family store + probe
+    "stream_simhash_probe_twin",     # ... its arrival-time runtime
+    "attribution_report_10x",        # events-path linear-scaling twin
     # --- back-fill band: every remaining check last gated in round 2 ----
     "geoproject_identity_grid", "haversine_to_origin",
     "ingest_format_props", "ivf_cell_counts", "ivf_kmeans_cells",
+    # ================= 50-slot budget line (r14 window starts here) ====
     "ivf_search_top5", "knn_cosine_top10", "las_catalog_tile_counts",
     "mask_border_interiors", "multiraster_area_stats",
     "multispectral_align_merge", "mvt_zoom_budget",
-    # ================= 50-slot budget line (r14 window starts here) ====
     "overview_pyramid", "pointcloud_tile_raster", "raster_band_stats",
     "raster_point_query",
     "raster_tiff_stats", "spatial_join_counts", "text_simhash",
@@ -256,6 +263,13 @@ def load_all() -> dict[str, Check]:
     import dronedb_spark.text.conformal  # noqa: F401  (split-conformal coverage, new in r13)
     import dronedb_spark.operators.attribution  # noqa: F401  (multi-touch attribution, new in r13)
     import dronedb_spark.text.powerlaw  # noqa: F401  (Zipf rank-frequency OLS, new in r13)
+    import dronedb_spark.operators.survival  # noqa: F401  (Kaplan-Meier retention, new in r13)
+    import dronedb_spark.text.psi  # noqa: F401  (population stability index, new in r13)
+    import dronedb_spark.streaming.simhash  # noqa: F401  (streaming simhash probe, new in r13)
+    # (text.simhash also registers simhash_store_probe; operators.attribution
+    # registers attribution_report_10x)
+    # (text.linkgraph also registers domain_hits; operators.abtest
+    # registers cuped_readout — imported below)
     # (text.lm also registers lm_kneser_ney; text.kanon registers
     # ldiversity_audit — imported below)
     import dronedb_spark.operators.autocorr  # noqa: F401  (rate autocorrelation, new in r9)

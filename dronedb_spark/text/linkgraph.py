@@ -413,3 +413,158 @@ def q_domain_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("component_size"),
     ).orderBy("domain")
+
+
+# ------------------------------------------------------------------ HITS
+
+
+N_HITS_ITER = 4
+
+
+def hits_over_edges(edge_table: DataFrame, n_iter: int = N_HITS_ITER) -> DataFrame:
+    """(domain, hub, authority): Kleinberg's HITS (JACM 1999) over any
+    (src, dst, w) edge table, INTEGERIZED like the PageRank above so
+    every engine and partitioning produces bit-identical scores:
+
+        a'(v) = Σ_{u→v} w · h(u)        then  a = a'·SCALE DIV Σa'
+        h'(u) = Σ_{u→v} w · a(v)        then  h = h'·SCALE DIV Σh'
+
+    Truncating integer normalization replaces the usual L2 norm — the
+    ORDER of hubs/authorities is what the curation gate consumes, and
+    DIV keeps it deterministic (the PageRank self-loop tradeoff,
+    restated).  Superstep discipline: edge table behind the CSE
+    barrier, per-iteration localCheckpoint."""
+    from dronedb_spark.tables import barrier_persist
+
+    edges = barrier_persist(edge_table.select("src", "dst", "w"))
+    doms = (
+        edges.select(F.col("src").alias("domain"))
+        .union(edges.select(F.col("dst").alias("domain")))
+        .distinct()
+        .localCheckpoint()
+    )
+    base = SCALE // doms.count()
+    hubs = doms.select("domain", F.lit(base).cast("bigint").alias("h"))
+    auths = None
+    for _ in range(n_iter):
+        a_raw = (
+            edges.join(hubs.withColumnRenamed("domain", "src"), "src")
+            .select(F.col("dst").alias("domain"), (F.col("w") * F.col("h")).alias("c"))
+            .groupBy("domain")
+            .agg(F.sum("c").cast("bigint").alias("a_raw"))
+        )
+        a_tot = a_raw.agg(F.sum("a_raw").alias("t"))
+        auths = (
+            doms.join(a_raw, "domain", "left")
+            .crossJoin(F.broadcast(a_tot))
+            .select(
+                "domain",
+                F.expr(
+                    f"CAST((CAST(coalesce(a_raw, 0L) AS DECIMAL(38,0))"
+                    f" * {SCALE}) DIV t AS BIGINT)"
+                ).alias("a"),
+            )
+            .localCheckpoint()
+        )
+        h_raw = (
+            edges.join(auths.withColumnRenamed("domain", "dst"), "dst")
+            .select(F.col("src").alias("domain"), (F.col("w") * F.col("a")).alias("c"))
+            .groupBy("domain")
+            .agg(F.sum("c").cast("bigint").alias("h_raw"))
+        )
+        h_tot = h_raw.agg(F.sum("h_raw").alias("t"))
+        hubs = (
+            doms.join(h_raw, "domain", "left")
+            .crossJoin(F.broadcast(h_tot))
+            .select(
+                "domain",
+                F.expr(
+                    f"CAST((CAST(coalesce(h_raw, 0L) AS DECIMAL(38,0))"
+                    f" * {SCALE}) DIV t AS BIGINT)"
+                ).alias("h"),
+            )
+            .localCheckpoint()
+        )
+    return hubs.join(auths, "domain").select(
+        "domain", F.col("h").alias("hub"), F.col("a").alias("authority")
+    )
+
+
+def _hits_oracle() -> str:
+    head = """
+        d AS (SELECT doc_id, source || '/d' || CAST((doc_id * doc_id) % 10
+                  AS VARCHAR) AS domain
+              FROM documents),
+        n AS (SELECT COUNT(*) AS n FROM d),
+        links AS (
+            SELECT a.domain AS src, b.domain AS dst
+            FROM d a JOIN d b
+              ON b.doc_id = (a.doc_id * a.doc_id + 3) % (SELECT n FROM n)),
+        edges AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+                  FROM links GROUP BY src, dst),
+        doms AS (SELECT DISTINCT domain FROM (
+                     SELECT src AS domain FROM edges
+                     UNION ALL SELECT dst FROM edges) u),
+        dc AS (SELECT COUNT(*) AS d FROM doms),
+        h0 AS (SELECT domain,
+                      CAST(1000000000000 // (SELECT d FROM dc) AS BIGINT) AS h
+               FROM doms)"""
+    # every per-step CTE is MATERIALIZED: each is referenced twice (the
+    # join + the normalization total), and DuckDB's default inlining
+    # re-expands the whole chain per reference — exponential in the
+    # iteration count (the pagerank oracle gets away without it because
+    # each r{k} is referenced exactly once)
+    steps = []
+    for k in range(N_HITS_ITER):
+        steps.append(f"""
+        ar{k + 1} AS MATERIALIZED (
+            SELECT e.dst AS domain, CAST(SUM(e.w * h.h) AS BIGINT) AS a_raw
+            FROM edges e JOIN h{k} h ON h.domain = e.src GROUP BY e.dst),
+        a{k + 1} AS MATERIALIZED (
+            SELECT dm.domain,
+                   CAST(CAST(COALESCE(ar.a_raw, 0) AS HUGEINT) * 1000000000000
+                        // (SELECT SUM(a_raw) FROM ar{k + 1}) AS BIGINT) AS a
+            FROM doms dm LEFT JOIN ar{k + 1} ar ON ar.domain = dm.domain),
+        hr{k + 1} AS MATERIALIZED (
+            SELECT e.src AS domain, CAST(SUM(e.w * a.a) AS BIGINT) AS h_raw
+            FROM edges e JOIN a{k + 1} a ON a.domain = e.dst GROUP BY e.src),
+        h{k + 1} AS MATERIALIZED (
+            SELECT dm.domain,
+                   CAST(CAST(COALESCE(hr.h_raw, 0) AS HUGEINT) * 1000000000000
+                        // (SELECT SUM(h_raw) FROM hr{k + 1}) AS BIGINT) AS h
+            FROM doms dm LEFT JOIN hr{k + 1} hr ON hr.domain = dm.domain)""")
+    return (
+        "WITH " + head + "," + ",".join(steps)
+        + f"""
+        SELECT h.domain, h.h AS hub, a.a AS authority
+        FROM h{N_HITS_ITER} h JOIN a{N_HITS_ITER} a ON a.domain = h.domain
+        ORDER BY h.domain"""
+    )
+
+
+def hits_domain_edges(docs: DataFrame) -> DataFrame:
+    """(src, dst, w): the HITS fixture graph — each doc links to doc
+    ``(doc_id² + 3) mod N``.  Unlike the PageRank permutation rule this
+    map COLLIDES (quadratic residues), so in-degree varies and the
+    hub/authority scores separate — a uniform-output implementation bug
+    cannot pass (the permutation graph is vertex-transitive and HITS is
+    provably uniform on it, which made the check vacuous)."""
+    d = with_domain(docs).select("doc_id", "domain")
+    n = d.count()
+    links = d.select(
+        F.col("domain").alias("src"),
+        ((F.col("doc_id") * F.col("doc_id") + 3) % n).alias("dst_doc"),
+    )
+    dst = d.select(F.col("doc_id").alias("dst_doc"), F.col("domain").alias("dst"))
+    return links.join(dst, "dst_doc").groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("bigint").alias("w")
+    )
+
+
+@check("domain_hits", oracle=_hits_oracle())
+def q_domain_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four integerized HITS iterations over the colliding-map domain
+    graph — hub and authority scores bit-exact vs the unrolled-CTE
+    oracle, and non-uniform by construction."""
+    docs = load(spark, sf_dir, "documents")
+    return hits_over_edges(hits_domain_edges(docs)).orderBy("domain")

@@ -206,3 +206,141 @@ def q_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_neardup_pairs(load(spark, sf_dir, "documents")).orderBy(
         "doc_a", "doc_b"
     )
+
+
+# -------------------------------------------- store + incremental probe --
+#
+# The SimHash family's daily-ingest member, completing it next to the
+# minhash/paragraph/substring/containment/winnow/image/audio stores:
+# yesterday's signatures persist ONCE as a band-partitioned store, and
+# today's batch answers "which of my documents are near-dups of stored
+# documents" reading only its own band directories — signatures are
+# never recomputed for the stored corpus per batch.
+#
+# Layout under <path>: one row per (band, b0=first band hex, bv, doc_id,
+# simhash), partitioned by (band, b0) — 4 x 16 = 64 directories.  A
+# probe batch's distinct (band, b0) set is ALPHABET-BOUNDED (<= 64 rows
+# reach the driver — the containment <=64-bucket-id discipline).
+
+PROBE_OFFSET = 40_000_000
+
+
+def simhash_bands(sig: DataFrame) -> DataFrame:
+    """(doc_id, simhash, band, bv, b0): the 4 x 16-bit band rows."""
+    return sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.substring("simhash", b * BAND_HEX + 1, BAND_HEX).alias("bv"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("s"),
+    ).select(
+        "doc_id",
+        "simhash",
+        F.col("s.band").alias("band"),
+        F.col("s.bv").alias("bv"),
+        F.substring(F.col("s.bv"), 1, 1).alias("b0"),
+    )
+
+
+def write_simhash_store(docs: DataFrame, path: str) -> None:
+    """One signature pass -> band rows partitioned by (band, b0)."""
+    simhash_bands(simhash_signatures(docs)).repartition("band", "b0").write.partitionBy(
+        "band", "b0"
+    ).mode("overwrite").parquet(path)
+
+
+def simhash_match_triples(
+    store_bands: DataFrame, batch_bands: DataFrame, max_dist: int = HAM_MAX
+) -> DataFrame:
+    """(src_id, dst_id, hamming): batch docs against stored docs via the
+    pigeonhole band equi-join + the 16-term digit Hamming verify —
+    mode-agnostic (the batch side may be a stream)."""
+    a = batch_bands.select(
+        F.col("doc_id").alias("src_id"), F.col("simhash").alias("ha"), "band", "bv"
+    )
+    b = store_bands.select(
+        F.col("doc_id").alias("dst_id"), F.col("simhash").alias("hb"), "band", "bv"
+    )
+    cand = a.join(b, ["band", "bv"]).select("src_id", "dst_id", "ha", "hb").distinct()
+    return cand.select(
+        "src_id",
+        "dst_id",
+        F.expr(_pair_hamming("spark")).cast("int").alias("hamming"),
+    ).filter(F.col("hamming") <= max_dist)
+
+
+def probe_band_prefixes(batch_bands: DataFrame) -> list[tuple[int, str]]:
+    """Distinct (band, b0) partition keys of a batch — <= 64 rows reach
+    the driver regardless of batch size."""
+    return sorted(
+        (r["band"], r["b0"])
+        for r in batch_bands.select("band", "b0").distinct().collect()
+    )
+
+
+def incremental_simhash_probe(
+    spark: SparkSession, path: str, batch: DataFrame, max_dist: int = HAM_MAX
+) -> DataFrame:
+    """Probe a new batch against the persisted store, reading only the
+    batch's (band, b0) partition directories."""
+    bands = simhash_bands(simhash_signatures(batch))
+    keys = probe_band_prefixes(bands)
+    store = spark.read.parquet(path).filter(
+        F.concat(F.col("band").cast("string"), F.col("b0")).isin(
+            [f"{b}{h}" for b, h in keys]
+        )
+    )
+    return simhash_match_triples(store, bands, max_dist=max_dist)
+
+
+def _rekeyed_batch(docs: DataFrame) -> DataFrame:
+    """Today's re-scrape: every 10th document re-keyed (text unchanged,
+    Hamming 0 to its original — the planted truth)."""
+    return docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + PROBE_OFFSET).alias("doc_id"), "text"
+    )
+
+
+_STORE_PROBE_ORACLE = f"""
+    WITH sig AS ({_signature_select("duckdb")}),
+    batch AS (
+        SELECT doc_id + {PROBE_OFFSET} AS doc_id, simhash FROM sig
+        WHERE doc_id % 10 = 0),
+    pairs AS (
+        SELECT b.doc_id AS src_id, s.doc_id AS dst_id,
+               b.simhash AS ha, s.simhash AS hb
+        FROM batch b, sig s)
+    SELECT src_id, dst_id,
+           CAST({_pair_hamming("duckdb")} AS INT) AS hamming
+    FROM pairs
+    WHERE {_pair_hamming("duckdb")} <= {HAM_MAX}
+    ORDER BY src_id, dst_id"""
+
+
+@check("simhash_store_probe", oracle=_STORE_PROBE_ORACLE)
+def q_simhash_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write the band-partitioned SimHash store, then probe the re-keyed
+    batch READING ONLY THE STORE — every planted re-scrape must surface
+    its original at Hamming 0 (plus any true near-dups); the oracle
+    brute-forces batch x corpus.  Scratch-dir check: collected
+    in-function."""
+    import tempfile
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    with tempfile.TemporaryDirectory() as td:
+        path = td + "/simhash_store"
+        write_simhash_store(docs, path)
+        out = incremental_simhash_probe(spark, path, _rekeyed_batch(docs))
+        rows = [
+            (r["src_id"], r["dst_id"], r["hamming"])
+            for r in out.orderBy("src_id", "dst_id").collect()
+        ]
+    return spark.createDataFrame(rows, "src_id bigint, dst_id bigint, hamming int")
