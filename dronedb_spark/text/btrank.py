@@ -92,9 +92,19 @@ def player_wins(games: DataFrame) -> DataFrame:
 
 def bradley_terry(games: DataFrame, n_iter: int = N_ITER) -> DataFrame:
     """(i, strength, w, n_games): MM-fitted strengths after ``n_iter``
-    fixed iterations from the uniform start, mean-normalized each step."""
+    fixed iterations from the uniform start, mean-normalized each step.
+
+    Superstep discipline (the ``linkgraph.py`` PageRank contract): the
+    pair matrix goes through the CSE barrier — it is referenced by
+    every iteration, and without the barrier Catalyst re-runs the
+    corpus-sized duel self-join once per reference (measured 13.3 s →
+    ~1 s at sf0.1) — and each iteration's player-grain strengths table
+    is localCheckpoint'ed to truncate lineage."""
+    from dronedb_spark.tables import barrier_persist
+
+    games = barrier_persist(games)
     directed = _directed(games)
-    wins = player_wins(games)
+    wins = barrier_persist(player_wins(games))
     totals = directed.groupBy("i").agg(F.sum("n_ij").alias("n_games_i"))
     strengths = wins.select("i", F.lit(1.0).alias("p"))
     n_players = wins.select(F.count(F.lit(1)).alias("n_players"))
@@ -121,11 +131,15 @@ def bradley_terry(games: DataFrame, n_iter: int = N_ITER) -> DataFrame:
         total = raw.agg(
             F.sum(F.col("p").cast("decimal(38,15)")).cast("double").alias("p_sum")
         )
+        # localCheckpoint is load-bearing: strengths is referenced TWICE
+        # per iteration (p_i and p_j), so a lazy chain doubles the plan
+        # every step — measured 17 s lazy vs 2.7 s checkpointed at sf0.1
+        # even with the inputs barriered
         strengths = raw.crossJoin(F.broadcast(total)).crossJoin(
             F.broadcast(n_players)
         ).select(
             "i", (F.col("p") * F.col("n_players") / F.col("p_sum")).alias("p")
-        )
+        ).localCheckpoint()
     return (
         strengths.join(wins, "i")
         .join(totals, "i")
