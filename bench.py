@@ -9,9 +9,9 @@ realistic action.
 Two modes (r12 verdict #1 — the driver's bench budget and stdout tail
 are both bounded, so the official pass must stay compact):
 
-* default (driver pass): times the curated ``DRIVER_SUBSET`` (~67 rows,
-  every operator family represented; single-pass mass ~66 s, so
-  warm + best-of-3 stays well under 15 min wall) and prints a COMPACT
+* default (driver pass): times the curated ``DRIVER_SUBSET`` (~75 rows,
+  every operator family represented; measured wall ~7.5 min for the
+  whole warm + best-of-3 pass, well under 15 min) and prints a COMPACT
   final JSON line — totals + the stable 24-row r1 headline map, sized
   to survive the driver's 2000-char stdout tail.  The complete per-row
   map for the pass is written to BENCH_SELF_DRIVER.json.
@@ -332,6 +332,9 @@ HEADLINE = [
     # (simhash_store_probe / stream_simhash_probe_twin are driver-gated
     # but not benched: scratch-dir store WRITES per run)
     "attribution_report_10x",
+    "mannwhitney_length_shift",
+    "chisq_lang_source",
+    "trimmed_location_by_source",
 ]
 
 
@@ -341,7 +344,7 @@ HEADLINE = [
 # TPC-H extension, STAC, LM/text pipeline, every dedup family, ANN
 # serving, streaming twins, events/sessions, maintenance, eval, crawl,
 # the 10x scale twins, and the newest debuts).  Selection criterion:
-# family coverage at bounded mass — single-pass sum ~66 s at sf0.1 on
+# family coverage at bounded mass — single-pass sum ~70 s at sf0.1 on
 # this host (BENCH_SELF_r12), so warm + best-of-3 + stall retries stays
 # far inside the driver's wall budget.  The scratch-dir store/build
 # checks and the by-design quadratic in-cell twins stay in the FULL
@@ -523,6 +526,9 @@ _SMALL_RESULT = {
     "km_user_survival",
     "psi_length_drift",
     "attribution_report_10x",
+    "mannwhitney_length_shift",
+    "chisq_lang_source",
+    "trimmed_location_by_source",
 }
 
 

@@ -76,10 +76,13 @@ _ROUND13_PRIORITY = [
     "simhash_store_probe",           # simhash family store + probe
     "stream_simhash_probe_twin",     # ... its arrival-time runtime
     "attribution_report_10x",        # events-path linear-scaling twin
+    "mannwhitney_length_shift",      # histogram-exact rank-sum U
+    "chisq_lang_source",             # contingency independence
+    "trimmed_location_by_source",    # exact robust location
     # --- back-fill band: every remaining check last gated in round 2 ----
     "geoproject_identity_grid", "haversine_to_origin",
-    "ingest_format_props", "ivf_cell_counts", "ivf_kmeans_cells",
     # ================= 50-slot budget line (r14 window starts here) ====
+    "ingest_format_props", "ivf_cell_counts", "ivf_kmeans_cells",
     "ivf_search_top5", "knn_cosine_top10", "las_catalog_tile_counts",
     "mask_border_interiors", "multiraster_area_stats",
     "multispectral_align_merge", "mvt_zoom_budget",
@@ -266,6 +269,7 @@ def load_all() -> dict[str, Check]:
     import dronedb_spark.operators.survival  # noqa: F401  (Kaplan-Meier retention, new in r13)
     import dronedb_spark.text.psi  # noqa: F401  (population stability index, new in r13)
     import dronedb_spark.streaming.simhash  # noqa: F401  (streaming simhash probe, new in r13)
+    import dronedb_spark.text.nonparam  # noqa: F401  (rank-sum U / chi-square / trimmed location, new in r13)
     # (text.simhash also registers simhash_store_probe; operators.attribution
     # registers attribution_report_10x)
     # (text.linkgraph also registers domain_hits; operators.abtest
