@@ -39,8 +39,10 @@ def check(name: str, oracle: str | None = None):
 # swapped order; fixed to lat, lon, workflow_check.py).  Slots 3-26 are
 # the r13 window the r12 verdict names verbatim (item #4): the
 # never-re-gated section-2 band plus the r1 core, un-refreshed since
-# r11.  Then the r13 debuts, then the oldest last-green band continues
-# (every remaining check last gated in round 2 — the rotation's tail).
+# r11.  Slots 27-48 are the 22 round-13 debuts (each oracle-checked and
+# pytest-pinned before entering the window), and the last 2 slots start
+# the oldest last-green band (checks last gated in round 2 — the
+# rotation's tail, continuing below the budget line into round 14).
 _ROUND13_PRIORITY = [
     # --- oracle-defect re-gates (r12 verdict #2 / #3) -------------------
     "gini_source_balance",           # CAST(SUM(mass) AS BIGINT) fix
