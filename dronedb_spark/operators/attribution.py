@@ -68,12 +68,29 @@ def assign_journeys(events: DataFrame) -> DataFrame:
 def attribution_report(events: DataFrame) -> DataFrame:
     """(channel, n_journeys, first_touch, last_touch, linear_micro):
     per-channel credit under the three standard models."""
-    touches = assign_journeys(events)
+    from dronedb_spark.tables import barrier_persist
+
+    # r13 optimization: touches feeds the linear rollup AND the
+    # first/last ends — materialize the journey window once; the
+    # per-journey total becomes a window over the aggregate (no
+    # journey_tot join); first/last melt into ONE pass over ends
+    # (explode to (is_first, channel) rows) instead of two aggregates;
+    # the channel-grain attach is a broadcast.
+    touches = barrier_persist(assign_journeys(events))
     per_journey = touches.groupBy("conv_id", "event_type").agg(
         F.count(F.lit(1)).alias("n_ch")
     )
-    journey_tot = per_journey.groupBy("conv_id").agg(
-        F.sum("n_ch").alias("n_tot")
+    linear = (
+        per_journey.withColumn(
+            "n_tot", F.sum("n_ch").over(Window.partitionBy("conv_id"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_journeys"),
+            F.sum(F.expr("CAST(n_ch * 1000000 DIV n_tot AS BIGINT)"))
+            .cast("bigint")
+            .alias("linear_micro"),
+        )
     )
     ends = touches.groupBy("conv_id").agg(
         F.min(F.struct("ts", "event_id", "event_type"))
@@ -83,25 +100,29 @@ def attribution_report(events: DataFrame) -> DataFrame:
         .getField("event_type")
         .alias("last_ch"),
     )
-    linear = (
-        per_journey.join(journey_tot, "conv_id")
-        .groupBy("event_type")
+    fl = (
+        ends.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(1).alias("isf"),
+                        F.col("first_ch").alias("event_type"),
+                    ),
+                    F.struct(
+                        F.lit(0).alias("isf"),
+                        F.col("last_ch").alias("event_type"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .groupBy(F.col("e.event_type").alias("event_type"))
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_journeys"),
-            F.sum(F.expr("CAST(n_ch * 1000000 DIV n_tot AS BIGINT)"))
-            .cast("bigint")
-            .alias("linear_micro"),
+            F.sum("e.isf").cast("bigint").alias("first_touch"),
+            F.sum(1 - F.col("e.isf")).cast("bigint").alias("last_touch"),
         )
     )
-    firsts = ends.groupBy(F.col("first_ch").alias("event_type")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("first_touch")
-    )
-    lasts = ends.groupBy(F.col("last_ch").alias("event_type")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("last_touch")
-    )
     return (
-        linear.join(firsts, "event_type", "left")
-        .join(lasts, "event_type", "left")
+        linear.join(F.broadcast(fl), "event_type", "left")
         .select(
             F.col("event_type").alias("channel"),
             "n_journeys",
@@ -250,15 +271,31 @@ def q_attribution_report_10x(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the real user-partitioned window; per-copy channel rollups
     must reproduce the 1x report exactly (the oracle derives them
     analytically — copies are id-shifted and journeys are user-scoped)."""
+    from dronedb_spark.tables import barrier_persist
+
     big = inflated_events(load(spark, sf_dir, "events"))
-    touches = assign_journeys(big).withColumn(
-        "copy", F.expr(f"user_id DIV {_AT10_USTRIDE}").cast("bigint")
+    # same r13 shape as the 1x report: one materialized journey window,
+    # per-journey totals as a window, melted first/last single pass
+    touches = barrier_persist(
+        assign_journeys(big).withColumn(
+            "copy", F.expr(f"user_id DIV {_AT10_USTRIDE}").cast("bigint")
+        )
     )
     per_journey = touches.groupBy("copy", "conv_id", "event_type").agg(
         F.count(F.lit(1)).alias("n_ch")
     )
-    journey_tot = per_journey.groupBy("copy", "conv_id").agg(
-        F.sum("n_ch").alias("n_tot")
+    linear = (
+        per_journey.withColumn(
+            "n_tot",
+            F.sum("n_ch").over(Window.partitionBy("copy", "conv_id")),
+        )
+        .groupBy("copy", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_journeys"),
+            F.sum(F.expr("CAST(n_ch * 1000000 DIV n_tot AS BIGINT)"))
+            .cast("bigint")
+            .alias("linear_micro"),
+        )
     )
     ends = touches.groupBy("copy", "conv_id").agg(
         F.min(F.struct("ts", "event_id", "event_type"))
@@ -268,25 +305,30 @@ def q_attribution_report_10x(spark: SparkSession, sf_dir: str) -> DataFrame:
         .getField("event_type")
         .alias("last_ch"),
     )
-    linear = (
-        per_journey.join(journey_tot, ["copy", "conv_id"])
-        .groupBy("copy", "event_type")
+    fl = (
+        ends.select(
+            "copy",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(1).alias("isf"),
+                        F.col("first_ch").alias("event_type"),
+                    ),
+                    F.struct(
+                        F.lit(0).alias("isf"),
+                        F.col("last_ch").alias("event_type"),
+                    ),
+                )
+            ).alias("e"),
+        )
+        .groupBy("copy", F.col("e.event_type").alias("event_type"))
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_journeys"),
-            F.sum(F.expr("CAST(n_ch * 1000000 DIV n_tot AS BIGINT)"))
-            .cast("bigint")
-            .alias("linear_micro"),
+            F.sum("e.isf").cast("bigint").alias("first_touch"),
+            F.sum(1 - F.col("e.isf")).cast("bigint").alias("last_touch"),
         )
     )
-    firsts = ends.groupBy("copy", F.col("first_ch").alias("event_type")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("first_touch")
-    )
-    lasts = ends.groupBy("copy", F.col("last_ch").alias("event_type")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("last_touch")
-    )
     return (
-        linear.join(firsts, ["copy", "event_type"], "left")
-        .join(lasts, ["copy", "event_type"], "left")
+        linear.join(F.broadcast(fl), ["copy", "event_type"], "left")
         .select(
             "copy",
             F.col("event_type").alias("channel"),

@@ -36,6 +36,13 @@ def funnel_times(
     ``within_s`` set, step k must land within that window of step k-1
     (the product-analytics conversion-window semantic); None removes
     the bound."""
+    # out at step k is referenced TWICE by step k+1 (the gate join and
+    # the left attach), so the lazy chain re-ran all earlier steps per
+    # later step — per-step localCheckpoint truncates it (the linkgraph
+    # superstep discipline; measured 1.58 s lazy vs 1.25 s checkpointed
+    # at sf0.1, and the gap grows with step count).  ev itself is NOT
+    # persisted: measured slower (1.89 s) — the three narrow gates are
+    # cheaper than the cache populate at this row weight.
     ev = events.select(
         "user_id", "event_type", F.expr("unix_micros(ts)").alias("t_us")
     )
@@ -56,6 +63,8 @@ def funnel_times(
         out = out.join(step_t, "user_id", "left").withColumn(
             f"t{i}_us", F.coalesce(f"t{i}_us", F.lit(-1)).cast("bigint")
         )
+        if i < len(steps):
+            out = out.localCheckpoint()
         prev_col = f"t{i}_us"
     reached = sum(
         (F.col(f"t{i}_us") >= 0).cast("int") for i in range(1, len(steps) + 1)

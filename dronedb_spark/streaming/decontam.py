@@ -74,7 +74,11 @@ def q_stream_decontam_hits_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         "set_id",
         F.explode(_grams(F.split(F.col("text"), " "))).alias("gram"),
     ).distinct()
-    hits = stream_decontam_probe(docs.select("doc_id", "text"), bgrams)
+    from dronedb_spark.tables import spread
+
+    # batch twin only: spread the corpus before the gram explode (the
+    # probe itself stays mode-agnostic — a stream arrives pre-split)
+    hits = stream_decontam_probe(spread(docs.select("doc_id", "text")), bgrams)
     return (
         hits.groupBy("set_id")
         .agg(

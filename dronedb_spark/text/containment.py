@@ -30,7 +30,7 @@ spans), ``paragraph_dedup`` (block-level).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dronedb_spark.suite import check
@@ -46,14 +46,34 @@ def containment_pairs(
     docs: DataFrame,
     max_df: int = MAX_DF,
     min_contain_micro: int = MIN_CONTAIN_MICRO,
+    dst_pred: str | None = None,
 ) -> DataFrame:
     """(src_id, dst_id, n_common, n_src, containment_micro): directed
     pairs where ≥ min_contain of src's (df-capped) shingles appear in
-    dst."""
-    sh = (
-        _shingle_df(docs)
-        .select("doc_id", F.explode("sh").alias("s"))
-        .distinct()
+    dst.
+
+    Inverted-index plan, single corpus pass (r13 optimization): the
+    distinct (doc_id, shingle) relation is materialized ONCE (the CSE
+    barrier — the old ``kept ⋈ kept`` self-join re-tokenized the corpus
+    three times, no exchange reuse), collapsed to per-shingle posting
+    lists AFTER the df cap (arrays provably ≤ max_df — a hot shingle
+    never materializes a list), and the directed pairs explode IN-ROW
+    from each list.  ``n_src`` rides along as the self-pair (x, x)
+    count — every kept shingle contributes exactly one self-pair per
+    member — resolved by a window over src_id instead of a sizes join.
+
+    ``dst_pred`` (SQL boolean over the lambda variable ``y``) optionally
+    restricts the dst side INSIDE pair generation (guide §3.2: reduce
+    the big side before shuffling): callers that only care about pairs
+    landing on a known id subset (decontamreport's eval members) skip
+    the full pair fan-out entirely.  Self-pairs stay unconditional so
+    n_src is unchanged."""
+    from dronedb_spark.tables import spread
+
+    sh = barrier_persist(
+        _shingle_df(spread(docs)).select(
+            "doc_id", F.explode(F.array_distinct("sh")).alias("s")
+        )
     )
     df_ok = (
         sh.groupBy("s")
@@ -62,24 +82,36 @@ def containment_pairs(
         .select("s")
     )
     kept = sh.join(df_ok, "s")
-    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_src"))
-    pairs = (
-        kept.alias("a")
-        .join(kept.alias("b"), "s")
-        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("src_id"),
-            F.col("b.doc_id").alias("dst_id"),
-        )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    posts = kept.groupBy("s").agg(F.collect_list("doc_id").alias("ds"))
+    pred = dst_pred if dst_pred is not None else "true"
+    pairs = posts.select(
+        F.explode(
+            F.expr(
+                f"""concat(
+                    flatten(transform(ds,
+                        x -> transform(filter(ds, y -> y != x AND ({pred})),
+                                       y -> struct(x AS src_id, y AS dst_id)))),
+                    transform(ds, x -> struct(x AS src_id, x AS dst_id)))"""
+            )
+        ).alias("p")
+    ).select("p.src_id", "p.dst_id")
+    counts = pairs.groupBy("src_id", "dst_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_common")
+    )
+    w = Window.partitionBy("src_id")
+    sized = counts.withColumn(
+        "n_src",
+        F.sum(
+            F.when(F.col("dst_id") == F.col("src_id"), F.col("n_common"))
+        ).over(w).cast("bigint"),
     )
     return (
-        pairs.join(sizes.withColumnRenamed("doc_id", "src_id"), "src_id")
+        sized.filter(F.col("src_id") != F.col("dst_id"))
         .select(
             "src_id",
             "dst_id",
             "n_common",
-            F.col("n_src").cast("bigint").alias("n_src"),
+            "n_src",
             F.expr("n_common * 1000000 DIV n_src").cast("bigint").alias(
                 "containment_micro"
             ),
@@ -302,10 +334,10 @@ def probe_buckets(
 
 
 def _distinct_shingles(docs: DataFrame) -> DataFrame:
-    return (
-        _shingle_df(docs)
-        .select("doc_id", F.explode("sh").alias("s"))
-        .distinct()
+    # in-row array_distinct + doc_id grain == global distinct on
+    # (doc_id, s), without the exchange a .distinct() would insert
+    return _shingle_df(docs).select(
+        "doc_id", F.explode(F.array_distinct("sh")).alias("s")
     )
 
 

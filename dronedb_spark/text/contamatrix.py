@@ -110,7 +110,8 @@ def contamination_matrix(docs: DataFrame, vectors: DataFrame) -> DataFrame:
         F.broadcast(bench.select("set_id").distinct())
     )
     return (
-        spine.join(cells, ["source", "set_id"], "left")
+        # cells is (source × set) grain — bounded; broadcast the attach
+        spine.join(F.broadcast(cells), ["source", "set_id"], "left")
         .join(F.broadcast(totals), "source")
         .select(
             "source",

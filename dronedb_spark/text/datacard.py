@@ -39,6 +39,8 @@ def source_datacard(docs: DataFrame) -> DataFrame:
     """(source, n_docs, n_tokens, sum_chars, n_langs, top_lang,
     n_exact_dup_docs, mean_distinct_micro): the per-source datasheet
     row."""
+    from dronedb_spark.tables import barrier_persist
+
     toks = F.split(F.col("text"), " ")
     per_doc = docs.select(
         "source",
@@ -51,6 +53,12 @@ def source_datacard(docs: DataFrame) -> DataFrame:
         ).alias("distinct_micro"),
         F.md5(F.col("text").cast("binary")).alias("h"),
     )
+    # per_doc feeds THREE aggregates (base, language mode, dup rollup):
+    # materialize once instead of three corpus passes.  NO spread here —
+    # measured at sf0.1 the repartition exchange costs more than the
+    # light per-row work it parallelizes (0.62 s plain vs 1.45 s spread;
+    # spread pays only for heavy per-row kernels like langid's md5 loop)
+    per_doc = barrier_persist(per_doc)
     base = per_doc.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("ntok").cast("bigint").alias("n_tokens"),
@@ -78,9 +86,9 @@ def source_datacard(docs: DataFrame) -> DataFrame:
             .alias("n_exact_dup_docs")
         )
     )
-    return (
-        base.join(top_lang, "source")
-        .join(dup, "source")
+    return (  # source-grain attaches: broadcast, never sort-merge
+        base.join(F.broadcast(top_lang), "source")
+        .join(F.broadcast(dup), "source")
         .select(
             "source",
             "n_docs",

@@ -58,8 +58,12 @@ def benchmark_ngrams(docs: DataFrame, every: int = 17, offset: int = 3) -> DataF
 
 def decontaminate(docs: DataFrame, bench: DataFrame) -> DataFrame:
     """Per-doc contamination counts against the benchmark n-gram set."""
+    from dronedb_spark.tables import spread
+
     toks = F.split(F.col("text"), " ")
-    exploded = docs.select("doc_id", F.explode(_grams(toks)).alias("gram"))
+    exploded = spread(docs).select(
+        "doc_id", F.explode(_grams(toks)).alias("gram")
+    )
     hits = (
         exploded.join(F.broadcast(bench), "gram")
         .groupBy("doc_id")

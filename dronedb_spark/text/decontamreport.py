@@ -96,7 +96,9 @@ def ngram_flags(corpus: DataFrame, bench: DataFrame) -> DataFrame:
         "set_id",
         F.explode(_grams(F.split(F.col("text"), " "))).alias("gram"),
     ).distinct()
-    cgrams = corpus.select(
+    from dronedb_spark.tables import spread
+
+    cgrams = spread(corpus).select(
         "doc_id", F.explode(_grams(F.split(F.col("text"), " "))).alias("gram")
     )
     return (
@@ -109,16 +111,30 @@ def ngram_flags(corpus: DataFrame, bench: DataFrame) -> DataFrame:
 def containment_flags(corpus: DataFrame, bench: DataFrame) -> DataFrame:
     """(item_id, set_id): training items ≥80%-contained in an eval
     member — the directed df-capped containment pairs restricted to
-    eval destinations."""
+    eval destinations.
+
+    r13 optimization (guide §3.2, reduce before the shuffle): eval
+    membership is a pure id predicate (``id % 17 == 3`` on an
+    un-offset id), so the restriction moves INSIDE the posting-list
+    pair generation via ``dst_pred`` — only eval-destination pairs are
+    ever emitted — and the set label derives arithmetically from the
+    dst id, replacing the post-hoc bench join outright.  ``bench`` is
+    kept in the signature for call-site symmetry with the other
+    channels; its membership rule is the predicate below."""
+    del bench  # membership is the id predicate; see docstring
     pairs = containment_pairs(
-        corpus, max_df=MAX_DF, min_contain_micro=MIN_CONTAIN_MICRO
+        corpus,
+        max_df=MAX_DF,
+        min_contain_micro=MIN_CONTAIN_MICRO,
+        dst_pred=(
+            f"y % {EVAL_EVERY} = {EVAL_OFFSET} AND y < {EXCERPT_OFFSET}"
+        ),
     )
     return (
-        pairs.join(
-            bench.select(F.col("doc_id").alias("dst_id"), "set_id"),
-            "dst_id",
+        pairs.select(
+            F.col("src_id").alias("item_id"),
+            _set_col("dst_id").alias("set_id"),
         )
-        .select(F.col("src_id").alias("item_id"), "set_id")
         .distinct()
     )
 
@@ -183,7 +199,12 @@ def cosine_flags(
                 }
             )
 
-    return vectors.select("vec_id", "embedding").mapInPandas(
+    from dronedb_spark.tables import spread
+
+    # spread before the Arrow kernel: a single-file scan would hand the
+    # whole matrix product to one task (guide §4 — pass only the needed
+    # columns, at full parallelism)
+    return spread(vectors.select("vec_id", "embedding")).mapInPandas(
         kernel, schema="item_id bigint, set_id int"
     )
 
@@ -197,27 +218,34 @@ def decontam_report(docs: DataFrame, vectors: DataFrame) -> DataFrame:
         F.col("vec_id") % EVAL_EVERY == EVAL_OFFSET
     ).select(_set_col("vec_id").alias("set_id"), "embedding")
 
-    flags = {
-        "n_ngram": ngram_flags(corpus, bench),
-        "n_contain": containment_flags(corpus, bench),
-        "n_cosine": cosine_flags(vectors, ev),
-    }
+    # One pass per channel (r13 optimization): the old shape aggregated
+    # each flag relation twice — once for its per-channel count, once
+    # inside the union for n_any — and Catalyst re-ran every channel's
+    # corpus-sized lineage per reference.  Tagging the union and rolling
+    # all four distinct-counts up in ONE aggregation computes each
+    # channel exactly once.
+    tagged = (
+        ngram_flags(corpus, bench).withColumn("ch", F.lit(1))
+        .unionByName(
+            containment_flags(corpus, bench).withColumn("ch", F.lit(2))
+        )
+        .unionByName(cosine_flags(vectors, ev).withColumn("ch", F.lit(4)))
+    )
+    rollup = tagged.groupBy("set_id").agg(
+        F.countDistinct(
+            F.when(F.col("ch") == 1, F.col("item_id"))
+        ).cast("bigint").alias("n_ngram"),
+        F.countDistinct(
+            F.when(F.col("ch") == 2, F.col("item_id"))
+        ).cast("bigint").alias("n_contain"),
+        F.countDistinct(
+            F.when(F.col("ch") == 4, F.col("item_id"))
+        ).cast("bigint").alias("n_cosine"),
+        F.countDistinct("item_id").cast("bigint").alias("n_any"),
+    )
     report = bench.groupBy("set_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_eval_docs")
-    )
-    for name, f in flags.items():
-        c = f.groupBy("set_id").agg(
-            F.countDistinct("item_id").cast("bigint").alias(name)
-        )
-        report = report.join(c, "set_id", "left")
-    any_f = (
-        flags["n_ngram"]
-        .unionByName(flags["n_contain"])
-        .unionByName(flags["n_cosine"])
-        .groupBy("set_id")
-        .agg(F.countDistinct("item_id").cast("bigint").alias("n_any"))
-    )
-    report = report.join(any_f, "set_id", "left")
+    ).join(F.broadcast(rollup), "set_id", "left")  # set-grain: ≤ N_SETS rows
     return report.select(
         "set_id",
         "n_eval_docs",

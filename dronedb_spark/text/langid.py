@@ -56,8 +56,12 @@ def _bucket(col: Column) -> Column:
 def char_trigram_buckets(docs: DataFrame) -> DataFrame:
     """(doc_id, bucket, c): hashed char-trigram bag per document.
     Docs shorter than 3 chars contribute nothing (both dialects)."""
+    from dronedb_spark.tables import spread
+
+    # the per-gram md5 is the dominant cost — run it at full
+    # parallelism, not on the scan's (often single-file) partitioning
     tri = (
-        docs.filter(F.length("text") >= 3)
+        spread(docs).filter(F.length("text") >= 3)
         .select(
             "doc_id",
             F.explode(
@@ -96,7 +100,9 @@ def langid_model(
     spine = langs.crossJoin(
         spark.range(B).select(F.col("id").cast("int").alias("bucket"))
     )
-    m = spine.join(cnt, ["lang", "bucket"], "left").select(
+    # cnt is (lang × bucket) grain — bounded model state; broadcast it
+    # so the spine attach is a BroadcastHashJoin, not a sort-merge
+    m = spine.join(F.broadcast(cnt), ["lang", "bucket"], "left").select(
         "lang",
         "bucket",
         "n_docs",

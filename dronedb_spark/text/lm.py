@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dronedb_spark.suite import check
-from dronedb_spark.tables import load, spread
+from dronedb_spark.tables import barrier_persist, load, spread
 
 
 def explode_tokens(docs: DataFrame) -> DataFrame:
@@ -50,8 +50,14 @@ def explode_tokens(docs: DataFrame) -> DataFrame:
 def train_unigram(train_docs: DataFrame) -> DataFrame:
     """→ (tok, n, logp) with add-one smoothing: p = (n+1)/(N+V+1).
     The +1 in the denominator funds the single OOV pseudo-token."""
-    counts = explode_tokens(spread(train_docs)).groupBy("tok").agg(
-        F.count(F.lit(1)).alias("n")
+    # The trained model is referenced by several consumers (skew-split
+    # head, tail join, OOV floor) — materialize the count pass once
+    # (vocab-sized model state) instead of re-tokenizing the training
+    # slice per reference (r13 optimization, guide §2.4/§5).
+    counts = barrier_persist(
+        explode_tokens(spread(train_docs)).groupBy("tok").agg(
+            F.count(F.lit(1)).alias("n")
+        )
     )
     totals = counts.agg(
         F.sum("n").alias("n_total"), F.count(F.lit(1)).alias("v_total")
@@ -174,8 +180,10 @@ def train_bigram(train_docs: DataFrame) -> DataFrame:
     """→ (w1, w2, n12, n1) bigram + left-context counts; the conditional
     p(w2|w1) = (n12 + 1) / (n1 + V + 1) resolves at score time with the
     unigram table's V."""
-    big = explode_bigrams(spread(train_docs)).groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).alias("n12")
+    big = barrier_persist(
+        explode_bigrams(spread(train_docs)).groupBy("w1", "w2").agg(
+            F.count(F.lit(1)).alias("n12")
+        )
     )
     left = big.groupBy("w1").agg(F.sum("n12").alias("n1"))
     return big.join(left, "w1")
@@ -299,8 +307,12 @@ def kn_tables(train_docs: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame, D
     All derive from the bigram count table by map-side-combinable
     aggregates — the corpus is read once.
     """
-    big = explode_bigrams(spread(train_docs)).groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).alias("n12")
+    # big feeds FOUR aggregates below — one materialized bigram-count
+    # pass (model-state-sized) instead of four corpus tokenizations
+    big = barrier_persist(
+        explode_bigrams(spread(train_docs)).groupBy("w1", "w2").agg(
+            F.count(F.lit(1)).alias("n12")
+        )
     )
     lefts = big.groupBy("w1").agg(
         F.sum("n12").alias("n1"), F.count(F.lit(1)).alias("fan1")

@@ -56,11 +56,22 @@ def corpus_segments(
 
 
 def segment_dedup_tally(documents: DataFrame, tokens_barrier: bool = False) -> DataFrame:
-    """Per-document counts of corpus-duplicated vs unique segments."""
+    """Per-document counts of corpus-duplicated vs unique segments.
+
+    Occurrence counting is a WINDOW over the segment key, not a
+    groupBy + join back (the ``substring.py`` discipline): the join
+    formulation evaluates the whole segmentation subtree once per side
+    — Catalyst has no common-subplan materialization across join
+    inputs — while the window shuffles the segments once and counts in
+    place.  Same exchange count, half the tokenize/segment compute."""
+    from pyspark.sql import Window
+
     segs = corpus_segments(documents, tokens_barrier=tokens_barrier)
-    counts = segs.groupBy("seg").agg(F.count(F.lit(1)).alias("n_occ"))
     return (
-        segs.join(counts, "seg")
+        segs.select(
+            "doc_id",
+            F.count(F.lit(1)).over(Window.partitionBy("seg")).alias("n_occ"),
+        )
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_segs"),

@@ -139,7 +139,11 @@ def simhash_neardup_pairs(
     signature pass, one shuffle on (band, bv), candidate-sized
     verification; the ``simhash_hamming`` cross-join stays only as
     the exhaustive reference for higher thresholds."""
-    sig = simhash_signatures(docs)
+    from dronedb_spark.tables import barrier_persist
+
+    # both sides of the band self-join derive from the signature table;
+    # materialize it once or the 64-sum signature aggregation runs twice
+    sig = barrier_persist(simhash_signatures(docs))
     bands = sig.select(
         "doc_id",
         "simhash",

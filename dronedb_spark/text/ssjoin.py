@@ -46,14 +46,22 @@ def _doc_arrays(docs: DataFrame) -> DataFrame:
     and every pair looks similar; gram sets carry phrase identity, the
     near-dup signal), ordered rarest-first by global df (ties
     lexicographic) — the shared total order the prefix theorem needs."""
+    from dronedb_spark.tables import barrier_persist
     from dronedb_spark.text.corpusstats import _GRAM3_SPARK
 
-    toks = (
+    # (r13 optimization) in-row array_distinct replaces the global
+    # .distinct() exchange (same (doc_id, tok) relation), and the
+    # distinct-gram pass is materialized once: it feeds both the df
+    # aggregate and the ordering join, and the old plan re-tokenized
+    # the corpus for each (guide §2.4).
+    toks = barrier_persist(
         spread(docs)
         .select("doc_id", F.split("text", " ").alias("toks"))
         .filter(F.size("toks") >= 3)
-        .select("doc_id", F.explode(F.expr(_GRAM3_SPARK)).alias("tok"))
-        .distinct()
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(F.expr(_GRAM3_SPARK))).alias("tok"),
+        )
     )
     df = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     return (
@@ -71,7 +79,11 @@ def _doc_arrays(docs: DataFrame) -> DataFrame:
 def jaccard_ssjoin(docs: DataFrame, tau_pct: int = TAU_PCT) -> DataFrame:
     """(doc_a, doc_b, n_inter, n_union): every pair with Jaccard ≥
     τ — exact, via prefix filtering + length filter + in-row verify."""
-    arrs = _doc_arrays(docs)
+    from dronedb_spark.tables import barrier_persist
+
+    # arrs feeds the prefix explode AND both verification re-attaches —
+    # materialize the doc-array relation once (r13 optimization)
+    arrs = barrier_persist(_doc_arrays(docs))
     # prefix length p = n - ceil(tau*n/100) + 1, integer ceil
     pre = arrs.select(
         "doc_id",

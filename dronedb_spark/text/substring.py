@@ -93,7 +93,10 @@ def substring_dup_spans(docs: DataFrame, k: int = K_TOKENS) -> DataFrame:
     Catalyst has no common-subplan materialization across join inputs —
     while the window shuffles the anchors once and counts in place.
     Same two exchanges total (hash, then doc), half the compute."""
-    anchors = spread(anchor_kgrams(docs, k))
+    # spread BEFORE anchoring: the k-gram + md5 work is the CPU-heavy
+    # part, and spreading the finished anchors ran it on the scan's
+    # (often single-file) partitioning first (r13 fix, guide §2)
+    anchors = anchor_kgrams(spread(docs), k)
     dup_pos = (
         anchors.select(
             "doc_id",
@@ -413,7 +416,7 @@ def incremental_substring_spans(
     the batch anchors by ``ah``, and the within-batch occurrence window
     reuses exactly that partitioning — one anchor-side exchange total,
     then the per-doc island pass."""
-    anchors = spread(anchor_kgrams(batch, k))
+    anchors = anchor_kgrams(spread(batch), k)
     marked = anchors.join(
         store.withColumn("in_store", F.lit(True)), "ah", "left"
     )

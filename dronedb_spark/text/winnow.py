@@ -85,20 +85,35 @@ def winnow_overlap(docs: DataFrame, max_df: int = MAX_DF) -> DataFrame:
     from dronedb_spark.tables import barrier_persist
 
     fps = barrier_persist(winnow_fingerprints(docs))
+    # (doc_id, fp) is distinct by construction (array_distinct upstream),
+    # so a plain count IS the distinct-doc df — no countDistinct Expand
     rare = (
         fps.groupBy("fp")
-        .agg(F.countDistinct("doc_id").alias("df"))
+        .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") <= max_df)
         .select("fp")
     )
-    kept = fps.join(rare, "fp", "left_semi")
-    a = kept.select(F.col("doc_id").alias("doc_a"), "fp")
-    b = kept.select(F.col("doc_id").alias("doc_b"), "fp")
-    return (
-        a.join(b, "fp")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+    # r13 optimization (the containment.py posting-list plan): collapse
+    # the df-capped postings to per-fp doc lists (provably ≤ max_df
+    # after the semi-join — a boilerplate fp never materializes a list)
+    # and explode the ordered pairs IN-ROW, replacing the kept ⋈ kept
+    # self-join and its second fingerprint-side exchange.
+    posts = (
+        fps.join(rare, "fp", "left_semi")
+        .groupBy("fp")
+        .agg(F.collect_list("doc_id").alias("ds"))
+    )
+    pairs = posts.select(
+        F.explode(
+            F.expr(
+                """flatten(transform(ds,
+                       x -> transform(filter(ds, y -> x < y),
+                                      y -> struct(x AS doc_a, y AS doc_b))))"""
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
+    return pairs.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).alias("n_shared")
     )
 
 

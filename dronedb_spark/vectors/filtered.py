@@ -66,7 +66,9 @@ def filtered_ivf_search(
                 F.col("cid"),
             ).alias("packed"),
         )
-        .join(hist.withColumnRenamed("cell", "cid"), "cid", "left")
+        .join(  # cell-grain (≤ N_CENTROIDS rows): broadcast, not SMJ
+            F.broadcast(hist.withColumnRenamed("cell", "cid")), "cid", "left"
+        )
         .select(
             "cid", "packed", F.coalesce("n_match", F.lit(0)).alias("n_match")
         )

@@ -74,7 +74,10 @@ def retrieval_mrr(embeddings: DataFrame, n_queries: int = N_QUERIES,
     hits = ranked.filter(F.col("label") == F.col("q_label")).groupBy(
         "q_id"
     ).agg(F.min("rnk").cast("bigint").alias("first_rel_rank"))
-    return qs.select("q_id").join(hits, "q_id", "left").select(
+    # hits is query-grain (≤ n_queries rows) but sits behind the window
+    # pipeline, so the planner can't estimate it small — broadcast it
+    # explicitly (SortMergeJoin → BroadcastHashJoin, −2 Exchanges)
+    return qs.select("q_id").join(F.broadcast(hits), "q_id", "left").select(
         "q_id",
         F.coalesce("first_rel_rank", F.lit(-1)).cast("bigint").alias(
             "first_rel_rank"
