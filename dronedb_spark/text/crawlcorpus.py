@@ -153,7 +153,11 @@ def crawl_corpus_rollup(
     verdicts = robots_allowed(
         pages.select("doc_id", "host", "path"), rules, agent
     ).select("doc_id", "allowed")
-    v = pages.join(verdicts, "doc_id")
+    from dronedb_spark.tables import barrier_persist
+
+    # v feeds the C4 gate AND the fetched rollup — materialize once so
+    # the WARC parse kernels + robots verdicts don't run per branch
+    v = barrier_persist(pages.join(verdicts, "doc_id"))
     gated = c4_line_clean(v.filter(F.col("allowed") == 1))
     per_page = gated.select(
         "doc_id", "host",

@@ -118,8 +118,13 @@ def curation_pipeline_rollup(docs: DataFrame) -> DataFrame:
         "doc_id",
         "left_semi",
     )
+    from dronedb_spark.tables import barrier_persist
+
     wdup = Window.partitionBy(F.md5("text")).orderBy("doc_id")
-    unique = (
+    # unique feeds the span rewrite (which references it twice more
+    # internally) AND the domain cap — materialize the gopher+dedup
+    # front of the pipeline once (r13; it re-ran ~4x lazily)
+    unique = barrier_persist(
         kept.withColumn("_rk", F.row_number().over(wdup))
         .filter(F.col("_rk") == 1)
         .drop("_rk")

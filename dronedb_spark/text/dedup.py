@@ -570,7 +570,12 @@ def lsh_calibration(
     # document-frequency cap: ONE window pass (COUNT OVER the shingle
     # partition) — no groupBy + semi-join re-evaluation of the shingle
     # subtree, and the partitioning pre-shuffles for the equi-self-join
-    sh = (
+    from dronedb_spark.tables import barrier_persist
+
+    # r13: the capped relation feeds THREE subtrees (sizes + both join
+    # sides) — materialize once instead of re-running the shingle
+    # explode + df window per reference
+    sh = barrier_persist(
         sh_all.withColumn(
             "df", F.count(F.lit(1)).over(Window.partitionBy("s"))
         )

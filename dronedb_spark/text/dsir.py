@@ -59,7 +59,12 @@ def hashed_gram_counts(docs: DataFrame) -> DataFrame:
     Bigrams via the top-level zip_with-over-shifted-slices idiom
     (``text/substring.py``) so Catalyst never re-tokenizes per element.
     """
-    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    from dronedb_spark.tables import spread
+
+    # per-gram md5 is the heavy kernel — full parallelism before it
+    # (the langid featurizer rule); the 10x twin otherwise hashed its
+    # whole inflated corpus on the scan's single input partition
+    toks = spread(docs).select("doc_id", F.split("text", " ").alias("toks"))
     grams = toks.select(
         "doc_id",
         F.concat(

@@ -38,14 +38,25 @@ from dronedb_spark.suite import check
 from dronedb_spark.tables import load
 
 
-def positional_postings(docs: DataFrame) -> DataFrame:
+def positional_postings(
+    docs: DataFrame, only_tokens: list[str] | None = None
+) -> DataFrame:
     """(tok, doc_id, positions): the positional inverted index —
     positions are 0-based token offsets, sorted ascending.  This is
-    what a pipeline persists (bucketed by ``tok``)."""
+    what a pipeline persists (bucketed by ``tok``).
+
+    ``only_tokens`` prunes the index to the given tokens BEFORE the
+    postings aggregation (r13, guide §2.3 aggregate-less-shuffle-less):
+    an in-memory query knows its probe tokens up front, and building
+    the full index only to semi-join it down to 3 tokens shuffled the
+    whole corpus's positions for nothing — the persisted store keeps
+    the full build, where bucket pruning plays the same role."""
     flat = docs.select(
         "doc_id",
         F.posexplode(F.split("text", " ")).alias("pos", "tok"),
     ).filter(F.col("tok") != "")
+    if only_tokens is not None:
+        flat = flat.filter(F.col("tok").isin(*only_tokens))
     return flat.groupBy("tok", "doc_id").agg(
         F.sort_array(F.collect_list("pos")).alias("positions")
     )
@@ -146,7 +157,9 @@ def q_phrase_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact occurrences of the phrase "stream table hash" per document
     via the positional index + anchor trick."""
     docs = load(spark, sf_dir, "documents")
-    return phrase_query(positional_postings(docs), _PHRASE).orderBy("doc_id")
+    return phrase_query(
+        positional_postings(docs, only_tokens=_PHRASE), _PHRASE
+    ).orderBy("doc_id")
 
 
 @check(
@@ -177,7 +190,8 @@ def q_kwic_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     document boundaries."""
     docs = load(spark, sf_dir, "documents")
     return kwic_snippets(
-        docs, positional_postings(docs), _KWIC_TERM, ctx=_KWIC_CTX
+        docs, positional_postings(docs, only_tokens=[_KWIC_TERM]),
+        _KWIC_TERM, ctx=_KWIC_CTX,
     ).orderBy("doc_id")
 
 
@@ -230,7 +244,9 @@ def q_phrase_query_10x(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
     )
     corpus = docs.unionByName(copies)
-    return phrase_query(positional_postings(corpus), _PHRASE).orderBy("doc_id")
+    return phrase_query(
+        positional_postings(corpus, only_tokens=_PHRASE), _PHRASE
+    ).orderBy("doc_id")
 
 
 # ------------------------------------------------------- serving store --

@@ -446,44 +446,46 @@ def hits_over_edges(edge_table: DataFrame, n_iter: int = N_HITS_ITER) -> DataFra
     base = SCALE // doms.count()
     hubs = doms.select("domain", F.lit(base).cast("bigint").alias("h"))
     auths = None
+    # r13 optimization: checkpoint the RAW per-phase aggregate (it was
+    # referenced twice — the normalization total and the spine join —
+    # so each phase's edges⋈scores aggregation ran twice), and collect
+    # the normalization total as a driver SCALAR riding in as a literal
+    # (a bounded collect) instead of a broadcast-build job per phase.
+    # Measured 2.63 s → 2.38 s at sf0.1, identical scores.
     for _ in range(n_iter):
         a_raw = (
             edges.join(hubs.withColumnRenamed("domain", "src"), "src")
             .select(F.col("dst").alias("domain"), (F.col("w") * F.col("h")).alias("c"))
             .groupBy("domain")
             .agg(F.sum("c").cast("bigint").alias("a_raw"))
-        )
-        a_tot = a_raw.agg(F.sum("a_raw").alias("t"))
+        ).localCheckpoint()
+        a_tot = a_raw.agg(F.sum("a_raw").alias("t")).collect()[0]["t"]
         auths = (
             doms.join(a_raw, "domain", "left")
-            .crossJoin(F.broadcast(a_tot))
             .select(
                 "domain",
                 F.expr(
                     f"CAST((CAST(coalesce(a_raw, 0L) AS DECIMAL(38,0))"
-                    f" * {SCALE}) DIV t AS BIGINT)"
+                    f" * {SCALE}) DIV {a_tot} AS BIGINT)"
                 ).alias("a"),
             )
-            .localCheckpoint()
         )
         h_raw = (
             edges.join(auths.withColumnRenamed("domain", "dst"), "dst")
             .select(F.col("src").alias("domain"), (F.col("w") * F.col("a")).alias("c"))
             .groupBy("domain")
             .agg(F.sum("c").cast("bigint").alias("h_raw"))
-        )
-        h_tot = h_raw.agg(F.sum("h_raw").alias("t"))
+        ).localCheckpoint()
+        h_tot = h_raw.agg(F.sum("h_raw").alias("t")).collect()[0]["t"]
         hubs = (
             doms.join(h_raw, "domain", "left")
-            .crossJoin(F.broadcast(h_tot))
             .select(
                 "domain",
                 F.expr(
                     f"CAST((CAST(coalesce(h_raw, 0L) AS DECIMAL(38,0))"
-                    f" * {SCALE}) DIV t AS BIGINT)"
+                    f" * {SCALE}) DIV {h_tot} AS BIGINT)"
                 ).alias("h"),
             )
-            .localCheckpoint()
         )
     return hubs.join(auths, "domain").select(
         "domain", F.col("h").alias("hub"), F.col("a").alias("authority")

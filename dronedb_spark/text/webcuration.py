@@ -61,7 +61,11 @@ def _derived_pages(docs: DataFrame) -> DataFrame:
 def web_curation_rollup(pages: DataFrame) -> DataFrame:
     """pages(doc_id, source, text) → per-source accounting of the C4
     gate + corpus-wide line dedup composition."""
-    c = c4_line_clean(pages)
+    from dronedb_spark.tables import barrier_persist
+
+    # the C4 gate feeds both the dedup input and the verdict side —
+    # materialize it once (r13; the line-filter HOFs re-ran per branch)
+    c = barrier_persist(c4_line_clean(pages))
     kept_pages = c.filter(F.col("keep_page")).select("doc_id", "cleaned_text")
     deduped = paragraph_dedup_rewrite(kept_pages, text_col="cleaned_text", sep=_NL)
     verdicts = c.select("doc_id", "source", "keep_page")

@@ -65,31 +65,49 @@ def rbo_prefix_stability(
 ) -> DataFrame:
     """(q_id, n_common, rbo_num, rbo_den): per panel query the exact
     RBO@10 between the prefix-dim and full-dim neighbor rankings."""
-    pts = embeddings.select(
-        "vec_id", F.posexplode("embedding").alias("pos", "v")
-    ).select("vec_id", "pos", F.col("v").cast("double").alias("val"))
-    qpts = (
+    # r13 (guide §2.3/§2.4): the old shape posexploded BOTH sides to
+    # dimension grain and pushed |emb|·dim·|Q| rows through a groupBy —
+    # the squared distance is computable IN-ROW over the two arrays
+    # (decimal addition is exact, so accumulation order is immaterial
+    # and the HOF fold equals the shuffled sum bit-for-bit), removing
+    # the dimension explode and the (q, vec) aggregation exchange.
+    qs = (
         embeddings.orderBy("vec_id")
         .limit(n_queries)
-        .select("vec_id", F.posexplode("embedding").alias("pos", "v"))
-        .select(
-            F.col("vec_id").alias("q_id"),
-            "pos",
-            F.col("v").cast("double").alias("qval"),
-        )
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
     )
-    term = (
-        (F.col("val") - F.col("qval")) * (F.col("val") - F.col("qval"))
-    ).cast("decimal(38,15)")
+
+    # DECIMAL(30,15), not (38,15): scale 15 gives the identical half-up
+    # term rounding, and (30,15)+(30,15) stays inside precision 38 so
+    # the fold's re-cast never moves the scale — every addition is
+    # exact, bit-equal to the shuffled F.sum it replaces.
+    def _d2(a: str, b: str) -> F.Column:
+        return F.expr(
+            f"""aggregate(
+                    zip_with({a}, {b}, (x, y) ->
+                        CAST((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+                             * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+                             AS DECIMAL(30,15))),
+                    CAST(0 AS DECIMAL(30,15)),
+                    (acc, t) -> CAST(acc + t AS DECIMAL(30,15)))"""
+        )
+
     dist = (
-        pts.join(F.broadcast(qpts), "pos")
+        embeddings.join(F.broadcast(qs))
         .filter(F.col("vec_id") != F.col("q_id"))
-        .groupBy("q_id", "vec_id")
-        .agg(
-            F.round(F.sum(F.when(F.col("pos") < prefix_dims, term)), 6)
-            .cast("double")
-            .alias("d_pre"),
-            F.round(F.sum(term), 6).cast("double").alias("d_full"),
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(
+                _d2(
+                    f"slice(embedding, 1, {prefix_dims})",
+                    f"slice(q_emb, 1, {prefix_dims})",
+                ),
+                6,
+            ).cast("double").alias("d_pre"),
+            F.round(_d2("embedding", "q_emb"), 6).cast("double").alias(
+                "d_full"
+            ),
         )
     )
     wa = Window.partitionBy("q_id").orderBy("d_pre", "vec_id")
