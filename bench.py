@@ -572,16 +572,10 @@ def main() -> None:
     # early timed rows 2-3x — stamp_checksum 1.45s vs 0.60s clean).
     # Clearing is steady-state hygiene, not a benchmark trick — a real
     # cluster job starts without another workload's cache residue.
-    try:
-        from dronedb_spark.tables import _BARRIER_CACHE
+    from dronedb_spark.tables import reset_run_cache
 
-        for cached in _BARRIER_CACHE.values():
-            try:
-                cached.unpersist()
-            except Exception:
-                pass
-        _BARRIER_CACHE.clear()
-        spark.catalog.clearCache()
+    try:
+        reset_run_cache(spark)
         spark.sparkContext._jvm.System.gc()
     except Exception:
         pass
@@ -624,6 +618,14 @@ def main() -> None:
     for name in rows:
         chk = registry[name]
         def run_once() -> float:
+            # EVERY run — the untimed warm one included — starts with the
+            # cross-call caches dropped, so each timed run materializes
+            # its own barrier persists from the parquet inputs.  Without
+            # this, a warm run would leave its persisted subtrees in the
+            # module-level barrier LRU and the timed runs would measure a
+            # cached read instead of the computation (r13 measurement-
+            # honesty fix; the warm run still buys JIT/codegen/footers).
+            reset_run_cache(spark)
             t0 = time.time()
             df = chk.spark_fn(spark, sf_dir)
             if name in _SMALL_RESULT:

@@ -183,3 +183,25 @@ def barrier_persist(df: DataFrame) -> DataFrame:
             except Exception:
                 pass
     return p
+
+
+def reset_run_cache(spark: SparkSession) -> None:
+    """Drop every cross-call cache so the NEXT query invocation computes
+    from the parquet inputs again: unpersist and clear the barrier LRU,
+    and clear the catalog cache.  The bench harness calls this before
+    EVERY run — warm and timed alike — so a ``barrier_persist`` subtree
+    materializes inside the run being timed and is never served from a
+    previous run's warm-up (that would time a cached read, not the
+    computation).  ``_LOAD_CACHE`` (unpersisted plan handles) and
+    ``_SPREAD_CACHE`` (partition-count metadata) hold no row data and
+    are deliberately kept."""
+    for cached in list(_BARRIER_CACHE.values()):
+        try:
+            cached.unpersist()
+        except Exception:
+            pass
+    _BARRIER_CACHE.clear()
+    try:
+        spark.catalog.clearCache()
+    except Exception:
+        pass

@@ -26,23 +26,16 @@ def main() -> None:
     spark = get_spark("minibench", cpus=cpus)
     registry = load_all()
     spark.range(1000).count()
-    try:
-        from dronedb_spark.tables import _BARRIER_CACHE
+    from dronedb_spark.tables import reset_run_cache
 
-        for cached in _BARRIER_CACHE.values():
-            try:
-                cached.unpersist()
-            except Exception:
-                pass
-        _BARRIER_CACHE.clear()
-        spark.catalog.clearCache()
-    except Exception:
-        pass
+    reset_run_cache(spark)
 
     for name in names:
         chk = registry[name]
 
         def run_once() -> float:
+            # bench.py parity: every run recomputes its barrier persists
+            reset_run_cache(spark)
             t0 = time.time()
             df = chk.spark_fn(spark, sf_dir)
             if name in _SMALL_RESULT:
