@@ -50,16 +50,28 @@ def multiclass_f1(pred: DataFrame, truth: DataFrame) -> DataFrame:
     j = pred.select("doc_id", "pred_lang").join(
         truth.select("doc_id", F.col("lang").alias("true_lang")), "doc_id"
     )
-    t = j.groupBy(F.col("true_lang").alias("lang")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_true")
+    # ONE pass over j: collapse to the (true, pred) confusion matrix at
+    # |langs|² grain and read n_true / n_pred / tp as its marginals.
+    # The previous shape ran three independent aggregates over j, and
+    # j's lineage — the full NB scoring plan upstream of the persisted
+    # featurization — executed three times per report.
+    from dronedb_spark.tables import barrier_persist as _bp
+
+    cm = _bp(
+        j.groupBy("true_lang", "pred_lang").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n")
+        )
     )
-    p = j.groupBy(F.col("pred_lang").alias("lang")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_pred")
+    t = cm.groupBy(F.col("true_lang").alias("lang")).agg(
+        F.sum("n").cast("bigint").alias("n_true")
+    )
+    p = cm.groupBy(F.col("pred_lang").alias("lang")).agg(
+        F.sum("n").cast("bigint").alias("n_pred")
     )
     tp = (
-        j.filter(F.col("pred_lang") == F.col("true_lang"))
+        cm.filter(F.col("pred_lang") == F.col("true_lang"))
         .groupBy(F.col("true_lang").alias("lang"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("tp"))
+        .agg(F.sum("n").cast("bigint").alias("tp"))
     )
     spine = (
         t.join(p, "lang", "full_outer")

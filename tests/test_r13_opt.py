@@ -221,3 +221,58 @@ def test_no_sort_merge_join_in_broadcast_fixed_plans(spark, sf_dir):
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted")
         assert "SortMergeJoin" not in plan, name
+
+
+# ------------------------------------------------- multiclass F1 ----
+
+
+def test_multiclass_f1_confusion_marginals_match_direct_aggregates(spark):
+    """The single-pass confusion-matrix formulation == the pre-r13
+    three-aggregates-over-j shape, on a prediction set with an
+    all-wrong class (zero tp), a never-predicted class (n_pred = 0)
+    and a predicted-only class (n_true = 0)."""
+    from dronedb_spark.text.mclasseval import multiclass_f1
+
+    truth = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, "de"), (4, "de"), (5, "fr")],
+        "doc_id long, lang string",
+    )
+    pred = spark.createDataFrame(
+        [(1, "en"), (2, "de"), (3, "de"), (4, "es"), (5, "en")],
+        "doc_id long, pred_lang string",
+    )
+    new = _rows(multiclass_f1(pred, truth))
+
+    # reference: the pre-r13 three-aggregate formulation, inlined
+    j = pred.join(truth.select("doc_id", F.col("lang").alias("true_lang")), "doc_id")
+    t = j.groupBy(F.col("true_lang").alias("lang")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true"))
+    p = j.groupBy(F.col("pred_lang").alias("lang")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pred"))
+    tp = (j.filter(F.col("pred_lang") == F.col("true_lang"))
+          .groupBy(F.col("true_lang").alias("lang"))
+          .agg(F.count(F.lit(1)).cast("bigint").alias("tp")))
+    spine = (
+        t.join(p, "lang", "full_outer").join(tp, "lang", "left")
+        .select(
+            "lang",
+            F.coalesce("n_true", F.lit(0)).cast("bigint").alias("n_true"),
+            F.coalesce("n_pred", F.lit(0)).cast("bigint").alias("n_pred"),
+            F.coalesce("tp", F.lit(0)).cast("bigint").alias("tp"),
+        )
+    )
+    ref = _rows(spine.select(
+        "lang", "n_true", "n_pred", "tp",
+        (F.col("n_pred") - F.col("tp")).cast("bigint").alias("fp"),
+        (F.col("n_true") - F.col("tp")).cast("bigint").alias("fn"),
+        F.expr("CASE WHEN n_pred + n_true = 0 THEN NULL ELSE 2 * tp END")
+        .cast("bigint").alias("f1_num"),
+        F.expr("CASE WHEN n_pred + n_true = 0 THEN NULL ELSE n_pred + n_true END")
+        .cast("bigint").alias("f1_den"),
+    ))
+    assert new == ref
+    # the fixture really exercises the edge rows
+    by_lang = {r[0]: r for r in new}
+    assert by_lang["fr"][3] == 0          # all-wrong class: tp = 0
+    assert by_lang["fr"][2] == 0          # never predicted: n_pred = 0
+    assert by_lang["es"][1] == 0          # predicted-only: n_true = 0
