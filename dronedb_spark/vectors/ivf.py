@@ -309,6 +309,9 @@ def write_ivf_store(embeddings: DataFrame, path: str) -> None:
     (
         ivf_assign(embeddings)
         .join(embeddings.select("vec_id", "embedding"), "vec_id")
+        # one file per cell directory, not one per (task × cell) — the
+        # ann/semdedup/postings store discipline (guide §6)
+        .repartition("cell")
         .write.partitionBy("cell")
         .mode("overwrite")
         .parquet(path)

@@ -532,6 +532,11 @@ def write_ivfpq_store(
     (
         ivf_assign(emb)
         .join(codes, "vec_id")
+        # one file per cell directory, not one per (task × cell): the
+        # join's output partitioning is vec_id-hashed, so every write
+        # task would otherwise open a file in every cell it touches
+        # (the ann/semdedup/postings store discipline, guide §6)
+        .repartition("cell")
         .write.partitionBy("cell")
         .mode("overwrite")
         .parquet(path)
@@ -610,6 +615,8 @@ def write_ivfpq_residual_store(
     (
         res.select("vec_id", "label", "cell")
         .join(codes, "vec_id")
+        # one file per cell directory (see write_ivfpq_store)
+        .repartition("cell")
         .write.partitionBy("cell")
         .mode("overwrite")
         .parquet(path)
