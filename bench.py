@@ -338,67 +338,69 @@ HEADLINE = [
 ]
 
 
-# The driver pass times this curated subset: the original 24-row r1
-# headline (longitudinal comparability with BENCH_r01 / BASELINE) plus
-# one-or-two representatives per operator family added since (codecs,
-# TPC-H extension, STAC, LM/text pipeline, every dedup family, ANN
-# serving, streaming twins, events/sessions, maintenance, eval, crawl,
-# the 10x scale twins, and the newest debuts).  Selection criterion:
-# family coverage at bounded mass — single-pass sum ~70 s at sf0.1 on
-# this host (BENCH_SELF_r12), so warm + best-of-3 + stall retries stays
-# far inside the driver's wall budget.  The scratch-dir store/build
-# checks and the by-design quadratic in-cell twins stay in the FULL
-# (builder) pass only.
-DRIVER_SUBSET = [
-    # original 24-row r1 headline — keep order, keep all 24
+# Union of every query name that ever appeared in a PARSED driver bench
+# artifact (BENCH_r01–r06's `parsed.queries`; r07+ were unparseable).
+# The driver contract forbids removing or renaming entries from the
+# printed `queries` map, so the driver-visible line carries exactly
+# these 57 rows (~1.8 KB as JSON — fits the driver's 2000-char stdout
+# tail with headroom) and the driver pass must time every one of them.
+# Order = BENCH_r06's map order; the prefix is the original 24-row r1
+# headline (longitudinal comparability with BENCH_r01 / BASELINE).
+LINE_ROWS = [
     "q1_pricing_summary", "q3_top_revenue_orders", "q5_region_revenue",
     "parts_topk_per_brand", "events_hourly", "asof_join_events",
     "interval_join_windows", "catalog_search_like", "entries_meta_join",
     "stac_items_page", "delta_adds", "stamp_checksum",
-    "dedup_minhash_signatures", "dedup_neardup_pairs",
-    "dedup_corpus_segments", "knn_cosine_top10", "text_quality_metrics",
-    "raster_area_stats", "zonal_volume_cutfill", "text_simhash",
-    "ann_lsh_top5", "formula_engine_sweep", "copc_zorder_pages",
-    "vector_query_page",
-    # real-codec representatives
-    "pointcloud_laz_stats", "media_jpeg_channel_stats",
-    "shapefile_parse_features", "mvt_pbf_roundtrip",
-    # TPC-H extension
-    "q8_market_share", "q18_large_orders",
-    # STAC
-    "stac_collection_doc", "stac_items_keyset",
+    "dedup_minhash_signatures", "dedup_neardup_pairs", "dedup_corpus_segments",
+    "knn_cosine_top10", "text_quality_metrics", "raster_area_stats",
+    "zonal_volume_cutfill", "text_simhash", "ann_lsh_top5",
+    "formula_engine_sweep", "copc_zorder_pages", "vector_query_page",
+    "stac_items_keyset", "dedup_corpus_segments_10x", "multiraster_area_stats",
+    "stockpile_detect", "contour_segments", "mvt_tile_features",
+    "thermal_point_query", "pointcloud_laz_stats", "media_jpeg_channel_stats",
+    "mvt_pbf_roundtrip", "shapefile_parse_features", "gpkg_parse_features",
+    "q8_market_share", "q18_large_orders", "topojson_parse_features",
+    "stac_collection_doc", "json_sink_roundtrip", "stream_dedup_twin",
+    "sq8_adc_top10", "lm_doc_perplexity", "pack_sequences_chunks",
+    "render_index_region", "rad_coarse_splats", "lm_doc_perplexity_10x",
+    "pack_sequences_10x", "video_frame_decode", "incremental_dedup_probe",
+    "delta_adds_10x", "push_needed_files", "winnow_overlap_pairs",
+    "hll_token_registers", "cms_heavy_hitters", "bm25_query_scores",
+]
+
+# The driver pass times LINE_ROWS (mandatory — every row must appear in
+# the printed line) plus curated representatives for the operator
+# families added since r06 (text pipeline, dedup families, ANN serving,
+# streaming twins, events/sessions, maintenance, eval, and the newest
+# debuts).  Selection criterion: family coverage at bounded mass —
+# single-pass sum ~55 s at sf0.1 on this host (BENCH_SELF), so warm +
+# best-of-3 + stall retries stays ~12 min wall, inside the driver's
+# budget (BENCH_r12 timed out on the full-registry protocol).  The
+# scratch-dir store/build checks, the by-design quadratic in-cell
+# twins, and the heavier family rows trimmed here all remain timed by
+# the FULL (builder) pass — BENCH_SELF.json covers the whole registry.
+DRIVER_SUBSET = LINE_ROWS + [
     # LM / text pipeline
-    "lm_doc_perplexity", "bpe_encode_corpus", "langid_nb_predictions",
     "tfidf_topterms",
-    # one representative per dedup family
-    "paragraph_dedup", "substring_dup_spans", "url_canonical_dedup",
-    "simhash_neardup_pairs", "containment_subset_pairs",
-    "jaccard_ssjoin_pairs", "winnow_overlap_pairs", "semdedup_cell_rollup",
+    # dedup family representatives (beyond those already in LINE_ROWS)
+    "paragraph_dedup", "url_canonical_dedup", "semdedup_cell_rollup",
     # ANN serving
     "ivfpq_adc_top10", "binq_hamming_top10", "pq_adc_top10",
-    "filtered_ivf_top10",
     # streaming batch twins
-    "stream_dedup_twin", "stream_topk_counts_twin",
-    "stream_decontam_hits_twin",
+    "stream_topk_counts_twin", "stream_decontam_hits_twin",
     # events / sessions
     "funnel_view_click_purchase", "sessionize_gap_windows",
     "events_rollup_counts",
-    # maintenance / eval / crawl
+    # maintenance / eval
     "zorder_layout_skipping", "compact_plan_groups", "classifier_pr_curve",
-    "retrieval_mrr", "decontam_channel_report", "warc_text_extract",
-    "domain_pagerank",
-    # 10x scale twins (linear-scaling evidence in the official artifact)
-    "dedup_corpus_segments_10x", "delta_adds_10x", "heavy_hitters_exact_10x",
     # newest debuts
-    "source_datacard", "sft_pack_batches", "mixture_quota_twophase",
-    "lm_kneser_ney", "fuzzy_blocked_matches", "bradley_terry_strengths",
-    "contamination_matrix", "attribution_report", "conformal_coverage",
-    "km_user_survival", "domain_hits",
+    "source_datacard", "sft_pack_batches", "fuzzy_blocked_matches",
+    "attribution_report", "conformal_coverage", "km_user_survival",
+    "domain_hits",
 ]
 
-# The stable longitudinal metric: the original r1 headline rows whose
-# per-query map is small enough to print in the driver-visible line.
-_HEADLINE24 = DRIVER_SUBSET[:24]
+# The stable longitudinal metric: the original r1 headline rows.
+_HEADLINE24 = LINE_ROWS[:24]
 
 
 def _ever_gated_names() -> list[str]:
@@ -709,15 +711,18 @@ def main() -> None:
     # The driver-visible line must be printed LAST and must FIT: the
     # driver records a 2000-char stdout tail (BENCH_r07-r12 were all
     # unparseable because the 384-row map overflowed it).  Emit totals
-    # plus only the stable 24-row r1 headline map (~800 chars); stop
-    # Spark FIRST so no executor/shutdown chatter prints after the line.
+    # plus the 57-row LINE_ROWS map — the union of every row any parsed
+    # driver artifact ever carried, so no entry is ever removed —
+    # (~1.8 KB); stop Spark FIRST so no executor/shutdown chatter
+    # prints after the line.
+    line_map = {k: results[k] for k in LINE_ROWS if k in results}
     head24 = {k: results[k] for k in _HEADLINE24 if k in results}
     line = json.dumps(
         {
             "metric": "headline_queries_total_sec",
             "value": round(total, 3),
             "unit": "sec",
-            "queries": head24,
+            "queries": line_map,
             "headline24_total_sec": round(sum(head24.values()), 3),
             "n_queries": len(results),
             "sf": sf_val,
