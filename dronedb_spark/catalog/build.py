@@ -24,6 +24,9 @@ from pyspark.sql import functions as F
 
 from dronedb_spark.catalog.derive import ENTRY_TYPES
 
+# Driver-side cap on the collected build queue — see pending_builds().
+MAX_PENDING_BUILDS = 100_000
+
 # type → artifact kind (build.cpp:39-66; Model→nxs build.cpp:51-53)
 BUILD_KINDS = {
     ENTRY_TYPES["PointCloud"]: "copc",
@@ -111,10 +114,18 @@ def pending_builds_df(catalog):
 
 def pending_builds(catalog) -> list[tuple[str, str, str]]:
     """(path, hash, kind) for entries whose artifact is missing/incomplete.
-    Collect is bounded by the actual pending work, not the catalog size."""
-    return [
+    Collect is bounded by the actual pending work, not the catalog size —
+    the driver-side build loop processes each entry anyway, so the list
+    is inherently driver-sized; the cap makes a runaway backlog fail
+    loudly instead of OOMing the driver."""
+    rows = [
         (r["path"], r["hash"], r["kind"]) for r in pending_builds_df(catalog).collect()
     ]
+    assert len(rows) <= MAX_PENDING_BUILDS, (
+        f"pending-build backlog {len(rows)} exceeds {MAX_PENDING_BUILDS}; "
+        "batch the build queue instead of collecting it whole"
+    )
+    return rows
 
 
 ARTIFACT_FILES = {
@@ -502,7 +513,12 @@ def build_all(catalog, force: bool = False) -> dict[str, int]:
         # build, so there we keep all paths and rely on the load-time
         # fallback below.  ignoreMissingFiles closes the remaining TOCTOU
         # window (a file deleted between listing and read).
+        # pending-artifact path list: same driver-sized build-queue grain
+        # as pending_builds() (≤ MAX_PENDING_BUILDS)
         rows = [r["path"] for r in todo_df.select("path").collect()]
+        assert len(rows) <= MAX_PENDING_BUILDS, (
+            f"pending-build backlog {len(rows)} exceeds {MAX_PENDING_BUILDS}"
+        )
         if "://" not in root:
             rows = [p for p in rows if os.path.exists(sep + p)]
             if not rows:
@@ -537,6 +553,9 @@ def build_all(catalog, force: bool = False) -> dict[str, int]:
         todo_df.join(files, "path")
         .mapInPandas(run, schema="kind string, status string")
         .collect()
+    )  # (kind, status) per pending build: build-queue grain, ≤ MAX_PENDING_BUILDS
+    assert len(res) <= MAX_PENDING_BUILDS, (
+        f"build result set {len(res)} exceeds {MAX_PENDING_BUILDS}"
     )
     counts: dict[str, int] = {}
     for r in res:
@@ -598,7 +617,8 @@ def cleanup(catalog) -> dict[str, int]:
             .join(F.broadcast(disk_df), "hash", "left_semi")
             .distinct()
             .collect()
-        }
+        }  # semi-joined against on_disk: ≤ len(on_disk) rows by construction
+        assert len(present) <= len(on_disk)
         for h in on_disk:
             if h not in present:
                 shutil.rmtree(os.path.join(build_root, h), ignore_errors=True)

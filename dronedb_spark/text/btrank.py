@@ -32,6 +32,9 @@ from dronedb_spark.suite import check
 from dronedb_spark.tables import load, spread
 
 N_ITER = 3
+# Upper bound on the driver-side model state (players) — see the grain
+# guard in ``bradley_terry``.
+MAX_PLAYERS = 10_000
 
 
 def source_duels(docs: DataFrame) -> DataFrame:
@@ -122,6 +125,19 @@ def bradley_terry(games: DataFrame, n_iter: int = N_ITER) -> DataFrame:
     totals = directed.groupBy("i").agg(F.sum("n_ij").alias("n_games_i"))
     win_rows = {r["i"]: r["w"] for r in wins.collect()}  # model state
     n_players = len(win_rows)
+    # model-state grain guard (r14, the k-means contract made explicit):
+    # the driver loop embeds 2·|players| literals in the plan per
+    # iteration and holds |players| floats — fine at source grain
+    # (tens), catastrophic if a caller ever passes entity-grain pairs
+    # (the r13 ivf unrolled-literals negative result is exactly that
+    # failure mode).  Fail loudly instead of going quadratic.
+    if n_players > MAX_PLAYERS:
+        raise ValueError(
+            f"bradley_terry: {n_players} players exceed the model-state "
+            f"cap {MAX_PLAYERS}; the driver-side MM loop is for "
+            "source-grain strengths — use a distributed formulation for "
+            "entity-grain pairs"
+        )
     p: dict = {i: 1.0 for i in win_rows}
     q15 = Decimal(1).scaleb(-15)
     for _ in range(n_iter):
@@ -153,8 +169,13 @@ def bradley_terry(games: DataFrame, n_iter: int = N_ITER) -> DataFrame:
         )
         p = {i: (v * n_players) / p_sum for i, v in raw.items()}
     spark = games.sparkSession
+    # derive the player-id type from the input (r14, ADVICE): the
+    # function is type-agnostic over ids — a hard-coded string schema
+    # broke callers with e.g. bigint players at the downstream joins
+    i_type = games.schema["s1"].dataType.simpleString()
     strengths = spark.createDataFrame(
-        sorted((i, float(v)) for i, v in p.items()), "i string, p double"
+        sorted((i, float(v)) for i, v in p.items()),
+        f"i {i_type}, p double",
     )
     return (
         strengths.join(wins, "i")

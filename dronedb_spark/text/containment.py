@@ -47,6 +47,7 @@ def containment_pairs(
     max_df: int = MAX_DF,
     min_contain_micro: int = MIN_CONTAIN_MICRO,
     dst_pred: str | None = None,
+    toks_df: DataFrame | None = None,
 ) -> DataFrame:
     """(src_id, dst_id, n_common, n_src, containment_micro): directed
     pairs where ≥ min_contain of src's (df-capped) shingles appear in
@@ -67,11 +68,22 @@ def containment_pairs(
     the big side before shuffling): callers that only care about pairs
     landing on a known id subset (decontamreport's eval members) skip
     the full pair fan-out entirely.  Self-pairs stay unconditional so
-    n_src is unchanged."""
-    from dronedb_spark.tables import spread
+    n_src is unchanged.
 
+    ``toks_df`` (r14): an already-tokenized (doc_id, toks) frame —
+    callers that tokenize the same corpus for several gram families
+    (decontamreport) pass their shared token pass instead of having the
+    corpus re-split here."""
+    from dronedb_spark.tables import spread
+    from dronedb_spark.text.dedup import _shingles_from_toks
+
+    shingled = (
+        _shingles_from_toks(toks_df)
+        if toks_df is not None
+        else _shingle_df(spread(docs))
+    )
     sh = barrier_persist(
-        _shingle_df(spread(docs)).select(
+        shingled.select(
             "doc_id", F.explode(F.array_distinct("sh")).alias("s")
         )
     )

@@ -86,9 +86,14 @@ def contamination_matrix(docs: DataFrame, vectors: DataFrame) -> DataFrame:
     ev = vectors.filter(
         F.col("vec_id") % EVAL_EVERY == EVAL_OFFSET
     ).select(_set_col("vec_id").alias("set_id"), "embedding")
+    # one shared tokenize for the n-gram + containment channels (r14,
+    # the decontamreport fusion — see corpus_toks)
+    from dronedb_spark.text.decontamreport import corpus_toks
+
+    toks = corpus_toks(corpus)
     flags = (
-        ngram_flags(corpus, bench)
-        .unionByName(containment_flags(corpus, bench))
+        ngram_flags(corpus, bench, toks_df=toks)
+        .unionByName(containment_flags(corpus, bench, toks_df=toks))
         .unionByName(cosine_flags(vectors, ev))
         .distinct()
     )

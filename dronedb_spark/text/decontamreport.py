@@ -89,7 +89,24 @@ def training_corpus(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "text").unionByName(excerpts)
 
 
-def ngram_flags(corpus: DataFrame, bench: DataFrame) -> DataFrame:
+def corpus_toks(corpus: DataFrame) -> DataFrame:
+    """(doc_id, toks): ONE materialized tokenize of the training corpus
+    (r14, VERDICT r13 #5) — the n-gram channel's 4-gram explode and the
+    containment channel's 3-gram shingle pass both derive from it, so
+    the corpus text is scanned and split once per report instead of
+    once per channel."""
+    from dronedb_spark.tables import barrier_persist, spread
+
+    return barrier_persist(
+        spread(corpus).select(
+            "doc_id", F.split(F.col("text"), " ").alias("toks")
+        )
+    )
+
+
+def ngram_flags(
+    corpus: DataFrame, bench: DataFrame, toks_df: DataFrame | None = None
+) -> DataFrame:
     """(item_id, set_id): training items sharing a verbatim 4-gram with
     any member of the set — broadcast bench-gram semi-join."""
     bgrams = bench.select(
@@ -98,9 +115,14 @@ def ngram_flags(corpus: DataFrame, bench: DataFrame) -> DataFrame:
     ).distinct()
     from dronedb_spark.tables import spread
 
-    cgrams = spread(corpus).select(
-        "doc_id", F.explode(_grams(F.split(F.col("text"), " "))).alias("gram")
-    )
+    if toks_df is not None:
+        cgrams = toks_df.select(
+            "doc_id", F.explode(_grams(F.col("toks"))).alias("gram")
+        )
+    else:
+        cgrams = spread(corpus).select(
+            "doc_id", F.explode(_grams(F.split(F.col("text"), " "))).alias("gram")
+        )
     return (
         cgrams.join(F.broadcast(bgrams), "gram")
         .select(F.col("doc_id").alias("item_id"), "set_id")
@@ -108,7 +130,9 @@ def ngram_flags(corpus: DataFrame, bench: DataFrame) -> DataFrame:
     )
 
 
-def containment_flags(corpus: DataFrame, bench: DataFrame) -> DataFrame:
+def containment_flags(
+    corpus: DataFrame, bench: DataFrame, toks_df: DataFrame | None = None
+) -> DataFrame:
     """(item_id, set_id): training items ≥80%-contained in an eval
     member — the directed df-capped containment pairs restricted to
     eval destinations.
@@ -129,6 +153,7 @@ def containment_flags(corpus: DataFrame, bench: DataFrame) -> DataFrame:
         dst_pred=(
             f"y % {EVAL_EVERY} = {EVAL_OFFSET} AND y < {EXCERPT_OFFSET}"
         ),
+        toks_df=toks_df,
     )
     return (
         pairs.select(
@@ -224,10 +249,13 @@ def decontam_report(docs: DataFrame, vectors: DataFrame) -> DataFrame:
     # corpus-sized lineage per reference.  Tagging the union and rolling
     # all four distinct-counts up in ONE aggregation computes each
     # channel exactly once.
+    toks = corpus_toks(corpus)
     tagged = (
-        ngram_flags(corpus, bench).withColumn("ch", F.lit(1))
+        ngram_flags(corpus, bench, toks_df=toks).withColumn("ch", F.lit(1))
         .unionByName(
-            containment_flags(corpus, bench).withColumn("ch", F.lit(2))
+            containment_flags(corpus, bench, toks_df=toks).withColumn(
+                "ch", F.lit(2)
+            )
         )
         .unionByName(cosine_flags(vectors, ev).withColumn("ch", F.lit(4)))
     )
@@ -272,11 +300,12 @@ def removal_plan(docs: DataFrame, vectors: DataFrame) -> DataFrame:
     ev = vectors.filter(
         F.col("vec_id") % EVAL_EVERY == EVAL_OFFSET
     ).select(_set_col("vec_id").alias("set_id"), "embedding")
+    toks = corpus_toks(corpus)
     tagged = (
-        ngram_flags(corpus, bench)
+        ngram_flags(corpus, bench, toks_df=toks)
         .select("item_id").distinct().withColumn("ch", F.lit(1))
         .unionByName(
-            containment_flags(corpus, bench)
+            containment_flags(corpus, bench, toks_df=toks)
             .select("item_id").distinct().withColumn("ch", F.lit(2))
         )
         .unionByName(

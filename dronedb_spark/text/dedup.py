@@ -44,6 +44,27 @@ def exact_dup_groups(docs: DataFrame) -> DataFrame:
     )
 
 
+def _shingles_from_toks(
+    toks_df: DataFrame, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """(doc_id, *carry, sh) from an already-tokenized (doc_id, *carry,
+    toks) frame — the shared lower half of ``_shingle_df``, split out
+    (r14) so a caller that tokenizes once for several gram families
+    (decontamreport's n-gram + containment channels) can reuse the
+    token arrays."""
+    sh = F.expr(
+        """CASE WHEN size(toks) >= 3
+                THEN zip_with(
+                       zip_with(slice(toks, 1, size(toks) - 2),
+                                slice(toks, 2, size(toks) - 2),
+                                (x, y) -> concat(x, ' ', y)),
+                       slice(toks, 3, size(toks) - 2),
+                       (x, y) -> concat(x, ' ', y))
+                ELSE array() END"""
+    )
+    return toks_df.select("doc_id", *carry, sh.alias("sh"))
+
+
 def _shingle_df(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     """(doc_id, *carry, sh: array<string>) — word 3-grams; ``carry``
     columns (e.g. a stream's event-time) pass through untouched.
@@ -57,19 +78,10 @@ def _shingle_df(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     subexpression elimination): measured 20-30× slower, worse still when
     the expression lands in an interpreted (non-codegen) operator.
     """
-    sh = F.expr(
-        """CASE WHEN size(toks) >= 3
-                THEN zip_with(
-                       zip_with(slice(toks, 1, size(toks) - 2),
-                                slice(toks, 2, size(toks) - 2),
-                                (x, y) -> concat(x, ' ', y)),
-                       slice(toks, 3, size(toks) - 2),
-                       (x, y) -> concat(x, ' ', y))
-                ELSE array() END"""
+    return _shingles_from_toks(
+        docs.select("doc_id", *carry, F.split("text", " ").alias("toks")),
+        carry,
     )
-    return docs.select(
-        "doc_id", *carry, F.split("text", " ").alias("toks")
-    ).select("doc_id", *carry, sh.alias("sh"))
 
 
 def minhash_signatures(
@@ -396,12 +408,8 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------- incremental dedup --
 
 
-def band_store(docs: DataFrame) -> DataFrame:
-    """The persisted corpus signature store: (doc_id, band_id, bk) rows
-    — what a production pipeline writes once per ingested batch and
-    keeps bucketed by ``bk`` on disk, so tomorrow's probe join needs no
-    corpus-side shuffle (and never recomputes corpus signatures)."""
-    sig = minhash_signatures(docs)
+def _melt_bands(sig: DataFrame) -> DataFrame:
+    """(doc_id, band_id, bk) from a signature table."""
     return sig.select(
         "doc_id",
         F.explode(
@@ -413,6 +421,37 @@ def band_store(docs: DataFrame) -> DataFrame:
             )
         ).alias("s"),
     ).select("doc_id", F.col("s.band_id").alias("band_id"), F.col("s.bk").alias("bk"))
+
+
+def band_store(docs: DataFrame) -> DataFrame:
+    """The persisted corpus signature store: (doc_id, band_id, bk) rows
+    — what a production pipeline writes once per ingested batch and
+    keeps bucketed by ``bk`` on disk, so tomorrow's probe join needs no
+    corpus-side shuffle (and never recomputes corpus signatures)."""
+    return _melt_bands(minhash_signatures(docs))
+
+
+def _probe_band_store(
+    probe: DataFrame, ids: DataFrame, store: DataFrame
+) -> DataFrame:
+    """The band-bucket probe join + per-doc rollup shared by
+    ``incremental_neardup`` and the check's shared-signature path:
+    ``probe`` is (batch_doc, band_id, bk), ``ids`` is the full batch id
+    list (batch_doc — including docs too short to signature), ``store``
+    is (doc_id, band_id, bk)."""
+    hits = probe.join(store, ["band_id", "bk"])
+    per_doc = hits.groupBy("batch_doc").agg(
+        F.countDistinct("doc_id").alias("n_corpus_hits"),
+        F.countDistinct("band_id").alias("n_hit_bands"),
+        F.min("doc_id").alias("dup_of"),
+    )
+    return ids.join(per_doc, "batch_doc", "left").select(
+        F.col("batch_doc").alias("doc_id"),
+        F.col("n_corpus_hits").isNotNull().alias("is_corpus_dup"),
+        F.coalesce("n_corpus_hits", F.lit(0)).alias("n_corpus_hits"),
+        F.coalesce("n_hit_bands", F.lit(0)).alias("n_hit_bands"),
+        F.coalesce("dup_of", F.lit(-1)).alias("dup_of"),
+    )
 
 
 def incremental_neardup(batch: DataFrame, store: DataFrame) -> DataFrame:
@@ -428,20 +467,8 @@ def incremental_neardup(batch: DataFrame, store: DataFrame) -> DataFrame:
     one row per batch doc: hit count, distinct colliding bands, and the
     smallest colliding corpus doc as the canonical duplicate target."""
     probe = band_store(batch).withColumnRenamed("doc_id", "batch_doc")
-    hits = probe.join(store, ["band_id", "bk"])
-    per_doc = hits.groupBy("batch_doc").agg(
-        F.countDistinct("doc_id").alias("n_corpus_hits"),
-        F.countDistinct("band_id").alias("n_hit_bands"),
-        F.min("doc_id").alias("dup_of"),
-    )
     ids = batch.select(F.col("doc_id").alias("batch_doc")).distinct()
-    return ids.join(per_doc, "batch_doc", "left").select(
-        F.col("batch_doc").alias("doc_id"),
-        F.col("n_corpus_hits").isNotNull().alias("is_corpus_dup"),
-        F.coalesce("n_corpus_hits", F.lit(0)).alias("n_corpus_hits"),
-        F.coalesce("n_hit_bands", F.lit(0)).alias("n_hit_bands"),
-        F.coalesce("dup_of", F.lit(-1)).alias("dup_of"),
-    )
+    return _probe_band_store(probe, ids, store)
 
 
 _INC_OFFSET = 5000000
@@ -500,17 +527,41 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Store = corpus docs with doc_id % 3 != 0; batch = the rest PLUS
     re-keyed copies of some store docs (doc_id % 11 == 1) so genuine
     corpus collisions exist — every copy must flag is_corpus_dup with
-    its original as dup_of; the genuinely-new docs must not."""
-    from dronedb_spark.tables import load
+    its original as dup_of; the genuinely-new docs must not.
+
+    r14 optimization (guide §2.4, materialize once): the old shape ran
+    TWO independent signature pipelines (store 2/3 of the corpus, batch
+    1/3 + copies) — together a full corpus pass split across two
+    persists, with the re-keyed copies re-shingling text the store side
+    had already hashed.  A MinHash signature is a pure function of the
+    text, so ONE persisted signature table over the base corpus serves
+    both sides: the store by id filter, the batch by id filter plus the
+    re-keyed copies inheriting their original's signature row.  Results
+    identical (oracle-checked); the probe join itself is unchanged."""
+    from dronedb_spark.tables import barrier_persist, load
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    store_docs = docs.filter(F.col("doc_id") % 3 != 0)
-    batch = docs.filter(F.col("doc_id") % 3 == 0).unionByName(
-        store_docs.filter(F.col("doc_id") % 11 == 1).select(
-            (F.col("doc_id") + _INC_OFFSET).alias("doc_id"), "text"
+    sig = barrier_persist(minhash_signatures(docs))
+    store_sig = sig.filter(F.col("doc_id") % 3 != 0)
+    batch_sig = sig.filter(F.col("doc_id") % 3 == 0).unionByName(
+        store_sig.filter(F.col("doc_id") % 11 == 1).withColumn(
+            "doc_id", F.col("doc_id") + _INC_OFFSET
         )
     )
-    return incremental_neardup(batch, band_store(store_docs)).orderBy("doc_id")
+    probe = _melt_bands(batch_sig).withColumnRenamed("doc_id", "batch_doc")
+    ids = (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .select(F.col("doc_id").alias("batch_doc"))
+        .unionByName(
+            docs.filter(
+                (F.col("doc_id") % 3 != 0) & (F.col("doc_id") % 11 == 1)
+            ).select((F.col("doc_id") + _INC_OFFSET).alias("batch_doc"))
+        )
+        .distinct()
+    )
+    return _probe_band_store(probe, ids, _melt_bands(store_sig)).orderBy(
+        "doc_id"
+    )
 
 
 # ------------------------------------------------------------ calibration

@@ -460,6 +460,10 @@ def hits_over_edges(edge_table: DataFrame, n_iter: int = N_HITS_ITER) -> DataFra
             .agg(F.sum("c").cast("bigint").alias("a_raw"))
         ).localCheckpoint()
         a_tot = a_raw.agg(F.sum("a_raw").alias("t")).collect()[0]["t"]
+        # empty graph ⇒ SUM is NULL: interpolate a typed NULL so the
+        # DIV degrades to NULL scores like the pre-r13 column form did,
+        # instead of emitting the unparseable literal ``None`` (ADVICE)
+        a_tot = "CAST(NULL AS BIGINT)" if a_tot is None else a_tot
         auths = (
             doms.join(a_raw, "domain", "left")
             .select(
@@ -477,6 +481,7 @@ def hits_over_edges(edge_table: DataFrame, n_iter: int = N_HITS_ITER) -> DataFra
             .agg(F.sum("c").cast("bigint").alias("h_raw"))
         ).localCheckpoint()
         h_tot = h_raw.agg(F.sum("h_raw").alias("t")).collect()[0]["t"]
+        h_tot = "CAST(NULL AS BIGINT)" if h_tot is None else h_tot
         hubs = (
             doms.join(h_raw, "domain", "left")
             .select(

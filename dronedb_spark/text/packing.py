@@ -70,7 +70,15 @@ def pack_sequences(docs: DataFrame, seq_len: int) -> DataFrame:
     """→ one row per training chunk: (chunk_id, n_docs, first_doc,
     last_doc, n_tokens); the last chunk may be short."""
     spans = doc_spans(docs)
-    total = spans.agg((F.max(F.col("start") + F.col("n_tok"))).alias("_total"))
+    # corpus token total == max(start + n_tok) == plain SUM(n_tok) for an
+    # exclusive prefix sum — computed with one narrow aggregate over the
+    # token counts instead of a second reference to the prefix-sum
+    # relation (r14, guide §2.4: the spans subtree re-ran its range
+    # exchange + window per reference; materializing it instead measured
+    # SLOWER than this re-derivation — see OPTIMIZATION_r14.md)
+    total = docs.select(
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok")
+    ).agg(F.sum("n_tok").alias("_total"))
     chunks = spans.select(
         "doc_id",
         F.explode(

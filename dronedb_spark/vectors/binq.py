@@ -134,7 +134,10 @@ def binq_encode_arrays(embeddings: DataFrame, thresholds: DataFrame) -> DataFram
     thresholds ride along as a closure constant (model-state-sized)."""
     import numpy as np
 
+    # per-dimension medians: pos grain, ≤ 64 rows (one per packed bit) —
+    # driver-side model state
     med_rows = sorted((r["pos"], r["med"]) for r in thresholds.collect())
+    assert len(med_rows) <= 64, f"binq threshold grain blew up: {len(med_rows)} rows"
     med = np.array([m for _, m in med_rows], dtype=np.float64)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -314,7 +317,10 @@ def write_binq_store(
         if thresholds is not None
         else binq_thresholds(emb, n_hint=n_hint)
     )
+    # pos grain, ≤ 64 rows — the store sidecar returns the same
+    # driver-side model state binq_encode_arrays asserts
     med_rows = sorted((r["pos"], r["med"]) for r in th.collect())
+    assert len(med_rows) <= 64, f"binq threshold grain blew up: {len(med_rows)} rows"
     binq_encode_arrays(emb, th).write.mode("overwrite").parquet(path)
     return [float(m) for _, m in med_rows]
 

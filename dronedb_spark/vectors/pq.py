@@ -105,7 +105,8 @@ def pq_train(emb: DataFrame, seed_from: int = 0) -> dict[tuple[int, int], list[f
         ]
         rows = (
             assign.join(subs, ["vec_id", "m"]).groupBy("m", "code").agg(*mean_cols)
-        ).collect()
+        ).collect()  # codebook model state: (m, code) grain, ≤ M·K rows
+        assert len(rows) <= M * K, f"PQ codebook grain blew up: {len(rows)} rows"
         cb_df = spark.createDataFrame(
             [
                 (int(r["m"]), int(r["code"]), [r[f"_e{i}"] for i in range(SUBDIM)])
@@ -114,6 +115,8 @@ def pq_train(emb: DataFrame, seed_from: int = 0) -> dict[tuple[int, int], list[f
             schema="m int, j int, c_sub array<double>",
         )
     return {
+        # cb_df is driver-created from the asserted rows above — same
+        # ≤ M·K codebook grain
         (int(r["m"]), int(r["j"])): list(r["c_sub"]) for r in cb_df.collect()
     }
 

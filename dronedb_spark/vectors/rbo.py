@@ -92,8 +92,15 @@ def rbo_prefix_stability(
                     (acc, t) -> CAST(acc + t AS DECIMAL(30,15)))"""
         )
 
+    # guard the unconditioned cross-join (r14, ADVICE): an empty or
+    # short embedding would fold to distance 0/NULL and could enter the
+    # top-10, where the dimension-join formulation (and the oracle's
+    # per-position unnest join) never scored it over full length —
+    # only full-dimension vectors enter the ranking.  A no-op on
+    # conforming corpora (verified: oracle hash unchanged).
     dist = (
-        embeddings.join(F.broadcast(qs))
+        embeddings.filter(F.size("embedding") == FULL_DIMS)
+        .join(F.broadcast(qs))
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id",

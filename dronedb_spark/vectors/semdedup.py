@@ -186,7 +186,8 @@ def _arrow_assign(src: "DataFrame") -> "DataFrame":
     c_rows = sorted(
         (int(r["vec_id"]), list(r["embedding"]))
         for r in src.filter(F.col("vec_id") < N_CENTROIDS).collect()
-    )
+    )  # centroid model state: ≤ N_CENTROIDS rows by the filter
+    assert len(c_rows) <= N_CENTROIDS, f"centroid grain blew up: {len(c_rows)}"
     cids = np.asarray([c for c, _ in c_rows], dtype=np.int64)
     cm = np.stack([np.asarray(v, dtype=np.float64) for _, v in c_rows])
     ss_c = cm[:, 0] * cm[:, 0]
@@ -423,7 +424,8 @@ def incremental_semdedup(
     assigned = _assign_cells(b, centroids).select("vec_id", "cell")
     bcells = sorted(
         r["cell"] for r in assigned.select("cell").distinct().collect()
-    )
+    )  # distinct cell ids: ≤ N_CENTROIDS rows — partition-pruning probe set
+    assert len(bcells) <= N_CENTROIDS, f"cell grain blew up: {len(bcells)}"
     store = (
         spark.read.parquet(path)
         .filter(F.col("cell").isin(bcells))

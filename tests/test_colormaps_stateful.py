@@ -44,6 +44,7 @@ def test_discrete_ndvi_steps():
     assert tuple(lut[128][:3]) == (255, 215, 0)
 
 
+@pytest.mark.heavy
 def test_stream_sessionize_closes_on_timeout(spark, tmp_path):
     import time
 

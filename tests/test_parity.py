@@ -79,7 +79,64 @@ def _lint_oracle_render(name, sdf, con, oracle):
             )
 
 
-@pytest.mark.parametrize("name", sorted(REGISTRY))
+# r14 budget split (VERDICT r13 #1): the 400+-check parity matrix alone
+# costs ~8 min — far past the driver's verify window — and duplicates
+# the comparison the driver-contract sim and the builder's
+# SPARK_GRAFT_FULL_TESTS=1 pass already run over EVERY check.  The
+# default run keeps a deterministic third of the matrix (md5(name) % 3,
+# stable across rounds) plus every check the current round touched;
+# the very slowest checks are always deferred to the full pass.  No
+# test is deleted — the skipped share carries @pytest.mark.heavy.
+_ALWAYS_DEFAULT = {
+    # r14-touched operators: their parity must run in EVERY default pass
+    "incremental_dedup_probe",
+    "decontam_channel_report",
+    "decontam_removal_plan",
+    "contamination_matrix",
+    "containment_subset_pairs",
+    "pack_sequences_chunks",
+    "pack_sequences_10x",
+    "rbo_prefix_stability",
+    "bradley_terry_strengths",
+    "domain_hits",
+    "range_partition_plan",
+    "lm_doc_perplexity",
+    "lm_doc_perplexity_10x",
+}
+_ALWAYS_HEAVY = {
+    # the slowest single rows of the timed r14 full run (>6 s each):
+    # full-pass only, regardless of the hash split
+    "domain_components",          # 87 s — the recursive-CTE oracle
+    "ivfpq_residual_store_probe",
+    "ivfpq_store_probe",
+    "ivfpq_residual_top10",
+    "ivfpq_adc_top10",
+    "ivfpq_rerank_top10",
+    "containment_store_probe",
+    "stockpile_detect",
+    "stockpile_single",
+}
+
+
+def _default_share(name: str) -> bool:
+    import hashlib
+
+    if name in _ALWAYS_DEFAULT:
+        return True
+    if name in _ALWAYS_HEAVY:
+        return False
+    return int(hashlib.md5(name.encode()).hexdigest(), 16) % 3 == 0
+
+
+_PARITY_PARAMS = [
+    name
+    if _default_share(name)
+    else pytest.param(name, marks=pytest.mark.heavy)
+    for name in sorted(REGISTRY)
+]
+
+
+@pytest.mark.parametrize("name", _PARITY_PARAMS)
 def test_parity(name, spark, sf_dir):
     chk = REGISTRY[name]
     sdf = chk.spark_fn(spark, sf_dir)

@@ -634,6 +634,7 @@ def test_no_unbounded_persists():
     assert offenders == [], offenders
 
 
+@pytest.mark.heavy
 def test_ivfpq_store_probe_prunes_and_matches(spark, tmp_path):
     """The persisted IVF-PQ store is cell-partitioned CODES (no raw
     embeddings on disk — 16x smaller); a probe must (a) show the cell
@@ -796,6 +797,7 @@ def test_barrier_persist_collision_guard(spark):
     tables._BARRIER_CACHE.pop(key, None)
 
 
+@pytest.mark.heavy
 def test_r8_operator_plan_shapes(spark, sf_dir):
     """One pin per round-8 operator family — the physical property each
     one's SCALE.md claim rests on."""
@@ -840,6 +842,7 @@ def test_r8_operator_plan_shapes(spark, sf_dir):
     assert len(got) == 10
 
 
+@pytest.mark.heavy
 def test_residual_store_probe_reads_no_embeddings(spark, sf_dir, tmp_path):
     """The residual serving store: probe plan prunes partitions to the
     probed cells and its scan schema carries no embedding column."""

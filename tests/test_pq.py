@@ -3,6 +3,8 @@ zero-shuffle encode/search plan pin."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from dronedb_spark.plans.inspect import has_cartesian, physical_plan
@@ -70,6 +72,7 @@ def test_pq_encode_deterministic_and_bounded(spark, sf_dir):
     assert pq_train(emb) == cb
 
 
+@pytest.mark.heavy
 def test_ivfpq_consistent_with_pq_on_probed_cells(spark, sf_dir):
     """IVF-PQ = PQ ADC restricted to the probed cells: every hit's cell
     is probed, and its ADC score equals the full-corpus PQ score for
@@ -145,6 +148,7 @@ def test_hard_negatives_plan_and_semantics(spark, sf_dir):
         assert got[a_id]["neg_id"] == best_cos
 
 
+@pytest.mark.heavy
 def test_ivfpq_residual_recall_at_least_global(spark, sf_dir):
     """The FAISS residual recipe must not lose recall@10 vs the global
     codebook on the probed cells (residuals concentrate near the
@@ -191,6 +195,7 @@ def test_ivfpq_residual_recall_at_least_global(spark, sf_dir):
     assert recall_res >= 2
 
 
+@pytest.mark.heavy
 def test_rerank_improves_or_matches_adc_recall(spark, sf_dir):
     """Exact rerank of the ADC shortlist can only improve recall@10
     against the true L2 top-10 of the probed cells."""

@@ -5,6 +5,10 @@ collect to the driver, explode memory, or degrade superlinearly."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.heavy  # builder full-pass material (SPARK_GRAFT_FULL_TESTS=1)
+
 from pyspark.sql import functions as F
 
 from dronedb_spark.tables import load

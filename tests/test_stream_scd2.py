@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from dronedb_spark.operators.scd2 import _TIER, scd2_intervals
@@ -72,6 +74,7 @@ def test_open_episodes_stay_in_state(spark, tmp_path):
     assert r["valid_to_us"] > r["valid_from_us"]
 
 
+@pytest.mark.heavy
 def test_reordered_stream_matches_batch_under_out_of_order_arrival(
     spark, tmp_path
 ):

@@ -4,6 +4,8 @@ flush and out-of-order arrival."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 
 from dronedb_spark.operators.sessionize import sessionize
@@ -65,6 +67,7 @@ def test_stream_sessions_match_batch_on_full_corpus(spark, sf_dir, tmp_path):
     assert len(want) > 100
 
 
+@pytest.mark.heavy
 def test_out_of_order_and_idle_timeout_flush(spark, tmp_path):
     def ts(sec):
         return dt.datetime(2026, 1, 1) + dt.timedelta(seconds=sec)

@@ -34,7 +34,7 @@ def main() -> None:
 
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "plans", "r13",
+        "plans", os.environ.get("SPARK_GRAFT_PLANS_DIR", "r14"),
     )
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
