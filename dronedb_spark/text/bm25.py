@@ -44,12 +44,23 @@ def bm25_scores(docs: DataFrame, query_terms: list[str], k1: float = K1, b: floa
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     ).filter(F.col("tok") != "")
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # r14 (guide §2.3/§2.4): document length is an IN-ROW size() over
+    # the split array — the old ``toks.groupBy(doc_id).count()`` form
+    # re-ran the corpus tokenize+explode for dl AND (via avgdl) a third
+    # time, plus a token-grain aggregation, to compute what each row
+    # already knows.  Docs with zero non-empty tokens are excluded to
+    # match the exploded form (they contribute no token rows).
+    dl = docs.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda x: x != "")).alias("dl"),
+    ).filter(F.col("dl") > 0)
     n_docs = docs.select(F.countDistinct("doc_id").alias("n"))
     avgdl = dl.agg(F.avg("dl").alias("avgdl"))
     hits = toks.join(q, "tok", "inner")
     tf = hits.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    df_t = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    # tf's grain IS (doc_id, tok), so a plain count is the distinct-doc
+    # df — no countDistinct Expand (r14)
+    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     idf = df_t.crossJoin(F.broadcast(n_docs)).select(
         "tok",
         F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0).alias("idf"),

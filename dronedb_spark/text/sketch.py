@@ -204,7 +204,13 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(F.explode(F.split("text", " ")).alias("tok")).filter(
         F.col("tok") != ""
     )
-    top = (
+    # ``top`` is 20 rows but its subtree is a full corpus tokenize +
+    # token groupBy; it feeds TWO consumers (the probe side and the
+    # final join) — materialize it once (r14, guide §2.4) instead of
+    # re-running the heavy-hitter pass per reference.
+    from dronedb_spark.tables import barrier_persist
+
+    top = barrier_persist(
         toks.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("true_cnt"))
         .orderBy(F.desc("true_cnt"), "tok")

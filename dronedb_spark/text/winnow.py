@@ -79,30 +79,27 @@ def winnow_overlap(docs: DataFrame, max_df: int = MAX_DF) -> DataFrame:
     """(doc_a, doc_b, n_shared) for document pairs sharing at least one
     non-boilerplate fingerprint — the passage-reuse candidates.
 
-    The exploded fingerprint table feeds FOUR subtrees (the DF rollup
-    and both sides of the self-join); ``barrier_persist`` materializes
-    it once — measured 2.1x on the full overlap pass at sf0.1."""
-    from dronedb_spark.tables import barrier_persist
-
-    fps = barrier_persist(winnow_fingerprints(docs))
+    r14 (guide §2.4): the df cap is ONE window pass over the fp
+    partitioning (the ``winnow_store`` / ``lsh_calibration`` idiom) —
+    the r13 shape materialized the exploded (doc_id, fp) table
+    (``barrier_persist``) so a groupBy-df rollup + left-semi join could
+    both read it, i.e. a data-sized columnar materialization plus two
+    fp-grain exchanges.  The window computes the df IN PLACE after a
+    single fp exchange, the filter drops boilerplate rows there, and
+    the posting-list groupBy reuses the same partitioning (same key ⇒
+    no second exchange).  No persist, no semi-join; the lm round's
+    lesson (token-grain materialization loses to recompute) applied."""
+    fps = winnow_fingerprints(docs)
     # (doc_id, fp) is distinct by construction (array_distinct upstream),
-    # so a plain count IS the distinct-doc df — no countDistinct Expand
-    rare = (
-        fps.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= max_df)
-        .select("fp")
-    )
+    # so a plain count over the fp window IS the distinct-doc df.
+    capped = fps.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+    ).filter(F.col("df") <= max_df)
     # r13 optimization (the containment.py posting-list plan): collapse
-    # the df-capped postings to per-fp doc lists (provably ≤ max_df
-    # after the semi-join — a boilerplate fp never materializes a list)
-    # and explode the ordered pairs IN-ROW, replacing the kept ⋈ kept
-    # self-join and its second fingerprint-side exchange.
-    posts = (
-        fps.join(rare, "fp", "left_semi")
-        .groupBy("fp")
-        .agg(F.collect_list("doc_id").alias("ds"))
-    )
+    # the df-capped postings to per-fp doc lists (provably ≤ max_df —
+    # the window filter ran first, so a boilerplate fp never
+    # materializes a list) and explode the ordered pairs IN-ROW.
+    posts = capped.groupBy("fp").agg(F.collect_list("doc_id").alias("ds"))
     pairs = posts.select(
         F.explode(
             F.expr(
